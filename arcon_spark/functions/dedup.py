@@ -1,0 +1,393 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (it has no dedup of any kind — SURVEY.md
+§2.9); these are the operators a 100 TB document pipeline needs:
+
+- exact dedup            — hash-groupBy on a normalized-content digest
+- MinHash + LSH          — shingle → minhash signature → band → bucket join
+- SimHash                — 64-bit sign-of-weighted-bit-sums fingerprint
+- n-gram Jaccard         — exact set similarity via shingle inverted index
+- embedding near-dup     — cosine over `embeddings.embedding`
+
+Cross-engine determinism: all hashing is md5 (identical in Spark and
+DuckDB); minhash compares fixed-width lowercase-hex prefixes as strings
+(string min == unsigned-int min); cosine goes through integer-scaled
+components so dot products are exact and order-independent.
+
+Scale design:
+- Everything up to the bucket/inverted-index join is per-row array math
+  inside whole-stage codegen — embarrassingly parallel, zero shuffle.
+- MinHash+LSH shuffles once on (band_id, band_hash): the candidate join
+  touches only colliding docs, never the O(n²) pair space. (Production
+  hardening at 100 TB: cap pathological bucket sizes before the
+  self-join; kept uncapped here to stay oracle-equivalent.)
+- Exact Jaccard's inverted-index join is the O(pairs-sharing-a-shingle)
+  fallback — correct but quadratic in hot shingles; it exists as the
+  ground-truth for MinHash recall tests (tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arcon_spark.io import load_table
+from arcon_spark.plans.registry import register
+
+NUM_HASHES = 12
+NUM_BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+
+# --- shared shingling expressions (Spark SQL; DuckDB mirror below) --------
+
+_TOKS = "filter(split(lower(text), ' '), x -> x != '')"
+# word 3-gram shingles over 0-based Spark arrays, then set-ify
+_SHINGLES = (
+    f"array_distinct(transform(sequence(0, size({_TOKS}) - 3),"
+    f" i -> concat_ws(' ', {_TOKS}[i], {_TOKS}[i+1], {_TOKS}[i+2])))"
+)
+
+
+def _minhash_expr(j: int) -> str:
+    """min over shingles of md5('mh{j}:' || shingle) hex prefix.
+    Fixed-width lowercase hex compares like an unsigned int."""
+    return (
+        f"array_min(transform(shingles, s -> substring(md5(concat('mh{j}:', s)), 1, 16)))"
+    )
+
+
+def _with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        docs.filter(F.expr(f"size({_TOKS})") >= 3)  # oracle: WHERE len(t) >= 3
+        .withColumn("shingles", F.expr(_SHINGLES))
+    )
+
+
+# DuckDB mirrors (1-based lists)
+_SQL_TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+_SQL_SHINGLE_CTE = f"""
+toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+)"""
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+           MIN(doc_id) AS canonical_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("dedup", "exact"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: digest of whitespace-normalized lowercased text,
+    one shuffle on the digest, min-id canonical representative. At
+    100 TB the digest (16 bytes) is all that shuffles — never the text."""
+    docs = load_table(spark, sf_dir, "documents")
+    digest = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    return (
+        docs.select(digest.alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + NUM_HASHES minhash columns mh0..mhN — one codegen'd
+    projection, no shuffle, no Python."""
+    sh = _with_shingles(spark, sf_dir)
+    cols = [F.expr(_minhash_expr(j)).alias(f"mh{j}") for j in range(NUM_HASHES)]
+    return sh.select("doc_id", *cols)
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=(
+        lambda: f"""
+    WITH {_SQL_SHINGLE_CTE}
+    SELECT doc_id,
+           {", ".join(f"min(substr(md5('mh{j}:' || shingle), 1, 16)) AS mh{j}" for j in range(NUM_HASHES))}
+    FROM sh GROUP BY doc_id
+    """
+    )(),
+    tags=("dedup", "minhash"),
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash signature matrix itself (oracle-checkable midpoint of
+    the LSH pipeline)."""
+    return minhash_signatures(spark, sf_dir)
+
+
+def _band_exprs() -> list[str]:
+    bands = []
+    for b in range(NUM_BANDS):
+        parts = ", ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        bands.append(f"md5(concat({parts}))")
+    return bands
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=(
+        lambda: f"""
+    WITH {_SQL_SHINGLE_CTE},
+    mh AS (
+      SELECT doc_id,
+             {", ".join(f"min(substr(md5('mh{j}:' || shingle), 1, 16)) AS mh{j}" for j in range(NUM_HASHES))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, md5(mh{b * ROWS_PER_BAND} || mh{b * ROWS_PER_BAND + 1} || mh{b * ROWS_PER_BAND + 2}) AS band_hash FROM mh"
+        for b in range(NUM_BANDS)
+      )}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """
+    )(),
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate duplicate pairs: NUM_BANDS bands of
+    ROWS_PER_BAND rows; docs colliding in any band are candidates.
+    Plan: signature projection (no shuffle) → posexplode to (band_id,
+    band_hash) → ONE shuffle on the band key → within-bucket self-join →
+    distinct pairs. Pair space never materializes beyond collisions."""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.expr(e) for e in _band_exprs()])).alias(
+            "band_id", "band_hash"
+        ),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_HEXTABLE = "0123456789abcdef"
+
+# per-token 64-bit vector: bit k of md5(token) first 16 nibbles
+_TOKEN_BITS = (
+    "transform(sequence(0, 63), k -> "
+    f"(shiftright(instr('{_HEXTABLE}', substring(md5(t), (k div 4) + 1, 1)) - 1,"
+    " 3 - (k % 4))) & 1)"
+)
+
+_SIMHASH_VEC = (
+    f"aggregate(tokens, transform(sequence(0, 63), k -> 0L),"
+    f" (acc, t) -> zip_with(acc, {_TOKEN_BITS}, (a, b) -> a + 2 * b - 1))"
+)
+
+
+@register(
+    "dedup_simhash",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS t
+      FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, u.k,
+             SUM(2 * (((strpos('0123456789abcdef',
+                               substr(md5(t), (u.k // 4) + 1, 1)) - 1)
+                       >> (3 - (u.k % 4))) & 1) - 1) AS s
+      FROM toks, UNNEST(generate_series(0, 63)) AS u(k)
+      GROUP BY doc_id, u.k
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY k) AS simhash_bits
+    FROM bits GROUP BY doc_id
+    """,
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: 64-bit fingerprint = sign of per-bit sums of (+1/-1)
+    token-hash bits. Emitted as a 64-char bit string (portable across
+    engines; callers hamming-compare via bit ops or substring bands).
+    Spark plan: one aggregate() higher-order function per row — all
+    whole-stage codegen, zero shuffle, no Python. The oracle unrolls the
+    same arithmetic relationally (unnest tokens × 64 bit positions)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        docs.withColumn("tokens", F.expr(_TOKS))
+        .withColumn("vec", F.expr(_SIMHASH_VEC))
+        .select(
+            "doc_id",
+            F.array_join(
+                F.expr("transform(vec, v -> if(v > 0, '1', '0'))"), ""
+            ).alias("simhash_bits"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SQL_SHINGLE_CTE},
+    shn AS (
+      SELECT sh.doc_id, sh.shingle, sz.n
+      FROM sh JOIN (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id) sz
+        ON sz.doc_id = sh.doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_common,
+             MAX(a.n) AS na, MAX(b.n) AS nb
+      FROM shn a JOIN shn b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE) AS jaccard
+    FROM inter
+    WHERE CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE) >= 0.6
+    """,
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.6) via a shingle
+    inverted index: explode distinct shingles (carrying the per-doc set
+    size so no size-lookup join is needed later) → self-join on shingle
+    → |A∩B| per pair → Jaccard. Integer counts → the division is the
+    only float op → deterministic. This is the ground truth the MinHash
+    recall test compares against; at 100 TB run the LSH variant and
+    reserve this for verifying candidate pairs only."""
+    sh = _with_shingles(spark, sf_dir).select(
+        "doc_id",
+        F.size("shingles").cast("long").alias("n"),
+        F.explode("shingles").alias("shingle"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.max("a.n").alias("na"),
+            F.max("b.n").alias("nb"),
+        )
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    ).cast("double")
+    return (
+        inter.select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.6)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+_SCALE = 10_000_000  # float32 has ~7 significant decimals
+
+# exact integer dot product of two float arrays (order-independent)
+_INT_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) ->"
+    f" cast(round(cast(x as double) * {_SCALE}.0) as bigint)"
+    f" * cast(round(cast(y as double) * {_SCALE}.0) as bigint)),"
+    " 0L, (acc, v) -> acc + v)"
+)
+
+
+def _sql_int_dot(a: str, b: str) -> str:
+    return (
+        f"SUM(CAST(round(CAST({a}[u.i] AS DOUBLE) * {_SCALE}.0) AS BIGINT)"
+        f" * CAST(round(CAST({b}[u.i] AS DOUBLE) * {_SCALE}.0) AS BIGINT))"
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH nrm AS (
+      SELECT e.vec_id, {_sql_int_dot('e.embedding', 'e.embedding')} AS n2
+      FROM embeddings e, UNNEST(generate_series(1, len(e.embedding))) AS u(i)
+      GROUP BY e.vec_id
+    ),
+    dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {_sql_int_dot('a.embedding', 'b.embedding')} AS d
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id,
+           UNNEST(generate_series(1, len(a.embedding))) AS u(i)
+      GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b,
+           CAST(d AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+    FROM dots JOIN nrm na ON na.vec_id = vec_a JOIN nrm nb ON nb.vec_id = vec_b
+    WHERE CAST(d AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.3
+    """,
+    tags=("dedup", "embedding"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.3 for this synthetic
+    corpus). Components are scaled to integers (float32 is exact at 1e7)
+    so dot products are exact longs — bit-identical across engines and
+    partition orders. Brute-force O(n²) pair join is the correctness
+    baseline; the LSH-bucketed scale path is ann_lsh_bucketed in
+    arcon_spark.functions.similarity."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dot_aa = F.expr(_INT_DOT.format(a="embedding", b="embedding"))
+    nrm = emb.select("vec_id", "embedding", dot_aa.alias("n2"))
+    a = nrm.alias("a")
+    b = nrm.alias("b")
+    dot_ab = F.expr(_INT_DOT.format(a="a.embedding", b="b.embedding"))
+    cos = dot_ab.cast("double") / (
+        F.sqrt(F.col("a.n2").cast("double")) * F.sqrt(F.col("b.n2").cast("double"))
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.3)
+    )

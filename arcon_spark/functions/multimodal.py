@@ -1,0 +1,132 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video content rides through the engine as `binary` columns
+with a typed metadata struct alongside — the Spark-native equivalent of
+the reference's opaque `Vec<u8>` bytes fields (proto `bytes`,
+reference arcon_tests/src/proto_derive_test.rs `Advanced.bytes`).
+
+The decode/feature-extract stages are Pandas-UDF `mapInPandas`
+pipelines whose Spark-side plumbing (schema, Arrow batch shape,
+partitioning) is real and tested; the actual codec call is stubbed —
+the image/audio libraries are not in this container — behind
+`decode_image_stub`, which raises NotImplementedError unless
+`deterministic_fake=True` (the default used by tests and the
+registered query) computes metadata purely from the bytes.
+
+The registered query keeps the *oracle-checkable* part JVM-side:
+payload synthesis (utf-8 bytes of `documents.text`) and byte-length /
+digest metadata are expressible in both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from arcon_spark.io import load_table
+from arcon_spark.plans.registry import register
+
+# metadata schema every multimodal column carries
+MEDIA_META = T.StructType(
+    [
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("digest", T.StringType(), False),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+    ]
+)
+
+
+def media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → fake media payload (utf-8 bytes) + metadata
+    struct. At 100 TB real payloads come from binaryFile/parquet binary
+    columns; everything downstream is payload-source-agnostic."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    payload = F.encode("text", "utf-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("media_type"),
+            F.octet_length("text").cast("long").alias("n_bytes"),
+            F.md5(payload).alias("digest"),
+        ).alias("meta"),
+    )
+
+
+def decode_image_stub(payload: bytes, deterministic_fake: bool = True) -> dict:
+    """STUB: real decoder (PIL/libvips) is not in this container.
+    The deterministic fake derives plausible dimensions from the bytes
+    so the pipeline shape (schema, batching, partitioning) is testable.
+    """
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "image codecs not available in this environment; "
+            "install pillow/libvips and replace this stub"
+        )
+    n = len(payload)
+    return {
+        "n_bytes": n,
+        "width": 64 + n % 640,
+        "height": 64 + (n * 7) % 480,
+        "n_frames": 1 + n % 16,
+    }
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """mapInPandas decode stage: Arrow-batched, per-partition, no
+    shuffle. Each batch arrives as a pandas DataFrame with the binary
+    payload column; the stub stands in for the codec."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decode_image_stub(p) for p in pdf["payload"]]
+            out = pd.DataFrame(metas)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return df.mapInPandas(_decode, DECODED_SCHEMA)
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest,
+           CAST(64 + octet_length(encode(text)) % 640 AS INTEGER) AS width,
+           CAST(64 + (octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata extraction, JVM-only form: byte length,
+    digest, and the deterministic-fake decode dimensions — the exact
+    arithmetic decode_image_stub applies, expressed as Catalyst
+    expressions so the oracle can verify it. The Python mapInPandas
+    path (decode_media) computes the same numbers and is asserted equal
+    in tests/test_multimodal.py."""
+    mf = media_frame(spark, sf_dir)
+    n = F.col("meta.n_bytes")
+    return mf.select(
+        "doc_id",
+        n.alias("n_bytes"),
+        F.col("meta.digest").alias("digest"),
+        (F.lit(64) + n % 640).cast("int").alias("width"),
+        (F.lit(64) + (n * 7) % 480).cast("int").alias("height"),
+    )

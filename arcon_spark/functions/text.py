@@ -1,0 +1,213 @@
+"""Text analysis operators for training-data pipelines.
+
+Beyond-reference operator set over the `documents` table: language ID
+(stopword-hit heuristic), quality scoring (length / punctuation /
+stopword ratios), token counting (whitespace + BPE-ish regex), and
+document fingerprinting (normalization digest + winnowing-style
+min-of-8-gram rolling window hash).
+
+Everything is built-in `pyspark.sql.functions` / higher-order array
+functions — JVM-side, whole-stage codegen, zero shuffle per row, no
+Python in the hot path. Each query has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arcon_spark.io import load_table
+from arcon_spark.plans.registry import register
+
+# Tiny per-language stopword lists (the synthetic corpus vocab is
+# English-ish for all langs, so this is a demonstration heuristic; the
+# operator shape — N list-overlap scores + argmax — is the real thing).
+_STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it"),
+    "es": ("el", "la", "de", "y", "en", "que", "un", "una"),
+    "fr": ("le", "la", "de", "et", "en", "que", "un", "une"),
+    "de": ("der", "die", "das", "und", "in", "zu", "ein", "ist"),
+}
+
+_TOKS = "filter(split(lower(text), ' '), x -> x != '')"
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS true_lang,
+             {", ".join(
+                 f"len(list_filter(list_filter(string_split(lower(text), ' '), x -> x <> ''),"
+                 f" x -> list_contains({_sql_list(ws)}, x))) AS hits_{lg}"
+                 for lg, ws in _STOPWORDS.items()
+             )}
+      FROM documents
+    )
+    SELECT doc_id, true_lang,
+           CASE
+             WHEN hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_de THEN 'en'
+             WHEN hits_es >= hits_fr AND hits_es >= hits_de THEN 'es'
+             WHEN hits_fr >= hits_de THEN 'fr'
+             ELSE 'de'
+           END AS pred_lang,
+           CAST(hits_en + hits_es + hits_fr + hits_de AS BIGINT) AS total_hits
+    FROM scored
+    """,
+    tags=("text", "lang_id"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID: stopword-hit count per language, argmax with a fixed
+    preference order for ties (en > es > fr > de — encoded identically
+    in both engines as a cascade)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    hits = {
+        lg: F.expr(
+            f"size(filter({_TOKS}, x -> array_contains(array({', '.join(repr(w) for w in ws)}), x)))"
+        ).alias(f"hits_{lg}")
+        for lg, ws in _STOPWORDS.items()
+    }
+    scored = docs.select(
+        "doc_id", F.col("lang").alias("true_lang"), *hits.values()
+    )
+    pred = (
+        F.when(
+            (F.col("hits_en") >= F.col("hits_es"))
+            & (F.col("hits_en") >= F.col("hits_fr"))
+            & (F.col("hits_en") >= F.col("hits_de")),
+            F.lit("en"),
+        )
+        .when(
+            (F.col("hits_es") >= F.col("hits_fr"))
+            & (F.col("hits_es") >= F.col("hits_de")),
+            F.lit("es"),
+        )
+        .when(F.col("hits_fr") >= F.col("hits_de"), F.lit("fr"))
+        .otherwise(F.lit("de"))
+    )
+    total = (
+        F.col("hits_en") + F.col("hits_es") + F.col("hits_fr") + F.col("hits_de")
+    ).cast("long")
+    return scored.select(
+        "doc_id", "true_lang", pred.alias("pred_lang"), total.alias("total_hits")
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars_m,
+             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                  x -> list_contains(['the','a','and','of','to','in','is','it'], x))) AS BIGINT) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_chars_m, n_tokens, n_punct,
+           round(CAST(n_punct AS DOUBLE) / CAST(n_chars_m AS DOUBLE), 6) AS punct_ratio,
+           round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
+           round(CAST(n_chars_m AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS mean_token_len
+    FROM feat WHERE n_tokens > 0
+    """,
+    tags=("text", "quality"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features: char/token counts, punctuation ratio, stopword
+    ratio, mean token length. Ratios are single double divisions of
+    exact integers → deterministic; rounded for stable display."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_chars = F.length("text").cast("long")
+    n_tokens = F.expr(f"size({_TOKS})").cast("long")
+    n_punct = F.length(F.regexp_replace("text", r"[^.!?,;:]", "")).cast("long")
+    stop_list = ", ".join(repr(w) for w in _STOPWORDS["en"])
+    n_stop = F.expr(
+        f"size(filter({_TOKS}, x -> array_contains(array({stop_list}), x)))"
+    ).cast("long")
+    feat = docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_m"),
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stop"),
+    ).filter(F.col("n_tokens") > 0)
+    return feat.select(
+        "doc_id",
+        "n_chars_m",
+        "n_tokens",
+        "n_punct",
+        F.round(F.col("n_punct").cast("double") / F.col("n_chars_m").cast("double"), 6).alias(
+            "punct_ratio"
+        ),
+        F.round(F.col("n_stop").cast("double") / F.col("n_tokens").cast("double"), 6).alias(
+            "stopword_ratio"
+        ),
+        F.round(
+            F.col("n_chars_m").cast("double") / F.col("n_tokens").cast("double"), 6
+        ).alias("mean_token_len"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe_ish_tokens
+    FROM documents
+    """,
+    tags=("text", "tokens"),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (letter runs / digit runs / single symbols — a cheap proxy for
+    subword vocabularies when budgeting token counts at corpus scale)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.expr(r"size(filter(split(text, '\\s+'), x -> x != ''))").cast("long")
+    bpe = F.size(
+        F.expr(r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)")
+    ).cast("long")
+    return docs.select(
+        "doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_ish_tokens")
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(nt) AS content_digest,
+           list_min(list_transform(generate_series(1, greatest(length(nt) - 7, 1)),
+                                   i -> md5(substr(nt, i, 8)))) AS winnow_min
+    FROM norm
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: (a) digest of the normalized text, (b) a
+    winnowing-style rolling-window fingerprint = min md5 over all 8-char
+    windows of the normalized text (character-level rolling hash,
+    order-robust for clustering shifted/duplicated content)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    winnow = F.expr(
+        "array_min(transform(sequence(1, greatest(length(nt) - 7, 1)),"
+        " i -> md5(substring(nt, i, 8))))"
+    )
+    return (
+        docs.withColumn("nt", norm)
+        .select(
+            "doc_id",
+            F.md5("nt").alias("content_digest"),
+            winnow.alias("winnow_min"),
+        )
+    )

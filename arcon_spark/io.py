@@ -1,0 +1,56 @@
+"""Table loading for the driver-generated test datasets.
+
+Sources surface (SURVEY.md §2.1): the reference reads iterators,
+local text files, and Kafka (reference: arcon/src/stream/source/
+local_file.rs:17-62, kafka.rs:29-189). On Spark those are
+``spark.createDataFrame``, ``spark.read.text/csv/json/parquet`` and
+``readStream.format("kafka")`` — see arcon_spark.sources for the
+streaming-side wrappers. This module is the batch entry point used by
+every registered query.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table. Parquet scan → columnar, predicate
+    pushdown and column pruning apply to whatever the caller selects.
+
+    events.ts is TIMESTAMP(NANOS) in the parquet; Spark reads it as
+    int64 nanos (spark.sql.legacy.parquet.nanosAsLong) and we floor to
+    microseconds here — bit-identical to the oracle's CAST(ts_ns AS
+    TIMESTAMP) truncation. The cast is a cheap projection; pushdown on
+    other columns is unaffected.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views so queries can use spark.sql."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

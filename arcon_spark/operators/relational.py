@@ -1,0 +1,702 @@
+"""Batch relational operator surface.
+
+Covers the reference's stateless transforms and aggregation machinery
+(SURVEY.md §2.2 Filter/Map/FlatMap — reference arcon/src/stream/operator/
+function/{filter,map,flatmap}.rs; §2.3 key_by — arcon/src/dataflow/stream/
+partition.rs:28-54; §2.6 Reducer/Aggregator state — arcon/arcon_state/src/
+backend/mod.rs:204-242) plus the relational operators the reference lacks
+entirely (§2.9: joins, sorts, limits, set ops, distinct, cube/rollup,
+approx sketches) exposed Spark-natively, since the north star is "query
+capabilities" and Catalyst provides them at zero cost.
+
+Scale notes (100 TB):
+- Every query selects only the columns it needs → parquet column pruning,
+  and puts filters directly on scan columns → predicate pushdown.
+- Dimension joins (region/nation/part/supplier) are broadcast — no shuffle
+  of the fact table. Fact-fact joins (orders⋈lineitem) shuffle on the join
+  key; AQE handles skew.
+- Aggregates use exact integer units (plans.compat) — partial aggregation
+  (map-side combine) stays enabled and results are order-independent, so
+  the same plan is correct at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from arcon_spark.io import load_table
+from arcon_spark.plans.compat import EVENTS_NORM, cents_window_sum, mavg, msum, sql_mavg, sql_msum
+from arcon_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# §2.2 stateless transforms: Filter / Map / FlatMap
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_events",
+    oracle=f"""
+        SELECT event_id, ts, user_id, event_type, value
+    FROM {EVENTS_NORM}
+    WHERE event_type = 'purchase' AND value > 100.0
+    """,
+    tags=("filter", "survey2.2"),
+)
+def filter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter (reference arcon/src/stream/operator/function/filter.rs):
+    keep records satisfying a predicate. Predicate pushes down to the
+    parquet scan (check PushedFilters in .explain)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", "ts", "user_id", "event_type", "value").filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 100.0)
+    )
+
+
+@register(
+    "map_events",
+    oracle=f"""
+    SELECT event_id,
+           user_id,
+           upper(event_type) AS event_type_uc,
+           floor(value * 1.1 * 100.0 + 0.5) / 100.0 AS value_taxed,
+           CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS prop_k
+    FROM {EVENTS_NORM}
+    """,
+    tags=("map", "survey2.2"),
+)
+def map_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map (reference .../function/map.rs:10-84): 1→1 type-changing
+    projection. All expressions are JVM-side Catalyst exprs — no Python
+    in the hot path."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.upper("event_type").alias("event_type_uc"),
+        (F.floor(F.col("value") * 1.1 * 100.0 + 0.5) / 100.0).alias("value_taxed"),
+        F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("prop_k"),
+    )
+
+
+@register(
+    "flatmap_tokens",
+    oracle="""
+    SELECT doc_id, t.token
+    FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+    WHERE t.token <> ''
+    """,
+    tags=("flatmap", "survey2.2"),
+)
+def flatmap_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FlatMap (reference .../function/flatmap.rs:10-90): 1→N. On Spark
+    this is split+explode — a generator inside whole-stage codegen, no
+    UDF. Output rows inherit the parent's columns (the reference's
+    timestamp-inheritance maps to carrying doc_id/ts through)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 key_by + §2.6 Reducer/Aggregator state → groupBy aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "keyby_reduce",
+    oracle=f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_msum('value', 2)} AS total_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM {EVENTS_NORM} GROUP BY user_id
+    """,
+    tags=("key_by", "reducer", "survey2.3", "survey2.6"),
+)
+def keyby_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """key_by + ReducerState (reference arcon/src/dataflow/stream/
+    partition.rs:28-54 and arcon_state ReducerState): running fold per
+    key. groupBy = hash shuffle on the key; Catalyst inserts a map-side
+    partial aggregate, which is the distributed generalization of the
+    reference's per-shard fold."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        msum(F.col("value"), 2).alias("total_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+@register(
+    "aggregator_stats",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_mavg('value', 2)} AS avg_value,
+           {sql_msum('value', 2)} AS sum_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM {EVENTS_NORM} GROUP BY event_type
+    """,
+    tags=("aggregator", "survey2.6"),
+)
+def aggregator_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregatorState (reference arcon_state/src/backend/mod.rs:218-242:
+    create/add/merge/into_result). Catalyst's partial+final aggregation
+    implements the merge the reference left `unimplemented!`
+    (arcon/src/index/window/incremental.rs:49-55)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        mavg(F.col("value"), 2).alias("avg_value"),
+        msum(F.col("value"), 2).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "distinct_pairs",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("distinct", "survey2.9"),
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (absent in reference, §2.9): hash-aggregate dedup; at
+    scale this is one shuffle on the full distinct key."""
+    return load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+@register(
+    "rollup_orders",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_msum('o_totalprice', 2)} AS total_price
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("rollup", "survey2.6"),
+)
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (absent in reference, §2.9)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            msum(F.col("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "cube_lineitem",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_msum('l_quantity', 2)} AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("cube", "survey2.6"),
+)
+def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dims — expands to 4 grouping sets;
+    partial aggregation keeps the shuffle tiny regardless of input size."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), msum(F.col("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+@register(
+    "grouping_sets_orders",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_msum('o_totalprice', 2)} AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    tags=("grouping_sets", "survey2.6"),
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               {sql_msum('o_totalprice', 2).replace('HUGEINT', 'DECIMAL(38,0)')} AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style analytics (the "query capabilities" north star)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_msum('l_quantity', 2)} AS sum_qty,
+           {sql_msum('l_extendedprice', 2)} AS sum_base_price,
+           {sql_msum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+           {sql_msum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+           {sql_mavg('l_quantity', 2)} AS avg_qty,
+           {sql_mavg('l_extendedprice', 2)} AS avg_price,
+           {sql_mavg('l_discount', 2)} AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("tpch", "aggregate"),
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary — the flagship scan-heavy aggregate.
+    Plan shape at scale: parquet scan (3 pushed columns-predicates) →
+    partial hash agg per partition → 6-group exchange → final agg.
+    No UDFs; whole-stage codegen end to end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            msum(F.col("l_quantity"), 2).alias("sum_qty"),
+            msum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            msum(disc_price, 4).alias("sum_disc_price"),
+            msum(charge, 6).alias("sum_charge"),
+            mavg(F.col("l_quantity"), 2).alias("avg_qty"),
+            mavg(F.col("l_extendedprice"), 2).alias("avg_price"),
+            mavg(F.col("l_discount"), 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3",
+    oracle=f"""
+    SELECT l_orderkey,
+           {sql_msum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("tpch", "join", "topk"),
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority. customer is ~1/15 of orders → broadcast
+    the filtered customer keys; orders⋈lineitem shuffles on orderkey.
+    ORDER BY has l_orderkey tiebreak → deterministic LIMIT."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(msum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5ish",
+    oracle=f"""
+    SELECT r_name, n_name,
+           {sql_msum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+    FROM region JOIN nation   ON n_regionkey = r_regionkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders   ON o_custkey = c_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY r_name, n_name
+    """,
+    tags=("tpch", "join"),
+)
+def tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style star join: two broadcast dims (region, nation) +
+    broadcastable customer mapping, one fact-fact shuffle join
+    (orders⋈lineitem on orderkey). At 100 TB the only wide exchange is
+    on l_orderkey; AQE splits any skewed key ranges."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    dim = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(msum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+    )
+
+
+@register(
+    "broadcast_dim_join",
+    oracle=f"""
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {sql_msum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    tags=("join", "broadcast"),
+)
+def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hash join (reference's Broadcast channel
+    strategy, arcon/src/stream/channel/strategy/broadcast.rs, re-expressed
+    as a broadcast *join*): the fact table never shuffles."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            msum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "semi_join_urgent_customers",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+    tags=("join", "semi"),
+)
+def semi_join_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join = EXISTS. No payload duplication, no fan-out."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+
+
+@register(
+    "anti_join_no_urgent",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+    tags=("join", "anti"),
+)
+def anti_join_no_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join = NOT EXISTS: customers with no urgent orders."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# sorts / limits / top-k / analytic window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sort_limit_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+    tags=("sort", "limit"),
+)
+def sort_limit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N: Spark plans TakeOrderedAndProject — per-partition
+    heap + driver merge, no full sort at any scale. Unique-key tiebreak
+    keeps the result set deterministic."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+    tags=("topk", "window_function"),
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number window; Spark pushes a per-partition
+    group-limit below the shuffle (WindowGroupLimit) so only k rows per
+    group per partition move."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "running_sum_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0 AS running_total
+    FROM orders
+    """,
+    tags=("window_function", "survey2.6"),
+)
+def running_sum_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-key fold — the closest relational analog of the
+    reference's ReducerState rolling value (arcon/benches/value.rs
+    rolling counter). Integer cents keep it portable across engines."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(cents_window_sum(F.col("o_totalprice"), 2)).over(w).cast("double") / 100.0).alias(
+            "running_total"
+        ),
+    )
+
+
+@register(
+    "lag_delta_per_user",
+    oracle=f"""
+        SELECT user_id, event_id, value,
+           value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+    FROM {EVENTS_NORM}
+    """,
+    tags=("window_function",),
+)
+def lag_delta_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key lag/delta — stateful 'previous element' access, the
+    batch analog of a ValueState lookup per element."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@register(
+    "rank_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           CAST(rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS BIGINT) AS drnk
+    FROM orders WHERE o_totalprice > 400000.0
+    """,
+    tags=("window_function", "rank"),
+)
+def rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank (tie-stable by definition, so no tiebreak col)."""
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"))
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000.0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "union_users",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+    tags=("setop",),
+)
+def union_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "error").select("user_id")
+    return a.union(b).distinct()
+
+
+@register(
+    "intersect_users",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    """,
+    tags=("setop",),
+)
+def intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "signup").select("user_id")
+    return a.intersect(b)
+
+
+@register(
+    "except_orders",
+    oracle="""
+    SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT
+    SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("setop",),
+)
+def except_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    b = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    return a.subtract(b)  # EXCEPT (distinct) semantics, matches SQL EXCEPT
+
+
+# ---------------------------------------------------------------------------
+# pivot & sketches
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "pivot_event_counts",
+    oracle=f"""
+    SELECT CAST(user_id % 10 AS BIGINT) AS cohort,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS "view"
+    FROM {EVENTS_NORM} GROUP BY 1
+    """,
+    tags=("pivot",),
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit value list (explicit list = single-pass plan;
+    without it Spark needs an extra distinct-values job)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("cohort", (F.col("user_id") % 10).cast("long"))
+        .groupBy("cohort")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+@register(
+    "approx_distinct_users",
+    oracle=None,  # HLL sketch values are engine-specific → rows-only check
+    tags=("sketch", "survey2.6"),
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++). Sketch internals differ across
+    engines so there is no value oracle; the scale story is the point:
+    mergeable sketches → map-side partials, tiny exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+@register(
+    "percentiles_value",
+    oracle=f"""
+    SELECT event_type,
+           round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS p50,
+           round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 4) AS p90
+    FROM {EVENTS_NORM} GROUP BY event_type
+    """,
+    tags=("percentile", "survey2.6"),
+)
+def percentiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile (sort-based; at 100 TB prefer approx_percentile —
+    provided alongside as approx_distinct_users is for counts). Rounded
+    to 4 decimals: both engines linear-interpolate, rounding absorbs the
+    formula's last-ulp difference."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+    )

@@ -1,0 +1,189 @@
+"""Event-time windows — batch-queryable forms with DuckDB oracles.
+
+The reference's WindowAssigner (arcon/src/stream/operator/window/
+assigner.rs:61-229) supports per-key tumbling and sliding event-time
+windows with a late-arrival grace; its three window indexes map to
+aggregation styles (SURVEY.md §2.4):
+
+- IncrementalWindow (incremental.rs)  → built-in aggs (sum/count/...)
+- AppenderWindow    (appender.rs)     → collect_list / holistic aggs
+- ArrowWindow       (arrow.rs)        → applyInPandas per window group
+
+Here the same window semantics are expressed as batch queries over the
+`events` table (so the driver can oracle-check them); the *streaming*
+forms (withWatermark + F.window, late-data drop) live in
+arcon_spark.streaming and are exercised by tests/test_streaming.py
+replaying the reference's assigner.rs scenario tapes.
+
+Window-start arithmetic: Spark's F.window and DuckDB's time_bucket both
+align tumbling windows to the 1970-01-01 epoch, so starts agree exactly.
+
+Scale: groupBy(window, key) is a single hash shuffle on (window, key);
+partial aggregation runs map-side. Sliding windows fan each row into
+length/slide groups *after* the scan (explode of a small generated
+array), which is the standard Spark plan and shuffles k× rows — for
+k > ~8 prefer tumbling pre-aggregation then window merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arcon_spark.io import load_table
+from arcon_spark.plans.compat import EVENTS_NORM, msum, sql_msum
+from arcon_spark.plans.registry import register
+
+
+@register(
+    "tumbling_window_agg",
+    oracle=f"""
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_msum('value', 2)} AS sum_value
+    FROM {EVENTS_NORM} GROUP BY 1, 2
+    """,
+    tags=("window", "tumbling", "survey2.4"),
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window (reference assigner.rs Assigner::
+    Tumbling) + IncrementalWindow-style built-in aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").start.alias("win_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), msum(F.col("value"), 2).alias("sum_value"))
+    )
+
+
+@register(
+    "sliding_window_agg",
+    oracle=f"""
+        SELECT time_bucket(INTERVAL '15 minutes', ts) - (o.j * INTERVAL '15 minutes') AS win_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_msum('value', 2)} AS sum_value
+    FROM {EVENTS_NORM}, UNNEST([0, 1]) AS o(j)
+    GROUP BY 1
+    """,
+    tags=("window", "sliding", "survey2.4"),
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window, length 30 min / slide 15 min (reference
+    assigner.rs Assigner::Sliding, which asserts length % slide == 0 —
+    F.window enforces nothing, but we keep the contract). Each event
+    belongs to exactly 2 windows; the oracle reproduces the fan-out with
+    a 2-element UNNEST."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "30 minutes", "15 minutes").start.alias("win_start"))
+        .agg(F.count(F.lit(1)).alias("n"), msum(F.col("value"), 2).alias("sum_value"))
+    )
+
+
+@register(
+    "session_window_agg",
+    oracle=f"""
+    WITH     flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       < INTERVAL '30 minutes'
+                  THEN 0 ELSE 1 END AS new_session
+      FROM {EVENTS_NORM}
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_msum('value', 2)} AS sum_value
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    tags=("window", "session", "survey2.4"),
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows, 30-min gap — *absent* in the reference
+    (assigner.rs supports only tumbling/sliding; SURVEY §2.4 'Not
+    implemented'), native in Spark as session_window(). The oracle
+    reproduces gap-merge semantics with lag + cumulative session ids.
+    Spark merges events with gap < 30 min (half-open [start, start+gap)),
+    hence the strict '<' in the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), msum(F.col("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "appender_window_median",
+    oracle=f"""
+        SELECT time_bucket(INTERVAL '6 hours', ts) AS win_start,
+           event_type,
+           round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS median_value,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM {EVENTS_NORM} GROUP BY 1, 2
+    """,
+    tags=("window", "appender", "survey2.4"),
+)
+def appender_window_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AppenderWindow (reference arcon/src/index/window/appender.rs):
+    buffer the raw window contents, apply a holistic materializer over
+    the buffer — here a median, which cannot be folded incrementally.
+    Spark: exact percentile agg (internally buffers per group, the same
+    thing the reference's VecState does, but spillable)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.window("ts", "6 hours").start.alias("win_start"), "event_type"
+    ).agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("median_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "arrow_window_zscore",
+    oracle=f"""
+    WITH     stats AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS win_start, event_id, value,
+             CAST(COUNT(*) OVER (PARTITION BY time_bucket(INTERVAL '1 day', ts)) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                  OVER (PARTITION BY time_bucket(INTERVAL '1 day', ts)) AS DOUBLE) / 100.0 AS s
+      FROM {EVENTS_NORM}
+    )
+    SELECT win_start, event_id, round(value - s / n, 4) AS centered
+    FROM stats
+    """,
+    tags=("window", "arrow", "survey2.4"),
+)
+def arrow_window_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ArrowWindow (reference arcon/src/index/window/arrow.rs): hand the
+    whole window to a columnar UDF. Idiomatic Spark = applyInPandas per
+    window group; HERE expressed with window functions instead (same
+    result, JVM-only, no Python) — centering each event on its window
+    mean. The applyInPandas form is exercised in tests/test_stateful.py;
+    at scale the built-in-function form wins and is what we register."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 day").start.alias("win_start")
+    from pyspark.sql import Window as W
+
+    byw = W.partitionBy("win_start")
+    base = ev.select(win, "event_id", "value")
+    return base.select(
+        "win_start",
+        "event_id",
+        F.round(
+            F.col("value")
+            - (F.sum(F.round(F.col("value") * 100).cast("long")).over(byw).cast("double") / 100.0)
+            / F.count(F.lit(1)).over(byw).cast("double"),
+            4,
+        ).alias("centered"),
+    )

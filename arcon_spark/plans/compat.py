@@ -1,0 +1,75 @@
+"""Cross-engine (Spark vs DuckDB-oracle) deterministic aggregation helpers.
+
+Floating-point SUM is order-dependent; Spark's parallel partial
+aggregation and DuckDB's sequential scan would disagree in the last
+ulps, breaking the driver's value-hash comparison. Every money/metric
+aggregate therefore goes through EXACT arithmetic:
+
+    msum(col, s)  ==  CAST(SUM(CAST(round(col * 10^s) AS HUGEINT)) AS DOUBLE) / 10^s
+
+Row-level double multiply/round is IEEE-754-deterministic and identical
+in both engines; the integer sum is exact and associative (decimal(38,0)
+on Spark, int128 on DuckDB — no overflow until 38 digits, so this holds
+at 100 TB group cardinalities); the final int→double conversion and the
+division by a power of ten are correctly-rounded, identical ops. The SQL
+counterpart is emitted by sql_msum() so Spark and oracle stay in
+lockstep by construction.
+
+Scale guidance: s=2 for 2-decimal money columns, s=4 for products of
+two 2-decimal columns, s=6 for triple products (TPC-H q1 charge).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _units(col: Column, scale: int) -> Column:
+    # exact integer units; decimal(38,0) sum never overflows in practice
+    return F.round(col * F.lit(float(10**scale))).cast("decimal(38,0)")
+
+
+def msum(col: Column, scale: int = 2) -> Column:
+    """Exact, order-independent sum of a fixed-point-ish double column."""
+    return F.sum(_units(col, scale)).cast("double") / F.lit(float(10**scale))
+
+
+def sql_msum(expr: str, scale: int = 2) -> str:
+    f = 10**scale
+    return f"CAST(SUM(CAST(round(({expr}) * {f}) AS HUGEINT)) AS DOUBLE) / {f}.0"
+
+
+def mavg(col: Column, scale: int = 2) -> Column:
+    """Exact-sum average: deterministic double division at the end."""
+    return (
+        F.sum(_units(col, scale)).cast("double")
+        / F.lit(float(10**scale))
+        / F.count(F.lit(1)).cast("double")
+    )
+
+
+def sql_mavg(expr: str, scale: int = 2) -> str:
+    f = 10**scale
+    return (
+        f"CAST(SUM(CAST(round(({expr}) * {f}) AS HUGEINT)) AS DOUBLE)"
+        f" / {f}.0 / CAST(COUNT(*) AS DOUBLE)"
+    )
+
+
+# DuckDB inline subquery that shadows the raw `events` view with ts
+# truncated from TIMESTAMP_NS to µs TIMESTAMP — the exact value Spark
+# sees after io.load_table's nanos→micros floor. Used as
+# `FROM {EVENTS_NORM}` (a CTE named `events` would be a circular
+# reference in DuckDB).
+EVENTS_NORM = (
+    "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,"
+    " event_type, value, props FROM events) events"
+)
+
+
+def cents_window_sum(col: Column, scale: int = 2) -> Column:
+    """Integer units for window-function running sums: DuckDB computes
+    windowed aggregates over a segment tree (different fp order than
+    Spark's streaming frame), so only integer units are portable."""
+    return F.round(col * F.lit(float(10**scale))).cast("long")

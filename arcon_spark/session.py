@@ -1,0 +1,66 @@
+"""SparkSession construction with scale-aware defaults.
+
+Replaces the reference's ApplicationConf (reference:
+arcon/src/application/conf/mod.rs:274-312 — watermark interval, epoch
+interval, buffer sizes, thread counts). On Spark those knobs map to
+trigger intervals, checkpointing, and the SQL/shuffle configs below.
+
+The defaults here are tuned for correctness tests on local[N] but are
+chosen to be the *same* knobs one would set on a 1000-executor cluster
+reading 100 TB: AQE on (runtime re-planning, skew-join splitting,
+partition coalescing), explicit shuffle partitioning, Arrow-batched
+Python interop, UTC session time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "arcon_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the SparkSession.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (defaults to all
+    cores). On a real cluster the same code runs unchanged — only
+    ``master`` and memory knobs differ, and those come from
+    spark-submit, not from here.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # AQE: runtime re-planning — coalesce small shuffle partitions,
+        # split skewed ones, switch to broadcast joins when a side turns
+        # out small. Critical at 100 TB where static planning guesses wrong.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for every Python<->JVM hop (pandas UDFs, toPandas).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Deterministic cross-engine timestamp semantics (duckdb oracle
+        # timestamps are UTC-naive).
+        .config("spark.sql.session.timeZone", "UTC")
+        # The synthetic events table stores TIMESTAMP(NANOS) parquet,
+        # which Spark has no native type for: read as int64 nanos and
+        # convert at load (io.load_table) with the same floor-to-µs the
+        # oracle applies (DuckDB CAST TIMESTAMP_NS→TIMESTAMP truncates).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

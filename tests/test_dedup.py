@@ -1,0 +1,49 @@
+"""Dedup semantics tests: MinHash/LSH recall against exact Jaccard,
+simhash fingerprint properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arcon_spark.functions.dedup import (
+    dedup_minhash_lsh_pairs,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+)
+
+
+def test_minhash_lsh_recall_against_exact_jaccard(spark, sf_dir):
+    """LSH candidates must recover >=80% of true (jaccard>=0.8) pairs;
+    the synthetic corpus plants 25 such pairs at sf0.01 / the scaled
+    equivalent elsewhere."""
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_ngram_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.8).collect()
+    }
+    cand = {(r.doc_a, r.doc_b) for r in dedup_minhash_lsh_pairs(spark, sf_dir).collect()}
+    if not truth:
+        return  # nothing planted at this sf
+    recall = len(truth & cand) / len(truth)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} over {len(truth)} true pairs"
+
+
+def test_simhash_shape_and_determinism(spark, sf_dir):
+    rows = dedup_simhash(spark, sf_dir).collect()
+    assert all(len(r.simhash_bits) == 64 for r in rows)
+    assert all(set(r.simhash_bits) <= {"0", "1"} for r in rows)
+    again = {r.doc_id: r.simhash_bits for r in dedup_simhash(spark, sf_dir).collect()}
+    assert {r.doc_id: r.simhash_bits for r in rows} == again
+
+
+def test_near_dup_pairs_have_close_simhash(spark, sf_dir):
+    """Planted near-dup pairs (jaccard>=0.8) should have small hamming
+    distance between simhash fingerprints — the property that makes
+    simhash a dedup signal."""
+    jac = dedup_ngram_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.8).collect()
+    if not jac:
+        return
+    fp = {r.doc_id: r.simhash_bits for r in dedup_simhash(spark, sf_dir).collect()}
+    hams = [
+        sum(x != y for x, y in zip(fp[r.doc_a], fp[r.doc_b], strict=True)) for r in jac
+    ]
+    assert sum(h <= 12 for h in hams) / len(hams) >= 0.8, hams

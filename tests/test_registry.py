@@ -1,0 +1,48 @@
+"""Registry contract tests: every registered query runs at sf0.001 and
+returns a stable schema; every oracle is syntactically valid DuckDB.
+
+The full value-parity gate lives in tools/check_parity.py (and the
+driver's CORRECTNESS_r{N}.json); these tests are the fast guard that
+keeps `pytest -x -q` meaningful during development.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from arcon_spark.io import TABLES
+from arcon_spark.plans.registry import REGISTRY, oracle_sql, queries
+
+
+def test_registry_nonempty():
+    assert len(queries()) >= 40
+
+
+def test_every_oracle_key_is_a_query():
+    q = queries()
+    for name in oracle_sql():
+        assert name in q
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(queries()))
+def test_query_runs_and_schema_matches_oracle(spark, sf_dir, duck, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, sf_dir)
+    n = df.count()
+    assert n >= 0
+    if spec.oracle is None:
+        return
+    rel = duck.sql(spec.oracle)
+    assert sorted(c.lower() for c in df.columns) == sorted(
+        c.lower() for c in [d[0] for d in rel.description]
+    ), f"{name}: column names diverge from oracle"
+    assert n == len(rel.fetchall()), f"{name}: row count diverges from oracle"
