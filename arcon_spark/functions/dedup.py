@@ -10,9 +10,10 @@ Beyond the reference's surface (it has no dedup of any kind — SURVEY.md
 - embedding near-dup     — cosine over `embeddings.embedding`
 
 Cross-engine determinism: all hashing is md5 (identical in Spark and
-DuckDB); minhash compares fixed-width lowercase-hex prefixes as strings
-(string min == unsigned-int min); cosine goes through integer-scaled
-components so dot products are exact and order-independent.
+DuckDB); minhash uses two 32-bit md5-derived integers per shingle and
+Kirsch-Mitzenmacher double hashing (h1 + j*h2) for the signature rows;
+cosine goes through integer-scaled components so dot products are
+exact and order-independent.
 
 Scale design:
 - Everything up to the bucket/inverted-index join is per-row array math
@@ -39,28 +40,31 @@ NUM_BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
 
 # --- shared shingling expressions (Spark SQL; DuckDB mirror below) --------
+#
+# Evaluation-structure note (this is the difference between 0.5s and 20s
+# at sf0.1): Spark's higher-order functions (transform/filter/aggregate)
+# are interpreted, not codegen'd, and re-evaluate any non-attribute
+# expression on EVERY element access. So each pipeline stage below
+# materializes its array into a named column and every lambda touches
+# only attributes or lambda-bound variables. Multi-referenced non-cheap
+# columns are not inlined by CollapseProject, so the staging survives
+# optimization.
 
 _TOKS = "filter(split(lower(text), ' '), x -> x != '')"
-# word 3-gram shingles over 0-based Spark arrays, then set-ify
-_SHINGLES = (
-    f"array_distinct(transform(sequence(0, size({_TOKS}) - 3),"
-    f" i -> concat_ws(' ', {_TOKS}[i], {_TOKS}[i+1], {_TOKS}[i+2])))"
+# word 3-gram shingles over a materialized `toks` column (0-based arrays)
+_SHINGLES_FROM_TOKS = (
+    "array_distinct(transform(sequence(0, size(toks) - 3),"
+    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
 )
-
-
-def _minhash_expr(j: int) -> str:
-    """min over shingles of md5('mh{j}:' || shingle) hex prefix.
-    Fixed-width lowercase hex compares like an unsigned int."""
-    return (
-        f"array_min(transform(shingles, s -> substring(md5(concat('mh{j}:', s)), 1, 16)))"
-    )
 
 
 def _with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return (
-        docs.filter(F.expr(f"size({_TOKS})") >= 3)  # oracle: WHERE len(t) >= 3
-        .withColumn("shingles", F.expr(_SHINGLES))
+        docs.withColumn("toks", F.expr(_TOKS))
+        .filter(F.size("toks") >= 3)  # oracle: WHERE len(t) >= 3
+        .withColumn("shingles", F.expr(_SHINGLES_FROM_TOKS))
+        .select("doc_id", "shingles")
     )
 
 
@@ -112,24 +116,50 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Kirsch-Mitzenmacher double hashing: two 32-bit md5-derived hashes per
+# shingle, NUM_HASHES derived as h1 + j*h2 — one order of magnitude fewer
+# md5 evaluations than independent per-seed hashing, identical LSH
+# guarantees (Kirsch & Mitzenmacher, ESA'06).
+_HASH_PAIR = (
+    "transform(shingles, s -> array("
+    " cast(conv(substring(md5(concat('mhA:', s)), 1, 8), 16, 10) as bigint),"
+    " cast(conv(substring(md5(concat('mhB:', s)), 1, 8), 16, 10) as bigint)))"
+)
+
+_SQL_HASH_PAIR_CTE = """
+hp AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('mhA:' || shingle), 1, 8) AS BIGINT) AS h1,
+         CAST('0x' || substr(md5('mhB:' || shingle), 1, 8) AS BIGINT) AS h2
+  FROM sh
+)"""
+
+
+def _sql_mh_list() -> str:
+    return ", ".join(
+        f"MIN(h1 + {j} * h2) AS mh{j}" for j in range(NUM_HASHES)
+    )
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id + NUM_HASHES minhash columns mh0..mhN — one codegen'd
-    projection, no shuffle, no Python."""
-    sh = _with_shingles(spark, sf_dir)
-    cols = [F.expr(_minhash_expr(j)).alias(f"mh{j}") for j in range(NUM_HASHES)]
+    """doc_id + NUM_HASHES bigint minhash columns mh0..mhN — staged
+    codegen-friendly projections, no shuffle, no Python."""
+    sh = _with_shingles(spark, sf_dir).withColumn("hp", F.expr(_HASH_PAIR))
+    cols = [
+        F.expr(f"array_min(transform(hp, h -> h[0] + {j} * h[1]))").alias(f"mh{j}")
+        for j in range(NUM_HASHES)
+    ]
     return sh.select("doc_id", *cols)
 
 
 @register(
     "dedup_minhash_signatures",
-    oracle=(
-        lambda: f"""
-    WITH {_SQL_SHINGLE_CTE}
-    SELECT doc_id,
-           {", ".join(f"min(substr(md5('mh{j}:' || shingle), 1, 16)) AS mh{j}" for j in range(NUM_HASHES))}
-    FROM sh GROUP BY doc_id
-    """
-    )(),
+    oracle=f"""
+    WITH {_SQL_SHINGLE_CTE},
+    {_SQL_HASH_PAIR_CTE}
+    SELECT doc_id, {_sql_mh_list()}
+    FROM hp GROUP BY doc_id
+    """,
     tags=("dedup", "minhash"),
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -142,7 +172,7 @@ def _band_exprs() -> list[str]:
     bands = []
     for b in range(NUM_BANDS):
         parts = ", ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
-        bands.append(f"md5(concat({parts}))")
+        bands.append(f"md5(concat_ws('_', {parts}))")
     return bands
 
 
@@ -151,14 +181,14 @@ def _band_exprs() -> list[str]:
     oracle=(
         lambda: f"""
     WITH {_SQL_SHINGLE_CTE},
+    {_SQL_HASH_PAIR_CTE},
     mh AS (
-      SELECT doc_id,
-             {", ".join(f"min(substr(md5('mh{j}:' || shingle), 1, 16)) AS mh{j}" for j in range(NUM_HASHES))}
-      FROM sh GROUP BY doc_id
+      SELECT doc_id, {_sql_mh_list()}
+      FROM hp GROUP BY doc_id
     ),
     bands AS (
       {" UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_id, md5(mh{b * ROWS_PER_BAND} || mh{b * ROWS_PER_BAND + 1} || mh{b * ROWS_PER_BAND + 2}) AS band_hash FROM mh"
+        f"SELECT doc_id, {b} AS band_id, md5(concat_ws('_', mh{b * ROWS_PER_BAND}, mh{b * ROWS_PER_BAND + 1}, mh{b * ROWS_PER_BAND + 2})) AS band_hash FROM mh"
         for b in range(NUM_BANDS)
       )}
     )
@@ -203,16 +233,22 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HEXTABLE = "0123456789abcdef"
 
-# per-token 64-bit vector: bit k of md5(token) first 16 nibbles
-_TOKEN_BITS = (
-    "transform(sequence(0, 63), k -> "
-    f"(shiftright(instr('{_HEXTABLE}', substring(md5(t), (k div 4) + 1, 1)) - 1,"
-    " 3 - (k % 4))) & 1)"
+# Per-token 64-bit vector, evaluation-cost-aware (HOF lambdas are
+# interpreted): md5 is computed ONCE per token into a materialized
+# `thash` column; inside the fold each hex nibble is decoded once
+# (bound var v), then expanded to its 4 bits with integer ops only.
+_TOKEN_HASHES = "transform(toks, t -> substring(md5(t), 1, 16))"
+
+_BITS_FROM_H = (
+    "flatten(transform("
+    f" transform(sequence(0, 15), n -> instr('{_HEXTABLE}', substring(h, n + 1, 1)) - 1),"
+    " v -> array(shiftright(v, 3) & 1, shiftright(v, 2) & 1,"
+    "            shiftright(v, 1) & 1, v & 1)))"
 )
 
 _SIMHASH_VEC = (
-    f"aggregate(tokens, transform(sequence(0, 63), k -> 0L),"
-    f" (acc, t) -> zip_with(acc, {_TOKEN_BITS}, (a, b) -> a + 2 * b - 1))"
+    "aggregate(thash, transform(sequence(0, 63), k -> 0L),"
+    f" (acc, h) -> zip_with(acc, {_BITS_FROM_H}, (a, b) -> a + 2 * b - 1))"
 )
 
 
@@ -241,12 +277,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash: 64-bit fingerprint = sign of per-bit sums of (+1/-1)
     token-hash bits. Emitted as a 64-char bit string (portable across
     engines; callers hamming-compare via bit ops or substring bands).
-    Spark plan: one aggregate() higher-order function per row — all
-    whole-stage codegen, zero shuffle, no Python. The oracle unrolls the
+    Spark plan: staged array columns + one aggregate() fold per row —
+    zero shuffle, no Python, one md5 per token. The oracle unrolls the
     same arithmetic relationally (unnest tokens × 64 bit positions)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return (
-        docs.withColumn("tokens", F.expr(_TOKS))
+        docs.withColumn("toks", F.expr(_TOKS))
+        .withColumn("thash", F.expr(_TOKEN_HASHES))
         .withColumn("vec", F.expr(_SIMHASH_VEC))
         .select(
             "doc_id",
