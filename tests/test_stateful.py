@@ -1,0 +1,157 @@
+"""Stateful Operator tests — port of the reference's keyby integration
+test (arcon/src/test/keyby_integration.rs:32-156) plus timer semantics
+(stream/node/timer.rs) over applyInPandasWithState.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from arcon_spark.streaming import Operator, apply_operator, apply_operator_batch
+from tests.streaming_util import run_tape, write_segments
+
+SCHEMA = "key long, value long, ts timestamp"
+
+
+def _ts(sec: float):
+    import datetime
+
+    return datetime.datetime(1970, 1, 1) + datetime.timedelta(seconds=sec)
+
+
+class FirstValueEnricher(Operator):
+    """keyby_integration.rs:68-91: stateful Map adding the first-seen
+    value per key (ValueState get-or-insert)."""
+
+    def handle_element(self, key, pdf, ctx):
+        first = ctx.value("first")
+        pdf = pdf.sort_values(["ts", "value"], kind="mergesort")
+        if first.get() is None:
+            first.put(int(pdf["value"].iloc[0]))
+        out = pdf[["key", "value"]].copy()
+        out["first_val"] = first.get()
+        return out
+
+
+class SessionCloser(Operator):
+    """Timer semantics: on each element (re)schedule a close timer at
+    ts + 10s; when it fires, emit the per-key count accumulated in a
+    ReducerState — the reference's window-trigger-via-timer pattern
+    (assigner.rs:110-137)."""
+
+    def handle_element(self, key, pdf, ctx):
+        n = ctx.reduce("n", lambda a, b: a + b, len(pdf))
+        last_ms = int(pdf["ts"].max().timestamp() * 1000)
+        ctx.value("last").put(last_ms)
+        ctx.schedule_at(last_ms + 10_000, payload=None)
+        return None
+
+    def handle_timeout(self, key, time_ms, payload, ctx):
+        last = ctx.value("last").get()
+        if last is not None and time_ms == last + 10_000:
+            return [{"key": key[0], "n": ctx.reduced("n", 0), "closed_at": time_ms}]
+        return None  # superseded timer (a newer element re-armed)
+
+
+def test_first_value_state_persists_across_batches(spark):
+    """State written in batch 1 must be visible in batch 2 — the
+    keyby_integration correctness property."""
+    segments = [
+        [(1, 100, _ts(1)), (2, 200, _ts(1))],
+        [(1, 111, _ts(20)), (2, 222, _ts(20))],
+    ]
+
+    def transform(df):
+        return apply_operator(
+            df,
+            ["key"],
+            FirstValueEnricher(),
+            "key long, value long, first_val long",
+            ts_col="ts",
+        )
+
+    out = run_tape(spark, SCHEMA, segments, transform)
+    rows = {(r.key, r.value): r.first_val for r in out.collect()}
+    assert rows[(1, 100)] == 100 and rows[(1, 111)] == 100
+    assert rows[(2, 200)] == 200 and rows[(2, 222)] == 200
+
+
+def test_event_time_timer_fires_on_watermark(spark):
+    """Timer scheduled at last_ts + 10s fires once the watermark passes
+    it (reference: timers fire when min-watermark advances,
+    node/mod.rs:379-395)."""
+    segments = [
+        [(1, 1, _ts(1)), (1, 2, _ts(3))],
+        [(7, 0, _ts(60))],  # advances watermark past 13s → timer fires
+        [(7, 0, _ts(120))],  # one more batch so the timeout batch flushes
+    ]
+
+    def transform(df):
+        return apply_operator(
+            df,
+            ["key"],
+            SessionCloser(),
+            "key long, n long, closed_at long",
+            ts_col="ts",
+        )
+
+    out = run_tape(spark, SCHEMA, segments, transform)
+    rows = [r for r in out.collect() if r.key == 1]
+    assert len(rows) == 1, rows
+    assert rows[0].n == 2
+    assert rows[0].closed_at == 3_000 + 10_000
+
+
+def test_batch_harness_matches_window_oracle(spark, sf_dir):
+    """apply_operator_batch: same Operator logic over a batch DataFrame
+    (per-key ordered delivery + end-of-input timer drain)."""
+    from arcon_spark.io import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("key"), F.col("value"), F.col("ts"))
+        .withColumn("value", (F.col("value") * 100).cast("long"))
+    )
+    out = apply_operator_batch(
+        ev,
+        ["key"],
+        FirstValueEnricher(),
+        "key long, value long, first_val long",
+        order_cols=["ts", "value"],
+    )
+    got = out.groupBy("key").agg(F.countDistinct("first_val").alias("d")).collect()
+    assert all(r.d == 1 for r in got)  # one first value per key
+    assert len(got) > 0
+
+
+def test_state_primitives_roundtrip():
+    """Unit semantics of the five state wrappers (reference
+    arcon_state test_common conformance, SURVEY §5 item 4)."""
+    from arcon_spark.streaming.stateful import OperatorContext
+
+    store: dict = {}
+    ctx = OperatorContext(store, (1,))
+    v = ctx.value("x")
+    assert v.get() is None
+    v.put(5)
+    assert v.get() == 5
+    assert v.rmw(lambda a: a + 1) == 6
+    assert v.take() == 6 and v.get() is None
+
+    m = ctx.map("m")
+    m.put("a", 1)
+    assert m.get("a") == 1 and len(m) == 1
+    assert m.remove("a") == 1 and len(m) == 0
+
+    a = ctx.vec("v")
+    a.append(1)
+    a.append(2)
+    assert len(a) == 2 and a.consume() == [1, 2] and len(a) == 0
+
+    assert ctx.reduce("r", lambda x, y: x + y, 3) == 3
+    assert ctx.reduce("r", lambda x, y: x + y, 4) == 7
+
+    assert ctx.aggregate("g", lambda acc, x: acc + [x], 1, list) == [1]
+    assert ctx.aggregate("g", lambda acc, x: acc + [x], 2, list) == [1, 2]

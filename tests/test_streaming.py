@@ -1,0 +1,155 @@
+"""Streaming window semantics — the reference's assigner.rs scenario
+tapes (arcon/src/stream/operator/window/assigner.rs:404-584, FIXTURES
+F6) replayed through Structured Streaming.
+
+Timestamps are epoch seconds within the first minute of 1970 for
+readability; the window arithmetic is identical at any epoch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arcon_spark.streaming import Sliding, Stream, Tumbling
+from tests.streaming_util import run_tape
+
+import pytest
+
+SCHEMA = "key long, value long, ts timestamp"
+
+
+def _ts(sec: float):
+    import datetime
+
+    return datetime.datetime(1970, 1, 1) + datetime.timedelta(seconds=sec)
+
+
+def _win_counts(df):
+    return {
+        (r.win_start.second + r.win_start.minute * 60, getattr(r, "key", None)): r.n
+        for r in df.collect()
+    }
+
+
+def _tumbling(src_df, length="10 seconds", late="0 seconds", keyed=False):
+    s = Stream(src_df, ts_col="ts")
+    if keyed:
+        s = s.key_by("key")
+    return s.window(Tumbling(length, late)).agg(F.count(F.lit(1)).alias("n")).df
+
+
+def test_window_discard_late_arrival(spark):
+    """assigner.rs window_discard_late_arrival (:431-452): 2 on-time
+    elements, watermark past window end, then a late element → exactly
+    one window of 2; the late element is dropped.
+
+    Batch structure note (SURVEY §7 'What's hard' #2): the reference
+    interleaves explicit Watermark messages between elements; Spark
+    applies a new watermark only at the next micro-batch. The spacer
+    segment reproduces the reference's ordering — watermark advanced
+    *before* the late element arrives. Same-batch arrival is Spark's
+    documented best-effort zone (late data 'may or may not' be
+    dropped), intentionally not asserted."""
+    segments = [
+        [(1, 10, _ts(1)), (1, 11, _ts(9))],  # window [0,10)
+        [(1, 12, _ts(25))],  # advances max event time to 25s
+        [(1, 99, _ts(24))],  # spacer: watermark 25s now in force
+        [(1, 13, _ts(5))],  # late for [0,10) → dropped
+        [(1, 14, _ts(45))],  # flush
+    ]
+    out = run_tape(spark, SCHEMA, segments, _tumbling)
+    counts = {r.win_start.second: r.n for r in out.collect()}
+    assert counts[0] == 2
+    assert counts.get(20, 2) == 2  # ts25 + ts24 spacer
+    assert 40 not in counts or counts[40] == 1
+
+
+def test_window_allow_late_arrival(spark):
+    """assigner.rs window_allow_late_arrival (:475-500): with a 10s
+    grace the late element lands in its (still open) window."""
+    segments = [
+        [(1, 10, _ts(9))],  # window [0,10)
+        [(1, 11, _ts(15))],  # watermark after: 15-10 = 5s < 10s → [0,10) open
+        [(1, 12, _ts(5))],  # late but within grace → accepted into [0,10)
+        [(1, 13, _ts(45))],  # flush
+    ]
+    out = run_tape(
+        spark, SCHEMA, segments, lambda df: _tumbling(df, late="10 seconds")
+    )
+    counts = {r.win_start.second: r.n for r in out.collect()}
+    assert counts[0] == 2, counts  # late element counted — grace honored
+
+
+def test_window_too_late_late_arrival(spark):
+    """assigner.rs window_too_late_late_arrival (:453-474): even with a
+    grace, an element older than watermark - grace is dropped."""
+    segments = [
+        [(1, 10, _ts(9))],
+        [(1, 11, _ts(35))],  # max event time 35s → watermark 25s
+        [(1, 99, _ts(34))],  # spacer: watermark 25s in force, [0,10) closed
+        [(1, 12, _ts(5))],  # beyond grace → dropped
+        [(1, 13, _ts(60))],  # flush
+    ]
+    out = run_tape(
+        spark, SCHEMA, segments, lambda df: _tumbling(df, late="10 seconds")
+    )
+    counts = {r.win_start.second: r.n for r in out.collect()}
+    assert counts[0] == 1, counts
+
+
+def test_window_by_key(spark):
+    """assigner.rs window_by_key (:404-429): keyed windows with counts
+    [2, 3, 1] across 3 keys."""
+    segments = [
+        [
+            (1, 1, _ts(1)),
+            (1, 2, _ts(3)),
+            (2, 3, _ts(1)),
+            (2, 4, _ts(2)),
+            (2, 5, _ts(4)),
+            (3, 6, _ts(11)),
+        ],
+        [(9, 0, _ts(45))],  # flush
+    ]
+    out = run_tape(
+        spark, SCHEMA, segments, lambda df: _tumbling(df, keyed=True)
+    )
+    counts = {(r.win_start.second, r.key): r.n for r in out.collect()}
+    assert counts[(0, 1)] == 2
+    assert counts[(0, 2)] == 3
+    assert counts[(10, 3)] == 1
+
+
+def test_window_overlapping(spark):
+    """assigner.rs window_overlapping (:547-568): sliding 10s/5s —
+    each element in exactly 2 windows."""
+    segments = [
+        [(1, 1, _ts(6)), (1, 2, _ts(7)), (1, 3, _ts(11))],
+        [(1, 0, _ts(45))],  # flush
+    ]
+
+    def transform(df):
+        return (
+            Stream(df, ts_col="ts")
+            .window(Sliding("10 seconds", "5 seconds", "2 seconds"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .df
+        )
+
+    out = run_tape(spark, SCHEMA, segments, transform)
+    counts = {r.win_start.second: r.n for r in out.collect() if r.n}
+    assert counts[0] == 2  # [0,10): 6,7
+    assert counts[5] == 3  # [5,15): 6,7,11
+    assert counts[10] == 1  # [10,20): 11
+
+
+def test_sliding_asserts_length_multiple_of_slide():
+    """assigner.rs asserts window_length % slide == 0 (:93-108)."""
+    with pytest.raises(ValueError):
+        Sliding("10 seconds", "3 seconds")
+
+
+def test_float_keys_forbidden(spark):
+    df = spark.createDataFrame([(1.5, 1)], "k double, v long")
+    with pytest.raises(TypeError):
+        Stream(df).key_by("k")
