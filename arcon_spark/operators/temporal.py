@@ -1,0 +1,214 @@
+"""Temporal join operators: as-of join and range join.
+
+Neither exists in the reference (SURVEY.md §2.9 — no joins at all) nor
+natively in Spark; both are required "query capabilities" for a
+time-series/stream engine and are implemented here as compositions of
+built-in operators chosen for 100 TB behavior:
+
+- **As-of join** — union the two sides with a tag, one window pass per
+  key ordered by (ts, tag, id), `last(..., ignorenulls)` carries the
+  most recent left-side attribute onto each right-side row. ONE shuffle
+  on the key, no per-group Python (contrast pandas merge_asof via
+  applyInPandas, which ships every group through Arrow). Skewed keys
+  are handled by AQE the same as any window shuffle.
+
+- **Range join** — equi-join on a coarse time bucket (+/- one bucket)
+  then filter the exact range predicate. Turns an O(n²) theta-join
+  into a co-partitioned hash join whose fan-out is bounded by bucket
+  occupancy. The bucket width equals the range bound so each row joins
+  at most 2 buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from arcon_spark.io import load_table
+from arcon_spark.plans.compat import EVENTS_NORM
+from arcon_spark.plans.registry import register
+
+
+@register(
+    "asof_join_purchase_view",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS tag
+      FROM {EVENTS_NORM}
+      WHERE event_type IN ('view', 'purchase')
+    ),
+    carried AS (
+      SELECT user_id, event_id, ts, event_type,
+             last_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
+                     ROWS UNBOUNDED PRECEDING) AS last_view_id,
+             last_value(CASE WHEN tag = 0 THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
+                     ROWS UNBOUNDED PRECEDING) AS last_view_ts
+      FROM tagged
+    )
+    SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+           last_view_id,
+           epoch_us(ts) - epoch_us(last_view_ts) AS gap_us
+    FROM carried
+    WHERE event_type = 'purchase' AND last_view_id IS NOT NULL
+    """,
+    tags=("join", "asof", "temporal"),
+)
+def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN: for every purchase, the most recent view (ts at or
+    before the purchase; view sorts before purchase on ties) by the
+    same user. Single window pass — the scalable as-of plan."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            F.when(F.col("event_type") == "view", 0).otherwise(1).alias("tag"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    view_id = F.when(F.col("tag") == 0, F.col("event_id"))
+    view_ts = F.when(F.col("tag") == 0, F.col("ts"))
+    carried = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.last(view_id, ignorenulls=True).over(w).alias("last_view_id"),
+        F.last(view_ts, ignorenulls=True).over(w).alias("last_view_ts"),
+    )
+    return (
+        carried.filter(
+            (F.col("event_type") == "purchase") & F.col("last_view_id").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            "last_view_id",
+            (F.unix_micros("ts") - F.unix_micros("last_view_ts")).alias("gap_us"),
+        )
+    )
+
+
+_RANGE_MIN = 5  # minutes
+
+
+@register(
+    "range_join_close_events",
+    oracle=f"""
+    SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM {EVENTS_NORM.replace(') events', ') a')}
+    JOIN {EVENTS_NORM.replace(') events', ') b')}
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL '{_RANGE_MIN} minutes'
+    """,
+    tags=("join", "range", "temporal"),
+)
+def range_join_close_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE JOIN: ordered pairs of events by the same user at most 5
+    minutes apart. Implementation is the bucketized form: equi-join on
+    (user_id, 5-min bucket) with b in {bucket, bucket+1}, then the
+    exact predicate — a hash join at any scale, never a cartesian
+    theta-join (the oracle states the pure theta form; results are
+    identical)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    bucket = F.expr(f"unix_micros(ts) div {_RANGE_MIN * 60 * 1_000_000}")
+    a = ev.withColumn("bkt", bucket).alias("a")
+    b = (
+        ev.withColumn("bkt", bucket)
+        .withColumn("bkt", F.explode(F.array(F.col("bkt"), F.col("bkt") - 1)))
+        .alias("b")
+    )
+    joined = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.bkt") == F.col("b.bkt"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (
+            F.unix_micros(F.col("b.ts"))
+            <= F.unix_micros(F.col("a.ts")) + F.lit(_RANGE_MIN * 60 * 1_000_000)
+        ),
+    )
+    return joined.select(
+        F.col("a.event_id").alias("id_a"),
+        F.col("b.event_id").alias("id_b"),
+        F.col("a.user_id").alias("user_id"),
+        (F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts"))).alias("gap_us"),
+    )
+
+
+@register(
+    "tpch_q6",
+    oracle="""
+    SELECT CAST(SUM(CAST(round(l_extendedprice * l_discount * 10000) AS HUGEINT)) AS DOUBLE) / 10000.0 AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24.0
+    """,
+    tags=("tpch", "filter", "aggregate"),
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecast revenue: the pure pushdown benchmark — all
+    four predicates reach the parquet scan (PushedFilters), the agg is
+    a single global sum with map-side partials."""
+    from arcon_spark.plans.compat import msum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            msum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "scalar_subquery_above_avg",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_above_avg
+    FROM orders
+    WHERE o_totalprice > (
+      SELECT CAST(SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS DOUBLE)
+             / 100.0 / CAST(COUNT(*) AS DOUBLE)
+      FROM orders)
+    GROUP BY o_orderstatus
+    """,
+    tags=("subquery",),
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above the global average price. The
+    average goes through the exact-cents path (plans.compat.mavg) so
+    the comparison threshold is bit-identical in both engines — a
+    float avg would shift the boundary by an ulp and could flip rows."""
+    from arcon_spark.plans.compat import mavg
+
+    orders = load_table(spark, sf_dir, "orders")
+    avg_price = orders.agg(mavg(F.col("o_totalprice"), 2).alias("a"))
+    return (
+        orders.join(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > F.col("a"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_above_avg"))
+    )

@@ -53,10 +53,12 @@ def _load_all() -> None:
     import arcon_spark.operators.relational  # noqa: F401
     import arcon_spark.operators.windows  # noqa: F401
     import arcon_spark.operators.stateful  # noqa: F401
+    import arcon_spark.operators.temporal  # noqa: F401
     import arcon_spark.functions.dedup  # noqa: F401
     import arcon_spark.functions.similarity  # noqa: F401
     import arcon_spark.functions.text  # noqa: F401
     import arcon_spark.functions.multimodal  # noqa: F401
+    import arcon_spark.streaming.queries  # noqa: F401
 
 
 def queries() -> dict[str, QueryFn]:

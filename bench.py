@@ -36,6 +36,10 @@ HEADLINE = [
     "text_token_count",
     "text_lang_id",
     "multimodal_meta",
+    "tpch_q6",
+    "asof_join_purchase_view",
+    "range_join_close_events",
+    "stream_tumbling_window_agg",
 ]
 
 

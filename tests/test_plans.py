@@ -1,0 +1,71 @@
+"""Plan-quality tests: assert the physical plans Catalyst produces are
+the ones a 100 TB deployment needs — filters pushed to the parquet
+scan, broadcast joins where a side is small, no Python in JVM-only
+pipelines, group-limit pushdown for top-k.
+
+These are the `.explain("formatted")` checks SURVEY §4 calls for,
+executable as regressions.
+"""
+
+from __future__ import annotations
+
+from arcon_spark.plans.registry import REGISTRY, queries
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = queries()[name](spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q6_predicates_push_down(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q6")
+    assert "PushedFilters:" in plan
+    # all four predicates reach the scan
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({frag})" in plan or frag in plan.split("PushedFilters:")[1].split("\n")[0]
+
+
+def test_q6_reads_only_needed_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q6")
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_orderkey" not in read_schema  # pruned
+    assert "l_partkey" not in read_schema
+
+
+def test_q3_broadcasts_customer(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q3")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dim_join_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "broadcast_dim_join")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # fact table must not shuffle
+
+
+def test_topk_uses_group_limit_pushdown(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "topk_per_group")
+    assert "WindowGroupLimit" in plan
+
+
+def test_sort_limit_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sort_limit_orders")
+    assert "TakeOrderedAndProject" in plan  # no global sort materialization
+
+
+def test_jvm_only_queries_have_no_python(spark, sf_dir):
+    """Queries documented as codegen-only must not plan a Python eval."""
+    for name in ("tpch_q1", "dedup_simhash", "dedup_minhash_signatures", "text_token_count"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_q1_single_exchange(spark, sf_dir):
+    """Q1's only shuffle is the 6-group final aggregation exchange —
+    partial (map-side) aggregation must appear below it."""
+    plan = _plan(spark, sf_dir, "tpch_q1")
+    assert plan.count("Exchange") <= 2  # one exchange (+AQE read marker)
+    assert plan.count("HashAggregate") >= 2  # partial + final

@@ -1,0 +1,60 @@
+"""Source/sink surface tests (reference §2.1 / §2.5): text/csv/json
+readers (LocalFileSource), file sinks, console/noop, streaming text
+source round-trip.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from arcon_spark.streaming import Stream
+
+
+def test_local_file_source_text_stream(spark):
+    """LocalFileSource (local_file.rs:17-62): read a text file line by
+    line, parse each line (the FromStr ≅ downstream map/cast)."""
+    d = tempfile.mkdtemp()
+    with open(os.path.join(d, "input.txt"), "w") as f:
+        f.write("\n".join(str(i) for i in range(10)))
+    s = Stream.from_file(spark, d, fmt="text").map(
+        parsed=F.col("value").cast("long")
+    )
+    q = s.to_debug("txt_src")
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(r.parsed for r in spark.table("txt_src").collect())
+    assert got == list(range(10))
+
+
+def test_csv_json_roundtrip(spark):
+    """Structured readers + file sinks."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    d = tempfile.mkdtemp()
+    df.write.csv(f"{d}/c", header=True)
+    df.write.json(f"{d}/j")
+    back_c = spark.read.csv(f"{d}/c", header=True, schema="id long, s string")
+    back_j = spark.read.json(f"{d}/j", schema="id long, s string")
+    assert sorted(map(tuple, back_c.collect())) == [(1, "a"), (2, "b")]
+    assert sorted(map(tuple, back_j.collect())) == [(1, "a"), (2, "b")]
+
+
+def test_streaming_file_sink_exactly_once(spark):
+    """LocalFileSink ≅ checkpointed parquet sink: committed files only."""
+    rows = [(i, i * 2) for i in range(20)]
+    s = Stream.from_collection(spark, rows, "k long, v long")
+    out = tempfile.mkdtemp()
+    q = s.to_file(f"{out}/data")
+    q.processAllAvailable()
+    q.stop()
+    back = spark.read.parquet(f"{out}/data")
+    assert back.count() == 20
+
+
+def test_noop_and_console_sinks_run(spark):
+    s = Stream.from_collection(spark, [(1,)], "x long")
+    q = s.to_ignore()
+    q.processAllAvailable()
+    q.stop()
