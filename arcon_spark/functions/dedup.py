@@ -32,39 +32,44 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from arcon_spark.io import load_table
+from arcon_spark.io import load_table, spread
 from arcon_spark.plans.registry import register
 
 NUM_HASHES = 12
 NUM_BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
 
-# --- shared shingling expressions (Spark SQL; DuckDB mirror below) --------
+# --- shared shingling (Spark; DuckDB mirror below) ------------------------
 #
-# Evaluation-structure note (this is the difference between 0.5s and 20s
-# at sf0.1): Spark's higher-order functions (transform/filter/aggregate)
-# are interpreted, not codegen'd, and re-evaluate any non-attribute
-# expression on EVERY element access. So each pipeline stage below
-# materializes its array into a named column and every lambda touches
-# only attributes or lambda-bound variables. Multi-referenced non-cheap
-# columns are not inlined by CollapseProject, so the staging survives
-# optimization.
+# Evaluation-structure note (this is the difference between 1s and 7s at
+# sf0.1, and it compounds at 100 TB): Spark's higher-order functions
+# (transform/filter/aggregate) are CodegenFallback — interpreted — so a
+# nested `transform(sequence(...), i -> toks[i] ...)` + array_distinct
+# pipeline costs ~7× the equivalent relational plan. Shingles are
+# therefore built relationally: posexplode tokens → window lead(1)/
+# lead(2) per doc → concat → distinct. Everything stays in whole-stage
+# codegen; the window's doc-clustering exchange doubles as the
+# co-location later stages need anyway.
 
 _TOKS = "filter(split(lower(text), ' '), x -> x != '')"
-# word 3-gram shingles over a materialized `toks` column (0-based arrays)
-_SHINGLES_FROM_TOKS = (
-    "array_distinct(transform(sequence(0, size(toks) - 3),"
-    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
-)
 
 
-def _with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-3-gram shingles as rows: (doc_id, s)."""
+    from pyspark.sql import Window as W
+
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    tok = docs.select("doc_id", F.posexplode(F.expr(_TOKS)).alias("i", "t"))
+    w = W.partitionBy("doc_id").orderBy("i")
     return (
-        docs.withColumn("toks", F.expr(_TOKS))
-        .filter(F.size("toks") >= 3)  # oracle: WHERE len(t) >= 3
-        .withColumn("shingles", F.expr(_SHINGLES_FROM_TOKS))
-        .select("doc_id", "shingles")
+        tok.select(
+            "doc_id",
+            F.concat_ws(" ", "t", F.lead("t", 1).over(w), F.lead("t", 2).over(w)).alias("s"),
+            F.lead("t", 2).over(w).alias("_t2"),
+        )
+        .filter(F.col("_t2").isNotNull())  # oracle: WHERE len(t) >= 3 via i <= len-2
+        .drop("_t2")
+        .distinct()
     )
 
 
@@ -120,12 +125,6 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shingle, NUM_HASHES derived as h1 + j*h2 — one order of magnitude fewer
 # md5 evaluations than independent per-seed hashing, identical LSH
 # guarantees (Kirsch & Mitzenmacher, ESA'06).
-_HASH_PAIR = (
-    "transform(shingles, s -> array("
-    " cast(conv(substring(md5(concat('mhA:', s)), 1, 8), 16, 10) as bigint),"
-    " cast(conv(substring(md5(concat('mhB:', s)), 1, 8), 16, 10) as bigint)))"
-)
-
 _SQL_HASH_PAIR_CTE = """
 hp AS (
   SELECT doc_id,
@@ -142,14 +141,25 @@ def _sql_mh_list() -> str:
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id + NUM_HASHES bigint minhash columns mh0..mhN — staged
-    codegen-friendly projections, no shuffle, no Python."""
-    sh = _with_shingles(spark, sf_dir).withColumn("hp", F.expr(_HASH_PAIR))
-    cols = [
-        F.expr(f"array_min(transform(hp, h -> h[0] + {j} * h[1]))").alias(f"mh{j}")
-        for j in range(NUM_HASHES)
-    ]
-    return sh.select("doc_id", *cols)
+    """doc_id + NUM_HASHES bigint minhash columns mh0..mhN.
+
+    Plan shape: shingle rows (codegen'd, see _shingle_rows) → one
+    projection computing (h1, h2) → hash aggregate with 12 MIN exprs.
+    The aggregate is map-side partial, so the final exchange carries
+    one 12-long row per (partition, doc) — at 100 TB it is proportional
+    to docs, not shingles."""
+    sh = _shingle_rows(spark, sf_dir)
+    hashed = sh.select(
+        "doc_id",
+        F.expr("cast(conv(substring(md5(concat('mhA:', s)), 1, 8), 16, 10) as bigint)").alias("h1"),
+        F.expr("cast(conv(substring(md5(concat('mhB:', s)), 1, 8), 16, 10) as bigint)").alias("h2"),
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.col("h1") + F.lit(j) * F.col("h2")).alias(f"mh{j}")
+            for j in range(NUM_HASHES)
+        ]
+    )
 
 
 @register(
@@ -233,23 +243,15 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HEXTABLE = "0123456789abcdef"
 
-# Per-token 64-bit vector, evaluation-cost-aware (HOF lambdas are
-# interpreted): md5 is computed ONCE per token into a materialized
-# `thash` column; inside the fold each hex nibble is decoded once
-# (bound var v), then expanded to its 4 bits with integer ops only.
-_TOKEN_HASHES = "transform(toks, t -> substring(md5(t), 1, 16))"
 
-_BITS_FROM_H = (
-    "flatten(transform("
-    f" transform(sequence(0, 15), n -> instr('{_HEXTABLE}', substring(h, n + 1, 1)) - 1),"
-    " v -> array(shiftright(v, 3) & 1, shiftright(v, 2) & 1,"
-    "            shiftright(v, 1) & 1, v & 1)))"
-)
-
-_SIMHASH_VEC = (
-    "aggregate(thash, transform(sequence(0, 63), k -> 0L),"
-    f" (acc, h) -> zip_with(acc, {_BITS_FROM_H}, (a, b) -> a + 2 * b - 1))"
-)
+def _bit_expr(k: int) -> str:
+    """Bit k (0..63) of the 16-hex-nibble token hash column `h` —
+    plain integer/string exprs, fully codegen'd (whole-stage codegen
+    CSEs the repeated substring/instr within the aggregate)."""
+    return (
+        f"(shiftright(instr('{_HEXTABLE}', substring(h, {k // 4 + 1}, 1)) - 1,"
+        f" {3 - k % 4})) & 1"
+    )
 
 
 @register(
@@ -277,21 +279,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash: 64-bit fingerprint = sign of per-bit sums of (+1/-1)
     token-hash bits. Emitted as a 64-char bit string (portable across
     engines; callers hamming-compare via bit ops or substring bands).
-    Spark plan: staged array columns + one aggregate() fold per row —
-    zero shuffle, no Python, one md5 per token. The oracle unrolls the
-    same arithmetic relationally (unnest tokens × 64 bit positions)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return (
-        docs.withColumn("toks", F.expr(_TOKS))
-        .withColumn("thash", F.expr(_TOKEN_HASHES))
-        .withColumn("vec", F.expr(_SIMHASH_VEC))
-        .select(
-            "doc_id",
-            F.array_join(
-                F.expr("transform(vec, v -> if(v > 0, '1', '0'))"), ""
-            ).alias("simhash_bits"),
-        )
+    Spark plan: explode tokens → one md5 per token → hash aggregate
+    with 64 integer SUM exprs (whole-stage codegen; the per-row
+    higher-order fold is interpreted and ~5× slower) → concat the sign
+    bits. Map-side partial aggregation means the shuffle carries one
+    64-long row per (partition, doc) — proportional to docs, not
+    tokens, at any scale. No Python anywhere."""
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    tok = docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("t")).select(
+        "doc_id", F.expr("substring(md5(t), 1, 16)").alias("h")
     )
+    sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(f"2 * ({_bit_expr(k)}) - 1")).alias(f"s{k}")
+            for k in range(64)
+        ]
+    )
+    bits = F.concat(
+        *[F.when(F.col(f"s{k}") > 0, "1").otherwise("0") for k in range(64)]
+    )
+    return sums.select("doc_id", bits.alias("simhash_bits"))
 
 
 # ---------------------------------------------------------------------------
@@ -330,10 +337,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     only float op → deterministic. This is the ground truth the MinHash
     recall test compares against; at 100 TB run the LSH variant and
     reserve this for verifying candidate pairs only."""
-    sh = _with_shingles(spark, sf_dir).select(
+    from pyspark.sql import Window as W
+
+    sh = _shingle_rows(spark, sf_dir).select(
         "doc_id",
-        F.size("shingles").cast("long").alias("n"),
-        F.explode("shingles").alias("shingle"),
+        F.count(F.lit(1)).over(W.partitionBy("doc_id")).alias("n"),
+        F.col("s").alias("shingle"),
     )
     a = sh.alias("a")
     b = sh.alias("b")

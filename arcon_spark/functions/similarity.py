@@ -20,10 +20,15 @@ on candidate id.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from arcon_spark.io import load_table
+from arcon_spark.io import load_table, spread
 from arcon_spark.plans.registry import register
 
 _SCALE = 10_000_000
@@ -48,6 +53,69 @@ def _sql_int_dot(a: str, b: str) -> str:
 def _with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return emb.withColumn("n2", F.expr(_INT_DOT.format(a="embedding", b="embedding")))
+
+
+def _int_matrix(series: pd.Series) -> np.ndarray:
+    """float32 components → exact int64 units, rounding half away from
+    zero — bit-identical to Spark/DuckDB round() (np.rint would be
+    half-even and disagree on m/256-style dyadic components)."""
+    m = np.stack(series.to_numpy()).astype(np.float64) * _SCALE
+    return np.trunc(m + np.copysign(0.5, m)).astype(np.int64)
+
+
+def _query_matrix(spark: SparkSession, sf_dir: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The query side (vec_id % _QUERY_MOD == 0) is tiny by design —
+    collect it to the driver once and ship it inside the UDF closure
+    (the moral broadcast join)."""
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter((F.col("vec_id") % _QUERY_MOD) == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    Q = _int_matrix(pd.Series([r.embedding for r in rows]))
+    qn2 = (Q * Q).sum(axis=1)
+    return qids, Q, qn2
+
+
+def _scored_pairs(spark: SparkSession, sf_dir: str, with_label: bool) -> DataFrame:
+    """(query_id, candidate_id[, clabel], cosine) for every query ×
+    candidate pair, via one Arrow-batched int64 matmul per partition:
+    candidates stream through mapInPandas, the query matrix rides in
+    the closure. Dot products are exact integers → cosine is the same
+    correctly-rounded double the JVM/oracle formulation produces.
+    Zero shuffle before the top-k."""
+    qids, Q, qn2 = _query_matrix(spark, sf_dir)
+    qn2d = np.sqrt(qn2.astype(np.float64))
+    cols = ["vec_id", "embedding"] + (["label"] if with_label else [])
+    emb = spread(load_table(spark, sf_dir, "embeddings").select(*cols))
+
+    out_fields = "query_id long, candidate_id long" + (
+        ", clabel int" if with_label else ""
+    ) + ", cosine double"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            C = _int_matrix(pdf["embedding"])
+            cn2d = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+            D = C @ Q.T  # (nc, nq) exact int64
+            cos = D.astype(np.float64) / (cn2d[:, None] * qn2d[None, :])
+            nc, nq = cos.shape
+            cids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            data = {
+                "query_id": np.repeat(qids[None, :], nc, axis=0).ravel(),
+                "candidate_id": np.repeat(cids, nq),
+                "cosine": cos.ravel(),
+            }
+            if with_label:
+                data["clabel"] = np.repeat(
+                    pdf["label"].to_numpy(dtype=np.int32), nq
+                )
+            out = pd.DataFrame(data)
+            yield out[out["query_id"] != out["candidate_id"]]
+
+    return emb.mapInPandas(gen, out_fields)
 
 
 @register(
@@ -82,26 +150,13 @@ def _with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: query subset (vec_id % 50 == 0) ×
-    all candidates. Plan: the query side is tiny → broadcast it; the
-    candidate side streams through one pass — per-row array math in
-    codegen, then a per-query top-k (WindowGroupLimit pushes the k-limit
-    below the shuffle). Exact integer dots → deterministic ranking."""
-    nrm = _with_norm(spark, sf_dir)
-    q = nrm.filter((F.col("vec_id") % _QUERY_MOD) == 0).alias("q")
-    c = nrm.alias("c")
-    dot = F.expr(_INT_DOT.format(a="q.embedding", b="c.embedding"))
-    cos = dot.cast("double") / (
-        F.sqrt(F.col("q.n2").cast("double")) * F.sqrt(F.col("c.n2").cast("double"))
-    )
-    pairs = (
-        F.broadcast(q)
-        .join(c, F.col("c.vec_id") != F.col("q.vec_id"))
-        .select(
-            F.col("q.vec_id").alias("query_id"),
-            F.col("c.vec_id").alias("candidate_id"),
-            cos.alias("cosine"),
-        )
-    )
+    all candidates. The scoring pass is a vectorized int64 matmul per
+    Arrow batch (numpy — this is a BLAS workload, the sanctioned
+    Pandas-UDF use), the query matrix broadcast in the closure; then a
+    per-query top-k (WindowGroupLimit pushes the k-limit below the
+    shuffle). Exact integer dots → deterministic, oracle-identical
+    ranking."""
+    pairs = _scored_pairs(spark, sf_dir, with_label=False)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("candidate_id"))
     return (
         pairs.withColumn("rn", F.row_number().over(w).cast("long"))
@@ -204,28 +259,9 @@ def knn_label_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN label vote on top of the exact top-k: majority label among
     the 5 nearest neighbors (tie → smaller label). Demonstrates
     similarity search composing with downstream relational ops."""
-    nrm = _with_norm(spark, sf_dir).join(
-        load_table(spark, sf_dir, "embeddings").select("vec_id", "label"), "vec_id"
-    )
-    q = nrm.filter((F.col("vec_id") % _QUERY_MOD) == 0).alias("q")
-    c = nrm.alias("c")
-    dot = F.expr(_INT_DOT.format(a="q.embedding", b="c.embedding"))
-    cos = dot.cast("double") / (
-        F.sqrt(F.col("q.n2").cast("double")) * F.sqrt(F.col("c.n2").cast("double"))
-    )
+    pairs = _scored_pairs(spark, sf_dir, with_label=True)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("candidate_id"))
-    topk = (
-        F.broadcast(q)
-        .join(c, F.col("c.vec_id") != F.col("q.vec_id"))
-        .select(
-            F.col("q.vec_id").alias("query_id"),
-            F.col("c.vec_id").alias("candidate_id"),
-            F.col("c.label").alias("clabel"),
-            cos.alias("cosine"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
-    )
+    topk = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K)
     votes = topk.groupBy("query_id", "clabel").agg(F.count(F.lit(1)).alias("cnt"))
     wv = Window.partitionBy("query_id").orderBy(F.desc("cnt"), F.asc("clabel"))
     return (

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from arcon_spark.io import load_table
+from arcon_spark.io import load_table, spread
 from arcon_spark.plans.registry import register
 
 # Tiny per-language stopword lists (the synthetic corpus vocab is
@@ -197,7 +197,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     winnowing-style rolling-window fingerprint = min md5 over all 8-char
     windows of the normalized text (character-level rolling hash,
     order-robust for clustering shifted/duplicated content)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     winnow = F.expr(
         "array_min(transform(sequence(1, greatest(length(nt) - 7, 1)),"

@@ -50,6 +50,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
+    """Ensure a compute-heavy pipeline has enough partitions to use the
+    cluster. The synthetic tables are single parquet files → one input
+    split → one core doing all the md5/shingle/matmul work. At real
+    scale inputs have thousands of splits and this is a no-op (we only
+    repartition when the scan has fewer than min_ratio × parallelism
+    partitions); the shuffle it inserts moves raw input rows once,
+    before the expensive projection, which is the cheap direction."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(1, int(target * min_ratio)):
+        return df
+    return df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all tables as temp views so queries can use spark.sql."""
     for name in TABLES:

@@ -700,3 +700,146 @@ def percentiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
         F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
     )
+
+
+# ---------------------------------------------------------------------------
+# scalar function library (reference §2.8 — arcon users write Rust
+# closures for ALL of this; exposing Spark's built-in function library
+# is the Spark-native answer, §2.9 design decision)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_functions_text",
+    oracle="""
+    SELECT doc_id,
+           upper(substr(text, 1, 12)) AS head_uc,
+           CAST(length(text) AS BIGINT) AS n_chars_m,
+           replace(substr(text, 1, 30), ' ', '_') AS underscored,
+           reverse(substr(text, 1, 10)) AS head_rev,
+           lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
+           CAST(strpos(text, 'data') AS BIGINT) AS data_pos,
+           CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_cp
+    FROM documents
+    """,
+    tags=("functions", "string", "survey2.8"),
+)
+def scalar_functions_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface: substr/upper/length/replace/reverse/
+    lpad/instr/ascii in one codegen'd projection."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 12)).alias("head_uc"),
+        F.length("text").cast("long").alias("n_chars_m"),
+        F.replace(F.substring("text", 1, 30), F.lit(" "), F.lit("_")).alias("underscored"),
+        F.reverse(F.substring("text", 1, 10)).alias("head_rev"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded_id"),
+        F.instr("text", "data").cast("long").alias("data_pos"),
+        F.ascii(F.substring("text", 1, 1)).cast("long").alias("first_cp"),
+    )
+
+
+@register(
+    "scalar_functions_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS y,
+           CAST(month(o_orderdate) AS BIGINT) AS m,
+           CAST(quarter(o_orderdate) AS BIGINT) AS q,
+           CAST(dayofmonth(o_orderdate) AS BIGINT) AS dom,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
+    FROM orders WHERE o_orderkey % 37 = 0
+    """,
+    tags=("functions", "date", "survey2.8"),
+)
+def scalar_functions_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function surface (the reference has NO date/time types
+    at all — time is a raw u64, SURVEY §1.3)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 37 == 0)
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+    )
+
+
+@register(
+    "having_big_spenders",
+    oracle=f"""
+    SELECT user_id, {sql_msum('value', 2)} AS total
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    HAVING {sql_msum('value', 2)} > 500.0
+    """,
+    tags=("having", "survey2.6"),
+)
+def having_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING = post-aggregation filter."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return (
+        ev.groupBy("user_id")
+        .agg(msum(F.col("value"), 2).alias("total"))
+        .filter(F.col("total") > 500.0)
+    )
+
+
+@register(
+    "exists_slow_orders",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL '90 days')
+    GROUP BY o_orderpriority
+    """,
+    tags=("subquery", "exists"),
+)
+def exists_slow_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS → left-semi join on the
+    correlation key with the extra predicate in the join condition."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    slow = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return slow.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "ntile_percent_rank",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           percent_rank() OVER w AS pr
+    FROM orders
+    WHERE o_orderkey % 11 = 0
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window_function", "rank"),
+)
+def ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile + percent_rank analytic functions (unique total order →
+    deterministic; percent_rank's (rank-1)/(n-1) division is the same
+    double op in both engines)."""
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 11 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.percent_rank().over(w).alias("pr"),
+        )
+    )
