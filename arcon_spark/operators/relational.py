@@ -843,3 +843,73 @@ def ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percent_rank().over(w).alias("pr"),
         )
     )
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+           CAST(json_extract_string(props, '$.missing') AS BIGINT) AS prop_missing
+    FROM events WHERE event_id % 7 = 0
+    """,
+    tags=("functions", "json", "survey2.8"),
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: JSON path extraction over the events
+    props column (the reference's JsonSchema source decode, SURVEY
+    §2.1, generalized to per-field access)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+        F.get_json_object("props", "$.missing").cast("long").alias("prop_missing"),
+    )
+
+
+@register(
+    "deterministic_sample",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '14'
+    """,
+    tags=("sample", "survey2.9"),
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~8% sample via content hashing — unlike
+    df.sample(seed) this survives repartitioning, engine changes, and
+    incremental reprocessing (the property a 100 TB pipeline needs for
+    stable held-out splits)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 2) < "14"
+    ).select("event_id", "user_id", "event_type")
+
+
+@register(
+    "union_all_sources",
+    oracle=f"""
+    SELECT src, CAST(COUNT(*) AS BIGINT) AS n, {sql_msum('value', 2)} AS total
+    FROM (
+      SELECT 'hot' AS src, value FROM events WHERE value > 300.0
+      UNION ALL
+      SELECT 'err' AS src, value FROM events WHERE event_type = 'error'
+    ) u GROUP BY src
+    """,
+    tags=("setop", "union_all", "survey2.9"),
+)
+def union_all_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL stream merge — structurally impossible in the
+    reference (each operator has exactly one upstream, dfg.rs:61-114);
+    first-class here."""
+    ev = load_table(spark, sf_dir, "events")
+    hot = ev.filter(F.col("value") > 300.0).select(F.lit("hot").alias("src"), "value")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.lit("err").alias("src"), "value"
+    )
+    return (
+        hot.unionAll(err)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n"), msum(F.col("value"), 2).alias("total"))
+    )

@@ -309,6 +309,63 @@ class Stream:
             .start()
         )
 
+    def to_kafka(
+        self,
+        bootstrap_servers: str,
+        topic: str,
+        checkpoint: str | None = None,
+        **options: str,
+    ) -> StreamingQuery:
+        """KafkaSink (reference operator/sink/kafka.rs:15-94 — stale
+        code there, never in the compile path). The reference buffers
+        and commits on epoch; here the checkpoint provides the same
+        batch-commit semantics. Expects a `value` column (cast or
+        to_json upstream); requires the Kafka connector jar."""
+        cp = checkpoint or tempfile.mkdtemp(prefix="arcon_ckpt_")
+        return (
+            self.df.writeStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("topic", topic)
+            .option("checkpointLocation", cp)
+            .options(**options)
+            .start()
+        )
+
+    def to_socket(self, host: str, port: int) -> StreamingQuery:
+        """SocketSink (reference operator/sink/socket.rs:21-112: UDP +
+        JSON per record). TCP here (reliable, testable); each row is
+        JSON-serialized and newline-delimited via a foreach writer —
+        one connection per partition, opened lazily per batch."""
+
+        def send_partition(rows) -> None:
+            import json as _json
+            import socket as _socket
+
+            conn = _socket.create_connection((host, port), timeout=10)
+            try:
+                for row in rows:
+                    conn.sendall(
+                        (_json.dumps(row.asDict(), default=str) + "\n").encode()
+                    )
+            finally:
+                conn.close()
+
+        return self.df.writeStream.foreachBatch(
+            lambda batch_df, _id: batch_df.foreachPartition(send_partition)
+        ).start()
+
+    def measure(self) -> "tuple[StreamingQuery, object]":
+        """.measure() (reference dataflow/sink/mod.rs:112-126): run the
+        stream into a noop sink with a MeasureListener attached;
+        returns (query, listener) — listener.rates is the events/sec
+        series the reference's MeasureSink logs."""
+        from arcon_spark.streaming.measure import MeasureListener
+
+        listener = MeasureListener()
+        self.df.sparkSession.streams.addListener(listener)
+        q = self.df.writeStream.format("noop").start()
+        return q, listener
+
     def for_each_batch(self, fn: Callable[[DataFrame, int], None], checkpoint: str | None = None) -> StreamingQuery:
         """Epoch hook: fn(batch_df, epoch_id) per micro-batch — the
         user-visible equivalent of the reference's epoch callback

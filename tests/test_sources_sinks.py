@@ -58,3 +58,69 @@ def test_noop_and_console_sinks_run(spark):
     q = s.to_ignore()
     q.processAllAvailable()
     q.stop()
+
+
+def test_socket_sink_delivers_json_lines(spark):
+    """SocketSink (reference socket.rs UDP sink test :114-153 ports to
+    a TCP listener): every record arrives JSON-encoded."""
+    import json
+    import socket
+    import threading
+
+    received = []
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(8)
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def serve():
+        srv.settimeout(0.5)
+        while not stop.is_set():
+            try:
+                conn, _ = srv.accept()
+            except socket.timeout:
+                continue
+            with conn:
+                buf = b""
+                while chunk := conn.recv(65536):
+                    buf += chunk
+                received.extend(
+                    json.loads(l) for l in buf.decode().splitlines() if l
+                )
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    try:
+        s = Stream.from_collection(spark, [(i, i * 10) for i in range(7)], "k long, v long")
+        q = s.to_socket("127.0.0.1", port)
+        q.processAllAvailable()
+        q.stop()
+        import time as _t
+
+        for _ in range(50):
+            if len(received) >= 7:
+                break
+            _t.sleep(0.1)
+    finally:
+        stop.set()
+        t.join(timeout=2)
+        srv.close()
+    assert sorted((r["k"], r["v"]) for r in received) == [(i, i * 10) for i in range(7)]
+
+
+def test_measure_sink_counts(spark):
+    rows = [(i,) for i in range(50)]
+    s = Stream.from_collection(spark, rows, "x long")
+    q, listener = s.measure()
+    q.processAllAvailable()
+    q.stop()
+    import time as _t
+
+    for _ in range(50):
+        if listener.total_rows >= 50:
+            break
+        _t.sleep(0.1)
+    spark.streams.removeListener(listener)
+    assert listener.total_rows >= 50
