@@ -31,21 +31,38 @@ _SENTINEL = "__sentinel__"
 
 
 def _streamed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
-    far = ev.agg(F.max("ts").alias("m")).select(
-        (F.col("m") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
-        F.lit(_SENTINEL).alias("event_type"),
-        F.lit(0.0).alias("value"),
-    )
-    far2 = far.select(
-        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("ts"), "event_type", "value"
-    )
-    root = write_segments([ev, far, far2])
-    return (
-        spark.readStream.schema(ev.schema)
+    """events as a 3-batch stream: the ORIGINAL parquet file (hard-copied,
+    never rewritten — at sf0.1 that saves rewriting 100k rows per query)
+    followed by two sentinel segments. The raw file stores ts as
+    TIMESTAMP(NANOS) → read as int64 nanos and floor to µs in-stream,
+    the same conversion io.load_table applies on the batch path."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    ev_raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # ts: bigint nanos
+    max_ns = ev_raw.agg(F.max("ts").alias("m")).collect()[0].m
+    day_ns = 86_400_000_000_000
+    sentinels = [
+        spark.createDataFrame(
+            [(-1, ns, -1, _SENTINEL, 0.0, "{}")],
+            "event_id long, ts long, user_id long, event_type string, value double, props string",
+        )
+        for ns in (max_ns + 30 * day_ns, max_ns + 31 * day_ns)
+    ]
+    root = tempfile.mkdtemp(prefix="arcon_stream_ev_")
+    dst = os.path.join(root, "base.parquet")  # ordered first via older mtime
+    shutil.copyfile(f"{sf_dir}/events.parquet", dst)
+    past = time.time() - 3600
+    os.utime(dst, (past, past))
+    write_segments(sentinels, root=root)
+    src = (
+        spark.readStream.schema(ev_raw.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(root)
     )
+    return src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 @register(
@@ -73,9 +90,15 @@ def stream_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("win.start").alias("win_start"), "event_type", "n", "sum_value"
         )
     )
-    name = f"stream_tumble_{uuid.uuid4().hex[:8]}"
+    return _run_to_memory(spark, agg, "stream_tumble").filter(
+        F.col("event_type") != _SENTINEL
+    )
+
+
+def _run_to_memory(spark: SparkSession, df: DataFrame, prefix: str) -> DataFrame:
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     q = (
-        agg.writeStream.format("memory")
+        df.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
@@ -83,7 +106,7 @@ def stream_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.processAllAvailable()
     q.stop()
-    return spark.table(name).filter(F.col("event_type") != _SENTINEL)
+    return spark.table(name)
 
 
 @register(
@@ -171,3 +194,39 @@ def stream_stateful_first_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.table(name)
+
+
+@register(
+    "stream_sliding_window_agg",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) - (o.j * INTERVAL '15 minutes') AS win_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_msum('value', 2)} AS sum_value
+    FROM {EVENTS_NORM}, UNNEST([0, 1]) AS o(j)
+    GROUP BY 1
+    """,
+    tags=("streaming", "window", "sliding", "survey2.4"),
+)
+def stream_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 30min/15min window by the STREAMING engine — same oracle
+    as the batch sliding_window_agg (reference Assigner::Sliding)."""
+    src = _streamed_events(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "30 minutes", "15 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), msum(F.col("value"), 2).alias("sum_value"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "sum_value")
+    )
+    out = _run_to_memory(spark, agg, "stream_slide").filter(
+        F.col("event_type") != _SENTINEL
+    )
+    # oracle aggregates across event types → roll the per-type partials up
+    from arcon_spark.plans.compat import msum as _msum  # noqa: F401
+
+    return (
+        out.groupBy("win_start")
+        .agg(
+            F.sum("n").alias("n"),
+            (F.sum(F.round(F.col("sum_value") * 100).cast("decimal(38,0)")).cast("double") / 100.0).alias("sum_value"),
+        )
+    )
