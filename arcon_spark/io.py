@@ -50,6 +50,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def local_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """createDataFrame via the Arrow/pandas path. Tuple-list
+    createDataFrame builds a pickled Python RDD that costs ~5s of
+    Python-worker startup on EVERY action; routing the same rows
+    through pandas produces a JVM LocalRelation (~0.2s). Falls back to
+    the tuple path for shapes pandas/Arrow can't convert (nested
+    structs etc.)."""
+    rows = list(rows)
+    if rows and isinstance(rows[0], (tuple, list)):
+        try:
+            import pandas as pd
+
+            names = spark.createDataFrame([], schema).columns
+            pdf = pd.DataFrame(rows, columns=names)
+            return spark.createDataFrame(pdf, schema=schema)
+        except Exception:
+            pass
+    return spark.createDataFrame(rows, schema)
+
+
 def spread(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
     """Ensure a compute-heavy pipeline has enough partitions to use the
     cluster. The synthetic tables are single parquet files → one input

@@ -44,10 +44,16 @@ def _streamed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # ts: bigint nanos
     max_ns = ev_raw.agg(F.max("ts").alias("m")).collect()[0].m
     day_ns = 86_400_000_000_000
+    # literal plans, not local-collection DFs (those pay ~5s of Python
+    # worker startup per write — see io.local_df)
     sentinels = [
-        spark.createDataFrame(
-            [(-1, ns, -1, _SENTINEL, 0.0, "{}")],
-            "event_id long, ts long, user_id long, event_type string, value double, props string",
+        spark.range(1).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit(ns).cast("long").alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit(_SENTINEL).alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
         )
         for ns in (max_ns + 30 * day_ns, max_ns + 31 * day_ns)
     ]

@@ -128,7 +128,9 @@ class Stream:
         For streaming=True the rows are staged as a parquet file and
         read back with readStream — the MemoryStream idiom the driver's
         micro-batch engine replays exactly once (SURVEY §2.1)."""
-        batch = spark.createDataFrame(rows, schema)
+        from arcon_spark.io import local_df
+
+        batch = local_df(spark, rows, schema)
         if not streaming:
             return Stream(batch, ts_col=ts_col)
         out = dir or tempfile.mkdtemp(prefix="arcon_stream_src_")

@@ -25,9 +25,11 @@ from pyspark.sql import DataFrame, SparkSession
 def write_segments(spark: SparkSession, schema: str, segments: list[list[tuple]]) -> str:
     """Write each segment as one parquet file with strictly increasing
     mtime so FileStreamSource picks them up in order."""
+    from arcon_spark.io import local_df
+
     root = tempfile.mkdtemp(prefix="arcon_tape_")
     for i, rows in enumerate(segments):
-        df = spark.createDataFrame(rows, schema)
+        df = local_df(spark, rows, schema)
         part = os.path.join(root, f"seg_{i:03d}")
         df.coalesce(1).write.parquet(part)
         files = []
