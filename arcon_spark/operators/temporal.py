@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from arcon_spark.io import load_table
-from arcon_spark.plans.compat import EVENTS_NORM
+from arcon_spark.plans.compat import EVENTS_NORM, sql_msum
 from arcon_spark.plans.registry import register
 
 
@@ -211,4 +211,157 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > F.col("a"))
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n_above_avg"))
+    )
+
+
+@register(
+    "tpch_q10ish",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           {sql_msum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+    FROM customer JOIN orders   ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("tpch", "join", "topk"),
+)
+def tpch_q10ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting: lost-revenue customers.
+    nation broadcast; customer⋈orders co-shuffles on custkey;
+    orders⋈lineitem on orderkey. Deterministic top-20 with custkey
+    tiebreak."""
+    from arcon_spark.plans.compat import msum
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(msum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+    )
+    return rev.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
+
+
+@register(
+    "tpch_q14ish",
+    oracle="""
+    SELECT round(
+             100.0 * CAST(SUM(CAST(round(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount) ELSE 0 END * 10000) AS HUGEINT)) AS DOUBLE)
+             / CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS HUGEINT)) AS DOUBLE),
+           4) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+    tags=("tpch", "join", "conditional_agg"),
+)
+def tpch_q14ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion effect: conditional aggregation over a
+    broadcast dimension join; exact-integer units under the ratio so
+    the single division is the only float op."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    units = lambda c: F.sum(F.round(c * 10000).cast("decimal(38,0)")).cast("double")  # noqa: E731
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(100.0 * units(promo) / units(disc), 4).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "min_per_group_joinback",
+    oracle="""
+    WITH cheapest AS (
+      SELECT p_type, MIN(p_retailprice) AS min_price
+      FROM part GROUP BY p_type
+    )
+    SELECT p.p_type, p.p_partkey, p.p_name, p.p_retailprice
+    FROM part p JOIN cheapest c
+      ON p.p_type = c.p_type AND p.p_retailprice = c.min_price
+    """,
+    tags=("tpch", "subquery", "join"),
+)
+def min_per_group_joinback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: argmin via aggregate + join-back (all rows
+    achieving the per-group minimum, ties included — deterministic
+    without a tiebreak because the full tie set is returned)."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_type", "p_retailprice"
+    ).alias("p")
+    cheapest = (
+        load_table(spark, sf_dir, "part")
+        .groupBy(F.col("p_type").alias("ct"))
+        .agg(F.min("p_retailprice").alias("min_price"))
+        .alias("c")
+    )
+    return (
+        part.join(
+            F.broadcast(cheapest),
+            (F.col("p.p_type") == F.col("c.ct"))
+            & (F.col("p.p_retailprice") == F.col("c.min_price")),
+        )
+        .select("p.p_type", "p.p_partkey", "p.p_name", "p.p_retailprice")
+    )
+
+
+@register(
+    "salted_hot_key_agg",
+    oracle=f"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, {'CAST(SUM(CAST(round(value * 100) AS HUGEINT)) AS DOUBLE) / 100.0'} AS total
+    FROM events GROUP BY event_type
+    """,
+    tags=("skew", "aggregate", "scale_pattern"),
+)
+def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation pattern: two-stage salted aggregation. Stage 1
+    groups by (key, salt=hash%16) — hot keys fan out across 16
+    reducers; stage 2 merges the partials. Result is identical to the
+    direct groupBy (exact integer units are associative), verified by
+    the plain-SQL oracle. At 100 TB this is the standard defense when
+    one key holds >1 partition's worth of rows and AQE's skew handling
+    can't split an aggregation."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    salted = ev.withColumn("salt", F.pmod(F.xxhash64("value"), F.lit(16)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.round(F.col("value") * 100).cast("decimal(38,0)")).alias("punits"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        (F.sum("punits").cast("double") / 100.0).alias("total"),
     )

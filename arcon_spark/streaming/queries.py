@@ -236,3 +236,46 @@ def stream_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.round(F.col("sum_value") * 100).cast("decimal(38,0)")).cast("double") / 100.0).alias("sum_value"),
         )
     )
+
+
+@register(
+    "stream_session_window_agg",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       < INTERVAL '30 minutes'
+                  THEN 0 ELSE 1 END AS new_session
+      FROM {EVENTS_NORM}
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_msum('value', 2)} AS sum_value
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "window", "session", "survey2.4"),
+)
+def stream_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) merged BY THE STREAMING ENGINE —
+    the state store merges overlapping sessions across micro-batches;
+    output must match the batch lag/cumsum oracle. (Sessions are absent
+    from the reference entirely — SURVEY §2.4.)"""
+    src = _streamed_events(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), msum(F.col("value"), 2).alias("sum_value"))
+        .select(
+            F.col("user_id"),
+            F.col("win.start").alias("session_start"),
+            "n",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(spark, agg, "stream_session").filter(F.col("user_id") >= 0)
