@@ -213,10 +213,16 @@ def _band_exprs() -> list[str]:
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate duplicate pairs: NUM_BANDS bands of
     ROWS_PER_BAND rows; docs colliding in any band are candidates.
-    Plan: signature projection (no shuffle) → posexplode to (band_id,
-    band_hash) → ONE shuffle on the band key → within-bucket self-join →
-    distinct pairs. Pair space never materializes beyond collisions."""
-    sig = minhash_signatures(spark, sf_dir)
+    Plan: signature computation → posexplode to (band_id, band_hash) →
+    ONE shuffle on the band key → within-bucket self-join → distinct
+    pairs. Pair space never materializes beyond collisions. The
+    signature matrix is persisted before the self-join: both join sides
+    reference the same tiny table (docs × 12 longs) instead of
+    recomputing the full shingle pipeline twice (Spark's exchange reuse
+    does not fire across self-join branches here) — at 100 TB this is
+    the signatures-as-intermediate-table step every LSH pipeline
+    materializes anyway."""
+    sig = minhash_signatures(spark, sf_dir).persist()
     bands = sig.select(
         "doc_id",
         F.posexplode(F.array(*[F.expr(e) for e in _band_exprs()])).alias(
