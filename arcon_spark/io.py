@@ -44,10 +44,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Make any SparkSession (including one the driver built without
+    arcon_spark.session.get_spark) able to run the registry correctly:
+    these are all runtime-settable SQL confs.
+
+    - nanosAsLong: events.ts is TIMESTAMP(NANOS) parquet, which Spark
+      cannot read natively — without this every events query throws
+      PARQUET_TYPE_ILLEGAL.
+    - UTC session time: the DuckDB oracle's timestamps are UTC-naive;
+      any other session zone shifts every collected timestamp.
+    - Arrow: keeps mapInPandas/applyInPandas on the vectorized path.
+    """
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.adaptive.enabled", "true"),
+    ):
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - read-only conf edge cases
+            pass
 
 
 def local_df(spark: SparkSession, rows, schema) -> DataFrame:

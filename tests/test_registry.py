@@ -46,3 +46,21 @@ def test_query_runs_and_schema_matches_oracle(spark, sf_dir, duck, name):
         c.lower() for c in [d[0] for d in rel.description]
     ), f"{name}: column names diverge from oracle"
     assert n == len(rel.fetchall()), f"{name}: row count diverges from oracle"
+
+
+def test_ensure_session_confs_repairs_foreign_session(spark):
+    """The driver may run queries() in a session it built itself;
+    load_table must repair the runtime-settable confs it needs
+    (events nanos handling, UTC, Arrow)."""
+    from arcon_spark.io import ensure_session_confs, load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        ensure_session_confs(spark)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+        # events read still yields a proper timestamp column
+        dt = dict(load_table(spark, "/root/testdata/sf0.001", "events").dtypes)
+        assert dt["ts"] == "timestamp"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
