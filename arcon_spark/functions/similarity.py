@@ -269,3 +269,91 @@ def knn_label_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rv") == 1)
         .select("query_id", F.col("clabel").cast("int").alias("knn_label"))
     )
+
+
+_IVF_CENTROID_MOD = 37  # vec_id % 37 == 3 → deterministic coarse centroids
+_IVF_NPROBE = 2
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # approximate recall by construction → rows-only check
+    tags=("similarity", "ann", "ivf"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a deterministic coarse quantizer (a fixed sample
+    of the corpus as centroids — at 100 TB these come from k-means on a
+    sample, persisted as a tiny table) partitions vectors into cells;
+    each query probes its _IVF_NPROBE nearest cells and re-ranks
+    exactly within them.
+
+    Plan: centroid assignment is one broadcast matmul per Arrow batch
+    (cells table is tiny); the candidate join is an equi-join on
+    cell_id — the pair space is bounded by cell occupancy, never O(n²).
+    Approximate (recall < 1) → rows-only driver check;
+    tests/test_similarity.py asserts recall against the brute force."""
+    qids, Q, qn2 = _query_matrix(spark, sf_dir)
+    emb = spread(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+
+    cent_rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter((F.col("vec_id") % _IVF_CENTROID_MOD) == 3)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cent_ids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
+    Cmat = _int_matrix(pd.Series([r.embedding for r in cent_rows]))
+    cn2d = np.sqrt((Cmat * Cmat).sum(axis=1).astype(np.float64))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            X = _int_matrix(pdf["embedding"])
+            xn = np.sqrt((X * X).sum(axis=1).astype(np.float64))
+            sim = (X @ Cmat.T).astype(np.float64) / (xn[:, None] * cn2d[None, :])
+            cell = cent_ids[np.argmax(sim, axis=1)]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "embedding": pdf["embedding"], "cell": cell}
+            )
+
+    assigned = emb.mapInPandas(assign, "vec_id long, embedding array<float>, cell long")
+
+    # query → top-nprobe cells (tiny, computed driver-side)
+    qsim = (Q @ Cmat.T).astype(np.float64) / (
+        np.sqrt(qn2.astype(np.float64))[:, None] * cn2d[None, :]
+    )
+    probe_rows = [
+        (int(qid), int(cent_ids[c]))
+        for qi, qid in enumerate(qids)
+        for c in np.argsort(-qsim[qi])[:_IVF_NPROBE]
+    ]
+    probes = spark.createDataFrame(
+        pd.DataFrame(probe_rows, columns=["query_id", "cell"])
+    )
+    qemb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter((F.col("vec_id") % _QUERY_MOD) == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    )
+
+    cand = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(qemb), "query_id")
+    )
+
+    dot = F.expr(_INT_DOT.format(a="embedding", b="qe"))
+    n2a = F.expr(_INT_DOT.format(a="embedding", b="embedding"))
+    n2q = F.expr(_INT_DOT.format(a="qe", b="qe"))
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("candidate_id"),
+        (
+            dot.cast("double")
+            / (F.sqrt(n2a.cast("double")) * F.sqrt(n2q.cast("double")))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("candidate_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+    )

@@ -211,3 +211,60 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             winnow.alias("winnow_min"),
         )
     )
+
+
+_CHUNK_TOKENS = 64
+_CHUNK_STRIDE = 48  # 16-token overlap
+
+
+@register(
+    "text_chunking",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, d.l[u.i] AS tok, CAST(u.i - 1 AS BIGINT) AS pos
+      FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+            FROM documents) d,
+           UNNEST(generate_series(1, len(d.l))) AS u(i)
+    ),
+    assigned AS (
+      SELECT doc_id, tok, pos, CAST(g.j AS BIGINT) AS chunk_id
+      FROM toks, UNNEST(generate_series(
+             CAST(greatest(ceil(CAST(pos - {_CHUNK_TOKENS} + 1 AS DOUBLE) / {_CHUNK_STRIDE}), 0) AS BIGINT),
+             pos // {_CHUNK_STRIDE})) AS g(j)
+      WHERE pos < (pos // {_CHUNK_STRIDE}) * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}
+    )
+    SELECT doc_id, chunk_id,
+           string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM assigned
+    GROUP BY doc_id, chunk_id
+    """,
+    tags=("text", "chunking"),
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size token chunks (64 tokens, stride 48 → 16
+    overlap) — the standard LLM training-data preprocessing step. A
+    token at position p belongs to chunks j with j*stride <= p <
+    j*stride + size. Plan: posexplode tokens → small generate_series
+    fan-out per token (≤ ceil(size/stride) = 2 chunks) → groupBy
+    (doc, chunk) with an ordered string_agg. One shuffle, all codegen."""
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    tok = docs.select("doc_id", F.posexplode(F.expr(_TOKS)).alias("pos", "tok"))
+    first_chunk = F.greatest(
+        F.ceil((F.col("pos") - F.lit(_CHUNK_TOKENS - 1)).cast("double") / _CHUNK_STRIDE),
+        F.lit(0),
+    ).cast("long")
+    last_chunk = F.expr(f"pos div {_CHUNK_STRIDE}").cast("long")
+    assigned = tok.select(
+        "doc_id",
+        "tok",
+        F.col("pos").cast("long").alias("pos"),
+        F.explode(F.sequence(first_chunk, last_chunk)).alias("chunk_id"),
+    )
+    return assigned.groupBy("doc_id", "chunk_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, tok))),"
+            " x -> x.tok), ' ')"
+        ).alias("chunk_text"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )

@@ -32,3 +32,24 @@ def test_bruteforce_topk_shape(spark, sf_dir):
         ordered = sorted(rs, key=lambda r: r.rn)
         cosines = [r.cosine for r in ordered]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_ivf_recall_against_bruteforce(spark, sf_dir):
+    """IVF with nprobe=2 must recover a reasonable fraction of the true
+    top-k (cells are a crude fixed-sample quantizer, so the bar is
+    modest; the plumbing — assignment, probing, re-rank — is what's
+    under test, and shared pairs must have identical cosines)."""
+    from arcon_spark.functions.similarity import ann_ivf_topk
+
+    bf = {
+        (r.query_id, r.candidate_id): r.cosine
+        for r in ann_bruteforce_topk(spark, sf_dir).collect()
+    }
+    ivf_rows = ann_ivf_topk(spark, sf_dir).collect()
+    assert ivf_rows, "IVF returned nothing"
+    hits = sum(1 for r in ivf_rows if (r.query_id, r.candidate_id) in bf)
+    for r in ivf_rows:
+        key = (r.query_id, r.candidate_id)
+        if key in bf:
+            assert bf[key] == r.cosine  # exact integer dots ⇒ equality
+    assert hits / len(bf) >= 0.2, f"recall {hits}/{len(bf)}"
