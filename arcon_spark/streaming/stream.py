@@ -292,6 +292,13 @@ class Stream:
             .start()
         )
 
+    def to_debug_capture(self, name: str) -> "DebugCapture":
+        """Full DebugNode parity (reference stream/node/debug.rs
+        accumulates `data`, `watermarks`, AND `epochs`): memory sink
+        for the data plus per-batch watermark/epoch capture from the
+        query progress. Call .run() to drain, then inspect."""
+        return DebugCapture(self, name)
+
     def to_console(self) -> StreamingQuery:
         """.print() (reference dataflow/sink/mod.rs:91-97)."""
         return self.df.writeStream.format("console").start()
@@ -383,6 +390,40 @@ class Stream:
 
     def _same(self, df: DataFrame) -> "Stream":
         return Stream(df, ts_col=self.ts_col, keys=self.keys, time=self.time)
+
+
+class DebugCapture:
+    """The reference's DebugNode (stream/node/debug.rs) for tests:
+    after run(), `data` is the accumulated output DataFrame,
+    `watermarks` the per-batch event-time watermark sequence, and
+    `epochs` the committed batch ids (micro-batch ≅ epoch)."""
+
+    def __init__(self, stream: Stream, name: str) -> None:
+        self._stream = stream
+        self.name = name
+        self.watermarks: list[str] = []
+        self.epochs: list[int] = []
+
+    def run(self) -> "DebugCapture":
+        q = (
+            self._stream.df.writeStream.format("memory")
+            .queryName(self.name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        for p in q.recentProgress:
+            self.epochs.append(p["batchId"])
+            wm = (p.get("eventTime") or {}).get("watermark")
+            if wm is not None:
+                self.watermarks.append(wm)
+        q.stop()
+        return self
+
+    @property
+    def data(self) -> DataFrame:
+        return self._stream.df.sparkSession.table(self.name)
 
 
 class WindowedStream:

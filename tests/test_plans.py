@@ -69,3 +69,29 @@ def test_q1_single_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "tpch_q1")
     assert plan.count("Exchange") <= 2  # one exchange (+AQE read marker)
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir):
+    """Partition pruning: a date-partitioned layout must scan only the
+    selected partition (PartitionFilters on the scan) — the layout a
+    100 TB events table would use."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from arcon_spark.io import load_table
+
+    out = tempfile.mkdtemp(prefix="arcon_part_") + "/events_by_day"
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    ev.write.partitionBy("event_date").parquet(out)
+
+    back = spark.read.parquet(out).filter(F.col("event_date") == "1970-01-01")
+    # force a concrete date that exists:
+    some_day = spark.read.parquet(out).select("event_date").first().event_date
+    q = spark.read.parquet(out).filter(F.col("event_date") == F.lit(some_day))
+    plan = q._sc._jvm.PythonSQLUtils.explainString(q._jdf.queryExecution(), "formatted")
+    pf = plan.split("PartitionFilters:")[1].split("\n")[0]
+    assert "event_date" in pf
+    assert q.count() > 0

@@ -53,3 +53,22 @@ def test_ivf_recall_against_bruteforce(spark, sf_dir):
         if key in bf:
             assert bf[key] == r.cosine  # exact integer dots ⇒ equality
     assert hits / len(bf) >= 0.2, f"recall {hits}/{len(bf)}"
+
+
+def test_int_matrix_rounding_matches_spark_round(spark):
+    """Adversarial rounding parity: _int_matrix (numpy, half away from
+    zero) must agree with Spark's round() on dyadic m/256-style values
+    where numpy's default rint (half-even) would disagree."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from arcon_spark.functions.similarity import _SCALE, _int_matrix
+
+    adversarial = [33 / 256, -33 / 256, 1 / 256, 0.0000001, -0.0000001, 0.123456789]
+    got = _int_matrix(pd.Series([adversarial]))[0].tolist()
+    df = spark.createDataFrame(
+        pd.DataFrame({"x": [float(np_v) for np_v in adversarial]})
+    ).select(F.expr(f"cast(round(cast(x as double) * {_SCALE}.0) as bigint)").alias("u"))
+    want = [r.u for r in df.collect()]
+    assert got == want, (got, want)

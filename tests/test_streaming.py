@@ -153,3 +153,31 @@ def test_float_keys_forbidden(spark):
     df = spark.createDataFrame([(1.5, 1)], "k double, v long")
     with pytest.raises(TypeError):
         Stream(df).key_by("k")
+
+
+def test_debug_capture_watermarks_and_epochs(spark):
+    """DebugNode parity (reference debug.rs accumulates data,
+    watermarks, epochs): the capture sink records the per-batch
+    watermark progression and committed epoch ids."""
+    from arcon_spark.streaming import Stream, Tumbling
+    from tests.streaming_util import write_segments
+
+    segments = [
+        [(1, 1, _ts(5))],
+        [(1, 2, _ts(30))],
+        [(1, 3, _ts(60))],
+    ]
+    root = write_segments(spark, SCHEMA, segments)
+    src = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").parquet(root)
+    s = (
+        Stream(src, ts_col="ts")
+        .window(Tumbling("10 seconds"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cap = s.to_debug_capture("dbg_cap_1").run()
+    assert len(cap.epochs) >= 3  # one epoch per segment (+ flush batch)
+    # watermark sequence is monotonically non-decreasing and reaches 60s
+    wms = cap.watermarks
+    assert wms == sorted(wms)
+    assert any(w.startswith("1970-01-01T00:01:00") for w in wms), wms
+    assert cap.data.count() >= 2  # windows [0,10) and [30,40) flushed
