@@ -109,7 +109,8 @@ def decode_media(df: DataFrame) -> DataFrame:
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            md5(text) AS digest,
            CAST(64 + octet_length(encode(text)) % 640 AS INTEGER) AS width,
-           CAST(64 + (octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height
+           CAST(64 + (octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
+           CAST(1 + octet_length(encode(text)) % 16 AS INTEGER) AS n_frames
     FROM documents
     """,
     tags=("multimodal",),
@@ -129,4 +130,5 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.digest").alias("digest"),
         (F.lit(64) + n % 640).cast("int").alias("width"),
         (F.lit(64) + (n * 7) % 480).cast("int").alias("height"),
+        (F.lit(1) + n % 16).cast("int").alias("n_frames"),
     )

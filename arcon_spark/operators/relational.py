@@ -913,3 +913,71 @@ def union_all_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src")
         .agg(F.count(F.lit(1)).alias("n"), msum(F.col("value"), 2).alias("total"))
     )
+
+
+@register(
+    "tpch_q13ish",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+    """,
+    tags=("tpch", "join", "outer"),
+)
+def tpch_q13ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer distribution: LEFT OUTER join (customers with
+    zero qualifying orders count as c_count=0 — COUNT of a null key
+    skips nulls identically in both engines) then a distribution over
+    the counts. Two shuffles: custkey, then c_count (tiny)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "full_outer_user_activity",
+    oracle="""
+    SELECT coalesce(p.user_id, v.user_id) AS user_id,
+           p.user_id IS NOT NULL AS has_purchase,
+           v.user_id IS NOT NULL AS has_view
+    FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 250.0) p
+    FULL OUTER JOIN
+         (SELECT DISTINCT user_id FROM events WHERE event_type = 'view' AND value > 250.0) v
+      ON p.user_id = v.user_id
+    """,
+    tags=("join", "outer"),
+)
+def full_outer_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: presence matrix of two behavior cohorts,
+    null-completion on both sides."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 250.0)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .alias("p")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id")
+        .distinct()
+        .alias("v")
+    )
+    return p.join(v, F.col("p.user_id") == F.col("v.user_id"), "full_outer").select(
+        F.coalesce(F.col("p.user_id"), F.col("v.user_id")).alias("user_id"),
+        F.col("p.user_id").isNotNull().alias("has_purchase"),
+        F.col("v.user_id").isNotNull().alias("has_view"),
+    )

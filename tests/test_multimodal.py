@@ -29,11 +29,11 @@ def test_mapinpandas_decode_matches_jvm_path(spark, sf_dir):
     """The Python mapInPandas decode and the JVM expression form must
     produce identical metadata (same deterministic-fake arithmetic)."""
     py = {
-        r.doc_id: (r.n_bytes, r.width, r.height)
+        r.doc_id: (r.n_bytes, r.width, r.height, r.n_frames)
         for r in decode_media(media_frame(spark, sf_dir)).collect()
     }
     jvm = {
-        r.doc_id: (r.n_bytes, r.width, r.height)
+        r.doc_id: (r.n_bytes, r.width, r.height, r.n_frames)
         for r in multimodal_meta(spark, sf_dir).collect()
     }
     assert py == jvm
