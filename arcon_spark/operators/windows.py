@@ -187,3 +187,52 @@ def arrow_window_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("centered"),
     )
+
+
+@register(
+    "arrow_window_zscore_pandas",
+    oracle=f"""
+    WITH stats AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS win_start, event_id, value,
+             CAST(COUNT(*) OVER (PARTITION BY time_bucket(INTERVAL '1 day', ts)) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                  OVER (PARTITION BY time_bucket(INTERVAL '1 day', ts)) AS DOUBLE) / 100.0 AS s
+      FROM {EVENTS_NORM}
+    )
+    SELECT win_start, event_id, round(value - s / n, 4) AS centered
+    FROM stats
+    """,
+    tags=("window", "arrow", "pandas", "survey2.4"),
+)
+def arrow_window_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ArrowWindow via the literal mechanism the reference uses
+    (arcon/src/index/window/arrow.rs: hand the whole window's record
+    batches to a UDF): groupBy(window) → applyInPandas, the window's
+    rows arriving as one pandas DataFrame. Arithmetic mirrors the JVM
+    form (arrow_window_zscore) exactly — integer-cents mean, one
+    rounded subtraction — so the same oracle verifies both paths.
+    Scale note: the JVM window-function form avoids the Python hop and
+    is the default; this path exists for window logic that genuinely
+    needs numpy/pandas."""
+    import numpy as np
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.window("ts", "1 day").start.alias("win_start"), "event_id", "value"
+    )
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        cents = np.trunc(v * 100.0 + np.copysign(0.5, v * 100.0)).astype(np.int64)
+        mean = (float(cents.sum()) / 100.0) / float(len(v))
+        centered = v - mean
+        # round-half-up at 4 decimals, matching Spark/DuckDB round()
+        scaled = centered * 10000.0
+        out = pdf[["win_start", "event_id"]].copy()
+        out["centered"] = np.trunc(scaled + np.copysign(0.5, scaled)) / 10000.0
+        return out
+
+    return base.groupBy("win_start").applyInPandas(
+        center, "win_start timestamp, event_id long, centered double"
+    )
