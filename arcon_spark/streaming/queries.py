@@ -279,3 +279,60 @@ def stream_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(spark, agg, "stream_session").filter(F.col("user_id") >= 0)
+
+
+@register(
+    "stream_stream_range_join",
+    oracle=f"""
+    SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM (SELECT * FROM {EVENTS_NORM} WHERE event_id % 2 = 0) a
+    JOIN (SELECT event_id, ts, user_id FROM {EVENTS_NORM.replace(') events', ') e2')} WHERE event_id % 2 = 1) b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL '30 minutes'
+    """,
+    tags=("streaming", "join", "range", "survey2.4"),
+)
+def stream_stream_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join with an event-time range condition —
+    the even-id event stream joined to the odd-id stream (same user,
+    odd within 30 min after even). Both sides are live streams; the
+    engine buffers join state and emits matches as both sides arrive.
+    Structurally impossible in the reference (operators have exactly
+    one upstream, dfg.rs:61-114); the result must equal the batch
+    theta-join oracle exactly.
+
+    Scale note: in production both sides carry watermarks and the time
+    bound lets the engine evict join state; with bounded tapes the
+    inner join is complete without eviction."""
+    ev_raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # ts bigint nanos
+
+    def side(pred: str) -> DataFrame:
+        import os
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="arcon_ssj_")
+        shutil.copyfile(f"{sf_dir}/events.parquet", os.path.join(root, "b.parquet"))
+        src = spark.readStream.schema(ev_raw.schema).parquet(root)
+        return (
+            src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            .filter(F.expr(pred))
+            .select("event_id", "ts", "user_id")
+        )
+
+    a = side("event_id % 2 = 0").alias("a")
+    b = side("event_id % 2 = 1").alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        F.col("a.event_id").alias("id_a"),
+        F.col("b.event_id").alias("id_b"),
+        F.col("a.user_id").alias("user_id"),
+        (F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts"))).alias("gap_us"),
+    )
+    return _run_to_memory(spark, joined, "stream_ssj")
