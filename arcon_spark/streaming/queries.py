@@ -336,3 +336,31 @@ def stream_stream_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts"))).alias("gap_us"),
     )
     return _run_to_memory(spark, joined, "stream_ssj")
+
+
+@register(
+    "stream_distinct_pairs",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming", "distinct", "survey2.9"),
+)
+def stream_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: dropDuplicates over the live event
+    stream — the engine keeps a state-store set of seen keys across
+    micro-batches and emits each (user_id, event_type) exactly once;
+    output equals the batch DISTINCT oracle. (In production add
+    withWatermark + the event-time column to bound the state.)"""
+    import os
+    import shutil
+    import tempfile
+
+    ev_raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    root = tempfile.mkdtemp(prefix="arcon_sdd_")
+    shutil.copyfile(f"{sf_dir}/events.parquet", os.path.join(root, "b.parquet"))
+    src = (
+        spark.readStream.schema(ev_raw.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    return _run_to_memory(spark, src, "stream_distinct")
