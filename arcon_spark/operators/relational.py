@@ -981,3 +981,36 @@ def full_outer_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.user_id").isNotNull().alias("has_purchase"),
         F.col("v.user_id").isNotNull().alias("has_view"),
     )
+
+
+@register(
+    "profile_events",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE value IS NULL) AS BIGINT) AS value_nulls,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS user_card,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS type_card,
+           MIN(ts) AS ts_min, MAX(ts) AS ts_max,
+           MIN(value) AS value_min, MAX(value) AS value_max,
+           {sql_mavg('value', 2)} AS value_mean
+    FROM {EVENTS_NORM}
+    """,
+    tags=("profile", "quality"),
+)
+def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling: row/null counts, key cardinalities, value and
+    time ranges in ONE scan — the pre-flight every large-scale pipeline
+    runs before training-data jobs. All aggregates are partial-friendly
+    (one exchange of one row per partition)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("value").isNull(), 1)).alias("value_nulls"),
+        F.countDistinct("user_id").alias("user_card"),
+        F.countDistinct("event_type").alias("type_card"),
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+        mavg(F.col("value"), 2).alias("value_mean"),
+    )
