@@ -268,3 +268,37 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chunk_text"),
         F.count(F.lit(1)).alias("n_tokens"),
     )
+
+
+@register(
+    "stratified_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id, lang,
+             CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'test'
+                  WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'val'
+                  ELSE 'train' END AS split
+      FROM documents
+    )
+    SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n
+    FROM assigned GROUP BY lang, split
+    """,
+    tags=("split", "sample", "quality"),
+)
+def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (~90/5/5) by content-hash
+    bucketing, reported per language stratum. Hash-based assignment
+    (vs df.randomSplit) is stable under repartitioning, engine changes,
+    and incremental reprocessing — the property held-out sets need at
+    corpus scale. The first hex byte of md5('split:'||id) partitions
+    [0,256) into [0,13)=test, [13,26)=val, rest=train."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    h = F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 2)
+    split = (
+        F.when(h < "0d", "test").when(h < "1a", "val").otherwise("train")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
