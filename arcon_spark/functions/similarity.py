@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from arcon_spark.io import load_table, spread
+from arcon_spark.plans.compat import EVENTS_NORM
 from arcon_spark.plans.registry import register
 
 _SCALE = 10_000_000
@@ -356,4 +357,76 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= TOP_K)
+    )
+
+
+@register(
+    "user_activity_similarity",
+    oracle=f"""
+    WITH prof AS (
+      SELECT user_id, CAST(hour(ts) AS BIGINT) AS h, CAST(COUNT(*) AS BIGINT) AS n
+      FROM {EVENTS_NORM}
+      GROUP BY 1, 2
+    ),
+    nrm AS (SELECT user_id, SUM(n * n) AS n2 FROM prof GROUP BY user_id),
+    dots AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b, SUM(a.n * b.n) AS d
+      FROM prof a JOIN prof b ON a.h = b.h AND a.user_id <> b.user_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT user_a, user_b,
+             CAST(d AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+      FROM dots JOIN nrm na ON na.user_id = user_a JOIN nrm nb ON nb.user_id = user_b
+    )
+    SELECT user_a, user_b, cosine, CAST(rn AS BIGINT) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_a ORDER BY cosine DESC, user_b) AS rn
+          FROM scored) t
+    WHERE rn <= 3
+    """,
+    tags=("similarity", "timeseries"),
+)
+def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search over behavioral profiles (in the
+    spirit of the distributed time-series similarity literature, e.g.
+    EDBT'19): each user's hour-of-day activity histogram is a 24-dim
+    integer vector; top-3 most-similar users per user by cosine.
+
+    Plan: profiles via one groupBy; pairwise dots via an inverted-index
+    join on the hour dimension (24 'bands' — never a full user×user
+    cross join at the scan level); exact integer dot products →
+    deterministic ranking. The hour-join is the sparse-vector analog of
+    the LSH band join."""
+    ev = load_table(spark, sf_dir, "events")
+    prof = (
+        ev.groupBy("user_id", F.hour("ts").cast("long").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    nrm = prof.groupBy("user_id").agg(F.sum(F.col("n") * F.col("n")).alias("n2"))
+    a = prof.alias("a")
+    b = prof.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.user_id") != F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b")
+        )
+        .agg(F.sum(F.col("a.n") * F.col("b.n")).alias("d"))
+    )
+    na = nrm.alias("na")
+    nb = nrm.alias("nb")
+    cos = F.col("d").cast("double") / (
+        F.sqrt(F.col("na.n2").cast("double")) * F.sqrt(F.col("nb.n2").cast("double"))
+    )
+    scored = (
+        dots.join(na, F.col("user_a") == F.col("na.user_id"))
+        .join(nb, F.col("user_b") == F.col("nb.user_id"))
+        .select("user_a", "user_b", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("user_a").orderBy(F.desc("cosine"), F.asc("user_b"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
     )
