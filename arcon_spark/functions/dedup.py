@@ -422,24 +422,37 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.3 for this synthetic
     corpus). Components are scaled to integers (float32 is exact at 1e7)
     so dot products are exact longs — bit-identical across engines and
-    partition orders. Brute-force O(n²) pair join is the correctness
-    baseline; the LSH-bucketed scale path is ann_lsh_bucketed in
-    arcon_spark.functions.similarity."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    dot_aa = F.expr(_INT_DOT.format(a="embedding", b="embedding"))
-    nrm = emb.select("vec_id", "embedding", dot_aa.alias("n2"))
-    a = nrm.alias("a")
-    b = nrm.alias("b")
-    dot_ab = F.expr(_INT_DOT.format(a="a.embedding", b="b.embedding"))
-    cos = dot_ab.cast("double") / (
-        F.sqrt(F.col("a.n2").cast("double")) * F.sqrt(F.col("b.n2").cast("double"))
-    )
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.3)
-    )
+    partition orders. Execution: one int64 numpy matmul per Arrow batch
+    against the full (small) matrix shipped in the closure — exact
+    brute force as the correctness baseline; the sub-O(n²) scale paths
+    are ann_lsh_bucketed / ann_ivf_topk in functions.similarity."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from arcon_spark.functions.similarity import _int_matrix
+    from arcon_spark.io import spread as _spread
+
+    emb = _spread(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    all_rows = emb.collect()
+    all_ids = np.array([r.vec_id for r in all_rows], dtype=np.int64)
+    M = _int_matrix(pd.Series([r.embedding for r in all_rows]))
+    mn = np.sqrt((M * M).sum(axis=1).astype(np.float64))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            A = _int_matrix(pdf["embedding"])
+            an = np.sqrt((A * A).sum(axis=1).astype(np.float64))
+            aids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cos = (A @ M.T).astype(np.float64) / (an[:, None] * mn[None, :])
+            ai, bi = np.nonzero((cos >= 0.3) & (aids[:, None] < all_ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "vec_a": aids[ai],
+                    "vec_b": all_ids[bi],
+                    "cosine": cos[ai, bi],
+                }
+            )
+
+    return emb.mapInPandas(gen, "vec_a long, vec_b long, cosine double")
