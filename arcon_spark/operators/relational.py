@@ -224,13 +224,14 @@ def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS via the SQL surface."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    # unique view name: the driver may own a temp view called "orders"
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("arcon_gs_orders")
     return spark.sql(
         f"""
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS n,
                {sql_msum('o_totalprice', 2).replace('HUGEINT', 'DECIMAL(38,0)')} AS total_price
-        FROM orders
+        FROM arcon_gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         """
     )
