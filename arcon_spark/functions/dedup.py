@@ -456,3 +456,90 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return emb.mapInPandas(gen, "vec_a long, vec_b long, cosine double")
+
+
+_JACCARD_T = 0.6
+
+
+@register(
+    "dedup_connected_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLE_CTE},
+    shn AS (
+      SELECT sh.doc_id, sh.shingle, sz.n
+      FROM sh JOIN (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id) sz
+        ON sz.doc_id = sh.doc_id
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS i, MAX(a.n) AS na, MAX(b.n) AS nb
+      FROM shn a JOIN shn b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= {_JACCARD_T}
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+      WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= {_JACCARD_T}
+    ),
+    reach(doc_id, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, r.lab FROM edges e JOIN reach r ON r.doc_id = e.b
+    )
+    SELECT doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY doc_id
+    """,
+    tags=("dedup", "clusters", "iterative"),
+)
+def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup cluster formation: connected components over the
+    jaccard>=0.6 near-dup pair graph — the step that turns pairwise
+    matches into canonical groups (keep min doc_id per cluster, drop
+    the rest). An ITERATIVE algorithm (min-label propagation to
+    fixpoint), not expressible as one SQL query on the Spark side; the
+    oracle uses DuckDB's recursive CTE for the same closure.
+
+    Scale: this is the standard large-graph CC loop — each iteration
+    is one join + aggregate on (edges ⋈ labels); rounds ≈ component
+    diameter (near-dup clusters are shallow); at 100 TB checkpoint the
+    label frame every few rounds to cut lineage. Deterministic: min-id
+    labels converge to the same fixpoint in any execution order."""
+    jac = dedup_ngram_jaccard(spark, sf_dir).filter(F.col("jaccard") >= _JACCARD_T)
+    fwd = jac.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = fwd.union(jac.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+    edges = edges.persist()
+
+    labels = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id"), F.col("doc_id").alias("cluster_id"))
+        .persist()
+    )
+    for _ in range(20):  # diameter bound; near-dup clusters are tiny
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.doc_id)
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left_outer")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", "cluster_id")

@@ -47,3 +47,16 @@ def test_near_dup_pairs_have_close_simhash(spark, sf_dir):
         sum(x != y for x, y in zip(fp[r.doc_a], fp[r.doc_b], strict=True)) for r in jac
     ]
     assert sum(h <= 12 for h in hams) / len(hams) >= 0.8, hams
+
+
+def test_connected_clusters_group_planted_dups(spark, sf_dir):
+    """Cluster formation groups the planted near-dup pairs: every
+    jaccard>=0.8 pair must share a cluster id, and cluster ids are the
+    component-minimum doc ids."""
+    from arcon_spark.functions.dedup import dedup_connected_clusters
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.8).collect()
+    labels = {r.doc_id: r.cluster_id for r in dedup_connected_clusters(spark, sf_dir).collect()}
+    for p in pairs:
+        assert labels[p.doc_a] == labels[p.doc_b], (p.doc_a, p.doc_b)
+    assert all(cid <= d for d, cid in labels.items())  # min-id labels
