@@ -302,3 +302,73 @@ def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "split")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "text_repetition_ratio",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS t
+      FROM documents
+    ),
+    cnt AS (SELECT doc_id, t, COUNT(*) AS c FROM toks GROUP BY doc_id, t)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(MAX(c) AS BIGINT) AS top_token_n,
+           round(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS rep_ratio,
+           round(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS top_ratio
+    FROM cnt GROUP BY doc_id
+    """,
+    tags=("quality", "repetition"),
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals: per-document duplicate-token
+    ratio and most-common-token share — the standard cheap filters for
+    boilerplate / degenerate generations in training corpora. Plan:
+    explode → two-level hash aggregate ((doc, token) then doc). Both
+    levels are map-side-partial codegen aggs keyed by doc_id, so the
+    second level reuses the first's partitioning (no extra exchange);
+    integer counts make the final ratios deterministic."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr("filter(split(lower(text), ' '), x -> x != '')")).alias("t"),
+    )
+    cnt = toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    n_tokens = F.sum("c").cast("long")
+    n_distinct = F.count(F.lit(1)).cast("long")
+    top = F.max("c").cast("long")
+    return cnt.groupBy("doc_id").agg(
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        top.alias("top_token_n"),
+        F.round(1.0 - n_distinct.cast("double") / n_tokens.cast("double"), 6).alias("rep_ratio"),
+        F.round(top.cast("double") / n_tokens.cast("double"), 6).alias("top_ratio"),
+    )
+
+
+@register(
+    "weighted_sample_docs",
+    oracle="""
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE CAST('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100000
+          < n_chars * 50
+    """,
+    tags=("sample", "weighted"),
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted Bernoulli sample: each document kept with
+    probability ∝ n_chars (length-weighted sampling — the standard way
+    to sample training corpora by token budget rather than doc count).
+    The inclusion test is pure integer arithmetic on a salted md5 of
+    the doc id: stable under repartitioning and engine changes, no RNG
+    state, embarrassingly parallel at any scale. p = n_chars*50/1e5
+    (≈15% at the synthetic mean length)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    u = F.expr(
+        "cast(conv(substring(md5(concat('ws:', cast(doc_id as string))), 1, 8), 16, 10)"
+        " as bigint) % 100000"
+    )
+    return docs.filter(u < F.col("n_chars") * 50)

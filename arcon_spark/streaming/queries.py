@@ -339,6 +339,42 @@ def stream_stream_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_static_enrich",
+    oracle=f"""
+    SELECT event_id, user_id, value, c_mktsegment
+    FROM {EVENTS_NORM} JOIN customer ON c_custkey = user_id
+    """,
+    tags=("streaming", "join", "enrichment", "survey2.9"),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the live event stream joined to the
+    static customer dimension. The dim side is broadcast — each
+    micro-batch probes an executor-local hash table, zero shuffle of
+    the stream; at 100 TB/day this is THE pattern for attaching
+    slowly-changing dimensions to a firehose (re-broadcast per batch
+    keeps the dim fresh). Impossible in the reference (single-upstream
+    operators, dfg.rs:61-114); output equals the batch join oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    ev_raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    root = tempfile.mkdtemp(prefix="arcon_sse_")
+    shutil.copyfile(f"{sf_dir}/events.parquet", os.path.join(root, "b.parquet"))
+    src = (
+        spark.readStream.schema(ev_raw.schema)
+        .parquet(root)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .select("event_id", "user_id", "value")
+    )
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = src.join(F.broadcast(dim), src.user_id == dim.c_custkey).select(
+        "event_id", "user_id", "value", "c_mktsegment"
+    )
+    return _run_to_memory(spark, joined, "stream_enrich")
+
+
+@register(
     "stream_distinct_pairs",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
     tags=("streaming", "distinct", "survey2.9"),
