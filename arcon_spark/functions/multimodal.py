@@ -132,3 +132,131 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(64) + (n * 7) % 480).cast("int").alias("height"),
         (F.lit(1) + n % 16).cast("int").alias("n_frames"),
     )
+
+
+# ---------------------------------------------------------------------------
+# resize stage (registered through the REAL mapInPandas path)
+# ---------------------------------------------------------------------------
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("out_w", T.IntegerType(), False),
+        T.StructField("out_h", T.IntegerType(), False),
+    ]
+)
+
+RESIZE_TARGET = 224
+
+
+def resize_dims_stub(width: int, height: int, target: int = RESIZE_TARGET) -> tuple[int, int]:
+    """STUB for the resample kernel: computes the fit-into-target box
+    (aspect-preserving, floor) in pure integer arithmetic. A real
+    implementation would also transform the pixel buffer; the dimension
+    contract — what downstream batching/padding depends on — is this."""
+    m = max(width, height)
+    return (max(1, width * target // m), max(1, height * target // m))
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(64 + octet_length(encode(text)) % 640 AS INTEGER) AS width,
+             CAST(64 + (octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height
+      FROM documents
+    )
+    SELECT doc_id, width, height,
+           CAST(GREATEST(1, width * {RESIZE_TARGET} // GREATEST(width, height)) AS INTEGER) AS out_w,
+           CAST(GREATEST(1, height * {RESIZE_TARGET} // GREATEST(width, height)) AS INTEGER) AS out_h
+    FROM dims
+    """,
+    tags=("multimodal", "pandas_udf"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize planning executed by the REAL
+    mapInPandas stage (Arrow-batched Python, per-partition, no
+    shuffle) — the one registered query that runs the Python multimodal
+    path inside the driver's correctness gate, proving the Arrow batch
+    plumbing end-to-end. Integer-only arithmetic keeps the Python and
+    SQL results bit-identical. At 100 TB the same stage carries the
+    pixel buffers; compute scales per-partition with zero exchange."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pdf["width"].astype("int32"),
+                    "height": pdf["height"].astype("int32"),
+                }
+            )
+            dims = [
+                resize_dims_stub(int(w), int(h))
+                for w, h in zip(out["width"], out["height"])
+            ]
+            out["out_w"] = pd.Series([d[0] for d in dims], dtype="int32")
+            out["out_h"] = pd.Series([d[1] for d in dims], dtype="int32")
+            yield out
+
+    mf = media_frame(spark, sf_dir)
+    n = F.col("meta.n_bytes")
+    dims = mf.select(
+        "doc_id",
+        (F.lit(64) + n % 640).cast("int").alias("width"),
+        (F.lit(64) + (n * 7) % 480).cast("int").alias("height"),
+    )
+    return dims.mapInPandas(_resize, RESIZED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# video frame sampling (JVM form; Python variant asserted equal in tests)
+# ---------------------------------------------------------------------------
+
+FRAME_STRIDE = 4
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH media AS (
+      SELECT doc_id,
+             md5(text) AS digest,
+             CAST(1 + octet_length(encode(text)) % 16 AS INTEGER) AS n_frames
+      FROM documents
+    )
+    SELECT doc_id, n_frames,
+           CAST(u.f AS INTEGER) AS frame_idx,
+           md5(digest || ':' || CAST(u.f AS VARCHAR)) AS frame_digest
+    FROM media, UNNEST(generate_series(0, n_frames - 1, {FRAME_STRIDE})) AS u(f)
+    """,
+    tags=("multimodal", "video"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: every {FRAME_STRIDE}th frame of each fake
+    payload (frame count from the deterministic decode), exploded to
+    one row per sampled frame with a per-frame digest standing in for
+    the extracted frame bytes. sequence+explode stays in codegen — the
+    1→N fan-out happens executor-side with no shuffle; at 100 TB the
+    per-frame rows feed straight into the resize/encode stages."""
+    mf = media_frame(spark, sf_dir)
+    n_frames = (F.lit(1) + F.col("meta.n_bytes") % 16).cast("int")
+    frames = mf.select(
+        "doc_id",
+        n_frames.alias("n_frames"),
+        F.col("meta.digest").alias("digest"),
+        F.explode(
+            F.sequence(F.lit(0), n_frames - 1, F.lit(FRAME_STRIDE))
+        ).alias("frame_idx"),
+    )
+    return frames.select(
+        "doc_id",
+        "n_frames",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.md5(
+            F.concat(F.col("digest"), F.lit(":"), F.col("frame_idx").cast("string"))
+        ).alias("frame_digest"),
+    )

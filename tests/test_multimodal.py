@@ -4,6 +4,7 @@ mapInPandas decode stage (stubbed codec, deterministic fake)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from arcon_spark.functions.multimodal import (
     decode_image_stub,
@@ -38,3 +39,65 @@ def test_mapinpandas_decode_matches_jvm_path(spark, sf_dir):
     }
     assert py == jvm
     assert len(py) > 0
+
+
+def test_resize_stub_contract():
+    from arcon_spark.functions.multimodal import resize_dims_stub
+
+    assert resize_dims_stub(448, 224) == (224, 112)
+    assert resize_dims_stub(224, 448) == (112, 224)
+    assert resize_dims_stub(1, 10000) == (1, 224)  # floor clamps to >= 1
+    assert resize_dims_stub(224, 224) == (224, 224)
+
+
+def test_frame_sample_python_path_matches_jvm(spark, sf_dir):
+    """A mapInPandas frame sampler (the shape a real video decoder
+    plugs into) must agree with the registered JVM sequence+explode
+    form."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from arcon_spark.functions.multimodal import (
+        FRAME_STRIDE,
+        media_frame,
+        multimodal_frame_sample,
+    )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, digest in zip(
+                pdf["doc_id"], pdf["payload"], pdf["digest"]
+            ):
+                n_frames = 1 + len(payload) % 16
+                for f in range(0, n_frames, FRAME_STRIDE):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "n_frames": n_frames,
+                            "frame_idx": f,
+                            "frame_digest": hashlib.md5(
+                                f"{digest}:{f}".encode()
+                            ).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    mf = media_frame(spark, sf_dir).select(
+        "doc_id", "payload", F.col("meta.digest").alias("digest")
+    )
+    py = {
+        (r.doc_id, r.frame_idx): (r.n_frames, r.frame_digest)
+        for r in mf.mapInPandas(
+            _sample,
+            "doc_id long, n_frames int, frame_idx int, frame_digest string",
+        ).collect()
+    }
+    jvm = {
+        (r.doc_id, r.frame_idx): (r.n_frames, r.frame_digest)
+        for r in multimodal_frame_sample(spark, sf_dir).collect()
+    }
+    assert py == jvm and len(py) > 0
