@@ -81,12 +81,14 @@ def _query_matrix(spark: SparkSession, sf_dir: str) -> tuple[np.ndarray, np.ndar
 
 
 def _scored_pairs(spark: SparkSession, sf_dir: str, with_label: bool) -> DataFrame:
-    """(query_id, candidate_id[, clabel], cosine) for every query ×
-    candidate pair, via one Arrow-batched int64 matmul per partition:
-    candidates stream through mapInPandas, the query matrix rides in
-    the closure. Dot products are exact integers → cosine is the same
-    correctly-rounded double the JVM/oracle formulation produces.
-    Zero shuffle before the top-k."""
+    """(query_id, candidate_id[, clabel], cosine) batch-local top
+    candidates per query, via one Arrow-batched int64 matmul per
+    partition: candidates stream through mapInPandas, the query matrix
+    rides in the closure, and each batch emits only its top-(K+1)-with-
+    ties rows per query (see the pruning comment in gen — lossless for
+    any consumer that trims to the per-query TOP_K). Dot products are
+    exact integers → cosine is the same correctly-rounded double the
+    JVM/oracle formulation produces. Zero shuffle before the top-k."""
     qids, Q, qn2 = _query_matrix(spark, sf_dir)
     qn2d = np.sqrt(qn2.astype(np.float64))
     cols = ["vec_id", "embedding"] + (["label"] if with_label else [])
@@ -104,15 +106,25 @@ def _scored_pairs(spark: SparkSession, sf_dir: str, with_label: bool) -> DataFra
             cos = D.astype(np.float64) / (cn2d[:, None] * qn2d[None, :])
             nc, nq = cos.shape
             cids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            # Partial top-k: every downstream consumer trims to the
+            # per-query TOP_K by (cosine desc, id asc), and top-k is
+            # distributive — keep only candidates with cosine >= this
+            # batch's (K+1)-th largest per query (+1 covers the
+            # self-pair removed below; >= keeps all boundary ties, so
+            # no global winner can be pruned). Cuts the shuffle from
+            # |queries|×|candidates| pairs to ~K per query per batch —
+            # the difference between 50M and 160k rows at sf0.1, and
+            # the only reason this stays one narrow stage at 100 TB.
+            kk = min(TOP_K + 1, nc)
+            thr = np.partition(cos, nc - kk, axis=0)[nc - kk, :]
+            rows, cols = np.nonzero(cos >= thr[None, :])
             data = {
-                "query_id": np.repeat(qids[None, :], nc, axis=0).ravel(),
-                "candidate_id": np.repeat(cids, nq),
-                "cosine": cos.ravel(),
+                "query_id": qids[cols],
+                "candidate_id": cids[rows],
+                "cosine": cos[rows, cols],
             }
             if with_label:
-                data["clabel"] = np.repeat(
-                    pdf["label"].to_numpy(dtype=np.int32), nq
-                )
+                data["clabel"] = pdf["label"].to_numpy(dtype=np.int32)[rows]
             out = pd.DataFrame(data)
             yield out[out["query_id"] != out["candidate_id"]]
 
