@@ -372,3 +372,92 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         " as bigint) % 100000"
     )
     return docs.filter(u < F.col("n_chars") * 50)
+
+
+@register(
+    "corpus_shuffle_rank",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             ORDER BY md5('shuf:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS shuffle_rank
+    FROM documents
+    """,
+    tags=("corpus", "shuffle", "sample"),
+)
+def corpus_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle: a reproducible global permutation
+    by salted-hash order (doc_id tiebreak). Training pipelines need a
+    shuffle that is stable across reruns/engines and cheap to seek into
+    — hash-order rank gives both; changing the salt is a fresh epoch
+    permutation. The rank column makes the ORDERING itself
+    value-checked by the oracle (the driver's hash compare is otherwise
+    order-insensitive). At 100 TB emit instead a hash-bucketed
+    repartitionByRange write; the global row_number here is the
+    oracle-checkable form of the same ordering contract."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    key = F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
+    from pyspark.sql import Window as W
+
+    return docs.select(
+        "doc_id",
+        F.row_number().over(W.orderBy(key, "doc_id")).cast("long").alias("shuffle_rank"),
+    )
+
+
+PACK_BUDGET = 2048
+
+
+@register(
+    "corpus_pack_bins",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    ordered AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (
+               ORDER BY md5('pack:' || CAST(doc_id AS VARCHAR)), doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+      FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           cum_before // {PACK_BUDGET} AS bin_id
+    FROM ordered
+    """,
+    tags=("corpus", "packing"),
+)
+def corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: assign documents to ~{PACK_BUDGET}
+    -token training bins by contiguous cumulative-sum partitioning over
+    a deterministic shuffle order — the standard scalable
+    approximation of greedy bin packing (exact greedy is inherently
+    sequential; cumsum packing differs only at bin boundaries and
+    parallelizes). Integer token counts → the running sum and integer
+    division are bit-identical across engines. At 100 TB replace the
+    global window with per-partition cumsums + a broadcast of partition
+    offsets (two passes, no single-reducer sort)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.expr("filter(split(lower(text), ' '), x -> x != '')"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    key = F.md5(F.concat(F.lit("pack:"), F.col("doc_id").cast("string")))
+    w = W.orderBy(key, "doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return toks.select(
+        "doc_id",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("cum_before"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        # integer `div`, not `/`: long/int goes through a double, which
+        # stops being exact past 2^53 cumulative tokens
+        F.expr(f"cum_before div {PACK_BUDGET}").alias("bin_id"),
+    )
