@@ -56,9 +56,14 @@ def main() -> None:
     # here, not on the first measured query.
     from arcon_spark.io import load_table
 
-    load_table(spark, sf_dir, "lineitem").groupBy("l_returnflag").count().write.format(
-        "noop"
-    ).mode("overwrite").save()
+    from pyspark.sql import functions as F
+
+    load_table(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        # decimal(38,0) sum: warms the wide-decimal hash-aggregate
+        # codegen path the exact-units queries (plans/compat) all use
+        F.sum(F.round(F.col("l_quantity") * 100).cast("decimal(38,0)")).alias("u"),
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     t_all = time.time()
