@@ -1,0 +1,136 @@
+"""Iterative graph algorithms on DataFrames.
+
+The reference has no graph processing (and structurally cannot join two
+streams — SURVEY.md §2.9, dfg.rs:61-114 builds linear chains only);
+together with dedup.dedup_connected_clusters this module demonstrates
+the driver-loop-of-joins pattern every distributed graph algorithm on
+Spark uses: the loop lives in Python; each iteration is one shuffled
+join+aggregate whose lineage is cut by persist/checkpoint.
+
+Determinism across engines: ranks are integer fixed-point (1e9 units)
+and every step uses integer division with explicit rounding-free
+truncation — the same value sequence in any execution order, in Spark
+and DuckDB. (True float PageRank sums are order-dependent and would
+never hash-match.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arcon_spark.io import load_table
+from arcon_spark.plans.registry import register
+
+_UNIT = 1_000_000_000  # rank fixed-point scale
+_TELEPORT = 150_000_000  # 0.15 in units
+_DAMP = 850_000_000  # 0.85 in units
+_ITERS = 5
+
+# per-edge contribution of source u with rank r and out-degree d, all
+# integer ops: (0.85 * (r div d)) div 1  —  multiply stays < 2^63 while
+# ranks stay O(n_nodes * UNIT); see docstring caveat for huge graphs
+_CONTRIB = f"({_DAMP} * (rank div outdeg)) div {_UNIT}"
+_SQL_CONTRIB = f"({_DAMP} * (r.rank // d.outdeg)) // {_UNIT}"
+
+
+def _sql_iterations() -> str:
+    parts = []
+    prev = "r0"
+    for k in range(1, _ITERS + 1):
+        parts.append(
+            f"""c{k} AS (
+      SELECT e.dst AS node, SUM({_SQL_CONTRIB}) AS s
+      FROM edges e JOIN {prev} r ON r.node = e.src
+                   JOIN deg d ON d.node = e.src
+      GROUP BY e.dst
+    ),
+    r{k} AS (
+      SELECT n.node, {_TELEPORT} + COALESCE(c.s, 0) AS rank
+      FROM nodes n LEFT JOIN c{k} c ON c.node = n.node
+    )"""
+        )
+        prev = f"r{k}"
+    return ",\n    ".join(parts)
+
+
+@register(
+    "pagerank_trade_network",
+    oracle=f"""
+    WITH flows AS (
+      SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
+      FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+      WHERE s_nationkey <> c_nationkey
+    ),
+    edges AS (SELECT src, dst FROM flows),
+    nodes AS (SELECT n_nationkey AS node FROM nation),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
+            FROM edges GROUP BY src),
+    r0 AS (SELECT node, CAST({_UNIT} AS BIGINT) AS rank FROM nodes),
+    {_sql_iterations()}
+    SELECT node AS nationkey, rank AS pagerank_units
+    FROM r{_ITERS}
+    """,
+    tags=("graph", "iterative", "pagerank"),
+)
+def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation-level trade network (edge sn→cn when
+    any lineitem flows from a supplier in sn to a customer in cn;
+    self-trade excluded). Five fixed iterations of the integer
+    fixed-point recurrence
+
+        R'(v) = 0.15 + sum over u→v of 0.85 · (R(u) div outdeg(u))
+        [1e9 units]
+
+    Spark side: the canonical distributed-PageRank loop — the edge
+    frame (already shuffled by src) is persisted once; each iteration
+    is one join on src + one aggregate on dst; the driver only steers.
+    The oracle unrolls the same iterations as chained CTEs.
+
+    Scale: at web-graph sizes swap nation ids for 64-bit node ids and
+    persist→checkpoint every few rounds (same loop; lineage cut).
+    Integer overflow bound: per-edge product is 0.85e9 · R(u), safe
+    while ranks stay below ~1e10 units (holds for any graph whose max
+    in-degree · avg-rank is bounded — switch the contribution column
+    to decimal(38,0) past that)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    edges = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+        .distinct()
+        .persist()
+    )
+    deg = edges.groupBy(F.col("src").alias("dnode")).agg(
+        F.count(F.lit(1)).cast("long").alias("outdeg")
+    )
+    edges_deg = edges.join(deg, edges.src == F.col("dnode")).select(
+        "src", "dst", "outdeg"
+    ).persist()
+    nodes = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node")
+    )
+    ranks = nodes.select("node", F.lit(_UNIT).cast("long").alias("rank"))
+    for _ in range(_ITERS):
+        contrib = (
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            .select(F.col("dst"), F.expr(_CONTRIB).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left_outer").select(
+            "node",
+            (F.lit(_TELEPORT) + F.coalesce(F.col("s"), F.lit(0))).cast("long").alias("rank"),
+        )
+    edges.unpersist()
+    return ranks.select(
+        F.col("node").alias("nationkey"), F.col("rank").alias("pagerank_units")
+    )
