@@ -419,3 +419,38 @@ def tpch_q7ish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(msum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
     )
+
+
+@register(
+    "time_rollup_hierarchy",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_msum('value', 2)} AS sum_value
+    FROM {EVENTS_NORM}
+    GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
+    """,
+    tags=("rollup", "timeseries", "survey2.6"),
+)
+def time_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-hierarchy rollup: one pass producing the
+    hourly, daily, and grand-total continuous aggregates (ROLLUP(day,
+    hour) = {{(day,hour),(day),()}}). Catalyst plans this as a single
+    Expand + hash aggregate — each input row fans into the 3 grouping
+    levels map-side, so the multi-granularity materialization costs one
+    shuffle, not one job per granularity. This is the standard pattern
+    for maintaining time-series rollup tables at ingest scale."""
+    from arcon_spark.plans.compat import sql_msum as _sql_msum
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("arcon_tr_events")
+    return spark.sql(
+        f"""
+        SELECT date_trunc('DAY', ts) AS day,
+               date_trunc('HOUR', ts) AS hour,
+               COUNT(*) AS n,
+               {_sql_msum('value', 2).replace('HUGEINT', 'DECIMAL(38,0)')} AS sum_value
+        FROM arcon_tr_events
+        GROUP BY ROLLUP (date_trunc('DAY', ts), date_trunc('HOUR', ts))
+        """
+    )
