@@ -78,3 +78,25 @@ def test_validate_rejects_missing_field(spark):
     P = record("P", x=int32())
     with pytest.raises(ValueError):
         P.validate(df)
+
+
+def test_schema_evolution_across_versions(spark, tmp_path):
+    """VERSION_ID semantics (reference arcon/src/data/mod.rs:39-43):
+    a v2 writer adds a nullable field; readers see one merged schema
+    with v1 rows null-filled — parquet schema merge is the engine-level
+    replacement for manual version constants."""
+    from arcon_spark.schema import int64, record
+
+    v1 = record("Point", version=1, x=int64(), y=int64())
+
+    out = str(tmp_path / "evo")
+    spark.createDataFrame([(1, 2), (3, 4)], "x long, y long").write.parquet(f"{out}/v=1")
+    spark.createDataFrame(
+        [(5, 6, "a")], "x long, y long, label string"
+    ).write.parquet(f"{out}/v=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) >= {"x", "y", "label"}
+    rows = {(r.x, r.y): r.label for r in merged.collect()}
+    assert rows[(1, 2)] is None and rows[(5, 6)] == "a"
+    assert v1.struct.fieldNames() == ["x", "y"]
