@@ -134,3 +134,70 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("nationkey"), F.col("rank").alias("pagerank_units")
     )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH flows AS (
+      SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
+      FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+      WHERE s_nationkey <> c_nationkey
+    ),
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM flows
+    )
+    SELECT (SELECT CAST(COUNT(DISTINCT n_nationkey) AS BIGINT) FROM nation) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+    tags=("graph", "triangle"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the undirected nation trade graph. Edges are
+    canonically oriented low→high id, so each triangle a<b<c is counted
+    exactly once by the two-join wedge closure (e1=(a,b) ⋈ e2=(b,c) ⋈
+    e3=(a,c)).
+
+    Scale: id-orientation is the standard trick that bounds the wedge
+    join by Σ d_out², with d_out ≤ degree of the HIGHER-degree endpoint
+    halved on average; for power-law graphs orient by (degree, id)
+    instead — same plan, one extra broadcast of the degree table."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    und = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+    e1 = und.select(F.col("a").alias("a1"), F.col("b").alias("b1"))
+    e2 = und.select(F.col("a").alias("a2"), F.col("b").alias("b2"))
+    e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("b3"))
+    tri = (
+        e1.join(e2, F.col("b1") == F.col("a2"))
+        .join(e3, (F.col("a3") == F.col("a1")) & (F.col("b3") == F.col("b2")))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    n_nodes = (
+        load_table(spark, sf_dir, "nation")
+        .agg(F.countDistinct("n_nationkey").cast("long").alias("n_nodes"))
+    )
+    n_edges = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return n_nodes.join(F.broadcast(n_edges)).join(F.broadcast(tri)).select(
+        "n_nodes", "n_edges", "n_triangles"
+    )

@@ -13,7 +13,7 @@ Python in the hot path. Each query has an exact DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from arcon_spark.io import load_table, spread
@@ -460,4 +460,95 @@ def corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         # integer `div`, not `/`: long/int goes through a double, which
         # stops being exact past 2^53 cumulative tokens
         F.expr(f"cum_before div {PACK_BUDGET}").alias("bin_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary building + TF-IDF
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vocab_top_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ),
+    counts AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks WHERE token <> '' GROUP BY token
+    )
+    SELECT token, cnt FROM counts
+    QUALIFY row_number() OVER (ORDER BY cnt DESC, token) <= 100
+    """,
+    tags=("text", "vocab", "topk"),
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by frequency (ties broken by
+    token) — the vocab-counting pass of tokenizer training. Scale shape:
+    explode → hash aggregate (map-side partials) → distributed top-k via
+    TakeOrderedAndProject (each partition keeps ≤100 candidates; no
+    global sort, no single-partition window)."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    return counts.orderBy(F.desc("cnt"), F.asc("token")).limit(100)
+
+
+@register(
+    "text_tfidf_topterms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE token <> '' GROUP BY doc_id, token
+    ),
+    dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+    SELECT doc_id, token, score FROM (
+      SELECT tf.doc_id, tf.token,
+             (tf.tf * n.n * 1000000) // dfreq.df AS score,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY (tf.tf * n.n * 1000000) // dfreq.df DESC,
+                                         tf.token) AS rn
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    ) WHERE rn <= 3
+    """,
+    tags=("text", "tfidf", "topk"),
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF. The idf factor
+    is the integer rational tf·N·1e6 div df — rank-equivalent to
+    tf·(N/df) and bit-identical across engines (a float log() would
+    differ in last ulps between libm implementations and is rank-
+    equivalent anyway since log is monotone).
+
+    Scale: tf is a (doc_id, token) hash aggregate over the exploded
+    corpus; df reuses tf (no second corpus scan); the rank window
+    partitions by doc_id so top-k stays fully distributed. The 1-row N
+    is a broadcast cross join."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    scored = (
+        tf.join(dfreq, "token")
+        .join(F.broadcast(n))
+        .withColumn("score", F.expr("tf * n * 1000000 div df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "score")
     )

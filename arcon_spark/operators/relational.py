@@ -1015,3 +1015,125 @@ def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("value_max"),
         mavg(F.col("value"), 2).alias("value_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sessionization (batch), window frames, histograms
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM {EVENTS_NORM}
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
+    FROM sess GROUP BY user_id, session_id
+    """,
+    tags=("sessionization", "window_function"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: gap > 10 min starts a new session
+    (lag → flag → running-sum session id → per-session aggregate).
+    The batch analog of the streaming Session window (session_window_agg)
+    and the classic two-window-pass sessionize used on event logs.
+    Scale: both window passes and the final aggregate share ONE hash
+    partitioning on user_id — a single shuffle; timestamps compared in
+    integer microseconds so Spark and the oracle agree exactly."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    lag_us = F.unix_micros(F.lag("ts").over(w))
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(lag_us.isNull() | ((us - lag_us) > 600_000_000), 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max(us) - F.min(us)).cast("long").alias("duration_us"),
+    )
+
+
+@register(
+    "moving_avg_value_per_user",
+    oracle=f"""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100.0
+             / COUNT(*) OVER w AS moving_avg
+    FROM {EVENTS_NORM}
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window_function", "frame"),
+)
+def moving_avg_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average over an explicit ROWS frame (3 preceding + current)
+    — the bounded-frame analog of an IncrementalWindow fold. Sum runs in
+    integer cents (cents_window_sum) because frame aggregation orders
+    differ between engines; the divide-out is a deterministic double op."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (
+            F.sum(cents_window_sum(F.col("value"))).over(w).cast("double")
+            / F.lit(100.0)
+            / F.count(F.lit(1)).over(w)
+        ).alias("moving_avg"),
+    )
+
+
+@register(
+    "histogram_event_values",
+    oracle=f"""
+    SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+           CAST(floor(value / 50.0) AS BIGINT) * 50.0 AS lo,
+           (CAST(floor(value / 50.0) AS BIGINT) + 1) * 50.0 AS hi,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM {EVENTS_NORM}
+    GROUP BY 1, 2, 3
+    """,
+    tags=("histogram", "aggregation"),
+)
+def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (width 50) of event values — one map-side
+    combinable hash aggregate; the profiling primitive behind data-skew
+    and quality dashboards. floor(x/width) is IEEE-deterministic, so the
+    bucketing matches the oracle bit-for-bit."""
+    bucket = F.floor(F.col("value") / F.lit(50.0)).cast("long")
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(bucket.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            "bucket",
+            (F.col("bucket") * F.lit(50.0)).alias("lo"),
+            ((F.col("bucket") + F.lit(1)) * F.lit(50.0)).alias("hi"),
+            "cnt",
+        )
+    )

@@ -695,3 +695,99 @@ def tpch_q22ish(spark: SparkSession, sf_dir: str) -> DataFrame:
             msum(F.col("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (correlated min subquery + join-back)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q2ish",
+    oracle="""
+    WITH eur_supp AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    parts AS (
+      SELECT p_partkey FROM part WHERE p_type = 'STANDARD' AND p_size < 15
+    ),
+    cost AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS cost
+      FROM lineitem JOIN parts ON l_partkey = p_partkey
+                    JOIN eur_supp ON l_suppkey = s_suppkey
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT c.l_partkey AS p_partkey, s.s_name, s.s_acctbal, s.n_name, c.cost
+    FROM cost c
+    JOIN (SELECT l_partkey, MIN(cost) AS min_cost
+          FROM cost GROUP BY l_partkey) m
+      ON c.l_partkey = m.l_partkey AND c.cost = m.min_cost
+    JOIN eur_supp s ON c.l_suppkey = s.s_suppkey
+    """,
+    tags=("tpch", "join", "correlated_subquery"),
+)
+def tpch_q2ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 minimum-cost supplier. Adaptation: no partsupp table →
+    supply cost for (part, supplier) = MIN observed unit price
+    (l_extendedprice / l_quantity) over their lineitems; region slice
+    EUROPE, part slice STANDARD & size < 15. The Q2 shape survives: a
+    per-part correlated MIN subquery answered by aggregating the SAME
+    derived cost frame twice and joining back on (part, cost), keeping
+    every tied supplier like the real Q2.
+
+    Scale: part and supplier slices broadcast into the fact scan
+    (filters reach the parquet scan before the only wide shuffle, on
+    (l_partkey, l_suppkey)); the per-part min re-shuffles only the
+    aggregated frame (|parts|·|suppliers-per-part| rows, not lineitems).
+    MIN of an IEEE division is order-independent, so the double equality
+    join-back is deterministic in both engines."""
+    region = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "EUROPE")
+        .select("r_regionkey")
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    eur_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "STANDARD") & (F.col("p_size") < 15))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    cost = (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .join(F.broadcast(eur_supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    )
+    min_cost = cost.groupBy(F.col("l_partkey").alias("mp")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    return (
+        cost.join(
+            min_cost,
+            (cost.l_partkey == F.col("mp")) & (cost.cost == F.col("min_cost")),
+        )
+        .join(F.broadcast(eur_supp), cost.l_suppkey == eur_supp.s_suppkey)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_name",
+            "s_acctbal",
+            "n_name",
+            "cost",
+        )
+    )
