@@ -19,9 +19,10 @@ Scale design:
 - Everything up to the bucket/inverted-index join is per-row array math
   inside whole-stage codegen — embarrassingly parallel, zero shuffle.
 - MinHash+LSH shuffles once on (band_id, band_hash): the candidate join
-  touches only colliding docs, never the O(n²) pair space. (Production
-  hardening at 100 TB: cap pathological bucket sizes before the
-  self-join; kept uncapped here to stay oracle-equivalent.)
+  touches only colliding docs, never the O(n²) pair space. Pathological
+  buckets are capped at LSH_BUCKET_CAP lowest doc_ids before the
+  self-join (deterministic; inactive at test SFs so the oracle is
+  unaffected; bounds any hot bucket's pair blowup at cap² at 100 TB).
 - Exact Jaccard's inverted-index join is the O(pairs-sharing-a-shingle)
   fallback — correct but quadratic in hot shingles; it exists as the
   ground-truth for MinHash recall tests (tests/test_dedup.py).
@@ -29,7 +30,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from arcon_spark.io import load_table, spread
@@ -37,6 +38,7 @@ from arcon_spark.plans.registry import register
 
 NUM_HASHES = 12
 NUM_BANDS = 4
+LSH_BUCKET_CAP = 64  # per-bucket candidate cap (see dedup_minhash_lsh_pairs)
 ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
 
 # --- shared shingling (Spark; DuckDB mirror below) ------------------------
@@ -228,6 +230,20 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.array(*[F.expr(e) for e in _band_exprs()])).alias(
             "band_id", "band_hash"
         ),
+    )
+    # Skew guard: a degenerate bucket (boilerplate/empty docs sharing one
+    # band hash) turns the self-join quadratic. Cap each bucket to its
+    # LSH_BUCKET_CAP lowest doc_ids — deterministic, and the window's
+    # (band_id, band_hash) partitioning is the same key the join needs,
+    # so the cap rides the one existing shuffle. Inactive below the cap
+    # (test SFs: max bucket ≈ cluster size ≪ 64 — oracle unaffected);
+    # at 100 TB it bounds any bucket's pair blowup at cap² instead of
+    # letting one hot hash dominate the stage.
+    wcap = Window.partitionBy("band_id", "band_hash").orderBy("doc_id")
+    bands = (
+        bands.withColumn("_bn", F.row_number().over(wcap))
+        .filter(F.col("_bn") <= LSH_BUCKET_CAP)
+        .drop("_bn")
     )
     a = bands.alias("a")
     b = bands.alias("b")

@@ -442,3 +442,105 @@ def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means (fixed-iteration Lloyd's, integer fixed-point)
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ITERS = 2
+_KM_SCALE = 1000
+
+
+def _km_sql_iter(k: int, prev_c: str) -> str:
+    """One Lloyd iteration as two CTEs: assign (argmin over centroids,
+    ties to lowest cid) then recompute (per-dimension integer mean)."""
+    return f"""a{k} AS (
+      SELECT vec_id, cid FROM (
+        SELECT q.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY SUM((q.qv - c.cv) * (q.qv - c.cv)), c.cid) AS rn
+        FROM q JOIN {prev_c} c ON q.idx = c.idx
+        GROUP BY q.vec_id, c.cid
+      ) WHERE rn = 1
+    ),
+    c{k} AS (
+      SELECT a.cid, q.idx, CAST(SUM(q.qv) // COUNT(*) AS BIGINT) AS cv
+      FROM q JOIN a{k} a ON q.vec_id = a.vec_id
+      GROUP BY a.cid, q.idx
+    )"""
+
+
+@register(
+    "kmeans_embeddings",
+    oracle=f"""
+    WITH q AS (
+      SELECT e.vec_id, u.i AS idx,
+             CAST(round(CAST(e.embedding[u.i] AS DOUBLE) * {_KM_SCALE}.0) AS BIGINT) AS qv
+      FROM embeddings e, UNNEST(generate_series(1, len(e.embedding))) AS u(i)
+    ),
+    c0 AS (
+      SELECT vec_id AS cid, idx, qv AS cv FROM q WHERE vec_id < {_KM_K}
+    ),
+    {",".join(_km_sql_iter(k, f"c{k - 1}") for k in range(1, _KM_ITERS + 1))}
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a{_KM_ITERS}
+    """,
+    tags=("similarity", "clustering", "iterative"),
+)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=8, 2 fixed iterations) over the embedding
+    table, seeded with vectors 0..7. All arithmetic is integer
+    fixed-point (components quantized ×1000; distances are exact long
+    sums of squares; new centroids are per-dimension integer means via
+    truncating division) so every engine and every partition order
+    produces the identical assignment sequence — the oracle unrolls the
+    same two iterations as chained CTEs.
+
+    Spark shape: the quantized (vec_id, idx, qv) frame is built once
+    (posexplode — one shuffle to a hash partitioning on vec_id that
+    assignment and recompute both reuse); centroids (k·d rows) live in
+    broadcast joins; each iteration is assign (join on idx + argmin
+    window) → recompute (join on vec_id + hash agg). At 100 TB the
+    assignment join is the documented relational form of distributed
+    k-means; swapping it for a numpy mapInPandas (centroids in the
+    closure, as dedup_embedding_cosine does) keeps the same loop and
+    removes the d×k row blowup — ann_ivf_topk's assign stage shows the
+    vectorized variant."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = (
+        emb.select("vec_id", F.posexplode("embedding").alias("pidx", "x"))
+        .select(
+            "vec_id",
+            (F.col("pidx") + 1).alias("idx"),
+            F.round(F.col("x").cast("double") * F.lit(float(_KM_SCALE)))
+            .cast("long")
+            .alias("qv"),
+        )
+        .repartition("vec_id")
+        .persist()
+    )
+    cent = q.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), "idx", F.col("qv").alias("cv")
+    )
+    assign = None
+    for _ in range(_KM_ITERS):
+        dist = (
+            q.join(F.broadcast(cent), "idx")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum((F.col("qv") - F.col("cv")) * (F.col("qv") - F.col("cv"))).alias("dist"))
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        assign = (
+            dist.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid")
+        )
+        cent = (
+            q.join(assign, "vec_id")
+            .groupBy("cid", "idx")
+            .agg(F.expr("CAST(sum(qv) div count(1) AS BIGINT)").alias("cv"))
+        )
+    q.unpersist()
+    return assign.select("vec_id", F.col("cid").cast("long").alias("cluster"))

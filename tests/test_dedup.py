@@ -60,3 +60,31 @@ def test_connected_clusters_group_planted_dups(spark, sf_dir):
     for p in pairs:
         assert labels[p.doc_a] == labels[p.doc_b], (p.doc_a, p.doc_b)
     assert all(cid <= d for d, cid in labels.items())  # min-id labels
+
+
+def test_lsh_bucket_cap_inactive_at_test_scale_but_enforced(spark, sf_dir, monkeypatch):
+    """The LSH skew guard must (a) not fire at test SFs — bucket sizes
+    stay under LSH_BUCKET_CAP so the oracle contract holds — and
+    (b) actually truncate when the cap binds (cap=1 → no within-bucket
+    pairs can form at all)."""
+    from arcon_spark.functions import dedup
+
+    sig = dedup.minhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.expr(e) for e in dedup._band_exprs()])).alias(
+            "band_id", "band_hash"
+        ),
+    )
+    max_bucket = (
+        bands.groupBy("band_id", "band_hash").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_bucket < dedup.LSH_BUCKET_CAP, (
+        f"bucket of {max_bucket} ≥ cap {dedup.LSH_BUCKET_CAP}: the cap would "
+        "change results at the oracle scale — raise LSH_BUCKET_CAP"
+    )
+
+    baseline = dedup.dedup_minhash_lsh_pairs(spark, sf_dir).count()
+    assert baseline > 0
+    monkeypatch.setattr(dedup, "LSH_BUCKET_CAP", 1)
+    assert dedup.dedup_minhash_lsh_pairs(spark, sf_dir).count() == 0
