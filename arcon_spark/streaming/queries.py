@@ -50,7 +50,7 @@ def _with_stream_partitions(spark: SparkSession, run) :
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
-def _streamed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _streamed_events(spark: SparkSession, sf_dir: str, n_sentinels: int = 2) -> DataFrame:
     """events as a 3-batch stream: the ORIGINAL parquet file (hard-copied,
     never rewritten — at sf0.1 that saves rewriting 100k rows per query)
     followed by two sentinel segments. The raw file stores ts as
@@ -75,7 +75,7 @@ def _streamed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0).alias("value"),
             F.lit("{}").alias("props"),
         )
-        for ns in (max_ns + 30 * day_ns, max_ns + 31 * day_ns)
+        for ns in (max_ns + (30 + k) * day_ns for k in range(n_sentinels))
     ]
     root = tempfile.mkdtemp(prefix="arcon_stream_ev_")
     dst = os.path.join(root, "base.parquet")  # ordered first via older mtime
@@ -428,3 +428,71 @@ def stream_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["user_id", "event_type"])
     )
     return _run_to_memory(spark, src, "stream_distinct")
+
+
+@register(
+    "stream_stream_left_outer_join",
+    oracle=f"""
+    SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM (SELECT * FROM {EVENTS_NORM} WHERE event_id % 2 = 0) a
+    LEFT JOIN (SELECT event_id, ts, user_id
+               FROM {EVENTS_NORM.replace(') events', ') e2')}
+               WHERE event_id % 2 = 1) b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL '30 minutes'
+    """,
+    tags=("streaming", "join", "outer", "survey2.4"),
+)
+def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER join: every even-id event, matched to
+    odd-id events of the same user within the following 30 minutes, or
+    emitted with nulls once the watermark proves no match can arrive.
+    This exercises the semantics an inner join doesn't: the engine may
+    only emit the null row after BOTH watermarks pass the end of the
+    event's match window — the join-state eviction contract. The tape's
+    sentinel batches advance the watermark far past every real event, so
+    the streamed result must equal the batch LEFT JOIN oracle exactly.
+
+    Scale: both sides carry watermarks and the time bound, so join
+    state is O(events inside the 30-minute horizon), not O(stream);
+    the equality key (user_id) hash-partitions both sides — one
+    co-partitioned shuffle each."""
+    # 3 sentinels: outer-join null rows for state evicted by the final
+    # watermark are emitted in the NEXT micro-batch, so one extra
+    # spacer batch must run after the watermark has fully advanced.
+    src = _streamed_events(spark, sf_dir, n_sentinels=3)
+
+    def side(pred: str, alias: str) -> DataFrame:
+        # watermark BEFORE the filter: the sentinel rows must advance
+        # this branch's event-time stats, then drop out of the data path
+        return (
+            src.withWatermark("ts", "0 seconds")
+            .filter(F.expr(pred))
+            .select("event_id", "ts", "user_id")
+            .alias(alias)
+        )
+
+    # Sentinels must pass BOTH watermark nodes: Catalyst pushes the
+    # event-id filters below EventTimeWatermark, so a side that filters
+    # sentinels out would never advance its watermark and the global
+    # (min-policy) watermark would stall at that side's last real event,
+    # leaving tail unmatched-lefts unemitted forever. Sentinel rows
+    # (user_id -1, 1 day apart) can never satisfy the join condition and
+    # are filtered from the output.
+    a = side("event_id % 2 = 0 OR event_id = -1", "a")
+    b = side("event_id % 2 = 1 OR event_id = -1", "b")
+    joined = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select(
+        F.col("a.event_id").alias("id_a"),
+        F.col("b.event_id").alias("id_b"),
+        F.col("a.user_id").alias("user_id"),
+        (F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts"))).alias("gap_us"),
+    )
+    return _run_to_memory(spark, joined, "stream_ssloj").filter(F.col("id_a") >= 0)
