@@ -22,7 +22,13 @@ def spark():
     existing = os.environ.get("PYTHONPATH", "")
     if repo not in existing.split(os.pathsep):
         os.environ["PYTHONPATH"] = f"{repo}{os.pathsep}{existing}" if existing else repo
-    s = get_spark("arcon_spark_tests")
+    import tempfile
+
+    warehouse = tempfile.mkdtemp(prefix="arcon_warehouse_")
+    s = get_spark(
+        "arcon_spark_tests",
+        extra_conf={"spark.sql.warehouse.dir": warehouse},
+    )
     yield s
 
 
