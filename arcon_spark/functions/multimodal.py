@@ -260,3 +260,73 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("digest"), F.lit(":"), F.col("frame_idx").cast("string"))
         ).alias("frame_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# audio: decode → frame → per-frame feature (energy)
+# ---------------------------------------------------------------------------
+
+AUDIO_FRAME = 64  # samples per analysis frame
+AUDIO_BIAS = 96  # DC offset removed before energy (≈ mean of the fake PCM)
+
+
+@register(
+    "multimodal_audio_energy",
+    oracle=f"""
+    WITH chars AS (
+      SELECT doc_id, (u.i - 1) // {AUDIO_FRAME} AS frame_id,
+             ord(substr(text, u.i, 1)) - {AUDIO_BIAS} AS s
+      FROM documents,
+           UNNEST(generate_series(1, (length(text) // {AUDIO_FRAME}) * {AUDIO_FRAME})) AS u(i)
+    )
+    SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
+           CAST(SUM(s * s) AS BIGINT) AS energy
+    FROM chars GROUP BY doc_id, frame_id
+    """,
+    tags=("multimodal", "audio"),
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over opaque binary payloads: interpret
+    the payload as unsigned 8-bit PCM, cut non-overlapping
+    AUDIO_FRAME-sample frames, emit per-frame integer energy
+    Σ(s−bias)². The fake-decode step (utf-8 bytes AS samples) stands in
+    for a real codec — the pipeline shape (binary column → numpy
+    frombuffer per Arrow batch → vectorized frame math → long rows) is
+    exactly a production log-mel/VAD front-end; swap `frombuffer` for
+    soundfile/ffmpeg when the codec libs exist.
+
+    Scale: mapInPandas is embarrassingly parallel, zero shuffle; one
+    output row per frame with only (doc_id, frame_id, energy) — the
+    payload never leaves the scan partition. The oracle replays the
+    identical integer math per character (payloads are ASCII, so byte
+    == code point)."""
+    import numpy as np
+
+    frame = media_frame(spark, sf_dir).select("doc_id", "payload")
+
+    def _energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            docs: list[int] = []
+            fids: list[np.ndarray] = []
+            energies: list[np.ndarray] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                a = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n = (len(a) // AUDIO_FRAME) * AUDIO_FRAME
+                if n == 0:
+                    continue
+                fr = a[:n].reshape(-1, AUDIO_FRAME) - AUDIO_BIAS
+                e = (fr * fr).sum(axis=1)
+                docs.extend([doc_id] * len(e))
+                fids.append(np.arange(len(e), dtype=np.int64))
+                energies.append(e)
+            if not docs:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(docs, dtype=np.int64),
+                    "frame_id": np.concatenate(fids),
+                    "energy": np.concatenate(energies),
+                }
+            )
+
+    return frame.mapInPandas(_energy, "doc_id long, frame_id long, energy long")
