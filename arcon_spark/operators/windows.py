@@ -236,3 +236,54 @@ def arrow_window_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.groupBy("win_start").applyInPandas(
         center, "win_start timestamp, event_id long, centered double"
     )
+
+
+@register(
+    "arrow_window_zscore_arrow",
+    oracle=f"""
+    WITH stats AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS win_start, event_id, value,
+             CAST(COUNT(*) OVER (PARTITION BY time_bucket(INTERVAL '1 day', ts)) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                  OVER (PARTITION BY time_bucket(INTERVAL '1 day', ts)) AS DOUBLE) / 100.0 AS s
+      FROM {EVENTS_NORM}
+    )
+    SELECT win_start, event_id, round(value - s / n, 4) AS centered
+    FROM stats
+    """,
+    tags=("window", "arrow", "survey2.4"),
+)
+def arrow_window_zscore_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ArrowWindow via applyInArrow — the closest mechanical match to
+    the reference's design (arcon/src/index/window/arrow.rs hands the
+    window's Arrow RecordBatches straight to the UDF): each window
+    group arrives as a pyarrow.Table, no pandas materialization at all.
+    Same integer-cents arithmetic as the JVM and pandas forms, so all
+    three share one oracle. Prefer this over applyInPandas when the
+    window logic is array-math-only: it skips the pandas Block
+    construction on both sides of the hop."""
+    import numpy as np
+    import pyarrow as pa
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.window("ts", "1 day").start.alias("win_start"), "event_id", "value"
+    )
+
+    def center(tbl: pa.Table) -> pa.Table:
+        v = tbl.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.trunc(v * 100.0 + np.copysign(0.5, v * 100.0)).astype(np.int64)
+        mean = (float(cents.sum()) / 100.0) / float(len(v))
+        scaled = (v - mean) * 10000.0
+        centered = np.trunc(scaled + np.copysign(0.5, scaled)) / 10000.0
+        return pa.table(
+            {
+                "win_start": tbl.column("win_start"),
+                "event_id": tbl.column("event_id"),
+                "centered": pa.array(centered, type=pa.float64()),
+            }
+        )
+
+    return base.groupBy("win_start").applyInArrow(
+        center, "win_start timestamp, event_id long, centered double"
+    )

@@ -37,8 +37,14 @@ HEADLINE = [
     "text_lang_id",
     "multimodal_meta",
     "tpch_q6",
+    "tpch_q2ish",
     "asof_join_purchase_view",
     "range_join_close_events",
+    "sessionize_events",
+    "vocab_top_tokens",
+    "text_tfidf_topterms",
+    "kmeans_embeddings",
+    "multimodal_audio_energy",
     "stream_tumbling_window_agg",
 ]
 

@@ -5,13 +5,15 @@ workload: examples/custom_operator.rs pushes (0..10_000_000) through a
 map operator and a timer operator with .measure(1_000_000)).
 
 Measures Structured Streaming micro-batch throughput with a
-StreamingQueryListener over three pipelines at the reference's 10M
+StreamingQueryListener over four pipelines at the reference's 10M
 element scale:
 
 1. stateless  — map (u64 → struct) + filter chain, the reference
    example's MyOperator shape, all JVM.
 2. windowed   — keyed tumbling window aggregation (the Phase-0
    minimum slice shape), JVM stateful.
+2b. stream_join — stream-stream interval join, watermarked both
+   sides (the symmetric-hash-join state path).
 3. python_op  — the custom Operator (per-key state + timers) path via
    applyInPandasWithState at N/10 (Python-state path; scaled count is
    reported and normalized to events/sec).
@@ -80,6 +82,27 @@ def main() -> None:
     )
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     results.append(_run(spark, windowed, "windowed"))
+
+    # -- 2b. stream-stream interval join (watermarked both sides):
+    #        evens joined to odds on key within 10s after — measures the
+    #        symmetric-hash-join state path at n
+    sj_a = (
+        src.withWatermark("ts", "0 seconds")
+        .filter("id % 2 = 0")
+        .selectExpr("id as id_a", "ts as ts_a", "k as k_a")
+    )
+    sj_b = (
+        src.withWatermark("ts", "0 seconds")
+        .filter("id % 2 = 1")
+        .selectExpr("id as id_b", "ts as ts_b", "k as k_b")
+    )
+    sjoin = sj_a.join(
+        sj_b,
+        F.expr(
+            "k_a = k_b AND ts_b > ts_a AND ts_b <= ts_a + INTERVAL 10 SECONDS"
+        ),
+    )
+    results.append(_run(spark, sjoin, "stream_join"))
 
     # -- 3. python custom operator with timers, at n/10
     from arcon_spark.streaming.stateful import Operator, apply_operator
