@@ -201,3 +201,96 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_nodes.join(F.broadcast(n_edges)).join(F.broadcast(tri)).select(
         "n_nodes", "n_edges", "n_triangles"
     )
+
+
+_BFS_ITERS = 5
+_UNREACHED = 999  # distance sentinel (graph diameter ≪ this)
+
+
+def _bfs_sql_iter(k: int) -> str:
+    prev = f"d{k - 1}"
+    return f"""d{k} AS (
+      SELECT n.node, LEAST(d.dist, COALESCE(m.c, {_UNREACHED})) AS dist
+      FROM nodes n
+        JOIN {prev} d ON d.node = n.node
+        LEFT JOIN (SELECT e.dst AS node, MIN(d.dist + 1) AS c
+                   FROM edges e JOIN {prev} d ON d.node = e.src
+                   GROUP BY e.dst) m ON m.node = n.node
+    )"""
+
+
+@register(
+    "graph_bfs_distances",
+    oracle=f"""
+    WITH flows AS (
+      SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
+      FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+      WHERE s_nationkey <> c_nationkey
+    ),
+    edges AS (SELECT src, dst FROM flows),
+    nodes AS (SELECT n_nationkey AS node FROM nation),
+    d0 AS (SELECT node, CASE WHEN node = 0 THEN 0 ELSE {_UNREACHED} END AS dist
+           FROM nodes),
+    {",".join(_bfs_sql_iter(k) for k in range(1, _BFS_ITERS + 1))}
+    SELECT node AS nationkey, CAST(dist AS BIGINT) AS dist
+    FROM d{_BFS_ITERS}
+    """,
+    tags=("graph", "iterative", "bfs"),
+)
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest hop counts (BFS) over the directed nation
+    trade graph from nation 0, {_BFS_ITERS} fixed Bellman-Ford-style
+    relaxation rounds: dist'(v) = min(dist(v), min over u→v of
+    dist(u)+1), unreachable = {_UNREACHED}. Same driver-loop-of-joins
+    pattern as pagerank_trade_network — each round is one join on src +
+    one min-aggregate on dst against the persisted edge frame; all
+    integer arithmetic, so the round sequence is engine- and
+    partition-order-independent (the oracle unrolls identical CTEs).
+
+    Scale: fixed-round relaxation is how Pregel-style BFS runs on
+    DataFrames; for unbounded diameters loop until
+    `changed.count() == 0` with periodic checkpoints (lineage cut),
+    same body."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    edges = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node")
+    )
+    dist = nodes.select(
+        "node",
+        F.when(F.col("node") == 0, 0).otherwise(_UNREACHED).alias("dist"),
+    )
+    for _ in range(_BFS_ITERS):
+        relaxed = (
+            edges.join(dist, edges.src == dist.node)
+            .select("dst", (F.col("dist") + 1).alias("cand"))
+            .groupBy("dst")
+            .agg(F.min("cand").alias("c"))
+        )
+        dist = nodes.join(relaxed, nodes.node == relaxed.dst, "left_outer").join(
+            dist.select(F.col("node").alias("pnode"), F.col("dist").alias("pdist")),
+            F.col("node") == F.col("pnode"),
+        ).select(
+            "node",
+            F.least(F.col("pdist"), F.coalesce(F.col("c"), F.lit(_UNREACHED))).alias(
+                "dist"
+            ),
+        )
+    edges.unpersist()
+    return dist.select(
+        F.col("node").alias("nationkey"), F.col("dist").cast("long").alias("dist")
+    )
