@@ -1137,3 +1137,39 @@ def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
     )
+
+
+@register(
+    "unpivot_lineitem_metrics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, val FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+    )
+    """,
+    tags=("unpivot", "reshape"),
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt: four metric columns → (metric, val) rows via
+    `stack` — the inverse of pivot_event_counts. ONE scan of the fact
+    table producing 4 rows per input row inside whole-stage codegen;
+    the oracle's equivalent UNION ALL spells out the same result with
+    four scans (DuckDB lacks stack), which is exactly why melt matters
+    at 100 TB: 1× read instead of k×."""
+    return load_table(
+        spark, sf_dir, "lineitem"
+    ).selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        """stack(4,
+            'quantity', l_quantity,
+            'extendedprice', l_extendedprice,
+            'discount', l_discount,
+            'tax', l_tax) AS (metric, val)""",
+    )
