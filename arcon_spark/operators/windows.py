@@ -27,7 +27,7 @@ k > ~8 prefer tumbling pre-aggregation then window merge.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from arcon_spark.io import load_table
@@ -286,4 +286,95 @@ def arrow_window_zscore_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return base.groupBy("win_start").applyInArrow(
         center, "win_start timestamp, event_id long, centered double"
+    )
+
+
+@register(
+    "count_window_agg",
+    oracle=f"""
+    WITH numbered AS (
+      SELECT user_id, event_id, ts, value,
+             (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) // 5
+               AS win_idx
+      FROM {EVENTS_NORM}
+    )
+    SELECT user_id, CAST(win_idx AS BIGINT) AS win_idx,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_msum('value', 2)} AS sum_value
+    FROM numbered GROUP BY user_id, win_idx
+    """,
+    tags=("window", "count_window", "survey2.4"),
+)
+def count_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count windows (every 5 elements per key) — listed as NOT
+    implemented in the reference (SURVEY §2.4); Spark expresses them as
+    row_number() div N over the keyed event order + a hash aggregate.
+    The ordering column pair (ts, event_id) is total per key, so window
+    membership is deterministic. One shuffle on user_id serves both the
+    numbering window and the aggregate."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    numbered = ev.withColumn(
+        "win_idx", ((F.row_number().over(w) - 1) / 5).cast("long")
+    )
+    return numbered.groupBy("user_id", "win_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        msum(F.col("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "session_window_dynamic_gap",
+    oracle=f"""
+    WITH gapped AS (
+      SELECT user_id, ts, event_id, value,
+             ts + CASE WHEN event_type = 'click' THEN INTERVAL '10 minutes'
+                       ELSE INTERVAL '30 minutes' END AS ival_end
+      FROM {EVENTS_NORM}
+    ), flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts < MAX(ival_end) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id
+                                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                                         AND 1 PRECEDING)
+                  THEN 0 ELSE 1 END AS new_session
+      FROM gapped
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_msum('value', 2)} AS sum_value
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    tags=("window", "session", "dynamic_gap", "survey2.4"),
+)
+def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a PER-EVENT gap (clicks time out after
+    10 min, everything else 30) — Spark's dynamic-gap session_window,
+    beyond both the reference (no sessions at all) and fixed-gap SQL
+    sessionization. Merge rule: an event joins the open session iff its
+    ts precedes the session's running max interval end max(tsᵢ+gapᵢ);
+    the oracle reproduces exactly that with a running-max window (the
+    global running max is safe: once a session closes, every later
+    event's own interval end dominates the closed session's)."""
+    ev = load_table(spark, sf_dir, "events")
+    # string durations, not INTERVAL literals: session_window's dynamic
+    # gap needs CalendarIntervalType and parses duration strings itself
+    gap = F.when(F.col("event_type") == "click", F.lit("10 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    return (
+        ev.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), msum(F.col("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n",
+            "sum_value",
+        )
     )
