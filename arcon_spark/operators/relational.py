@@ -1173,3 +1173,34 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             'discount', l_discount,
             'tax', l_tax) AS (metric, val)""",
     )
+
+
+# one SQL text, two engines: runs verbatim on Spark AND DuckDB
+_PORTABLE_SQL = """
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+HAVING COUNT(*) > 1
+"""
+
+
+@register(
+    "sql_portable_text",
+    oracle=_PORTABLE_SQL,
+    tags=("sql", "survey2.9"),
+)
+def sql_portable_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door: register the tables as views and execute ONE
+    ANSI SQL string — the literal same text the DuckDB oracle runs
+    (exact-integer money arithmetic keeps even the float column
+    bit-identical). The reference has no SQL surface at all (SURVEY
+    §2.9); on Spark the entire relational catalog is available through
+    spark.sql against the same session catalog the DataFrame queries
+    use."""
+    from arcon_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_PORTABLE_SQL)

@@ -496,3 +496,104 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts"))).alias("gap_us"),
     )
     return _run_to_memory(spark, joined, "stream_ssloj").filter(F.col("id_a") >= 0)
+
+
+@register(
+    "stream_count_window",
+    oracle=f"""
+    WITH numbered AS (
+      SELECT user_id, event_id, ts, value,
+             (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) // 5
+               AS win_idx
+      FROM {EVENTS_NORM}
+    )
+    SELECT user_id, CAST(win_idx AS BIGINT) AS win_idx,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_msum('value', 2)} AS sum_value
+    FROM numbered GROUP BY user_id, win_idx
+    """,
+    tags=("streaming", "stateful", "count_window", "survey2.4"),
+)
+def stream_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT windows (every 5 events per key) as a custom streaming
+    Operator — the window type the reference lists as unimplemented and
+    Spark has no built-in for either: VecState buffers the key's
+    pending events; every 5th emits a window; the flush marker drains
+    the final partial window. Events are split into two time-ordered
+    segments (state and window numbering must survive the epoch
+    boundary) + a marker segment. Output must equal the batch
+    count-window oracle exactly.
+
+    Value sums run in integer cents inside the operator (same rounding
+    as the oracle's round(value*100)), so Python, JVM and DuckDB agree
+    bit-for-bit."""
+    import numpy as np
+
+    from arcon_spark.streaming.stateful import Operator, apply_operator
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    mid = lo + (hi - lo) / 2
+
+    class CountWindowOp(Operator):
+        def handle_element(self, key, pdf, ctx):
+            buf = ctx.vec("buf")
+            nwin = ctx.value("nwin")
+            marker = pdf["event_id"] < 0
+            data = pdf[~marker].sort_values(["ts", "event_id"], kind="mergesort")
+            out = []
+            for v in data["value"]:
+                x = float(v) * 100.0
+                buf.append(int(np.trunc(x + np.copysign(0.5, x))))
+                if len(buf) == 5:
+                    cents = buf.consume()
+                    w = nwin.rmw(lambda c: (c or 0) + 1) - 1
+                    out.append(
+                        {
+                            "user_id": int(key[0]),
+                            "win_idx": w,
+                            "n": 5,
+                            "sum_value": float(sum(cents)) / 100.0,
+                        }
+                    )
+            if marker.any() and len(buf):
+                cents = buf.consume()
+                w = nwin.get(0)
+                out.append(
+                    {
+                        "user_id": int(key[0]),
+                        "win_idx": w,
+                        "n": len(cents),
+                        "sum_value": float(sum(cents)) / 100.0,
+                    }
+                )
+            return out or None
+
+    first_half = ev.filter(F.col("ts") < F.lit(mid))
+    second_half = ev.filter(F.col("ts") >= F.lit(mid))
+    flush = (
+        ev.groupBy("user_id")
+        .agg(F.max("ts").alias("ts"))
+        .select(
+            "user_id",
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.col("ts") + F.expr("INTERVAL 40 DAYS")).alias("ts"),
+            F.lit(0.0).alias("value"),
+        )
+    )
+    root = write_segments([first_half, second_half, flush])
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+    out = apply_operator(
+        src,
+        ["user_id"],
+        CountWindowOp(),
+        "user_id long, win_idx long, n long, sum_value double",
+        ts_col=None,
+    )
+    return _run_to_memory(spark, out, "stream_cw")
