@@ -95,3 +95,42 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir):
     pf = plan.split("PartitionFilters:")[1].split("\n")[0]
     assert "event_date" in pf
     assert q.count() > 0
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling — the engine-level answer to hot keys at
+    100 TB (session.py enables it; the salted-agg pattern is the
+    query-level answer): with one key holding ~90% of the rows, the
+    final adaptive plan must mark the sort-merge join skew-handled
+    (SortMergeJoin(skew=true)), splitting the hot partition instead of
+    letting one task run the whole join."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16KB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        from pyspark.sql import functions as F
+
+        left = spark.range(300_000).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS k", "id AS payload"
+        )
+        right = spark.range(1_000).selectExpr("id AS k", "id * 2 AS dim")
+        joined = left.join(right, "k").agg(F.count(F.lit(1)).alias("n"))
+        [row] = joined.collect()
+        # every left row with k=0 or k in right's range matches exactly once
+        assert row["n"] > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:3000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

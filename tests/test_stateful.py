@@ -155,3 +155,75 @@ def test_state_primitives_roundtrip():
 
     assert ctx.aggregate("g", lambda acc, x: acc + [x], 1, list) == [1]
     assert ctx.aggregate("g", lambda acc, x: acc + [x], 2, list) == [1, 2]
+
+
+def test_operator_state_survives_checkpoint_restart(spark):
+    """§2.7 exactly-once for the CUSTOM-OPERATOR path: per-key state
+    (a running count in ValueState) must be restored from the state
+    store on restart — a second tape segment processed by a NEW query
+    over the same checkpoint continues counting where the first run
+    stopped, never from zero."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    import pandas as pd
+
+    from arcon_spark.streaming.stateful import Operator, apply_operator
+    from arcon_spark.streaming.tape import write_segments
+
+    class RunningCount(Operator):
+        def handle_element(self, key, pdf, ctx):
+            cnt = ctx.value("cnt").rmw(lambda c: (c or 0) + len(pdf))
+            return [{"k": int(key[0]), "cnt": int(cnt)}]
+
+    seg1 = spark.range(20).selectExpr("cast(id % 4 as long) as k")  # 5 per key
+    seg2 = spark.range(12).selectExpr("cast(id % 4 as long) as k")  # +3 per key
+    root = write_segments([seg1])
+    ckpt = tempfile.mkdtemp(prefix="arcon_oprec_ckpt_")
+    sink = tempfile.mkdtemp(prefix="arcon_oprec_sink_") + "/out"
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+
+    def run_once():
+        src = spark.readStream.schema("k long").parquet(root)
+        out = apply_operator(src, ["k"], RunningCount(), "k long, cnt long", ts_col=None)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    try:
+        run_once()
+        first = spark.read.parquet(sink).toPandas()
+        assert sorted(first["cnt"]) == [5, 5, 5, 5], first
+
+        # seg2 arrives while the query is down
+        tmp = root + "_tmp"
+        seg2.coalesce(1).write.parquet(tmp)
+        f = [
+            os.path.join(dp, n)
+            for dp, _, ns in os.walk(tmp)
+            for n in ns
+            if n.endswith(".parquet")
+        ][0]
+        dst = os.path.join(root, "later.parquet")
+        shutil.copyfile(f, dst)
+        now = time.time() + 60
+        os.utime(dst, (now, now))
+        shutil.rmtree(tmp)
+
+        run_once()
+        both = spark.read.parquet(sink).toPandas()
+        per_key = both.groupby("k")["cnt"].max()
+        assert sorted(per_key) == [8, 8, 8, 8], both.sort_values(["k", "cnt"])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
