@@ -330,3 +330,54 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return frame.mapInPandas(_energy, "doc_id long, frame_id long, energy long")
+
+
+@register(
+    "multimodal_image_histogram",
+    oracle="""
+    SELECT doc_id, CAST(ord(substr(text, u.i, 1)) // 8 AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM documents, UNNEST(generate_series(1, length(text))) AS u(i)
+    GROUP BY 1, 2
+    """,
+    tags=("multimodal", "image"),
+)
+def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image feature extraction over opaque binary payloads: a 16-bin
+    intensity histogram per payload, treating each byte as a pixel
+    (bin = byte // 8 for the ASCII range) — the decode-free stand-in
+    for a real `decode → np.histogram(pixels)` featurizer; the numpy
+    batch shape (frombuffer → bincount per row, one output row per
+    non-empty bin) is exactly the production path.
+
+    Scale: like the audio operator — mapInPandas, zero shuffle, output
+    ≤16 small rows per image regardless of payload size."""
+    import numpy as np
+
+    frame = media_frame(spark, sf_dir).select("doc_id", "payload")
+
+    def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            docs: list[np.ndarray] = []
+            bins: list[np.ndarray] = []
+            cnts: list[np.ndarray] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(payload, dtype=np.uint8) // 8
+                c = np.bincount(b)
+                nz = np.nonzero(c)[0]
+                if not len(nz):
+                    continue
+                docs.append(np.full(len(nz), doc_id, dtype=np.int64))
+                bins.append(nz.astype(np.int64))
+                cnts.append(c[nz].astype(np.int64))
+            if not docs:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(docs),
+                    "bin": np.concatenate(bins),
+                    "cnt": np.concatenate(cnts),
+                }
+            )
+
+    return frame.mapInPandas(hist, "doc_id long, bin long, cnt long")
