@@ -597,3 +597,61 @@ def stream_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col=None,
     )
     return _run_to_memory(spark, out, "stream_cw")
+
+
+@register(
+    "stream_session_window_dynamic_gap",
+    oracle=f"""
+    WITH gapped AS (
+      SELECT user_id, ts, event_id, value,
+             ts + CASE WHEN event_type = 'click' THEN INTERVAL '10 minutes'
+                       ELSE INTERVAL '30 minutes' END AS ival_end
+      FROM {EVENTS_NORM}
+    ), flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts < MAX(ival_end) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id
+                                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                                         AND 1 PRECEDING)
+                  THEN 0 ELSE 1 END AS new_session
+      FROM gapped
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_msum('value', 2)} AS sum_value
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "window", "session", "dynamic_gap", "survey2.4"),
+)
+def stream_session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic per-event-gap session windows merged BY THE STREAMING
+    ENGINE (clicks 10 min, everything else 30) — the state store merges
+    variable-width intervals across micro-batches; output must match
+    the batch running-max-merge oracle (see session_window_dynamic_gap
+    for the merge-rule derivation). Sentinel rows carry a gap too but
+    their sessions never flush inside the tape horizon and are filtered
+    on user_id."""
+    src = _streamed_events(spark, sf_dir)
+    gap = F.when(F.col("event_type") == "click", F.lit("10 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    agg = (
+        src.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), msum(F.col("value"), 2).alias("sum_value"))
+        .select(
+            F.col("user_id"),
+            F.col("win.start").alias("session_start"),
+            "n",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(spark, agg, "stream_dyn_session").filter(
+        F.col("user_id") >= 0
+    )
