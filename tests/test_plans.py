@@ -134,3 +134,34 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir):
+    """Date-partitioned layout — THE first-order scale lever for a
+    100 TB event store: a day filter must reach the file index as a
+    PartitionFilter (directories never listed), not a data filter."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from arcon_spark.io import load_table
+
+    out = tempfile.mkdtemp(prefix="arcon_part_") + "/events_by_day"
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    ev.write.partitionBy("day").parquet(out)
+
+    back = spark.read.parquet(out)
+    days = [r["day"] for r in back.select("day").distinct().collect()]
+    assert len(days) > 1, "need multiple partitions to prove pruning"
+    one = sorted(days)[0]
+
+    q = back.filter(F.col("day") == F.lit(one))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the day predicate must be IN the partition filters, not the data filters
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "day" in pf, plan[:2000]
+    n_one = q.count()
+    assert 0 < n_one < back.count()

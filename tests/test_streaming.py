@@ -181,3 +181,44 @@ def test_debug_capture_watermarks_and_epochs(spark):
     assert wms == sorted(wms)
     assert any(w.startswith("1970-01-01T00:01:00") for w in wms), wms
     assert cap.data.count() >= 2  # windows [0,10) and [30,40) flushed
+
+
+def test_engine_reports_late_rows_dropped(spark):
+    """The engine's own accounting must corroborate the late-drop
+    semantics: the watermark-dropped element shows up in the state
+    operator's numRowsDroppedByWatermark metric (the MeasureSink-style
+    observability surface for lateness at 100 TB — you alert on this
+    counter, not on missing rows)."""
+    import uuid as _uuid
+
+    from tests.streaming_util import write_segments as _ws
+
+    segments = [
+        [(1, 10, _ts(1)), (1, 11, _ts(9))],  # window [0,10)
+        [(1, 12, _ts(25))],  # advances max event time
+        [(1, 99, _ts(24))],  # spacer: watermark 25s in force
+        [(1, 13, _ts(5))],  # late for [0,10) → dropped by the engine
+        [(1, 14, _ts(45))],  # flush
+    ]
+    root = _ws(spark, SCHEMA, segments)
+    src = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+    out = _tumbling(src)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(f"late_metrics_{_uuid.uuid4().hex[:8]}")
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    dropped = sum(
+        int(so.get("numRowsDroppedByWatermark", 0))
+        for p in q.recentProgress
+        for so in (p.get("stateOperators") or [])
+    )
+    q.stop()
+    assert dropped == 1, f"expected exactly the one late row dropped, got {dropped}"
