@@ -1204,3 +1204,94 @@ def sql_portable_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_PORTABLE_SQL)
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle=f"""
+    WITH steps AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM {EVENTS_NORM} GROUP BY user_id
+    )
+    SELECT CAST(COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS BIGINT)
+             AS n_view,
+           CAST(COUNT(CASE WHEN t_view < t_click THEN 1 END) AS BIGINT)
+             AS n_view_click,
+           CAST(COUNT(CASE WHEN t_view < t_click AND t_click < t_purchase
+                           THEN 1 END) AS BIGINT) AS n_view_click_purchase
+    FROM steps
+    """,
+    tags=("funnel", "analytics"),
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: users progressing view → click → purchase in
+    event-time order (first-occurrence ordering, the standard funnel
+    approximation). One conditional-MIN hash aggregate per user, then a
+    1-row rollup — two shuffles total, the second over |users| rows;
+    NULL-safe strict inequalities make the step ordering deterministic."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    steps = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    return steps.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).cast("long").alias("n_view"),
+        F.count(F.when(F.col("t_view") < F.col("t_click"), 1))
+        .cast("long")
+        .alias("n_view_click"),
+        F.count(
+            F.when(
+                (F.col("t_view") < F.col("t_click"))
+                & (F.col("t_click") < F.col("t_purchase")),
+                1,
+            )
+        )
+        .cast("long")
+        .alias("n_view_click_purchase"),
+    )
+
+
+@register(
+    "retention_weekly_cohorts",
+    oracle=f"""
+    WITH weekly AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+      FROM {EVENTS_NORM}
+    ),
+    cohort AS (
+      SELECT user_id, MIN(week) AS first_week FROM weekly GROUP BY user_id
+    )
+    SELECT CAST(c.first_week AS BIGINT) AS first_week,
+           CAST(w.week - c.first_week AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM weekly w JOIN cohort c ON w.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("retention", "cohort", "analytics"),
+)
+def retention_weekly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-active week, counted in
+    each later week they return — the triangle behind every retention
+    curve. Weeks are integer epoch-microsecond buckets (no calendar
+    arithmetic to disagree on). The distinct → cohort-min → join-back
+    chain shares one hash partitioning on user_id; the final aggregate
+    shuffles only (first_week, offset) pairs."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    weekly = ev.select(
+        "user_id", (F.unix_micros("ts") / F.lit(604_800_000_000)).cast("long").alias("week")
+    ).distinct()
+    cohort = weekly.groupBy("user_id").agg(F.min("week").alias("first_week"))
+    return (
+        weekly.join(cohort, "user_id")
+        .groupBy(
+            F.col("first_week").cast("long").alias("first_week"),
+            (F.col("week") - F.col("first_week")).cast("long").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
