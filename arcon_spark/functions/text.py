@@ -552,3 +552,49 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "token", "score")
     )
+
+
+@register(
+    "vocab_top_bigrams",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT t[i] || ' ' || t[i + 1] AS bigram
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2
+    ),
+    counts AS (
+      SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM grams GROUP BY bigram
+    )
+    SELECT bigram, cnt FROM counts
+    QUALIFY row_number() OVER (ORDER BY cnt DESC, bigram) <= 50
+    """,
+    tags=("text", "vocab", "topk"),
+)
+def vocab_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 word bigrams corpus-wide — the n-gram counting pass of
+    BPE-merge/vocab induction. Built relationally (posexplode + lead
+    window, like the dedup shingles — Spark's array HOFs are
+    interpreted, see functions/dedup.py) with the same distributed
+    top-k tail as vocab_top_tokens."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.expr("filter(split(lower(text), ' '), x -> x != '')")).alias(
+            "i", "t"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    grams = (
+        tok.select(
+            F.concat_ws(" ", "t", F.lead("t", 1).over(w)).alias("bigram"),
+            F.lead("t", 1).over(w).alias("_nxt"),
+        )
+        .filter(F.col("_nxt").isNotNull())
+        .drop("_nxt")
+    )
+    counts = grams.groupBy("bigram").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    return counts.orderBy(F.desc("cnt"), F.asc("bigram")).limit(50)
