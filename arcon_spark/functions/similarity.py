@@ -188,14 +188,68 @@ _PLANE_BIT = (
     "                        i -> if((instr('0123456789abcdef',"
     "                                       substring(md5(concat(cast(p as string), ':', cast(i as string))), 1, 1)) - 1) % 2 = 0,"
     "                                1.0D, -1.0D)),"
-    "              (x, w) -> cast(round(x * {scale}) as bigint) * cast(w as bigint)),"
+    "              (x, w) -> cast(round(cast(x as double) * {scale}.0) as bigint) * cast(w as bigint)),"
     "      0L, (acc, v) -> acc + v) > 0, '1', '0'))"
 )
 
 
+_LSH_ORACLE = f"""
+    WITH units AS (
+      SELECT e.vec_id, u.i AS i,
+             CAST(round(CAST(e.embedding[u.i] AS DOUBLE) * {_SCALE}.0) AS BIGINT) AS qv
+      FROM embeddings e, UNNEST(generate_series(1, len(e.embedding))) AS u(i)
+    ),
+    n2 AS (SELECT vec_id, SUM(qv * qv) AS n2 FROM units GROUP BY vec_id),
+    w AS (
+      SELECT t.p, s.i,
+             CASE WHEN (strpos('0123456789abcdef',
+                               substr(md5(t.p || ':' || s.i), 1, 1)) - 1) % 2 = 0
+                  THEN 1 ELSE -1 END AS w
+      FROM UNNEST(generate_series(0, {_N_PLANES} - 1)) AS t(p),
+           UNNEST(generate_series(0, 63)) AS s(i)
+    ),
+    sigbits AS (
+      SELECT u.vec_id, w.p,
+             CASE WHEN SUM(u.qv * w.w) > 0 THEN '1' ELSE '0' END AS b
+      FROM units u JOIN w ON w.i = u.i - 1
+      GROUP BY u.vec_id, w.p
+    ),
+    sig AS (
+      SELECT vec_id, string_agg(b, '' ORDER BY p) AS sig
+      FROM sigbits GROUP BY vec_id
+    ),
+    cand AS (
+      SELECT qs.vec_id AS query_id, cs.vec_id AS candidate_id
+      FROM sig qs JOIN sig cs
+        ON qs.sig = cs.sig AND cs.vec_id <> qs.vec_id
+      WHERE qs.vec_id % {_QUERY_MOD} = 0
+    ),
+    dots AS (
+      SELECT c.query_id, c.candidate_id, SUM(ua.qv * ub.qv) AS d
+      FROM cand c
+        JOIN units ua ON ua.vec_id = c.query_id
+        JOIN units ub ON ub.vec_id = c.candidate_id AND ub.i = ua.i
+      GROUP BY c.query_id, c.candidate_id
+    ),
+    scored AS (
+      SELECT d.query_id, d.candidate_id,
+             CAST(d.d AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cosine
+      FROM dots d
+        JOIN n2 nq ON nq.vec_id = d.query_id
+        JOIN n2 nc ON nc.vec_id = d.candidate_id
+    )
+    SELECT query_id, candidate_id, cosine, rn FROM (
+      SELECT query_id, candidate_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, candidate_id) AS rn
+      FROM scored
+    ) WHERE rn <= {TOP_K}
+    """
+
+
 @register(
     "ann_lsh_bucketed",
-    oracle=None,  # approximate recall by construction → rows-only check
+    oracle=_LSH_ORACLE,  # md5 hyperplanes + integer dots → fully deterministic
     tags=("similarity", "ann", "lsh"),
 )
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -288,9 +342,76 @@ _IVF_CENTROID_MOD = 37  # vec_id % 37 == 3 → deterministic coarse centroids
 _IVF_NPROBE = 2
 
 
+_IVF_ORACLE = f"""
+    WITH units AS (
+      SELECT e.vec_id, u.i AS i,
+             CAST(round(CAST(e.embedding[u.i] AS DOUBLE) * {_SCALE}.0) AS BIGINT) AS qv
+      FROM embeddings e, UNNEST(generate_series(1, len(e.embedding))) AS u(i)
+    ),
+    n2 AS (SELECT vec_id, SUM(qv * qv) AS n2 FROM units GROUP BY vec_id),
+    cents AS (SELECT vec_id AS cent_id FROM embeddings
+              WHERE vec_id % {_IVF_CENTROID_MOD} = 3),
+    cdots AS (
+      SELECT v.vec_id, c.cent_id, SUM(v.qv * cu.qv) AS d
+      FROM units v
+        JOIN cents c ON true
+        JOIN units cu ON cu.vec_id = c.cent_id AND cu.i = v.i
+      GROUP BY v.vec_id, c.cent_id
+    ),
+    csim AS (
+      SELECT cd.vec_id, cd.cent_id,
+             CAST(cd.d AS DOUBLE) / (sqrt(CAST(nv.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS sim
+      FROM cdots cd
+        JOIN n2 nv ON nv.vec_id = cd.vec_id
+        JOIN n2 nc ON nc.vec_id = cd.cent_id
+    ),
+    assigned AS (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cent_id) AS rn
+        FROM csim
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cent_id) AS rn
+        FROM csim WHERE vec_id % {_QUERY_MOD} = 0
+      ) WHERE rn <= {_IVF_NPROBE}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS candidate_id
+      FROM probes p JOIN assigned a ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id
+    ),
+    dots AS (
+      SELECT c.query_id, c.candidate_id, SUM(uq.qv * uc.qv) AS d
+      FROM cand c
+        JOIN units uq ON uq.vec_id = c.query_id
+        JOIN units uc ON uc.vec_id = c.candidate_id AND uc.i = uq.i
+      GROUP BY c.query_id, c.candidate_id
+    ),
+    scored AS (
+      SELECT d.query_id, d.candidate_id,
+             CAST(d.d AS DOUBLE) / (sqrt(CAST(nc2.n2 AS DOUBLE)) * sqrt(CAST(nq2.n2 AS DOUBLE))) AS cosine
+      FROM dots d
+        JOIN n2 nq2 ON nq2.vec_id = d.query_id
+        JOIN n2 nc2 ON nc2.vec_id = d.candidate_id
+    )
+    SELECT query_id, candidate_id, cosine, rn FROM (
+      SELECT query_id, candidate_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, candidate_id) AS rn
+      FROM scored
+    ) WHERE rn <= {TOP_K}
+    """
+
+
 @register(
     "ann_ivf_topk",
-    oracle=None,  # approximate recall by construction → rows-only check
+    oracle=_IVF_ORACLE,  # deterministic assignment + integer dots → exact oracle
     tags=("similarity", "ann", "ivf"),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -303,8 +424,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: centroid assignment is one broadcast matmul per Arrow batch
     (cells table is tiny); the candidate join is an equi-join on
     cell_id — the pair space is bounded by cell occupancy, never O(n²).
-    Approximate (recall < 1) → rows-only driver check;
-    tests/test_similarity.py asserts recall against the brute force."""
+    Approximate RECALL (< 1, asserted against the brute force in
+    tests/test_similarity.py) but a fully DETERMINISTIC result: the
+    quantizer and re-rank are exact integer math, so the oracle replays
+    the identical assignment relationally. (Cosine ties between
+    distinct centroid pairs would be the one divergence — exact
+    rational equality, measure-zero on real embeddings.)"""
     qids, Q, qn2 = _query_matrix(spark, sf_dir)
     emb = spread(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
 
