@@ -560,3 +560,108 @@ def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     edges.unpersist()
     return labels.select("doc_id", "cluster_id")
+
+
+# ---------------------------------------------------------------------------
+# LSH candidates → exact-Jaccard verification (the full pipeline stage)
+# ---------------------------------------------------------------------------
+
+
+def _sql_lsh_cand_cte() -> str:
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, md5(concat_ws('_', mh{b * ROWS_PER_BAND}, mh{b * ROWS_PER_BAND + 1}, mh{b * ROWS_PER_BAND + 2})) AS band_hash FROM mh"
+        for b in range(NUM_BANDS)
+    )
+    return f"""mh AS (
+      SELECT doc_id, {_sql_mh_list()}
+      FROM hp GROUP BY doc_id
+    ),
+    bands AS ({bands_union}),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )"""
+
+
+@register(
+    "dedup_lsh_verified_pairs",
+    oracle=(
+        lambda: f"""
+    WITH {_SQL_SHINGLE_CTE},
+    {_SQL_HASH_PAIR_CTE},
+    {_sql_lsh_cand_cte()},
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    com AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           COALESCE(m.n_common, 0) AS n_common,
+           CAST(COALESCE(m.n_common, 0) AS DOUBLE)
+             / CAST(sa.n + sb.n - COALESCE(m.n_common, 0) AS DOUBLE) AS jaccard,
+           CAST(COALESCE(m.n_common, 0) AS DOUBLE)
+             / CAST(sa.n + sb.n - COALESCE(m.n_common, 0) AS DOUBLE) >= {_JACCARD_T}
+             AS is_dup
+    FROM cand c
+      LEFT JOIN com m ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b
+      JOIN sz sa ON sa.doc_id = c.doc_a
+      JOIN sz sb ON sb.doc_id = c.doc_b
+    """
+    )(),
+    tags=("dedup", "minhash", "lsh", "jaccard"),
+)
+def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete two-stage dedup pipeline in one query: MinHash+LSH
+    candidate generation, then EXACT Jaccard verification restricted to
+    the candidates — the production shape at 100 TB, where exact
+    Jaccard over all pairs is unpayable but over LSH candidates is a
+    sparse join (README 'Deploying'). Output: every candidate pair with
+    its exact n_common / jaccard and the ≥{_JACCARD_T} verdict.
+
+    The verification join touches |candidates| × shingles-per-doc rows,
+    shuffled on doc id — independent of corpus pair count. Zero-overlap
+    candidates (pure band-hash collisions) survive via the left join
+    with jaccard 0, so the candidate set is preserved exactly."""
+    from pyspark.sql import Window as W
+
+    cands = dedup_minhash_lsh_pairs(spark, sf_dir)
+    sh = _shingle_rows(spark, sf_dir).select("doc_id", F.col("s").alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    com = (
+        cands.join(sh.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
+        .join(
+            sh.alias("b"),
+            (F.col("doc_b") == F.col("b.doc_id"))
+            & (F.col("b.shingle") == F.col("a.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    ).cast("double")
+    return (
+        cands.join(com, ["doc_a", "doc_b"], "left")
+        .withColumn("n_common", F.coalesce(F.col("n_common"), F.lit(0)).cast("long"))
+        .join(
+            sizes.select(F.col("doc_id").alias("sa_id"), F.col("n").alias("na")),
+            F.col("doc_a") == F.col("sa_id"),
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("sb_id"), F.col("n").alias("nb")),
+            F.col("doc_b") == F.col("sb_id"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            jac.alias("jaccard"),
+            (jac >= _JACCARD_T).alias("is_dup"),
+        )
+    )
