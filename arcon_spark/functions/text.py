@@ -598,3 +598,30 @@ def vocab_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = grams.groupBy("bigram").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     return counts.orderBy(F.desc("cnt"), F.asc("bigram")).limit(50)
+
+
+# confusion matrix over the lang-id predictions: reuse the registered
+# query's own oracle as a subquery so both stay in lockstep
+from arcon_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH base AS ({_REG["text_lang_id"].oracle})
+    SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM base GROUP BY 1, 2
+    """,
+    tags=("text", "lang_id", "evaluation"),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation shape: the lang-id confusion matrix
+    (true × predicted counts) — the aggregate every labeling/filtering
+    model in a data pipeline gets judged by. Composes the registered
+    text_lang_id query, so prediction logic and evaluation can never
+    drift apart; one extra hash aggregate over its output."""
+    return (
+        text_lang_id(spark, sf_dir)
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
