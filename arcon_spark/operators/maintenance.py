@@ -1,0 +1,297 @@
+"""Dimension-maintenance and time-series repair operators.
+
+None of these exist in the reference (SURVEY.md §2.9 — the reference
+has no joins, no SQL surface at all); they are the table-maintenance
+and time-series-repair capabilities a production deployment of such an
+engine needs (SCD2 history, gap filling a la hypertable
+`time_bucket_gapfill` + `locf`, skyline/Pareto, mode, sequential
+pattern matching). Each is written as a composition of built-in
+DataFrame ops with an eye on the 100 TB plan shape — the docstrings
+say where the shuffles are.
+
+Reference context for the time-series ops: the reference's windows
+(`/root/reference/arcon/src/stream/operator/window/assigner.rs:61-229`)
+aggregate what arrives but have no notion of *filling* buckets that
+received nothing; gap-fill is the batch repair of exactly that hole.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from arcon_spark.io import load_table
+from arcon_spark.plans.compat import EVENTS_NORM
+from arcon_spark.plans.registry import register
+
+
+@register(
+    "scd2_user_type_history",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM {EVENTS_NORM}
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM ordered
+    ),
+    collapsed AS (
+      SELECT user_id, CAST(run_id AS BIGINT) AS version, event_type,
+             min(ts) AS valid_from,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM runs GROUP BY user_id, run_id, event_type
+    )
+    SELECT user_id, version, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             AS valid_to,
+           n_events,
+           CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+                  IS NULL AS BOOLEAN) AS is_current
+    FROM collapsed
+    """,
+    tags=("scd2", "maintenance", "window_function"),
+)
+def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (type-2 slowly-changing-dimension) history build from a
+    change log: consecutive runs of the same event_type per user
+    collapse into one versioned row with [valid_from, valid_to)
+    validity and an is_current flag on the open row.
+
+    Plan shape: change-detect (lag), run-number (running sum), collapse
+    (groupBy), and close-out (lead) ALL hash-partition on user_id — one
+    shuffle total; Catalyst reuses the exchange across the three window
+    passes and the aggregate. At 100 TB the state per task is one
+    user's run list, never the full history."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    prev = F.lag("event_type").over(w)
+    ordered = ev.withColumn(
+        "chg", F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
+    )
+    runs = ordered.withColumn(
+        "run_id", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    collapsed = runs.groupBy("user_id", F.col("run_id").cast("long").alias("version")).agg(
+        F.first("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return collapsed.select(
+        "user_id",
+        "version",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )
+
+
+@register(
+    "gap_fill_forward_hourly",
+    oracle=f"""
+    WITH obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             arg_max(value, event_id) AS value
+      FROM {EVENTS_NORM}
+      GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(min(hour), max(hour),
+                                    INTERVAL 1 HOUR)) AS hour
+      FROM obs GROUP BY user_id
+    ),
+    joined AS (
+      SELECT g.user_id, g.hour, o.value,
+             o.user_id IS NULL AS no_obs
+      FROM grid g
+      LEFT JOIN obs o ON o.user_id = g.user_id AND o.hour = g.hour
+    )
+    SELECT user_id, hour,
+           last_value(value IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY hour
+                   ROWS UNBOUNDED PRECEDING) AS value_filled,
+           CAST(no_obs AS BOOLEAN) AS is_gap
+    FROM joined
+    """,
+    tags=("timeseries", "gapfill", "locf", "maintenance"),
+)
+def gap_fill_forward_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with forward fill (LOCF) — the
+    hypertable `time_bucket_gapfill(...) + locf(...)` capability: per
+    user, a dense hourly grid spanning that user's observed range, each
+    empty hour carrying the most recent observed value forward, flagged
+    `is_gap`. Observed-but-null values also carry forward (LOCF over
+    nulls) and keep is_gap = false — hence the explicit marker column
+    rather than `value IS NULL`.
+
+    Plan shape: obs is a partial-friendly hash agg (one shuffle, output
+    = |user×active-hour|, far smaller than the scan);
+    `sequence()+explode` generates the grid partition-locally from the
+    per-user min/max (no driver collect, no crossJoin); the grid⟕obs
+    hash join shuffles on (user_id, hour) and the LOCF window then
+    re-partitions on user_id — two exchanges over already-aggregated
+    relations. Doubles are carried, never summed — exact across
+    engines. Per-hour pick is max_by/arg_max on the unique event_id, so
+    both engines choose the same row deterministically."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.max_by("value", "event_id").alias("value"))
+    grid = (
+        obs.groupBy("user_id")
+        .agg(F.min("hour").alias("hmin"), F.max("hour").alias("hmax"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("hmin", "hmax", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+        )
+    )
+    joined = grid.join(
+        obs.withColumn("has_obs", F.lit(True)), ["user_id", "hour"], "left"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        "hour",
+        F.last("value", ignorenulls=True).over(w).alias("value_filled"),
+        F.col("has_obs").isNull().alias("is_gap"),
+    )
+
+
+@register(
+    "pareto_frontier_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice
+    FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o2
+      WHERE o2.o_orderdate > o.o_orderdate
+        AND o2.o_totalprice > o.o_totalprice
+    )
+    """,
+    tags=("skyline", "pareto", "analytics"),
+)
+def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier over (o_orderdate, o_totalprice): an
+    order survives iff no other order is strictly later AND strictly
+    more expensive (the oracle's NOT EXISTS dominance test, O(n²)).
+
+    Spark plan replaces the quadratic anti-join with a two-level
+    aggregate: (1) per-date max price — a partial-aggregating hash agg,
+    one shuffle whose output is |distinct dates| rows; (2) a running
+    max over strictly-later dates on that TINY relation (single
+    in-memory window); (3) broadcast the date→threshold map back onto
+    the scan — an order survives iff its price >= every strictly-later
+    date's max, i.e. price >= threshold (NULL threshold = latest date,
+    always survives). 100 TB cost: one scan + one shuffle of per-date
+    rows + a broadcast; the n² never materializes."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    per_date = orders.groupBy("o_orderdate").agg(F.max("o_totalprice").alias("dmax"))
+    wdesc = (
+        Window.orderBy(F.col("o_orderdate").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    threshold = per_date.select(
+        "o_orderdate", F.max("dmax").over(wdesc).alias("later_max")
+    )
+    return (
+        orders.join(F.broadcast(threshold), "o_orderdate")
+        .filter(F.col("later_max").isNull() | (F.col("o_totalprice") >= F.col("later_max")))
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+@register(
+    "mode_event_type_per_user",
+    oracle=f"""
+    WITH counts AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM {EVENTS_NORM} GROUP BY user_id, event_type
+    ),
+    ranked AS (
+      SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rn
+      FROM counts
+    )
+    SELECT user_id, event_type AS mode_type, n AS mode_count
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("mode", "aggregation", "topk"),
+)
+def mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group with a deterministic tie-break
+    (count desc, then event_type asc). Plan: partial-aggregating count
+    then a row_number top-1 — both stages hash-partition on user_id so
+    the window reuses the aggregate's exchange. The generic holistic
+    `mode()` needs the full value multiset; count+rank needs only the
+    distinct-value counts — the scalable phrasing."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), F.col("n").alias("mode_count"))
+    )
+
+
+@register(
+    "pattern_view_view_purchase",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type, 1) OVER w AS prev1,
+             lag(event_type, 2) OVER w AS prev2
+      FROM {EVENTS_NORM}
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM seq
+    WHERE event_type = 'purchase' AND prev1 = 'view' AND prev2 = 'view'
+    GROUP BY user_id
+    """,
+    tags=("pattern", "match_recognize", "sequence"),
+)
+def pattern_view_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern matching (MATCH_RECOGNIZE-lite): count, per
+    user, occurrences of the consecutive event pattern
+    view → view → purchase in event-time order. Fixed-length patterns
+    compile to lag() columns — one window pass, one shuffle on user_id,
+    no state machine; the streaming analog would be an Operator with a
+    2-deep per-key buffer. Variable-length patterns (A B* C) are where
+    a real NFA operator would be needed — documented, not faked."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("prev1"),
+        F.lag("event_type", 2).over(w).alias("prev2"),
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("prev1") == "view")
+            & (F.col("prev2") == "view")
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
+    )
