@@ -655,3 +655,61 @@ def stream_session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataF
     return _run_to_memory(spark, agg, "stream_dyn_session").filter(
         F.col("user_id") >= 0
     )
+
+
+@register(
+    "stream_late_data_side_output",
+    oracle=f"""
+    WITH cutoff AS (
+      SELECT max(ts) AS mx FROM {EVENTS_NORM} WHERE event_id % 2 = 0
+    )
+    SELECT event_id, user_id, ts, event_type,
+           CASE WHEN event_id % 2 = 1 AND ts <= (SELECT mx FROM cutoff)
+                THEN 'late' ELSE 'main' END AS side
+    FROM {EVENTS_NORM}
+    """,
+    tags=("streaming", "late_data", "side_output", "survey2.4"),
+)
+def stream_late_data_side_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data side-output (quarantine) run by the streaming engine:
+    the events table replays as two micro-batches (even event_ids, then
+    odd), and run_with_late_side_output routes each batch-2 row whose
+    ts <= watermark (= max event time of batch 1, delay 0) to the side
+    table instead of silently dropping it — the repair for the
+    reference's drop-on-ingress rule (node/mod.rs:294-305).
+
+    The result is the FULL partition of the input into side='main' /
+    side='late', so the oracle proves no row is lost or duplicated by
+    the split — a stronger contract than checking the quarantine alone.
+    """
+    import os
+    import tempfile
+
+    from arcon_spark.streaming.side_output import run_with_late_side_output
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    root = write_segments(
+        [ev.filter(F.col("event_id") % 2 == 0), ev.filter(F.col("event_id") % 2 == 1)]
+    )
+    out = tempfile.mkdtemp(prefix="arcon_side_out_")
+    side_dir = os.path.join(out, "late")
+    main_dir = os.path.join(out, "main")
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+    run_with_late_side_output(
+        spark,
+        src,
+        ts_col="ts",
+        delay_sec=0.0,
+        side_dir=side_dir,
+        main_writer=lambda df, eid: df.write.mode("append").parquet(main_dir),
+    )
+    late = spark.read.parquet(side_dir).withColumn("side", F.lit("late"))
+    main = spark.read.parquet(main_dir).withColumn("side", F.lit("main"))
+    return main.unionByName(late)

@@ -222,3 +222,45 @@ def test_engine_reports_late_rows_dropped(spark):
     )
     q.stop()
     assert dropped == 1, f"expected exactly the one late row dropped, got {dropped}"
+
+
+def test_late_side_output_split_and_monotonic_watermark(spark):
+    """run_with_late_side_output must (a) classify with the engine's
+    one-batch-late watermark rule, (b) keep the watermark monotonic —
+    a batch whose max ts regresses must not re-open the window — and
+    (c) partition the input exactly (no loss, no duplication)."""
+    import os
+    import tempfile
+
+    from arcon_spark.streaming.side_output import run_with_late_side_output
+    from tests.streaming_util import write_segments as _ws
+
+    segments = [
+        [(1, 10, _ts(10)), (1, 11, _ts(9))],  # batch 1: wm None → all main; wm := 10
+        [(1, 12, _ts(5)), (1, 13, _ts(20))],  # ts 5 <= 10 late; 20 main; wm := 20
+        [(1, 14, _ts(15))],  # max regresses but wm stays 20 → 15 late
+        [(1, 15, _ts(20))],  # exactly-at-watermark is late (<=, ingress rule)
+        [(1, 16, _ts(21))],  # strictly above → main
+    ]
+    root = _ws(spark, SCHEMA, segments)
+    out = tempfile.mkdtemp(prefix="side_out_test_")
+    side_dir, main_dir = os.path.join(out, "late"), os.path.join(out, "main")
+    src = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+    wm = run_with_late_side_output(
+        spark,
+        src,
+        ts_col="ts",
+        delay_sec=0.0,
+        side_dir=side_dir,
+        main_writer=lambda df, eid: df.write.mode("append").parquet(main_dir),
+    )
+    late = {r.value for r in spark.read.parquet(side_dir).collect()}
+    main = {r.value for r in spark.read.parquet(main_dir).collect()}
+    assert late == {12, 14, 15}, late
+    assert main == {10, 11, 13, 16}, main
+    assert late | main == set(range(10, 17)) and not (late & main)
+    assert wm == 21_000_000  # µs: final watermark = max ts seen
