@@ -665,3 +665,58 @@ def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (jac >= _JACCARD_T).alias("is_dup"),
         )
     )
+
+
+@register(
+    "split_contamination_check",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               AS content_digest,
+             CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+                  THEN 'test'
+                  WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+                  THEN 'val'
+                  ELSE 'train' END AS split
+      FROM documents
+    )
+    SELECT content_digest,
+           CAST(COUNT(CASE WHEN split = 'train' THEN 1 END) AS BIGINT) AS n_train,
+           CAST(COUNT(CASE WHEN split <> 'train' THEN 1 END) AS BIGINT) AS n_eval,
+           MIN(CASE WHEN split = 'train' THEN doc_id END) AS train_example_id,
+           MIN(CASE WHEN split <> 'train' THEN doc_id END) AS eval_example_id
+    FROM tagged
+    GROUP BY content_digest
+    HAVING COUNT(CASE WHEN split = 'train' THEN 1 END) > 0
+       AND COUNT(CASE WHEN split <> 'train' THEN 1 END) > 0
+    """,
+    tags=("dedup", "contamination", "split", "pipeline"),
+)
+def split_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination audit: documents whose normalized
+    content digest appears in BOTH the train split and a holdout split
+    (val/test) under the same deterministic hash-split rule as
+    stratified_split — the leakage check every training-corpus build
+    runs before shipping a dataset. One scan, one partial-aggregating
+    shuffle on the digest; conditional-count HAVING keeps only
+    contaminated content. Example doc_ids (min per side) make each hit
+    actionable without a second pass."""
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    digest = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    h = F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 2)
+    split = F.when(h < "0d", "test").when(h < "1a", "val").otherwise("train")
+    tagged = docs.select(
+        "doc_id", digest.alias("content_digest"), split.alias("split")
+    )
+    is_train = F.col("split") == "train"
+    return (
+        tagged.groupBy("content_digest")
+        .agg(
+            F.count(F.when(is_train, 1)).cast("long").alias("n_train"),
+            F.count(F.when(~is_train, 1)).cast("long").alias("n_eval"),
+            F.min(F.when(is_train, F.col("doc_id"))).alias("train_example_id"),
+            F.min(F.when(~is_train, F.col("doc_id"))).alias("eval_example_id"),
+        )
+        .filter((F.col("n_train") > 0) & (F.col("n_eval") > 0))
+    )

@@ -713,3 +713,31 @@ def stream_late_data_side_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = spark.read.parquet(side_dir).withColumn("side", F.lit("late"))
     main = spark.read.parquet(main_dir).withColumn("side", F.lit("main"))
     return main.unionByName(late)
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming", "distinct", "bounded_state", "survey2.9"),
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark
+    keeps a seen-key only until the watermark passes its event time +
+    delay, then evicts — at 100 TB the state is O(keys within the
+    lateness horizon), not O(every key ever) like plain dropDuplicates
+    (stream_distinct_pairs). The delay (35 days) exceeds the tape's
+    30-day span so no key evicts before its duplicates arrive and the
+    output still equals the batch DISTINCT oracle; in production the
+    delay is the real dedup horizon and eviction is the point.
+    Representative-row choice within a batch is engine-order-dependent,
+    so only the key columns are emitted."""
+    src = _streamed_events(spark, sf_dir)
+    deduped = (
+        src.select("user_id", "event_type", "ts")
+        .withWatermark("ts", "35 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _run_to_memory(spark, deduped, "stream_dedup_wm").filter(
+        F.col("user_id") >= 0
+    )

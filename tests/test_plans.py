@@ -71,32 +71,6 @@ def test_q1_single_exchange(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2  # partial + final
 
 
-def test_partitioned_write_prunes_partitions(spark, sf_dir):
-    """Partition pruning: a date-partitioned layout must scan only the
-    selected partition (PartitionFilters on the scan) — the layout a
-    100 TB events table would use."""
-    import tempfile
-
-    from pyspark.sql import functions as F
-
-    from arcon_spark.io import load_table
-
-    out = tempfile.mkdtemp(prefix="arcon_part_") + "/events_by_day"
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "event_date", F.to_date("ts")
-    )
-    ev.write.partitionBy("event_date").parquet(out)
-
-    back = spark.read.parquet(out).filter(F.col("event_date") == "1970-01-01")
-    # force a concrete date that exists:
-    some_day = spark.read.parquet(out).select("event_date").first().event_date
-    q = spark.read.parquet(out).filter(F.col("event_date") == F.lit(some_day))
-    plan = q._sc._jvm.PythonSQLUtils.explainString(q._jdf.queryExecution(), "formatted")
-    pf = plan.split("PartitionFilters:")[1].split("\n")[0]
-    assert "event_date" in pf
-    assert q.count() > 0
-
-
 def test_aqe_splits_skewed_join_partition(spark):
     """AQE skew-join handling — the engine-level answer to hot keys at
     100 TB (session.py enables it; the salted-agg pattern is the
@@ -165,3 +139,51 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir):
     assert "day" in pf, plan[:2000]
     n_one = q.count()
     assert 0 < n_one < back.count()
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime row-level filtering: for a selective shuffle join, the
+    optimizer must build a bloom filter from the filtered (creation)
+    side and inject a might_contain probe on the other side — at
+    100 TB this skips shuffling the ~never-matching rows, the join
+    analog of partition pruning. The creation-side filter is on a
+    NON-join column so constraint inference can't simply copy the
+    predicate across — the bloom filter is the only pruning path.
+    Sources are parquet scans (InjectRuntimeFilter requires a scan on
+    the application side; in-memory ranges don't qualify). Thresholds
+    are lowered so the local fixture crosses the size gates; the knob
+    set is what a cluster deployment tunes."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp(prefix="arcon_bloom_")
+    spark.range(500_000).selectExpr("id AS k", "id * 3 AS payload").write.parquet(
+        d + "/big"
+    )
+    spark.range(100_000).selectExpr("id AS k", "id AS attr").write.parquet(
+        d + "/small"
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.read.parquet(d + "/big")
+        small = spark.read.parquet(d + "/small").filter("attr % 1000 = 0")
+        joined = big.join(small, "k").agg(F.count(F.lit(1)).alias("n"))
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:3000]  # built on creation side
+        assert "might_contain" in plan, plan[:3000]  # probed on the big side
+        [row] = joined.collect()
+        assert row["n"] == 100  # k in {0, 1000, ..., 99000}
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
