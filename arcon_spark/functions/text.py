@@ -625,3 +625,38 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_lang", "pred_lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+_SAMPLE_K = 20
+
+
+@register(
+    "sample_k_per_source",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5('samp:' || CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rk
+      FROM documents
+    )
+    SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {_SAMPLE_K}
+    """,
+    tags=("sampling", "per_group", "pipeline"),
+)
+def sample_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sampling (k=20): rank docs within
+    each source by a salted content-independent hash and keep the
+    first k — the balanced-subsample op for corpus inspection and
+    per-domain eval sets. Hash-ranked top-k is a reservoir sample
+    that's stable across engines, partitionings, and reruns (unlike
+    rand()-based sampling); the plan is one shuffle on source with
+    WindowGroupLimit pushing the k-cut below the sort."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id")
+    h = F.md5(F.concat(F.lit("samp:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _SAMPLE_K)
+    )

@@ -1295,3 +1295,85 @@ def retention_weekly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
     )
+
+
+@register(
+    "priority_region_grid",
+    oracle="""
+    WITH pr AS (SELECT DISTINCT o_orderpriority FROM orders),
+         st AS (SELECT DISTINCT o_orderstatus FROM orders),
+         cnt AS (
+           SELECT o_orderpriority, o_orderstatus,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM orders GROUP BY o_orderpriority, o_orderstatus
+         )
+    SELECT g.o_orderpriority, g.o_orderstatus,
+           COALESCE(cnt.n, 0) AS n
+    FROM (SELECT * FROM pr CROSS JOIN st) g
+    LEFT JOIN cnt USING (o_orderpriority, o_orderstatus)
+    """,
+    tags=("cross_join", "grid", "reporting", "survey2.9"),
+)
+def priority_region_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense reporting grid: CROSS JOIN of the two dimension domains
+    LEFT-joined with the fact counts so empty cells report 0 instead of
+    vanishing — the zero-preserving pivot every dashboard needs, and the
+    registry's cross-join coverage (completing the join-type matrix:
+    inner/left/full/semi/anti/cross). Both domains are distinct-agg
+    outputs of the same scan (a handful of rows), so the cross product
+    and the joinback are broadcast-sized at any fact scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    pr = orders.select("o_orderpriority").distinct()
+    st = orders.select("o_orderstatus").distinct()
+    cnt = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        pr.crossJoin(st)
+        .join(cnt, ["o_orderpriority", "o_orderstatus"], "left")
+        .select(
+            "o_orderpriority",
+            "o_orderstatus",
+            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n"),
+        )
+    )
+
+
+@register(
+    "source_csv_json_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_csv,
+           CAST(COUNT(*) AS BIGINT) AS n_json
+    FROM events GROUP BY event_type
+    """,
+    tags=("sources", "csv", "json", "survey2.1"),
+)
+def source_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV and JSON source readers proven against the parquet truth:
+    events round-trip through both text formats (explicit schema, no
+    inference — inference is a full extra scan at 100 TB) and each
+    format's per-type counts must match the parquet-derived oracle.
+    Covers SURVEY §2.1 LocalFileSource's csv/json decode surface on the
+    batch path (the streaming path is test_local_file_source_text_stream)."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    root = tempfile.mkdtemp(prefix="arcon_srcfmt_")
+    ev.write.option("header", True).csv(root + "/csv")
+    ev.write.json(root + "/json")
+    schema = "event_id long, user_id long, event_type string"
+    csv = spark.read.schema(schema).option("header", True).csv(root + "/csv")
+    js = spark.read.schema(schema).json(root + "/json")
+    return (
+        csv.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_csv"))
+        .join(
+            js.groupBy("event_type").agg(
+                F.count(F.lit(1)).cast("long").alias("n_json")
+            ),
+            "event_type",
+        )
+    )

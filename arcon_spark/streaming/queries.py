@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from arcon_spark.io import load_table
@@ -50,18 +50,36 @@ def _with_stream_partitions(spark: SparkSession, run) :
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+_TAPE_CACHE: dict[tuple[str, int], str] = {}
+
+
 def _streamed_events(spark: SparkSession, sf_dir: str, n_sentinels: int = 2) -> DataFrame:
     """events as a 3-batch stream: the ORIGINAL parquet file (hard-copied,
     never rewritten — at sf0.1 that saves rewriting 100k rows per query)
     followed by two sentinel segments. The raw file stores ts as
     TIMESTAMP(NANOS) → read as int64 nanos and floor to µs in-stream,
-    the same conversion io.load_table applies on the batch path."""
+    the same conversion io.load_table applies on the batch path.
+
+    The tape directory is immutable once written, so it is memoized per
+    (sf_dir, n_sentinels) for the life of the process — the parity gate
+    runs a dozen streaming queries over the same events tape, and
+    rebuilding it (file copy + two sentinel writes) per query is pure
+    setup overhead. Each query still gets its own readStream/checkpoint
+    over the shared directory."""
     import os
     import shutil
     import tempfile
     import time
 
     ev_raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # ts: bigint nanos
+    cached = _TAPE_CACHE.get((sf_dir, n_sentinels))
+    if cached is not None:
+        src = (
+            spark.readStream.schema(ev_raw.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(cached)
+        )
+        return src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     max_ns = ev_raw.agg(F.max("ts").alias("m")).collect()[0].m
     day_ns = 86_400_000_000_000
     # literal plans, not local-collection DFs (those pay ~5s of Python
@@ -83,6 +101,7 @@ def _streamed_events(spark: SparkSession, sf_dir: str, n_sentinels: int = 2) -> 
     past = time.time() - 3600
     os.utime(dst, (past, past))
     write_segments(sentinels, root=root)
+    _TAPE_CACHE[(sf_dir, n_sentinels)] = root
     src = (
         spark.readStream.schema(ev_raw.schema)
         .option("maxFilesPerTrigger", "1")
@@ -740,4 +759,67 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     return _run_to_memory(spark, deduped, "stream_dedup_wm").filter(
         F.col("user_id") >= 0
+    )
+
+
+@register(
+    "stream_running_counts_update_mode",
+    oracle=f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_msum('value', 2)} AS sum_value
+    FROM {EVENTS_NORM} GROUP BY user_id
+    """,
+    tags=("streaming", "update_mode", "ivm", "survey2.6"),
+)
+def stream_running_counts_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE-mode incremental view maintenance by the streaming
+    engine: per-user running count/sum maintained in the state store
+    across two micro-batches (events split by event_id parity); each
+    batch's updated rows land in a history table tagged with batch_id
+    via foreachBatch, and the current view = latest batch_id per key —
+    the engine-side form of the examples/incremental_upsert.py merge
+    (a lakehouse MERGE INTO at 100 TB). The final state must equal the
+    batch aggregate oracle, which proves the update stream really
+    carried state across batches (batch-2 rows supersede, not append).
+    Reference parity: this is the ReducerState/AggregatorState running
+    fold (arcon_state backend/mod.rs:204-242) surfaced as a stream."""
+    import os
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    root = write_segments(
+        [ev.filter(F.col("event_id") % 2 == 0), ev.filter(F.col("event_id") % 2 == 1)]
+    )
+    out = tempfile.mkdtemp(prefix="arcon_ivm_") + "/history"
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+    agg = src.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), msum(F.col("value"), 2).alias("sum_value")
+    )
+
+    def fb(batch_df: DataFrame, eid: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(eid)).write.mode("append").parquet(out)
+
+    def run():
+        q = (
+            agg.writeStream.foreachBatch(fb)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    _with_stream_partitions(spark, run)
+    hist = spark.read.parquet(out)
+    w = Window.partitionBy("user_id").orderBy(F.col("batch_id").desc())
+    return (
+        hist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n", "sum_value")
     )

@@ -45,6 +45,10 @@ HEADLINE = [
     "text_tfidf_topterms",
     "kmeans_embeddings",
     "multimodal_audio_energy",
+    "scd2_user_type_history",
+    "gap_fill_forward_hourly",
+    "pareto_frontier_orders",
+    "split_contamination_check",
     "stream_tumbling_window_agg",
 ]
 
