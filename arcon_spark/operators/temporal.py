@@ -454,3 +454,75 @@ def time_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ROLLUP (date_trunc('DAY', ts), date_trunc('HOUR', ts))
         """
     )
+
+
+@register(
+    "asof_join_forward",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS tag
+      FROM {EVENTS_NORM}
+      WHERE event_type IN ('view', 'purchase')
+    ),
+    carried AS (
+      SELECT user_id, event_id, ts, event_type,
+             first_value(CASE WHEN tag = 1 THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_purchase_id,
+             first_value(CASE WHEN tag = 1 THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_purchase_ts
+      FROM tagged
+    )
+    SELECT user_id, event_id AS view_id, ts AS view_ts,
+           next_purchase_id,
+           epoch_us(next_purchase_ts) - epoch_us(ts) AS wait_us
+    FROM carried
+    WHERE event_type = 'view' AND next_purchase_id IS NOT NULL
+    """,
+    tags=("join", "asof", "temporal"),
+)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for every view, the NEXT purchase at or
+    after it (time-to-conversion). The mirror of
+    asof_join_purchase_view — same union-tag single-window design, but
+    `first(..., ignorenulls)` over a CURRENT ROW → UNBOUNDED FOLLOWING
+    frame carries the nearest later purchase backwards. Views sort
+    before purchases at equal ts (tag 0 < 1) so a same-instant
+    purchase counts as 'at or after'. Still ONE shuffle on user_id, no
+    per-group Python, skew handled by AQE like any window exchange."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    tag = F.when(F.col("event_type") == "view", 0).otherwise(1)
+    tagged = ev.select("user_id", "event_id", "ts", "event_type", tag.alias("tag"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    purch_id = F.when(F.col("tag") == 1, F.col("event_id"))
+    purch_ts = F.when(F.col("tag") == 1, F.unix_micros(F.col("ts")))
+    carried = tagged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.first(purch_id, ignorenulls=True).over(w).alias("next_purchase_id"),
+        F.first(purch_ts, ignorenulls=True).over(w).alias("next_purchase_us"),
+    )
+    return (
+        carried.filter(
+            (F.col("event_type") == "view") & F.col("next_purchase_id").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+            "next_purchase_id",
+            (F.col("next_purchase_us") - F.unix_micros(F.col("ts"))).alias("wait_us"),
+        )
+    )

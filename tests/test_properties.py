@@ -132,3 +132,104 @@ def test_cumsum_packing_overflow_bounded_by_one_doc(tokens, budget):
     max_doc = max(tokens)
     for total in bins.values():
         assert total < budget + max_doc or total == max_doc
+
+
+# ---------------------------------------------------------------------------
+# two-level exact sum (plans/compat.usum_partial/usum_final contract)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=64),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=0, max_value=6),
+    st.randoms(),
+)
+@settings(max_examples=200, deadline=None)
+def test_two_level_sum_equals_single_level_for_any_partitioning(xs, scale, rnd):
+    """tpch_q1's two-level sum (long partials per partition, decimal
+    final) must equal the direct integer-unit sum no matter how rows
+    land in partitions — partition assignment is a runtime accident."""
+    direct = sum(_units(x, scale) for x in xs)
+    rnd.shuffle(xs)
+    n_parts = rnd.randint(1, len(xs))
+    partials = [0] * n_parts
+    for i, x in enumerate(xs):
+        partials[i % n_parts] += _units(x, scale)  # long arithmetic per partition
+    assert sum(partials) == direct
+
+
+# ---------------------------------------------------------------------------
+# pareto frontier: two-pass threshold algorithm ≡ naive dominance
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),  # date bucket
+            st.integers(min_value=0, max_value=1000),  # price
+        ),
+        min_size=1,
+        max_size=120,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_pareto_threshold_algorithm_matches_naive_dominance(points):
+    """pareto_frontier_orders replaces the O(n²) NOT EXISTS with
+    per-date max → running max over strictly later dates → threshold
+    filter. The two must select exactly the same points, including
+    ties (survivors need price >= every strictly-later max)."""
+    naive = [
+        (d, p)
+        for (d, p) in points
+        if not any(d2 > d and p2 > p for (d2, p2) in points)
+    ]
+    per_date: dict[int, int] = {}
+    for d, p in points:
+        per_date[d] = max(per_date.get(d, -1), p)
+    dates = sorted(per_date)
+    later_max: dict[int, int | None] = {}
+    running: int | None = None
+    for d in reversed(dates):
+        later_max[d] = running
+        running = per_date[d] if running is None else max(running, per_date[d])
+    fast = [
+        (d, p)
+        for (d, p) in points
+        if later_max[d] is None or p >= later_max[d]
+    ]
+    assert sorted(naive) == sorted(fast)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 run-length collapse: intervals must reconstruct the change log
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=50)
+)
+@settings(max_examples=200, deadline=None)
+def test_scd2_runs_reconstruct_sequence_and_single_current(seq):
+    """scd2_user_type_history's run-length collapse: versions must be
+    contiguous from 1, valid_from/valid_to must chain without holes,
+    exactly one open (is_current) row exists, and expanding the runs
+    reproduces the original sequence."""
+    runs = []  # (version, value, start_idx, n)
+    for i, v in enumerate(seq):
+        if not runs or runs[-1][1] != v:
+            runs.append([len(runs) + 1, v, i, 1])
+        else:
+            runs[-1][3] += 1
+    # contiguous versions, chained validity, one current
+    for k, (ver, _, start, n) in enumerate(runs):
+        assert ver == k + 1
+        if k + 1 < len(runs):
+            assert runs[k + 1][2] == start + n  # valid_to = next valid_from
+    assert sum(1 for r in runs if r is runs[-1]) == 1
+    rebuilt = [v for _, v, _, n in runs for v in [v] * n]
+    assert rebuilt == seq
