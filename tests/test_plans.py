@@ -63,12 +63,20 @@ def test_jvm_only_queries_have_no_python(spark, sf_dir):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
 
 
-def test_q1_single_exchange(spark, sf_dir):
-    """Q1's only shuffle is the 6-group final aggregation exchange —
-    partial (map-side) aggregation must appear below it."""
+def test_q1_two_level_aggregation_shape(spark, sf_dir):
+    """Q1's two-level exact sum: the scan-side aggregation must still
+    do map-side partial aggregation (the big data never shuffles raw),
+    and the only exchanges carry per-(group, partition) partials — a
+    few rows per task — then the 6-group final. Both levels partial +
+    final ⇒ ≥4 HashAggregates; ≤3 Exchange mentions (level-1, level-2,
+    AQE read marker)."""
     plan = _plan(spark, sf_dir, "tpch_q1")
-    assert plan.count("Exchange") <= 2  # one exchange (+AQE read marker)
-    assert plan.count("HashAggregate") >= 2  # partial + final
+    # formatted plans mention each node twice (tree + details)
+    assert plan.count("Exchange") <= 4, plan.count("Exchange")  # 2 physical
+    assert plan.count("HashAggregate") >= 8  # 4 nodes: partial+final × 2 levels
+    assert "SPARK_PARTITION_ID" in plan  # level-1 key bounds the long partials
+    # the scan-side aggregation must sum LONGs, not decimals
+    assert "partial_sum(cast(round((l_quantity" in plan and "as bigint" in plan
 
 
 def test_aqe_splits_skewed_join_partition(spark):
