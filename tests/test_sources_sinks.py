@@ -124,3 +124,27 @@ def test_measure_sink_counts(spark):
         _t.sleep(0.1)
     spark.streams.removeListener(listener)
     assert listener.total_rows >= 50
+
+
+def test_orc_source_and_sink(spark):
+    """ORC as a first-class columnar format alongside parquet/csv/json
+    (reference §2.1/§2.5 file IO surface): batch roundtrip, streaming
+    ORC sink via to_file, and a streaming ORC source read back through
+    the Stream API."""
+    d = tempfile.mkdtemp()
+    df = spark.createDataFrame([(i, f"s{i}") for i in range(12)], "id long, s string")
+    df.write.orc(f"{d}/batch")
+    assert sorted(r.id for r in spark.read.orc(f"{d}/batch").collect()) == list(range(12))
+
+    s = Stream.from_collection(spark, [(i, i * 3) for i in range(9)], "k long, v long")
+    q = s.to_file(f"{d}/stream_out", fmt="orc")
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.orc(f"{d}/stream_out").count() == 9
+
+    s2 = Stream.from_file(spark, f"{d}/stream_out", fmt="orc", schema="k long, v long")
+    q2 = s2.to_debug("orc_src")
+    q2.processAllAvailable()
+    q2.stop()
+    got = sorted((r.k, r.v) for r in spark.table("orc_src").collect())
+    assert got == [(i, i * 3) for i in range(9)]
