@@ -295,3 +295,93 @@ def pattern_view_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout (multi-dimensional clustering for file skipping)
+# ---------------------------------------------------------------------------
+
+_ZBITS = 16
+
+
+def _z_expr(x: str, y: str, spark_syntax: bool) -> str:
+    """Morton/Z-order key: bit-interleave two 16-bit-masked ints into
+    one 32-bit key, as a pure integer expression string (generated
+    unrolled, so both engines evaluate it in codegen — no UDF)."""
+    terms = []
+    for i in range(_ZBITS):
+        if spark_syntax:
+            terms.append(f"shiftleft(shiftright({x}, {i}) & 1, {2 * i})")
+            terms.append(f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1})")
+        else:
+            terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def zorder_key(x, y):  # noqa: ANN001 - Column-or-name inputs
+    """Public helper: Z-order key column over two integer columns
+    (each masked to 16 bits). Sort-by this key at write time and both
+    dimensions end up with tight per-file min/max — the OPTIMIZE
+    ZORDER layout primitive: a scan filtered on EITHER dimension can
+    skip most files, which a single-column sort gives for one
+    dimension only."""
+    from pyspark.sql.column import Column
+
+    xs = x._jc.toString() if isinstance(x, Column) else str(x)
+    ys = y._jc.toString() if isinstance(y, Column) else str(y)
+    return F.expr(_z_expr(f"(({xs}) & 65535)", f"(({ys}) & 65535)", True))
+
+
+@register(
+    "zorder_events_layout",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, CAST(round(value * 100, 0) AS BIGINT) AS v100 FROM events
+    ),
+    z AS (
+      SELECT user_id, v100,
+             {_z_expr("(user_id & 65535)", "(v100 & 65535)", False)} AS zkey
+      FROM v
+    )
+    SELECT (zkey >> 20) AS zbucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(user_id) AS min_user, MAX(user_id) AS max_user,
+           MIN(v100) AS min_v100, MAX(v100) AS max_v100
+    FROM z GROUP BY 1
+    """,
+    tags=("maintenance", "layout", "zorder"),
+)
+def zorder_events_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order data-layout audit: Morton-interleave (user_id, value)
+    into a 32-bit key, bucket by its high bits (a stand-in for target
+    files), and report each bucket's bounding box on BOTH dimensions.
+
+    This is the maintenance job behind multi-dimensional clustering
+    (Delta/Iceberg OPTIMIZE ZORDER): rows sorted by zkey land in files
+    whose min/max statistics are tight on every interleaved dimension
+    at once, so parquet row-group pruning works for filters on user_id
+    AND for filters on value — a linear sort gives only one of the
+    two. At 100 TB the key costs one codegen projection (no shuffle
+    beyond the write's own range partitioning) and the payoff is
+    scan-time file skipping on every clustered column.
+
+    The reference has no storage-layout machinery at all (its state
+    backends are row stores — SURVEY §2.7); this is lakehouse-side
+    capability the Spark engine adds.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("cast(round(value * 100, 0) as bigint)").alias("v100")
+    )
+    z = ev.select(
+        "user_id",
+        "v100",
+        F.expr(_z_expr("(user_id & 65535)", "(v100 & 65535)", True)).alias("zkey"),
+    )
+    return z.groupBy(F.expr("shiftright(zkey, 20)").alias("zbucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+        F.min("v100").alias("min_v100"),
+        F.max("v100").alias("max_v100"),
+    )
