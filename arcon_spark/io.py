@@ -111,6 +111,46 @@ def spread(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
     return df.repartition(target)
 
 
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> int:
+    """Small-file compaction: rewrite a table directory into
+    ceil(total_bytes / target) files and atomically swap it in.
+    Returns the new file count.
+
+    Streaming sinks (to_file, snapshot epochs) produce one-plus files
+    per micro-batch; at 100 TB a year of 10-second batches is millions
+    of KB-sized files, and the scan's task-per-file scheduling —
+    not IO — becomes the bottleneck. This is the OPTIMIZE/rewrite
+    maintenance job: run it per partition directory so each rewrite is
+    independent and parallel. The directory-rename here is the local-FS
+    commit; on an object store the same rewrite commits through the
+    table format's metadata transaction instead (the read + repartition
+    + write plan is unchanged)."""
+    import math
+    import shutil
+    import uuid
+
+    df = spark.read.format(fmt).load(path)
+    size = sum(
+        os.path.getsize(os.path.join(dp, n))
+        for dp, _, ns in os.walk(path)
+        for n in ns
+        if not n.startswith(("_", "."))
+    )
+    n_out = max(1, math.ceil(size / target_file_bytes))
+    tmp = path.rstrip("/") + f"__compact_{uuid.uuid4().hex[:8]}"
+    df.repartition(n_out).write.format(fmt).save(tmp)
+    old = path.rstrip("/") + "__old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_out
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all tables as temp views so queries can use spark.sql."""
     for name in TABLES:

@@ -87,3 +87,33 @@ class SnapshotCatalog:
         if not eps:
             raise LookupError(f"no committed snapshots for {state_id!r}")
         return self.read(state_id, eps[-1])
+
+    # -- retention ---------------------------------------------------------
+
+    def expire(self, state_id: str, keep_last: int) -> list[int]:
+        """Vacuum: drop all but the newest ``keep_last`` epochs — the
+        retention half of time travel (the reference's SnapshotManager
+        keeps every epoch forever, manager/snapshot.rs:50-57, which no
+        real deployment can afford: at 100 TB each epoch snapshot is a
+        full state copy). Commits the shrunken manifest FIRST, then
+        deletes data — a reader racing the vacuum never sees a manifest
+        entry whose files are gone. Returns the expired epochs."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        eps = self.epochs(state_id)
+        expired = eps[:-keep_last]
+        if not expired:
+            return []
+        mp = self._manifest_path(state_id)
+        with open(mp) as f:
+            manifest = json.load(f)
+        keep = [s for s in manifest["snapshots"] if s["epoch"] not in set(expired)]
+        with open(mp, "w") as f:
+            json.dump({"snapshots": keep}, f)
+        for e in expired:
+            shutil.rmtree(
+                os.path.join(self.root, state_id, f"epoch={e}"), ignore_errors=True
+            )
+        return expired

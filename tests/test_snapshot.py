@@ -126,3 +126,30 @@ def test_checkpoint_recovery_exactly_once(spark):
     q2.stop()
     got = sorted(r.k for r in spark.read.parquet(sink).collect())
     assert got == list(range(25)), got  # each row exactly once
+
+
+def test_snapshot_expire_keeps_recent_epochs(spark):
+    """Retention vacuum: expire() drops old epochs from the manifest
+    and disk but time travel over the kept window still works."""
+    import os
+
+    segments = [[(i, i * 10, _ts(i))] for i in range(4)]
+    root = write_segments(spark, SCHEMA, segments)
+    src = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").parquet(root)
+    cat = SnapshotCatalog(spark, tempfile.mkdtemp(prefix="arcon_snap_"))
+    q = (
+        src.writeStream.foreachBatch(cat.writer("s"))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="arcon_ckpt_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert cat.epochs("s") == [0, 1, 2, 3]
+
+    expired = cat.expire("s", keep_last=2)
+    assert expired == [0, 1]
+    assert cat.epochs("s") == [2, 3]
+    assert not os.path.exists(os.path.join(cat.root, "s", "epoch=0"))
+    assert cat.read("s", 2).count() == 1  # kept epoch still queryable
+    assert cat.latest("s").count() == 1
+    assert cat.expire("s", keep_last=2) == []  # idempotent
