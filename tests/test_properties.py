@@ -233,3 +233,47 @@ def test_scd2_runs_reconstruct_sequence_and_single_current(seq):
     assert sum(1 for r in runs if r is runs[-1]) == 1
     rebuilt = [v for _, v, _, n in runs for v in [v] * n]
     assert rebuilt == seq
+
+
+# ---------------------------------------------------------------------------
+# Z-order key (operators/maintenance._z_expr contract)
+# ---------------------------------------------------------------------------
+
+
+def _z_py(x: int, y: int) -> int:
+    z = 0
+    for i in range(16):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_zorder_sql_expr_matches_python_reference(pairs):
+    """The generated DuckDB-syntax interleave expression computes the
+    same Morton key as a bit-twiddling Python reference, and the key is
+    injective (distinct (x, y) → distinct key)."""
+    import duckdb
+
+    from arcon_spark.operators.maintenance import _z_expr
+
+    rows = ", ".join(f"({x}, {y})" for x, y in pairs)
+    # BIGINT like the real oracle columns — INT32 literals overflow << 31
+    sql = (
+        f"SELECT {_z_expr('x', 'y', False)} AS z "
+        f"FROM (SELECT CAST(x0 AS BIGINT) AS x, CAST(y0 AS BIGINT) AS y "
+        f"      FROM (VALUES {rows}) AS t(x0, y0))"
+    )
+    got = [r[0] for r in duckdb.sql(sql).fetchall()]
+    assert got == [_z_py(x, y) for x, y in pairs]
+    assert len(set(_z_py(x, y) for x, y in set(pairs))) == len(set(pairs))
