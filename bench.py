@@ -49,6 +49,7 @@ HEADLINE = [
     "gap_fill_forward_hourly",
     "pareto_frontier_orders",
     "split_contamination_check",
+    "zorder_events_layout",
     "stream_tumbling_window_agg",
 ]
 
