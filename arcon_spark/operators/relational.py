@@ -1164,6 +1164,43 @@ def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "histogram_equidepth_value",
+    oracle=f"""
+    WITH t AS (
+      SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS bucket
+      FROM {EVENTS_NORM}
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt,
+           MIN(value) AS lo, MAX(value) AS hi
+    FROM t GROUP BY 1
+    """,
+    tags=("histogram", "aggregation", "quantile"),
+)
+def histogram_equidepth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram: every bucket holds the same row
+    count and reports its value range — the complement of the
+    equi-width histogram for skewed columns, and the statistic behind
+    range-partition boundary choice. ntile over (value, event_id) is a
+    total order, so buckets are deterministic; lo/hi are raw MIN/MAX
+    (no float arithmetic) so the oracle matches bit-for-bit. The
+    global window is the oracle-checkable form; at 100 TB the same
+    deciles come from repartitionByRange(value) — Spark's range
+    partitioner IS an equi-depth sampler — with per-partition count /
+    min / max, no total sort."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("value", "event_id")
+    t = ev.select(
+        "value", F.ntile(10).over(W.orderBy("value", "event_id")).alias("bucket")
+    )
+    return t.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+
+
+@register(
     "unpivot_lineitem_metrics",
     oracle="""
     SELECT l_orderkey, l_linenumber, metric, val FROM (
