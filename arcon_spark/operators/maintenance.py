@@ -297,6 +297,62 @@ def pattern_view_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ohlc_hourly_value",
+    oracle=f"""
+    WITH t AS (
+      SELECT date_trunc('hour', ts) AS hour, value,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+               || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+      FROM {EVENTS_NORM}
+    )
+    SELECT hour,
+           arg_min(value, ord) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ord) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_trades,
+           SUM(CAST(round(value * 100, 0) AS BIGINT)) AS vol_cents
+    FROM t GROUP BY 1
+    """,
+    tags=("timeseries", "ohlc", "aggregation"),
+)
+def ohlc_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars: per hour bucket, the opening/high/low/closing value —
+    the canonical time-series downsample (candlesticks, metrics
+    rollups). ONE map-side-combinable hash aggregate, no window pass:
+    open/close use min_by/max_by over a zero-padded `micros‖event_id`
+    string key, which both engines order identically and which makes
+    first/last deterministic even for same-microsecond events (the
+    composite-key form of arg_min that neither engine supports
+    natively). high/low are raw MIN/MAX; volume is an exact integer
+    cents sum — nothing here is float arithmetic, so the oracle matches
+    bit-for-bit. At 100 TB this is the ideal shape: partial aggregation
+    reduces each scan task to |active hours| rows before the single
+    exchange."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    ord_key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.select(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "value",
+            ord_key.alias("ord"),
+        )
+        .groupBy("hour")
+        .agg(
+            F.min_by("value", "ord").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ord").alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_trades"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("vol_cents"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Z-order layout (multi-dimensional clustering for file skipping)
 # ---------------------------------------------------------------------------
