@@ -823,3 +823,60 @@ def stream_running_counts_update_mode(spark: SparkSession, sf_dir: str) -> DataF
         .filter(F.col("rn") == 1)
         .select("user_id", "n", "sum_value")
     )
+
+
+@register(
+    "stream_ohlc_hourly",
+    oracle=f"""
+    WITH t AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type, value,
+             printf('%030d', epoch_us(ts)) || printf('%020d', event_id) AS ord
+      FROM {EVENTS_NORM}
+    )
+    SELECT hour, event_type,
+           arg_min(value, ord) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ord) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_trades
+    FROM t GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "ohlc", "survey2.4"),
+)
+def stream_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars computed by the STREAMING engine: tumbling 1-hour
+    windows per event_type, open/close via min_by/max_by over the
+    zero-padded micros‖event_id key (deterministic first/last within
+    the window — the batch ohlc_hourly_value contract, emitted
+    append-mode on watermark). min_by/max_by are declarative aggregates
+    so the streaming state per (window, type) is one partial row, not a
+    buffer — the same O(groups) state bound as sum/count."""
+    src = _streamed_events(spark, sf_dir)
+    ord_key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 30, "0"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
+    )
+    agg = (
+        src.withColumn("ord", ord_key)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.min_by("value", "ord").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ord").alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_trades"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_trades",
+        )
+    )
+    return _run_to_memory(spark, agg, "stream_ohlc").filter(
+        F.col("event_type") != _SENTINEL
+    )
