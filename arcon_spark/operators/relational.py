@@ -1438,3 +1438,75 @@ def source_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         )
     )
+
+
+@register(
+    "corr_quantity_price_by_flag",
+    oracle="""
+    WITH u AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity * 100) AS BIGINT) AS qx,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS qy
+      FROM lineitem
+    ),
+    m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(qx AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(qy AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(qx * qx AS HUGEINT)) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(qy * qy AS HUGEINT)) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(qx * qy AS HUGEINT)) AS DOUBLE) AS sxy
+      FROM u GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           sx, sy, sxx, syy, sxy,
+           (n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr
+    FROM m
+    """,
+    tags=("aggregate", "statistics", "correlation"),
+)
+def corr_quantity_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from EXACT integer moments: per-row cents
+    units (IEEE-deterministic round), five exact integer sums per
+    group, then one fixed double expression tree — every double op
+    (cast, *, -, /, sqrt) is correctly rounded by IEEE-754, so the
+    final corr is bit-identical across engines, which built-in corr()
+    (running double accumulation, order-dependent) can never be.
+
+    Moments are the mergeable form: the five sums are map-side
+    combinable, so the shuffle carries 5 numbers per (group,
+    partition). At 100 TB the decimal(38) sums hold to 38 digits
+    (qx*qy ≤ 5e10/row → ~1e27 at 1e16 rows, still exact); the raw
+    moments are also emitted so downstream can merge groups without
+    rescanning."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qx"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("qy"),
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec(F.col("qx")).alias("sx"),
+        dec(F.col("qy")).alias("sy"),
+        dec(F.col("qx") * F.col("qx")).alias("sxx"),
+        dec(F.col("qy") * F.col("qy")).alias("syy"),
+        dec(F.col("qx") * F.col("qy")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "l_returnflag",
+        n.cast("long").alias("n_rows"),
+        "sx",
+        "sy",
+        "sxx",
+        "syy",
+        "sxy",
+        (
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("corr"),
+    )
