@@ -227,3 +227,37 @@ def test_operator_state_survives_checkpoint_restart(spark):
         assert sorted(per_key) == [8, 8, 8, 8], both.sort_values(["k", "cnt"])
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_keyby_integration_scale(spark):
+    """The reference's integration-scale correctness run
+    (keyby_integration.rs:32-156: 99,946 events, 256 keys, FirstValue
+    stateful map, asserting distinct first values == NUM_KEYS) at the
+    same event and key counts, through the batch Operator harness.
+    Every output row of a key must carry that key's first-seen value,
+    and all 256 keys must hold independent state."""
+    n, n_keys = 99_946, 256
+    df = spark.range(n).selectExpr(
+        f"id % {n_keys} as key",
+        "id as value",
+        "timestamp_micros(cast(id as bigint)) as ts",
+    )
+    out = apply_operator_batch(
+        df,
+        ["key"],
+        FirstValueEnricher(),
+        "key long, value long, first_val long",
+        order_cols=["ts", "value"],
+    )
+    agg = out.groupBy("key").agg(
+        F.countDistinct("first_val").alias("nfv"),
+        F.min("first_val").alias("fv"),
+        F.min("value").alias("mv"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    rows = agg.collect()
+    assert len(rows) == n_keys
+    # one state cell per key, holding the key's first value
+    assert all(r.nfv == 1 and r.fv == r.mv for r in rows)
+    assert sum(r.cnt for r in rows) == n
+    assert out.select("first_val").distinct().count() == n_keys
