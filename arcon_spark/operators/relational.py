@@ -1510,3 +1510,53 @@ def corr_quantity_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
         ).alias("corr"),
     )
+
+
+@register(
+    "transition_matrix_events",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM {EVENTS_NORM}
+    ),
+    pairs AS (
+      SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, event_type, n,
+           CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+    FROM pairs
+    """,
+    tags=("analytics", "markov", "window_function"),
+)
+def transition_matrix_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral transition matrix (first-order Markov): per user,
+    each event's predecessor type via lag over (ts, event_id), then
+    (prev → next) counts and row-normalized transition probabilities.
+    The probability is ONE double division of two exact integers —
+    deterministic cross-engine. Plan: one shuffle on user_id for the
+    lag window, one hash agg on the (prev, next) pair (map-side
+    combinable), and the normalizing SUM() OVER is a window over the
+    tiny |types|² result — at 100 TB the only data-sized costs are the
+    two exchanges, both on well-distributed keys."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("event_type", F.lag("event_type").over(w).alias("prev_type"))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    norm = W.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "event_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(norm).cast("double")).alias("p"),
+    )
