@@ -441,3 +441,74 @@ def zorder_events_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v100").alias("min_v100"),
         F.max("v100").alias("max_v100"),
     )
+
+
+_EWMA_DEPTH = 8  # bounded frame: weights 2^7 .. 2^0 (newest → oldest)
+
+
+def _ewma_terms(cents: str, lag_fmt: str) -> tuple[str, str]:
+    """Numerator and weight-sum expressions over _EWMA_DEPTH lags with
+    integer weights 2^(depth-1-k) — newest row weighted heaviest. Rows
+    near the head of a partition normalize over the weights actually
+    present (missing lags contribute 0 to both sums)."""
+    num, den = [], []
+    for k in range(_EWMA_DEPTH):
+        w = 2 ** (_EWMA_DEPTH - 1 - k)
+        term = cents if k == 0 else lag_fmt.format(expr=cents, k=k)
+        num.append(f"COALESCE({term} * {w}, 0)")
+        den.append(f"CASE WHEN {term} IS NULL THEN 0 ELSE {w} END")
+    return " + ".join(num), " + ".join(den)
+
+
+@register(
+    "ewma_user_value",
+    oracle=(lambda num_den: f"""
+    WITH t AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             lag(CAST(round(value * 100) AS BIGINT), 1) OVER w AS l1,
+             lag(CAST(round(value * 100) AS BIGINT), 2) OVER w AS l2,
+             lag(CAST(round(value * 100) AS BIGINT), 3) OVER w AS l3,
+             lag(CAST(round(value * 100) AS BIGINT), 4) OVER w AS l4,
+             lag(CAST(round(value * 100) AS BIGINT), 5) OVER w AS l5,
+             lag(CAST(round(value * 100) AS BIGINT), 6) OVER w AS l6,
+             lag(CAST(round(value * 100) AS BIGINT), 7) OVER w AS l7
+      FROM {EVENTS_NORM}
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           CAST(({num_den[0]}) AS DOUBLE)
+             / CAST(({num_den[1]}) AS DOUBLE) / 100.0 AS ewma
+    FROM t
+    """)(_ewma_terms("cents", "l{k}")),
+    tags=("timeseries", "ewma", "window_function"),
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average with EXACT arithmetic:
+    per user, the last {depth} values weighted 2^7..2^0 (newest
+    heaviest — a half-life-of-one-step EWMA truncated to a bounded
+    frame). All weighting is integer cents × power-of-two; only the
+    final normalize is a double division of two exact integers, so the
+    result is bit-identical cross-engine — a running float EWMA never
+    is. One window shuffle on user_id; the 8 lags are one window pass,
+    and the bounded frame is what makes the operator streamable with
+    O(depth) state per key."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.round(F.col("value") * 100).cast("long")
+    t = ev.select(
+        "user_id",
+        "event_id",
+        cents.alias("cents"),
+        *[F.lag(cents, k).over(w).alias(f"l{k}") for k in range(1, _EWMA_DEPTH)],
+    )
+    num, den = _ewma_terms("cents", "l{k}")
+    return t.select(
+        "user_id",
+        "event_id",
+        (
+            F.expr(num).cast("double") / F.expr(den).cast("double") / F.lit(100.0)
+        ).alias("ewma"),
+    )
