@@ -14,7 +14,7 @@ API surface, the operator semantics, and scale-aware query plans.
 """
 
 from arcon_spark.session import get_spark
-from arcon_spark.io import load_table, TABLES
+from arcon_spark.io import load_table, compact_files, TABLES
 
-__all__ = ["get_spark", "load_table", "TABLES"]
+__all__ = ["get_spark", "load_table", "compact_files", "TABLES"]
 __version__ = "0.1.0"

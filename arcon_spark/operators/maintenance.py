@@ -302,15 +302,17 @@ def pattern_view_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH t AS (
       SELECT date_trunc('hour', ts) AS hour, value,
-             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-               || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+             CAST(lpad(CAST(epoch_us(ts) AS VARCHAR), 16, '0')
+                  || lpad(CAST(event_id AS VARCHAR), 12, '0')
+                  || lpad(CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR), 10, '0')
+                  AS HUGEINT) AS packed
       FROM {EVENTS_NORM}
     )
     SELECT hour,
-           arg_min(value, ord) AS open,
+           CAST(MIN(packed) % 10000000000 AS DOUBLE) / 100.0 AS open,
            MAX(value) AS high,
            MIN(value) AS low,
-           arg_max(value, ord) AS close,
+           CAST(MAX(packed) % 10000000000 AS DOUBLE) / 100.0 AS close,
            CAST(COUNT(*) AS BIGINT) AS n_trades,
            SUM(CAST(round(value * 100, 0) AS BIGINT)) AS vol_cents
     FROM t GROUP BY 1
@@ -320,35 +322,54 @@ def pattern_view_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ohlc_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC bars: per hour bucket, the opening/high/low/closing value —
     the canonical time-series downsample (candlesticks, metrics
-    rollups). ONE map-side-combinable hash aggregate, no window pass:
-    open/close use min_by/max_by over a zero-padded `micros‖event_id`
-    string key, which both engines order identically and which makes
-    first/last deterministic even for same-microsecond events (the
-    composite-key form of arg_min that neither engine supports
-    natively). high/low are raw MIN/MAX; volume is an exact integer
-    cents sum — nothing here is float arithmetic, so the oracle matches
-    bit-for-bit. At 100 TB this is the ideal shape: partial aggregation
-    reduces each scan task to |active hours| rows before the single
-    exchange."""
+    rollups). ONE map-side-combinable HASH aggregate, no window pass:
+    open/close ride a 38-digit decimal `micros‖event_id‖cents` packing
+    — MIN/MAX of the packed key order by (micros, event_id) because the
+    digit fields are fixed-width, and the winner's cents decode back
+    out of the low digits. The packing exists because (a) neither
+    engine has a composite-key arg_min and (b) min_by / min(string)
+    have var-width aggregation buffers, which demote Spark to
+    SortAggregate (a per-task sort of the whole scan); decimal(38,0)
+    is a fixed 16-byte buffer, so the plan stays HashAggregate —
+    verified in tests/test_plans.py. high/low are raw MIN/MAX; volume
+    is an exact integer cents sum; the only float op is one final
+    correctly-rounded decode division, so the oracle matches
+    bit-for-bit. Precondition of the packing: value ≥ 0 and
+    event_id < 10^12 (16 micros digits hold until year 2286).
+    At 100 TB partial aggregation reduces each scan task to
+    |active hours| rows before the single exchange."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
-    ord_key = F.concat(
-        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    packed = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 16, "0"),
         F.lpad(F.col("event_id").cast("string"), 12, "0"),
-    )
+        F.lpad(cents.cast("string"), 10, "0"),
+    ).cast("decimal(38,0)")
+    ten10 = F.lit(10_000_000_000).cast("decimal(38,0)")
     return (
         ev.select(
             F.date_trunc("hour", "ts").alias("hour"),
             "value",
-            ord_key.alias("ord"),
+            packed.alias("packed"),
+            cents.alias("cents"),
         )
         .groupBy("hour")
         .agg(
-            F.min_by("value", "ord").alias("open"),
+            F.min("packed").alias("_minp"),
             F.max("value").alias("high"),
             F.min("value").alias("low"),
-            F.max_by("value", "ord").alias("close"),
+            F.max("packed").alias("_maxp"),
             F.count(F.lit(1)).cast("long").alias("n_trades"),
-            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("vol_cents"),
+            F.sum("cents").alias("vol_cents"),
+        )
+        .select(
+            "hour",
+            ((F.col("_minp") % ten10).cast("double") / F.lit(100.0)).alias("open"),
+            "high",
+            "low",
+            ((F.col("_maxp") % ten10).cast("double") / F.lit(100.0)).alias("close"),
+            "n_trades",
+            "vol_cents",
         )
     )
 

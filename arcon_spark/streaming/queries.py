@@ -830,14 +830,17 @@ def stream_running_counts_update_mode(spark: SparkSession, sf_dir: str) -> DataF
     oracle=f"""
     WITH t AS (
       SELECT date_trunc('hour', ts) AS hour, event_type, value,
-             printf('%030d', epoch_us(ts)) || printf('%020d', event_id) AS ord
+             CAST(lpad(CAST(epoch_us(ts) AS VARCHAR), 16, '0')
+                  || lpad(CAST(event_id AS VARCHAR), 12, '0')
+                  || lpad(CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR), 10, '0')
+                  AS HUGEINT) AS packed
       FROM {EVENTS_NORM}
     )
     SELECT hour, event_type,
-           arg_min(value, ord) AS open,
+           CAST(MIN(packed) % 10000000000 AS DOUBLE) / 100.0 AS open,
            MAX(value) AS high,
            MIN(value) AS low,
-           arg_max(value, ord) AS close,
+           CAST(MAX(packed) % 10000000000 AS DOUBLE) / 100.0 AS close,
            CAST(COUNT(*) AS BIGINT) AS n_trades
     FROM t GROUP BY 1, 2
     """,
@@ -845,35 +848,45 @@ def stream_running_counts_update_mode(spark: SparkSession, sf_dir: str) -> DataF
 )
 def stream_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC bars computed by the STREAMING engine: tumbling 1-hour
-    windows per event_type, open/close via min_by/max_by over the
-    zero-padded micros‖event_id key (deterministic first/last within
-    the window — the batch ohlc_hourly_value contract, emitted
-    append-mode on watermark). min_by/max_by are declarative aggregates
-    so the streaming state per (window, type) is one partial row, not a
-    buffer — the same O(groups) state bound as sum/count."""
+    windows per event_type, open/close decoded from MIN/MAX of the
+    38-digit decimal micros‖event_id‖cents packing (deterministic
+    first/last within the window — the batch ohlc_hourly_value
+    contract, emitted append-mode on watermark; see that docstring for
+    why packing beats min_by). MIN/MAX of a decimal keep the streaming
+    state per (window, type) at one fixed-width partial row — the same
+    O(groups) bound as sum/count."""
     src = _streamed_events(spark, sf_dir)
-    ord_key = F.concat(
-        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 30, "0"),
-        F.lpad(F.col("event_id").cast("string"), 20, "0"),
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    # sentinel rows (negative value/event_id) can't digit-pack; they
+    # only exist to advance the watermark and their groups are filtered
+    # below, so pack NULL for them
+    packed = F.when(
+        (F.col("event_type") != _SENTINEL) & (cents >= 0) & (F.col("event_id") >= 0),
+        F.concat(
+            F.lpad(F.unix_micros(F.col("ts")).cast("string"), 16, "0"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+            F.lpad(cents.cast("string"), 10, "0"),
+        ).cast("decimal(38,0)"),
     )
+    ten10 = F.lit(10_000_000_000).cast("decimal(38,0)")
     agg = (
-        src.withColumn("ord", ord_key)
+        src.withColumn("packed", packed)
         .withWatermark("ts", "0 seconds")
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
-            F.min_by("value", "ord").alias("open"),
+            F.min("packed").alias("_minp"),
             F.max("value").alias("high"),
             F.min("value").alias("low"),
-            F.max_by("value", "ord").alias("close"),
+            F.max("packed").alias("_maxp"),
             F.count(F.lit(1)).cast("long").alias("n_trades"),
         )
         .select(
             F.col("win.start").alias("hour"),
             "event_type",
-            "open",
+            ((F.col("_minp") % ten10).cast("double") / F.lit(100.0)).alias("open"),
             "high",
             "low",
-            "close",
+            ((F.col("_maxp") % ten10).cast("double") / F.lit(100.0)).alias("close"),
             "n_trades",
         )
     )

@@ -195,3 +195,12 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ohlc_stays_hash_aggregate(spark, sf_dir):
+    """min_by / min(string) have var-width aggregation buffers and
+    demote the agg to SortAggregate (per-task sort of the whole scan);
+    the decimal(38,0) packed key keeps OHLC in HashAggregate."""
+    plan = _plan(spark, sf_dir, "ohlc_hourly_value")
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
