@@ -78,8 +78,13 @@ def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs = ordered.withColumn(
         "run_id", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
-    collapsed = runs.groupBy("user_id", F.col("run_id").cast("long").alias("version")).agg(
-        F.first("event_type").alias("event_type"),
+    # event_type is constant within a run, so it joins the grouping
+    # keys (as in the oracle) rather than riding a first() aggregate —
+    # first()/min(string) have var-width buffers that would demote the
+    # whole agg to SortAggregate
+    collapsed = runs.groupBy(
+        "user_id", F.col("run_id").cast("long").alias("version"), "event_type"
+    ).agg(
         F.min("ts").alias("valid_from"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )

@@ -51,8 +51,12 @@ def stateful_first_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stateful_distinct_firsts",
     oracle=f"""
-    WITH     firsts AS (
-      SELECT user_id, min_by(value, printf('%030d', epoch_us(ts)) || printf('%020d', event_id)) AS first_val
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(MIN(CAST(lpad(CAST(epoch_us(ts) AS VARCHAR), 16, '0')
+                  || lpad(CAST(event_id AS VARCHAR), 12, '0')
+                  || lpad(CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR), 10, '0')
+                  AS HUGEINT)) % 10000000000 AS DOUBLE) / 100.0 AS first_val
       FROM {EVENTS_NORM} GROUP BY user_id
     )
     SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
@@ -65,15 +69,22 @@ def stateful_distinct_firsts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The keyby_integration acceptance assertion (reference
     keyby_integration.rs:118-156): after stateful enrichment the number
     of distinct first-values equals the number of keys — proving state
-    was correctly key-partitioned. min_by over a zero-padded (ts,
-    event_id) sort key gives the deterministic 'first' in both engines
-    without a window sort."""
+    was correctly key-partitioned. The deterministic 'first' comes from
+    MIN over the 38-digit decimal micros‖event_id‖cents packing (see
+    ohlc_hourly_value: min_by's var-width buffer would demote the agg
+    to SortAggregate; the fixed-width decimal keeps it HashAggregate),
+    decoded back to the value from the low digits — no window sort."""
     ev = load_table(spark, sf_dir, "events")
-    ordkey = F.concat(
-        F.format_string("%030d", F.unix_micros(F.col("ts"))),
-        F.format_string("%020d", F.col("event_id")),
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    packed = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 16, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        F.lpad(cents.cast("string"), 10, "0"),
+    ).cast("decimal(38,0)")
+    ten10 = F.lit(10_000_000_000).cast("decimal(38,0)")
+    firsts = ev.groupBy("user_id").agg(
+        ((F.min(packed) % ten10).cast("double") / F.lit(100.0)).alias("first_val")
     )
-    firsts = ev.groupBy("user_id").agg(F.min_by("value", ordkey).alias("first_val"))
     return firsts.agg(
         F.countDistinct("user_id").alias("n_keys"),
         F.countDistinct("first_val").alias("n_distinct_firsts"),

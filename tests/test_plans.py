@@ -204,3 +204,21 @@ def test_ohlc_stays_hash_aggregate(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ohlc_hourly_value")
     assert "SortAggregate" not in plan
     assert "HashAggregate" in plan
+
+
+def test_no_batch_query_uses_sort_aggregate(spark, sf_dir):
+    """Registry-wide scale guard: every batch query's aggregation must
+    stay HashAggregate / ObjectHashAggregate. SortAggregate means some
+    aggregate carries a var-width buffer (min_by/first/min(string)) and
+    the whole scan gets sorted per task — the packing patterns in
+    ohlc_hourly_value / stateful_distinct_firsts exist to avoid it."""
+    from arcon_spark.plans.registry import queries
+
+    offenders = []
+    for name, fn in sorted(queries().items()):
+        if name.startswith("stream_"):
+            continue  # streaming plans are checked by their own tapes
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "SortAggregate" in plan:
+            offenders.append(name)
+    assert offenders == [], offenders
