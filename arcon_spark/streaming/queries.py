@@ -893,3 +893,104 @@ def stream_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(spark, agg, "stream_ohlc").filter(
         F.col("event_type") != _SENTINEL
     )
+
+
+def _ewma_oracle() -> str:
+    """Same contract as the batch form — reuse its registered oracle
+    (operators.maintenance is imported before this module in
+    registry._load_all, so the entry exists)."""
+    import arcon_spark.operators.maintenance  # noqa: F401
+    from arcon_spark.plans.registry import REGISTRY
+
+    return REGISTRY["ewma_user_value"].oracle
+
+
+@register(
+    "stream_ewma_user_value",
+    oracle=_ewma_oracle(),
+    tags=("streaming", "stateful", "ewma", "timeseries"),
+)
+def stream_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-frame EWMA run by the STREAMING engine with a custom
+    Operator: per key, state is a deque of the last depth-1
+    (micros, event_id, cents) observations — the O(depth) state bound
+    the batch ewma_user_value docstring claims, made real. The tape
+    splits events at the midpoint TIMESTAMP (not by id) so per-key
+    sequences stay time-ordered across the epoch boundary and the
+    deque carried over from batch 1 is exactly the lag window batch 2
+    needs. Arithmetic mirrors the batch form: integer cents × 2^k
+    weights, one float division chain at the end — hash-identical to
+    the same DuckDB oracle."""
+    from arcon_spark.operators.maintenance import _EWMA_DEPTH
+    from arcon_spark.streaming.stateful import Operator, apply_operator
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+
+    class EwmaOperator(Operator):
+        """Vectorized: the weighted lag sum is an integer convolution
+        over the (carried lags ‖ batch) cents array — one numpy pass
+        per Arrow batch, no per-row Python. Exactness is preserved:
+        int64 convolution, then the same float64 division chain as the
+        batch form (IEEE correctly-rounded, hash-identical)."""
+
+        def handle_element(self, key, pdf, ctx):
+            import numpy as np
+            import pandas as pd
+
+            st = ctx.value("lags")
+            carried = [int(c) for c in (st.get() or [])]  # oldest → newest cents
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            cents = np.round(pdf["value"].to_numpy(dtype=np.float64) * 100).astype(
+                np.int64
+            )
+            arr = np.concatenate([np.asarray(carried, dtype=np.int64), cents])
+            kernel = np.array(
+                [2 ** (_EWMA_DEPTH - 1 - i) for i in range(_EWMA_DEPTH)],
+                dtype=np.int64,
+            )  # kernel[i] = weight of lag i (newest first)
+            num = np.convolve(arr, kernel)[: len(arr)]
+            idx = np.arange(len(arr))
+            den = np.where(
+                idx >= _EWMA_DEPTH - 1,
+                int(kernel.sum()),
+                np.cumsum(kernel)[np.minimum(idx, _EWMA_DEPTH - 1)],
+            )
+            m = len(carried)
+            ewma = num[m:].astype(np.float64) / den[m:].astype(np.float64) / 100.0
+            st.put([int(c) for c in arr[-(_EWMA_DEPTH - 1):]])
+            return pd.DataFrame(
+                {
+                    "user_id": int(key[0]),
+                    "event_id": pdf["event_id"].to_numpy(dtype=np.int64),
+                    "ewma": ewma,
+                }
+            )
+
+    first_half = ev.filter(F.col("ts") <= F.lit(mid))
+    second_half = ev.filter(F.col("ts") > F.lit(mid))
+    root = write_segments([first_half, second_half])
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+    out = apply_operator(
+        src, ["user_id"], EwmaOperator(), "user_id long, event_id long, ewma double"
+    )
+    name = f"stream_ewma_{uuid.uuid4().hex[:8]}"
+
+    def run():
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    _with_stream_partitions(spark, run)
+    return spark.table(name)
