@@ -669,3 +669,76 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     q.unpersist()
     return assign.select("vec_id", F.col("cid").cast("long").alias("cluster"))
+
+
+# ---------------------------------------------------------------------------
+# Vector compression: int8 scalar quantization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle=f"""
+    WITH scaled AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS max_abs
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id, max_abs,
+             CASE WHEN max_abs = 0.0 THEN list_transform(embedding, v -> 0)
+                  ELSE list_transform(embedding,
+                       v -> CAST(round(CAST(v AS DOUBLE) * 127.0 / max_abs) AS INTEGER))
+             END AS qvec,
+             max_abs / 127.0 AS scale
+      FROM scaled
+    ), err AS (
+      SELECT q.vec_id,
+             MAX(abs(CAST(q.qvec[u.i] AS DOUBLE) * q.scale
+                     - CAST(e.embedding[u.i] AS DOUBLE))) AS max_abs_err,
+             CAST(COUNT(CASE WHEN abs(q.qvec[u.i]) = 127 THEN 1 END) AS BIGINT)
+               AS n_saturated
+      FROM q JOIN embeddings e ON q.vec_id = e.vec_id,
+           UNNEST(generate_series(1, len(e.embedding))) AS u(i)
+      GROUP BY q.vec_id
+    )
+    SELECT q.vec_id, q.qvec, q.scale, err.max_abs_err, err.n_saturated
+    FROM q JOIN err ON q.vec_id = err.vec_id
+    """,
+    tags=("similarity", "quantization", "pipeline"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — the 4×
+    compression an ANN index applies before sharding vectors at scale
+    (64-dim float32 → 64 bytes + 1 scale). Per-vector symmetric scale
+    (max_abs/127), quantized array, max reconstruction error, and the
+    saturation count — all computed IN the row with array higher-order
+    functions: a single codegen projection, zero shuffles, zero Python.
+    The max-based error metric is order-independent, so every float op
+    is a deterministic scalar expression both engines evaluate
+    identically (cf. the exact-integer rules in plans/compat)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    scaled = emb.withColumn(
+        "max_abs", F.expr("array_max(transform(embedding, v -> abs(cast(v as double))))")
+    )
+    q = scaled.select(
+        "vec_id",
+        "embedding",
+        F.expr(
+            "CASE WHEN max_abs = 0.0D THEN transform(embedding, v -> 0)"
+            " ELSE transform(embedding,"
+            "      v -> cast(round(cast(v as double) * 127.0D / max_abs) as int)) END"
+        ).alias("qvec"),
+        (F.col("max_abs") / 127.0).alias("scale"),
+    )
+    return q.select(
+        "vec_id",
+        "qvec",
+        "scale",
+        F.expr(
+            "array_max(zip_with(qvec, embedding,"
+            " (qi, v) -> abs(cast(qi as double) * scale - cast(v as double))))"
+        ).alias("max_abs_err"),
+        F.expr("cast(size(filter(qvec, qi -> abs(qi) = 127)) as bigint)").alias(
+            "n_saturated"
+        ),
+    )

@@ -1018,3 +1018,117 @@ def stream_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _with_stream_partitions(spark, run)
     return spark.table(name)
+
+
+@register(
+    "stream_mad_anomaly",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY event_type
+    ), mad AS (
+      SELECT e.event_type, MAX(m.med) AS med, median(abs(e.value - m.med)) AS mad
+      FROM events e JOIN med m ON e.event_type = m.event_type
+      GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type, e.value, d.med, d.mad,
+           (abs(e.value - d.med) > 3.0 * d.mad) AS is_outlier
+    FROM events e JOIN mad d ON e.event_type = d.event_type
+    """,
+    tags=("streaming", "anomaly", "enrichment", "pipeline"),
+)
+def stream_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly flagging against batch-fitted robust stats:
+    the per-event_type median/MAD profile (see mad_outlier_events) is
+    computed on the static history table, broadcast, and every live
+    event is flagged in-flight when it sits beyond 3 MADs — the
+    fit-offline / score-online deployment shape of a production
+    anomaly detector. The stream side is a stateless projection + an
+    executor-local hash probe: no state store, no shuffle, unbounded
+    throughput; refreshing the profile is a re-broadcast, not a
+    restart."""
+    import os
+    import shutil
+    import tempfile
+
+    from arcon_spark.functions.curation import mad_outlier_events
+
+    stats = mad_outlier_events(spark, sf_dir).select("event_type", "med", "mad")
+    ev_raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    root = tempfile.mkdtemp(prefix="arcon_smad_")
+    shutil.copyfile(f"{sf_dir}/events.parquet", os.path.join(root, "b.parquet"))
+    src = (
+        spark.readStream.schema(ev_raw.schema)
+        .parquet(root)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .select("event_id", "event_type", "value")
+    )
+    flagged = src.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        "mad",
+        (F.abs(F.col("value") - F.col("med")) > 3.0 * F.col("mad")).alias("is_outlier"),
+    )
+    return _run_to_memory(spark, flagged, "stream_mad")
+
+
+_STREAM_TOPK = 3
+
+
+@register(
+    "stream_appender_topk_window",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_id, value,
+             row_number() OVER (
+               PARTITION BY time_bucket(INTERVAL '1 hour', ts)
+               ORDER BY value DESC, event_id) AS rk
+      FROM {EVENTS_NORM}
+    )
+    SELECT win_start, CAST(rk AS BIGINT) AS rk, event_id, value
+    FROM ranked WHERE rk <= {_STREAM_TOPK}
+    """,
+    tags=("streaming", "window", "appender", "topk", "survey2.4"),
+)
+def stream_appender_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING AppenderWindow (reference: appender buffers raw
+    elements per window, materializer runs on fire —
+    index/window/appender.rs:10-91): per hourly window, buffer
+    (value, event_id) pairs in the windowed aggregation state and on
+    watermark-flush materialize the top-3 by (value desc, event_id).
+    Spark form: windowed collect_list + in-row comparator sort + slice
+    — the append-mode flush IS the window-fire timing, and the
+    materializer is a codegen array expression, not a UDF. State is
+    O(rows in open windows), exactly the appender contract; for a
+    bounded-state variant at higher k see the note on sketch-based
+    top-k in COVERAGE.md."""
+    src = _streamed_events(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.collect_list(F.struct("value", "event_id")).alias("buf"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.expr(
+                f"""slice(array_sort(buf, (l, r) -> CASE
+                       WHEN l.value > r.value THEN -1
+                       WHEN l.value < r.value THEN 1
+                       WHEN l.event_id < r.event_id THEN -1
+                       WHEN l.event_id > r.event_id THEN 1
+                       ELSE 0 END), 1, {_STREAM_TOPK})"""
+            ).alias("top"),
+        )
+        .select(
+            "win_start",
+            F.posexplode("top").alias("i", "e"),
+        )
+        .select(
+            "win_start",
+            (F.col("i") + 1).cast("long").alias("rk"),
+            F.col("e.event_id").alias("event_id"),
+            F.col("e.value").alias("value"),
+        )
+    )
+    return _run_to_memory(spark, agg, "stream_topk").filter(F.col("event_id") >= 0)

@@ -50,6 +50,13 @@ HEADLINE = [
     "pareto_frontier_orders",
     "split_contamination_check",
     "zorder_events_layout",
+    "pii_redact_stats",
+    "gopher_quality_flags",
+    "decontam_ngram_overlap",
+    "mad_outlier_events",
+    "domain_mixture_weights",
+    "bpe_pair_merge_stats",
+    "embedding_quantize_int8",
     "stream_tumbling_window_agg",
 ]
 

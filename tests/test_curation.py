@@ -106,3 +106,45 @@ def test_mixture_weights_follow_temperature_rule(spark, sf_dir):
     # sampled_n is near target_n (hash-uniform acceptance), never > n_docs
     for r in rows:
         assert r.sampled_n <= r.n_docs
+
+
+def test_bpe_top_pair_matches_python_reference(spark, sf_dir):
+    """The top merge pair must equal a plain-Python recount over the
+    same vocab histogram."""
+    from collections import Counter
+
+    from arcon_spark.functions.text import bpe_pair_merge_stats
+
+    docs = [
+        r.text
+        for r in load_table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    vocab = Counter()
+    for d in docs:
+        for t in d.lower().split(" "):
+            if t:
+                vocab[t] += 1
+    pairs = Counter()
+    for tok, freq in vocab.items():
+        for i in range(len(tok) - 1):
+            pairs[tok[i : i + 2]] += freq
+    out = bpe_pair_merge_stats(spark, sf_dir).collect()
+    assert out[0].rk == 1
+    best = min(sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:1])
+    assert (out[0].pair, out[0].pair_count) == best
+    # ranks are dense 1..N and counts non-increasing
+    assert [r.rk for r in out] == list(range(1, len(out) + 1))
+    assert all(a.pair_count >= b.pair_count for a, b in zip(out, out[1:]))
+
+
+def test_int8_quantization_bounds(spark, sf_dir):
+    """Quantized values stay in [-127, 127]; reconstruction error is
+    bounded by scale/2 per component (round-to-nearest)."""
+    from arcon_spark.functions.similarity import embedding_quantize_int8
+
+    rows = embedding_quantize_int8(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert all(-127 <= q <= 127 for q in r.qvec)
+        assert r.max_abs_err <= r.scale / 2 + 1e-12
+        assert r.n_saturated >= 1  # the max component always hits ±127
