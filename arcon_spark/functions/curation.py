@@ -269,10 +269,14 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select(
             "doc_id",
             "is_eval",
+            # sequence(1, 0) counts DOWN in Spark → slice(start=0) error
+            # on docs shorter than the n-gram; guard explicitly.
             F.explode(
                 F.expr(
-                    f"transform(sequence(1, greatest(size(t) - {_NGRAM - 1}, 0)),"
+                    f"CASE WHEN size(t) >= {_NGRAM} THEN"
+                    f" transform(sequence(1, size(t) - {_NGRAM - 1}),"
                     f" i -> concat_ws(' ', slice(t, i, {_NGRAM})))"
+                    f" ELSE array() END"
                 )
             ).alias("ngram"),
         )

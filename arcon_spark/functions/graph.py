@@ -294,3 +294,121 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select(
         F.col("node").alias("nationkey"), F.col("dist").cast("long").alias("dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (community detection)
+# ---------------------------------------------------------------------------
+
+_LPA_ITERS = 3
+
+
+def _sql_lpa_iterations() -> str:
+    parts = []
+    prev = "l0"
+    for k in range(1, _LPA_ITERS + 1):
+        parts.append(
+            f"""v{k} AS (
+      SELECT u.dst AS node, p.lab, CAST(COUNT(*) AS BIGINT) AS c
+      FROM undirected u JOIN {prev} p ON p.node = u.src
+      GROUP BY u.dst, p.lab
+    ),
+    m{k} AS (
+      SELECT node, lab FROM (
+        SELECT node, lab,
+               row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+        FROM v{k}) WHERE rn = 1
+    ),
+    l{k} AS (
+      SELECT p.node, COALESCE(m.lab, p.lab) AS lab
+      FROM {prev} p LEFT JOIN m{k} m ON m.node = p.node
+    )"""
+        )
+        prev = f"l{k}"
+    return ",\n    ".join(parts)
+
+
+@register(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH flows AS (
+      SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
+      FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+      WHERE s_nationkey <> c_nationkey
+    ),
+    undirected AS (
+      SELECT src, dst FROM flows
+      UNION
+      SELECT dst AS src, src AS dst FROM flows
+    ),
+    nodes AS (SELECT n_nationkey AS node FROM nation),
+    l0 AS (SELECT node, CAST(node AS BIGINT) AS lab FROM nodes),
+    {_sql_lpa_iterations()}
+    SELECT node AS nationkey, lab AS community
+    FROM l{_LPA_ITERS}
+    """,
+    tags=("graph", "iterative", "community"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (3 rounds) over the undirected
+    nation trade network: every node starts as its own community; each
+    round it adopts the most frequent label among its neighbours
+    (ties → smallest label; isolated nodes keep their own). The
+    deterministic argmax (count desc, label asc via row_number) makes
+    the synchronous schedule reproducible across engines — the known
+    LPA pitfall (random tie-breaking) is exactly what the oracle
+    forbids. Spark side is the driver-loop-of-joins pattern shared
+    with pagerank: per round one join on src + one (node, lab) count
+    + one WindowGroupLimit argmax; edges persisted once. The oracle
+    unrolls the same rounds as chained CTEs."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    flows = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+        .distinct()
+    )
+    undirected = (
+        flows.union(flows.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        load_table(spark, sf_dir, "nation")
+        .select(F.col("n_nationkey").alias("node"))
+        .withColumn("lab", F.col("node").cast("long"))
+    )
+    rn_w = W.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
+    for _ in range(_LPA_ITERS):
+        votes = (
+            undirected.join(
+                labels.select(F.col("node").alias("src"), "lab"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"), "lab")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        winner = (
+            votes.withColumn("rn", F.row_number().over(rn_w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("lab").alias("newlab"))
+        )
+        labels = (
+            labels.join(winner, "node", "left")
+            .select(
+                "node", F.coalesce(F.col("newlab"), F.col("lab")).alias("lab")
+            )
+            .persist()
+        )
+    return labels.select(
+        F.col("node").alias("nationkey"), F.col("lab").alias("community")
+    )

@@ -729,3 +729,75 @@ def bpe_pair_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _BPE_TOP)
         .orderBy(F.desc("pair_count"), F.asc("pair"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate passage detection
+# ---------------------------------------------------------------------------
+
+_BP_N = 12
+_BP_MIN_DOCS = 3
+
+
+@register(
+    "boilerplate_passages",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS_LIST} AS t FROM documents
+    ), ng AS (
+      SELECT doc_id, ngram, CAST(COUNT(*) AS BIGINT) AS n_in_doc FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(0, greatest(len(t) - {_BP_N - 1}, 0)),
+                      i -> array_to_string(list_slice(t, i + 1, i + {_BP_N}), ' '))) AS ngram
+        FROM toks)
+      GROUP BY doc_id, ngram
+    )
+    SELECT ngram AS passage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           SUM(n_in_doc) AS n_occurrences,
+           MIN(doc_id) AS example_doc_id
+    FROM ng GROUP BY ngram
+    HAVING COUNT(*) >= {_BP_MIN_DOCS}
+    """,
+    tags=("text", "boilerplate", "dedup", "pipeline"),
+)
+def boilerplate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/template detection: token-12-gram passages that
+    repeat across ≥3 distinct documents (headers, footers, licence
+    blocks — the spans a curation pass strips before dedup so they
+    don't glue unrelated documents into one near-dup cluster).
+    Passages are built in-row (sequence/slice — zero pre-shuffle),
+    pre-aggregated per (doc, passage), then one hash aggregate on the
+    passage. At 100 TB the passage key space is long-tailed: the
+    per-doc pre-aggregation is the map-side combine that keeps the
+    exchange proportional to distinct passages, and a count-min/
+    frequent-items sketch would replace the exact count once the tail
+    itself stops fitting — the exact form here IS the verifier for
+    that approximation."""
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    ng = (
+        docs.select(
+            "doc_id",
+            # sequence(1, 0) counts DOWN in Spark, so guard short docs
+            # with an explicit empty-array branch instead of greatest().
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size({_TOKS}) >= {_BP_N} THEN"
+                    f" transform(sequence(1, size({_TOKS}) - {_BP_N - 1}),"
+                    f" i -> concat_ws(' ', slice({_TOKS}, i, {_BP_N})))"
+                    f" ELSE array() END"
+                )
+            ).alias("ngram"),
+        )
+        .groupBy("doc_id", "ngram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_in_doc"))
+    )
+    return (
+        ng.groupBy(F.col("ngram").alias("passage"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_in_doc").alias("n_occurrences"),
+            F.min("doc_id").alias("example_doc_id"),
+        )
+        .filter(F.col("n_docs") >= _BP_MIN_DOCS)
+    )

@@ -538,3 +538,57 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(num).cast("double") / F.expr(den).cast("double") / F.lit(100.0)
         ).alias("ewma"),
     )
+
+
+@register(
+    "seasonal_hourly_baseline",
+    oracle=f"""
+    WITH prof AS (
+      SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hod,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(value * 100) AS HUGEINT)) AS DOUBLE) / 100.0
+               / CAST(COUNT(*) AS DOUBLE) AS mean_value
+      FROM {EVENTS_NORM} GROUP BY 1, 2
+    )
+    SELECT events.event_type, CAST(extract(hour FROM events.ts) AS BIGINT) AS hod,
+           MAX(p.n) AS n, MAX(p.mean_value) AS mean_value,
+           MAX(abs(events.value - p.mean_value)) AS max_abs_dev
+    FROM {EVENTS_NORM}
+    JOIN prof p ON p.event_type = events.event_type
+              AND p.hod = CAST(extract(hour FROM events.ts) AS BIGINT)
+    GROUP BY 1, 2
+    """,
+    tags=("timeseries", "seasonal", "profile"),
+)
+def seasonal_hourly_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-of-day seasonal profile: per (event_type, hour-of-day)
+    count and exact mean, plus the worst deviation any event shows
+    from its seasonal baseline — the fitted table a seasonal anomaly
+    detector (and the capacity planner behind it) consumes. The mean
+    goes through exact integer units (plans/compat rules) so the
+    profile is bit-identical cross-engine; the deviation pass re-scans
+    events against the broadcast profile (168-row table at any data
+    size) — two scans, one tiny broadcast, no wide shuffle."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    hod = F.hour("ts").cast("long")
+    prof = (
+        ev.groupBy(F.col("event_type"), hod.alias("hod"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("decimal(38,0)")).cast("double")
+                / 100.0
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_value"),
+        )
+    )
+    return (
+        ev.select("event_type", hod.alias("hod"), "value")
+        .join(F.broadcast(prof), ["event_type", "hod"])
+        .groupBy("event_type", "hod")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("mean_value").alias("mean_value"),
+            F.max(F.abs(F.col("value") - F.col("mean_value"))).alias("max_abs_dev"),
+        )
+    )
