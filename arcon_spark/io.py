@@ -48,6 +48,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Some dataset generations write timestamp[us] with isAdjustedToUTC=false,
+    # which Spark reads as TIMESTAMP_NTZ when inferTimestampNTZ couldn't be
+    # disabled before the scan. Normalize to TIMESTAMP (session tz is UTC, so
+    # the instant is unchanged and matches DuckDB's naive reading).
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
@@ -65,6 +72,11 @@ def ensure_session_confs(spark: SparkSession) -> None:
     """
     for k, v in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # timestamp[us] with isAdjustedToUTC=false must read as TIMESTAMP
+        # (LTZ), not TIMESTAMP_NTZ: the whole expression surface
+        # (unix_micros, date_trunc, window()) and the UTC-naive DuckDB
+        # oracle agree under LTZ + UTC session zone.
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.adaptive.enabled", "true"),

@@ -53,6 +53,20 @@ def _with_stream_partitions(spark: SparkSession, run) :
 _TAPE_CACHE: dict[tuple[str, int], str] = {}
 
 
+def _ts_to_timestamp(df: DataFrame) -> DataFrame:
+    """Normalize the events `ts` column to TIMESTAMP regardless of how the
+    generator wrote it: int64 TIMESTAMP(NANOS) (read as bigint under
+    nanosAsLong) → floor to µs; timestamp[us] without tz → cast NTZ→LTZ
+    (identical instant under the UTC session zone); already TIMESTAMP → no-op.
+    Mirrors io.load_table on the batch path."""
+    t = dict(df.dtypes).get("ts")
+    if t == "bigint":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if t == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def _streamed_events(spark: SparkSession, sf_dir: str, n_sentinels: int = 2) -> DataFrame:
     """events as a 2-batch stream: the ORIGINAL parquet file (hard-copied,
     never rewritten — at sf0.1 that saves rewriting 100k rows per query)
@@ -82,7 +96,10 @@ def _streamed_events(spark: SparkSession, sf_dir: str, n_sentinels: int = 2) -> 
     import tempfile
     import time
 
-    ev_raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # ts: bigint nanos
+    from arcon_spark.io import ensure_session_confs
+
+    ensure_session_confs(spark)
+    ev_raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     cached = _TAPE_CACHE.get((sf_dir, n_sentinels))
     if cached is not None:
         src = (
@@ -90,20 +107,26 @@ def _streamed_events(spark: SparkSession, sf_dir: str, n_sentinels: int = 2) -> 
             .option("maxFilesPerTrigger", "2")
             .parquet(cached)
         )
-        return src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return _ts_to_timestamp(src)
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     src_file = f"{sf_dir}/events.parquet"
     pf = pq.ParquetFile(src_file)
     ts_idx = pf.schema_arrow.get_field_index("ts")
-    max_ns = max(
+    ts_type = pf.schema_arrow.field(ts_idx).type
+    # The generator has shipped events.ts as int64 TIMESTAMP(NANOS) and as
+    # plain timestamp[us]; sentinels must match the base file's physical type
+    # so one read schema covers the whole directory.
+    unit = "ns" if ts_type == pa.int64() else ts_type.unit
+    max_ts = max(
         pf.metadata.row_group(g).column(ts_idx).statistics.max
         for g in range(pf.metadata.num_row_groups)
     )
-    if not isinstance(max_ns, int):  # TIMESTAMP(NANOS) stats decode as datetime
-        max_ns = int(pa.scalar(max_ns, pa.timestamp("ns")).value)
-    day_ns = 86_400_000_000_000
+    if not isinstance(max_ts, int):  # timestamp stats decode as datetime
+        max_ts = int(pa.scalar(max_ts, pa.timestamp(unit)).value)
+    day = {"s": 86_400, "ms": 86_400_000, "us": 86_400_000_000,
+           "ns": 86_400_000_000_000}[unit]
     root = tempfile.mkdtemp(prefix="arcon_stream_ev_")
     dst = os.path.join(root, "base.parquet")  # ordered first via older mtime
     shutil.copyfile(src_file, dst)
@@ -111,11 +134,16 @@ def _streamed_events(spark: SparkSession, sf_dir: str, n_sentinels: int = 2) -> 
     os.utime(dst, (past, past))
     base_t = time.time()
     for k in range(n_sentinels):
-        ns = max_ns + (30 + k) * day_ns
+        t = max_ts + (30 + k) * day
+        ts_arr = (
+            pa.array([t], pa.int64())
+            if ts_type == pa.int64()
+            else pa.array([t], pa.int64()).cast(ts_type)
+        )
         tbl = pa.table(
             {
                 "event_id": pa.array([-1], pa.int64()),
-                "ts": pa.array([ns], pa.int64()),
+                "ts": ts_arr,
                 "user_id": pa.array([-1], pa.int64()),
                 "event_type": pa.array([_SENTINEL], pa.string()),
                 "value": pa.array([0.0], pa.float64()),
@@ -131,7 +159,7 @@ def _streamed_events(spark: SparkSession, sf_dir: str, n_sentinels: int = 2) -> 
         .option("maxFilesPerTrigger", "2")
         .parquet(root)
     )
-    return src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return _ts_to_timestamp(src)
 
 
 @register(
@@ -388,7 +416,7 @@ def stream_stream_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.copyfile(f"{sf_dir}/events.parquet", os.path.join(root, "b.parquet"))
         src = spark.readStream.schema(ev_raw.schema).parquet(root)
         return (
-            src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            _ts_to_timestamp(src)
             .filter(F.expr(pred))
             .select("event_id", "ts", "user_id")
         )
@@ -432,12 +460,9 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     root = tempfile.mkdtemp(prefix="arcon_sse_")
     shutil.copyfile(f"{sf_dir}/events.parquet", os.path.join(root, "b.parquet"))
-    src = (
-        spark.readStream.schema(ev_raw.schema)
-        .parquet(root)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        .select("event_id", "user_id", "value")
-    )
+    src = _ts_to_timestamp(
+        spark.readStream.schema(ev_raw.schema).parquet(root)
+    ).select("event_id", "user_id", "value")
     dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     joined = src.join(F.broadcast(dim), src.user_id == dim.c_custkey).select(
         "event_id", "user_id", "value", "c_mktsegment"
@@ -1057,12 +1082,9 @@ def stream_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     root = tempfile.mkdtemp(prefix="arcon_smad_")
     shutil.copyfile(f"{sf_dir}/events.parquet", os.path.join(root, "b.parquet"))
-    src = (
-        spark.readStream.schema(ev_raw.schema)
-        .parquet(root)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        .select("event_id", "event_type", "value")
-    )
+    src = _ts_to_timestamp(
+        spark.readStream.schema(ev_raw.schema).parquet(root)
+    ).select("event_id", "event_type", "value")
     flagged = src.join(F.broadcast(stats), "event_type").select(
         "event_id",
         "event_type",
