@@ -1,0 +1,297 @@
+"""Event-sequence analytics: funnels, cohort retention, interval
+coverage, and CEP-style pattern matching.
+
+None of these exist in the reference (SURVEY.md §2.9 — no joins, no
+sorts, no window functions); they are the event-stream "query
+capabilities" a state-first streaming engine is used for, expressed
+here as single-window-pass or co-partitioned-join DataFrame plans:
+
+- **Funnel** — stage timestamps chained by conditional aggregation;
+  the per-user stage-1 aggregate joins back on the SAME user_id hash
+  partitioning (one co-located shuffle join, no broadcast needed at
+  100 TB where the user dimension is large).
+- **Cohort retention** — two aggregations sharing the user_id
+  exchange; weeks are integer epoch arithmetic, so every count is
+  exact.
+- **Interval coverage** — the classic sweep-line union of per-user
+  time intervals as ONE window pass (running max end → island ids →
+  per-island span), all in µs longs; no self-join, no explode.
+- **CEP pattern** — "A then B within t, with no C between" via
+  carried last-A / last-C columns in one window pass — the same plan
+  shape as the as-of join (operators/temporal.py), which is what CEP
+  NFAs compile to for bounded lookback patterns.
+
+All four are one-or-two-exchange plans whose shuffles key on user_id:
+at 1000 executors they scale with the user-key hash partitioning and
+AQE handles per-user skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from arcon_spark.io import load_table
+from arcon_spark.plans.compat import EVENTS_NORM
+from arcon_spark.plans.registry import register
+
+_US_PER_WEEK = 7 * 86_400_000_000
+_COVER_MIN = 5  # interval half-width, minutes
+_CEP_MIN = 60  # A→B pattern bound, minutes
+
+
+@register(
+    "funnel_conversion",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts
+      FROM {EVENTS_NORM} GROUP BY user_id
+    ),
+    v AS (
+      SELECT events.user_id, s.signup_ts,
+             min(CASE WHEN events.event_type = 'view'
+                       AND events.ts > s.signup_ts THEN events.ts END) AS view_ts
+      FROM {EVENTS_NORM}
+      JOIN s ON events.user_id = s.user_id
+      WHERE s.signup_ts IS NOT NULL
+      GROUP BY events.user_id, s.signup_ts
+    ),
+    p AS (
+      SELECT events.user_id, v.signup_ts, v.view_ts,
+             min(CASE WHEN events.event_type = 'purchase'
+                       AND events.ts > v.view_ts THEN events.ts END) AS purchase_ts
+      FROM {EVENTS_NORM}
+      JOIN v ON events.user_id = v.user_id
+      GROUP BY events.user_id, v.signup_ts, v.view_ts
+    )
+    SELECT user_id, signup_ts, view_ts, purchase_ts,
+           CASE WHEN purchase_ts IS NOT NULL THEN 3
+                WHEN view_ts IS NOT NULL THEN 2 ELSE 1 END AS stage
+    FROM p
+    """,
+    tags=("analytics", "funnel", "sequence"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup → view → purchase per user: each stage
+    timestamp is the first qualifying event STRICTLY AFTER the prior
+    stage. Three aggregations; the two join-backs re-use the user_id
+    hash partitioning (co-located joins — `.explain` shows one
+    Exchange per aggregation, none for the joins)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    s = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("signup_ts")
+    )
+    v = (
+        ev.join(s.filter(F.col("signup_ts").isNotNull()), "user_id")
+        .groupBy("user_id", "signup_ts")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "view") & (F.col("ts") > F.col("signup_ts")),
+                    F.col("ts"),
+                )
+            ).alias("view_ts")
+        )
+    )
+    p = (
+        ev.join(v, "user_id")
+        .groupBy("user_id", "signup_ts", "view_ts")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("view_ts")),
+                    F.col("ts"),
+                )
+            ).alias("purchase_ts")
+        )
+    )
+    return p.select(
+        "user_id",
+        "signup_ts",
+        "view_ts",
+        "purchase_ts",
+        F.when(F.col("purchase_ts").isNotNull(), 3)
+        .when(F.col("view_ts").isNotNull(), 2)
+        .otherwise(1)
+        .alias("stage"),
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT user_id, min(epoch_us(ts) // {_US_PER_WEEK}) AS cohort_week
+      FROM {EVENTS_NORM} GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT events.user_id, f.cohort_week,
+             epoch_us(events.ts) // {_US_PER_WEEK} - f.cohort_week AS week_offset
+      FROM {EVENTS_NORM}
+      JOIN firsts f ON events.user_id = f.user_id
+    )
+    SELECT cohort_week, week_offset, count(*) AS n_users
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+    tags=("analytics", "retention", "cohort"),
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users bucketed by first-seen
+    week, counted once per (cohort, week offset) they were active in.
+    Integer epoch-week arithmetic → exact counts. The first-seen
+    aggregate and the join-back share the user_id exchange."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"unix_micros(ts) div {_US_PER_WEEK}").alias("week")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+@register(
+    "interval_coverage_users",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s_us,
+             epoch_us(ts) + {_COVER_MIN * 60_000_000} AS e_us
+      FROM {EVENTS_NORM}
+    ),
+    marked AS (
+      SELECT user_id, s_us, e_us,
+             CASE WHEN s_us <= max(e_us) OVER (
+                    PARTITION BY user_id ORDER BY s_us, e_us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 0 ELSE 1 END AS is_new
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s_us, e_us,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    ),
+    spans AS (
+      SELECT user_id, island,
+             max(e_us) - min(s_us) AS span_us
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id, count(*) AS n_islands, sum(span_us) AS covered_us
+    FROM spans GROUP BY user_id
+    """,
+    tags=("analytics", "temporal", "sweep"),
+)
+def interval_coverage_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union length of per-user activity intervals [ts, ts+5min): the
+    sweep-line as one window pass — running max of interval ends marks
+    island starts, a running sum numbers the islands, then
+    max(end)-min(start) per island. All µs longs (exact); one exchange
+    on user_id shared by both window functions and the final agg."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("s_us"),
+        (F.unix_micros("ts") + F.lit(_COVER_MIN * 60_000_000)).alias("e_us"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "e_us")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "e_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = ev.withColumn(
+        "is_new",
+        F.when(F.col("s_us") <= F.max("e_us").over(w_prev), 0).otherwise(1),
+    )
+    islands = marked.withColumn("island", F.sum("is_new").over(w_run))
+    spans = islands.groupBy("user_id", "island").agg(
+        (F.max("e_us") - F.min("s_us")).alias("span_us")
+    )
+    return spans.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"), F.sum("span_us").alias("covered_us")
+    )
+
+
+@register(
+    "cep_purchase_error_pattern",
+    oracle=f"""
+    WITH carried AS (
+      SELECT user_id, event_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_purchase_ts,
+             last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_signup_ts
+      FROM {EVENTS_NORM}
+    )
+    SELECT user_id, event_id AS error_id, ts AS error_ts, last_purchase_ts,
+           epoch_us(ts) - epoch_us(last_purchase_ts) AS gap_us
+    FROM carried
+    WHERE event_type = 'error'
+      AND last_purchase_ts IS NOT NULL
+      AND epoch_us(ts) - epoch_us(last_purchase_ts) <= {_CEP_MIN * 60_000_000}
+      AND (last_signup_ts IS NULL OR last_signup_ts < last_purchase_ts)
+    """,
+    tags=("analytics", "cep", "sequence"),
+)
+def cep_purchase_error_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP pattern: purchase FOLLOWED BY error within 60 minutes with
+    NO signup in between — matched in one ordered window pass by
+    carrying last-purchase / last-signup timestamps onto every event
+    (bounded-lookback NFA state as carried columns; same plan shape
+    as the as-of join). One exchange on user_id."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("ts")), ignorenulls=True
+        )
+        .over(w)
+        .alias("last_purchase_ts"),
+        F.last(
+            F.when(F.col("event_type") == "signup", F.col("ts")), ignorenulls=True
+        )
+        .over(w)
+        .alias("last_signup_ts"),
+    )
+    gap = F.unix_micros("ts") - F.unix_micros("last_purchase_ts")
+    return carried.filter(
+        (F.col("event_type") == "error")
+        & F.col("last_purchase_ts").isNotNull()
+        & (gap <= F.lit(_CEP_MIN * 60_000_000))
+        & (
+            F.col("last_signup_ts").isNull()
+            | (F.col("last_signup_ts") < F.col("last_purchase_ts"))
+        )
+    ).select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+        "last_purchase_ts",
+        gap.alias("gap_us"),
+    )

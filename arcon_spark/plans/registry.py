@@ -54,6 +54,7 @@ def _load_all() -> None:
     import arcon_spark.operators.windows  # noqa: F401
     import arcon_spark.operators.stateful  # noqa: F401
     import arcon_spark.operators.temporal  # noqa: F401
+    import arcon_spark.operators.analytics  # noqa: F401
     import arcon_spark.operators.maintenance  # noqa: F401
     import arcon_spark.operators.tpch  # noqa: F401
     import arcon_spark.functions.curation  # noqa: F401

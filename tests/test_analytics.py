@@ -1,0 +1,103 @@
+"""Semantics tests for operators/analytics.py on hand-built frames —
+the oracle gate checks engine parity; these pin the operator logic
+itself (strict stage ordering, island merging, no-C-between)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arcon_spark.operators import analytics
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(uid, eid, f"2024-01-01 {t}", et, 0.0, "{}") for uid, eid, t, et in rows],
+        "user_id long, event_id long, ts_s string, event_type string, value double, props string",
+    ).select(
+        "user_id",
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def test_funnel_requires_strict_stage_order(spark, monkeypatch, tmp_path):
+    # user 1: signup < view < purchase (stage 3)
+    # user 2: view BEFORE signup, purchase after signup but no view after
+    #         signup → stage 1
+    df = _events(
+        spark,
+        [
+            (1, 1, "00:00:00", "signup"),
+            (1, 2, "00:10:00", "view"),
+            (1, 3, "00:20:00", "purchase"),
+            (2, 4, "00:05:00", "view"),
+            (2, 5, "00:10:00", "signup"),
+            (2, 6, "00:15:00", "purchase"),
+        ],
+    )
+    monkeypatch.setattr(analytics, "load_table", lambda s, d, n: df)
+    out = {
+        r["user_id"]: r["stage"]
+        for r in analytics.funnel_conversion(spark, "unused").collect()
+    }
+    assert out == {1: 3, 2: 1}
+
+
+def test_interval_coverage_merges_overlaps(spark, monkeypatch):
+    # user 1: events at 0 and 3 min (5-min intervals overlap → one
+    # island of 8 min); user 2: events at 0 and 20 min (two islands).
+    df = _events(
+        spark,
+        [
+            (1, 1, "00:00:00", "click"),
+            (1, 2, "00:03:00", "click"),
+            (2, 3, "00:00:00", "click"),
+            (2, 4, "00:20:00", "click"),
+        ],
+    )
+    monkeypatch.setattr(analytics, "load_table", lambda s, d, n: df)
+    rows = {
+        r["user_id"]: (r["n_islands"], r["covered_us"])
+        for r in analytics.interval_coverage_users(spark, "unused").collect()
+    }
+    assert rows[1] == (1, 8 * 60_000_000)
+    assert rows[2] == (2, 10 * 60_000_000)
+
+
+def test_cep_rejects_signup_between(spark, monkeypatch):
+    # user 1: purchase → error (10 min gap) → match
+    # user 2: purchase → signup → error → rejected (C between)
+    # user 3: purchase → error 2h later → rejected (out of bound)
+    df = _events(
+        spark,
+        [
+            (1, 1, "00:00:00", "purchase"),
+            (1, 2, "00:10:00", "error"),
+            (2, 3, "00:00:00", "purchase"),
+            (2, 4, "00:05:00", "signup"),
+            (2, 5, "00:10:00", "error"),
+            (3, 6, "00:00:00", "purchase"),
+            (3, 7, "02:00:00", "error"),
+        ],
+    )
+    monkeypatch.setattr(analytics, "load_table", lambda s, d, n: df)
+    out = analytics.cep_purchase_error_pattern(spark, "unused").collect()
+    assert [(r["user_id"], r["error_id"], r["gap_us"]) for r in out] == [
+        (1, 2, 10 * 60_000_000)
+    ]
+
+
+def test_retention_cohort_week_zero_counts_all_users(spark, monkeypatch):
+    df = _events(
+        spark,
+        [
+            (1, 1, "00:00:00", "click"),  # week 0 for both users
+            (2, 2, "00:00:00", "click"),
+        ],
+    )
+    monkeypatch.setattr(analytics, "load_table", lambda s, d, n: df)
+    rows = analytics.retention_cohorts(spark, "unused").collect()
+    assert len(rows) == 1 and rows[0]["week_offset"] == 0 and rows[0]["n_users"] == 2
