@@ -801,3 +801,57 @@ def boilerplate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= _BP_MIN_DOCS)
     )
+
+
+@register(
+    "text_trigram_simpson",
+    oracle="""
+    WITH idx AS (
+      SELECT doc_id, text, unnest(generate_series(1, length(text)-2)) AS i
+      FROM documents WHERE length(text) >= 4
+    ),
+    tri AS (SELECT doc_id, substring(text, CAST(i AS INT), 3) AS tg FROM idx),
+    c AS (SELECT doc_id, tg, count(*) AS c FROM tri GROUP BY 1, 2),
+    num AS (SELECT doc_id, SUM(c*(c-1)) AS simpson_num FROM c GROUP BY 1)
+    SELECT d.doc_id, length(d.text) - 2 AS n_trigrams, n.simpson_num,
+           CAST(n.simpson_num AS DOUBLE)
+             / ((length(d.text) - 2) * (length(d.text) - 3)) AS simpson
+    FROM documents d JOIN num n ON d.doc_id = n.doc_id
+    WHERE length(d.text) >= 4
+    """,
+    tags=("text", "quality", "repetition"),
+)
+def text_trigram_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram Simpson index (collision probability of two
+    random trigram draws without replacement): sum c·(c-1) / n·(n-1).
+    A log-free repetition/perplexity proxy — exact integer counts, so
+    it cross-checks against the oracle bit-for-bit, unlike an entropy
+    formula whose ln() would differ in the last ulp.
+
+    Scale shape: ZERO shuffle. The trigram histogram never
+    materializes — the sorted trigram array is walked in-row with an
+    aggregate() HOF (run-length accumulator), a pure codegen
+    projection over the scan. The oracle computes the same number the
+    explode-and-group way; matching values prove the fused form."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 4)
+    num = F.expr(
+        "aggregate("
+        " array_sort(transform(sequence(1, length(text)-2),"
+        "                      i -> substring(text, i, 3))),"
+        " named_struct('prev', cast(null as string), 'run', 0L, 'num', 0L),"
+        " (s, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', IF(x <=> s.prev, s.run + 1L, 1L),"
+        "   'num', s.num + IF(x <=> s.prev, 2L * s.run, 0L)),"
+        " s -> s.num)"
+    )
+    n = F.length("text") - F.lit(2)
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_trigrams"),
+        num.alias("simpson_num"),
+        (
+            num.cast("double")
+            / (n.cast("long") * (n.cast("long") - F.lit(1))).cast("double")
+        ).alias("simpson"),
+    )

@@ -295,3 +295,89 @@ def cep_purchase_error_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_purchase_ts",
         gap.alias("gap_us"),
     )
+
+
+@register(
+    "cusum_changepoint_hourly",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hour,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM {EVENTS_NORM} GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, count(*) AS n_hours, SUM(cents) AS total
+      FROM hourly GROUP BY 1
+    ),
+    cum AS (
+      SELECT h.event_type, h.hour, s.n_hours,
+             s.n_hours * SUM(h.cents) OVER (
+               PARTITION BY h.event_type ORDER BY h.hour
+               ROWS UNBOUNDED PRECEDING)
+             - row_number() OVER (PARTITION BY h.event_type ORDER BY h.hour)
+               * s.total AS d
+      FROM hourly h JOIN stats s USING (event_type)
+    ),
+    scored AS (
+      SELECT event_type, hour, n_hours, abs(d) AS score,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(d) DESC, hour) AS rk
+      FROM cum
+    )
+    SELECT event_type, hour AS change_hour, n_hours, score
+    FROM scored WHERE rk = 1
+    """,
+    tags=("analytics", "timeseries", "changepoint"),
+)
+def cusum_changepoint_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint estimate per event_type: the hour maximizing
+    |cumulative deviation from the series mean| of hourly value sums.
+    The mean is rational, so the statistic is multiplied through by
+    n_hours — D_t = n·Σ_{i≤t} x_i − t·Σx — keeping EVERYTHING in
+    exact integer cents (no float drift, oracle hash-matches).
+
+    Scale shape: hourly pre-aggregation shrinks the series to
+    O(groups × hours); the cusum window, the stats join, and the
+    argmax all run on that reduced frame with exchanges keyed on
+    event_type. Per-task longs stay far below 2^63 (cents·rows·hours
+    bounded by the hourly reduction)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hour"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"), F.sum("cents").alias("total")
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_rn = Window.partitionBy("event_type").orderBy("hour")
+    cum = hourly.join(stats, "event_type").select(
+        "event_type",
+        "hour",
+        "n_hours",
+        (
+            F.col("n_hours") * F.sum("cents").over(w_run)
+            - F.row_number().over(w_rn).cast("long") * F.col("total")
+        ).alias("d"),
+    )
+    scored = cum.select(
+        "event_type",
+        "hour",
+        "n_hours",
+        F.abs("d").alias("score"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy(F.abs("d").desc(), "hour"))
+        .alias("rk"),
+    )
+    return scored.filter(F.col("rk") == 1).select(
+        "event_type", F.col("hour").alias("change_hour"), "n_hours", "score"
+    )

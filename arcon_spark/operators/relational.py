@@ -705,6 +705,64 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMV_K = 12  # sketch size; sized so every SF exercises it (15
+# distinct users at sf0.001) — production uses k in the thousands
+
+
+@register(
+    "kmv_distinct_users",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST('0x' || substring(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM {EVENTS_NORM}
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM h
+    )
+    SELECT event_type, h AS kth_hash,
+           round(({_KMV_K} - 1) / (CAST(h AS DOUBLE) / {16**15}.0), 4) AS est_users
+    FROM ranked WHERE rn = {_KMV_K}
+    """,
+    tags=("sketch", "kmv", "survey2.6"),
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch — the deterministic,
+    cross-engine-checkable counterpart to approx_distinct_users (HLL
+    internals are engine-specific; KMV's estimate is a pure function
+    of the md5 hash order, so the DuckDB oracle hash-matches it
+    exactly). Estimate = (k-1) / normalized kth-smallest hash.
+
+    Scale shape: distinct-hash reduction then per-group k-smallest.
+    The rank filter compiles to WindowGroupLimit (Spark pushes the
+    rn <= k limit into the sort), so each group materializes only k
+    rows past the exchange; a mergeable-sketch UDAF would replace the
+    sort at extreme group counts, with this exact form as its
+    verifier."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        F.expr(
+            "cast(conv(substring(md5(concat('kmv:', cast(user_id as string))), 1, 15),"
+            " 16, 10) as bigint)"
+        ).alias("h"),
+    ).distinct()
+    ranked = h.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("event_type").orderBy("h"))
+    )
+    return ranked.filter(F.col("rn") == _KMV_K).select(
+        "event_type",
+        F.col("h").alias("kth_hash"),
+        F.round(
+            F.lit(float(_KMV_K - 1)) / (F.col("h").cast("double") / F.lit(float(16**15))),
+            4,
+        ).alias("est_users"),
+    )
+
+
 @register(
     "percentiles_value",
     oracle=f"""

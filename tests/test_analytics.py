@@ -101,3 +101,17 @@ def test_retention_cohort_week_zero_counts_all_users(spark, monkeypatch):
     monkeypatch.setattr(analytics, "load_table", lambda s, d, n: df)
     rows = analytics.retention_cohorts(spark, "unused").collect()
     assert len(rows) == 1 and rows[0]["week_offset"] == 0 and rows[0]["n_users"] == 2
+
+
+def test_cusum_finds_planted_step(spark, monkeypatch):
+    # value steps 0 → 1.0 between hours 01 and 02: max |D| lands on
+    # the last pre-change hour (01:00).
+    df = _events(
+        spark,
+        [(1, i, f"{h:02d}:00:00", "click") for i, h in enumerate(range(4))],
+    ).withColumn("value", F.when(F.col("event_id") >= 2, 1.0).otherwise(0.0))
+    monkeypatch.setattr(analytics, "load_table", lambda s, d, n: df)
+    rows = analytics.cusum_changepoint_hourly(spark, "unused").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["change_hour"].hour == 1 and r["score"] == 400 and r["n_hours"] == 4

@@ -148,3 +148,23 @@ def test_int8_quantization_bounds(spark, sf_dir):
         assert all(-127 <= q <= 127 for q in r.qvec)
         assert r.max_abs_err <= r.scale / 2 + 1e-12
         assert r.n_saturated >= 1  # the max component always hits ±127
+
+
+def test_trigram_simpson_extremes(spark):
+    from arcon_spark.functions import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abcd"), (3, "ab")], "doc_id long, text string"
+    )
+    import arcon_spark.functions.text as t
+
+    orig = t.load_table
+    try:
+        t.load_table = lambda s, d, n: df
+        out = {r["doc_id"]: r for r in text_ops.text_trigram_simpson(spark, "x").collect()}
+    finally:
+        t.load_table = orig
+    # "aaaa": two identical trigrams -> collision probability 1.0
+    assert out[1]["simpson"] == 1.0 and out[1]["simpson_num"] == 2
+    # "abcd": all distinct -> 0; "ab": too short, filtered out
+    assert out[2]["simpson"] == 0.0 and 3 not in out
