@@ -66,14 +66,21 @@ def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole token stream (measured 1.5 s → 0.6 s on the minhash
     pipeline at sf0.1; at 100 TB it removes the widest exchange in the
     dedup path). The global .distinct() collapses to the in-row
-    array_distinct because shingle rows are already unique per doc."""
+    array_distinct because shingle rows are already unique per doc.
+
+    Tokenization is hoisted into its own projection: HOF lambdas are
+    interpreted (no CSE), so `slice({_TOKS}, i, 3)` inline would
+    re-split the document once per shingle POSITION — O(tokens²) per
+    doc. Hoisted, the split runs once per doc (measured 1.0 s →
+    0.55 s warm, 7.7 s → 0.7 s cold at sf0.1)."""
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    return docs.select(
+    toks = docs.select("doc_id", F.expr(_TOKS).alias("t"))
+    return toks.select(
         "doc_id",
         F.explode(
             F.expr(
-                f"array_distinct(transform(sequence(1, greatest(size({_TOKS}) - 2, 0)),"
-                f" i -> concat_ws(' ', slice({_TOKS}, i, 3))))"
+                "array_distinct(transform(sequence(1, greatest(size(t) - 2, 0)),"
+                " i -> concat_ws(' ', slice(t, i, 3))))"
             )
         ).alias("s"),
     )

@@ -775,16 +775,20 @@ def boilerplate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself stops fitting — the exact form here IS the verifier for
     that approximation."""
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # Tokenize in a separate projection: HOF lambdas are interpreted
+    # (no CSE), so slice(_TOKS, ...) inline re-splits the text once per
+    # n-gram position — O(tokens²) per doc (see dedup._shingle_rows).
+    toks = docs.select("doc_id", F.expr(_TOKS).alias("t"))
     ng = (
-        docs.select(
+        toks.select(
             "doc_id",
             # sequence(1, 0) counts DOWN in Spark, so guard short docs
             # with an explicit empty-array branch instead of greatest().
             F.explode(
                 F.expr(
-                    f"CASE WHEN size({_TOKS}) >= {_BP_N} THEN"
-                    f" transform(sequence(1, size({_TOKS}) - {_BP_N - 1}),"
-                    f" i -> concat_ws(' ', slice({_TOKS}, i, {_BP_N})))"
+                    f"CASE WHEN size(t) >= {_BP_N} THEN"
+                    f" transform(sequence(1, size(t) - {_BP_N - 1}),"
+                    f" i -> concat_ws(' ', slice(t, i, {_BP_N})))"
                     f" ELSE array() END"
                 )
             ).alias("ngram"),
