@@ -75,39 +75,61 @@ _CEP_MIN = 60  # A→B pattern bound, minutes
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel signup → view → purchase per user: each stage
     timestamp is the first qualifying event STRICTLY AFTER the prior
-    stage. Three aggregations; the two join-backs re-use the user_id
-    hash partitioning (co-located joins — `.explain` shows one
-    Exchange per aggregation, none for the joins)."""
-    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    stage.
 
-    s = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("signup_ts")
+    ONE exchange on user_id (verified: `.explain` shows a single
+    Exchange; the naive three-aggregation + join-back formulation —
+    which the oracle still uses — scans events three times and plans
+    10 exchanges). Stage chaining rides window functions over the one
+    sorted partition: the running min of signup timestamps equals the
+    global first-signup on every row at-or-after it, so "first view
+    after first signup" is a full-partition min of a carried
+    conditional, and each later stage is another window pass over the
+    SAME partitioning (no new exchange, sort reused). The final
+    per-user reduction aggregates on the partitioning key, so it is
+    exchange-free too."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    v = (
-        ev.join(s.filter(F.col("signup_ts").isNotNull()), "user_id")
-        .groupBy("user_id", "signup_ts")
+    w_all = Window.partitionBy("user_id")
+
+    with_s = ev.withColumn(
+        "s_run",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w_run),
+    )
+    with_v = with_s.withColumn(
+        "view_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "view") & (F.col("ts") > F.col("s_run")),
+                F.col("ts"),
+            )
+        ).over(w_all),
+    )
+    with_p = with_v.withColumn(
+        "purchase_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("view_ts")),
+                F.col("ts"),
+            )
+        ).over(w_all),
+    )
+    per_user = (
+        with_p.groupBy("user_id")
         .agg(
-            F.min(
-                F.when(
-                    (F.col("event_type") == "view") & (F.col("ts") > F.col("signup_ts")),
-                    F.col("ts"),
-                )
-            ).alias("view_ts")
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+                "signup_ts"
+            ),
+            F.min("view_ts").alias("view_ts"),
+            F.min("purchase_ts").alias("purchase_ts"),
         )
+        .filter(F.col("signup_ts").isNotNull())
     )
-    p = (
-        ev.join(v, "user_id")
-        .groupBy("user_id", "signup_ts", "view_ts")
-        .agg(
-            F.min(
-                F.when(
-                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("view_ts")),
-                    F.col("ts"),
-                )
-            ).alias("purchase_ts")
-        )
-    )
-    return p.select(
+    return per_user.select(
         "user_id",
         "signup_ts",
         "view_ts",
@@ -337,10 +359,14 @@ def cusum_changepoint_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer cents (no float drift, oracle hash-matches).
 
     Scale shape: hourly pre-aggregation shrinks the series to
-    O(groups × hours); the cusum window, the stats join, and the
-    argmax all run on that reduced frame with exchanges keyed on
-    event_type. Per-task longs stay far below 2^63 (cents·rows·hours
-    bounded by the hourly reduction)."""
+    O(groups × hours), then everything runs on that reduced frame in
+    ONE event_type exchange: series totals come from full-partition
+    window aggregates over the same partitioning as the cusum windows
+    (not a stats join — the join-back formulation, which the oracle
+    keeps, planned 10 exchanges; this plans 3: the hourly hash agg,
+    the re-key to event_type, and AQE reads). Per-task longs
+    stay far below 2^63 (cents·rows·hours bounded by the hourly
+    reduction)."""
     ev = load_table(spark, sf_dir, "events")
     hourly = (
         ev.select(
@@ -351,22 +377,20 @@ def cusum_changepoint_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "hour")
         .agg(F.sum("cents").alias("cents"))
     )
-    stats = hourly.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_hours"), F.sum("cents").alias("total")
-    )
+    w_all = Window.partitionBy("event_type")
     w_run = (
         Window.partitionBy("event_type")
         .orderBy("hour")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     w_rn = Window.partitionBy("event_type").orderBy("hour")
-    cum = hourly.join(stats, "event_type").select(
+    cum = hourly.select(
         "event_type",
         "hour",
-        "n_hours",
+        F.count(F.lit(1)).over(w_all).alias("n_hours"),
         (
-            F.col("n_hours") * F.sum("cents").over(w_run)
-            - F.row_number().over(w_rn).cast("long") * F.col("total")
+            F.count(F.lit(1)).over(w_all) * F.sum("cents").over(w_run)
+            - F.row_number().over(w_rn).cast("long") * F.sum("cents").over(w_all)
         ).alias("d"),
     )
     scored = cum.select(
