@@ -1154,3 +1154,193 @@ def stream_appender_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(spark, agg, "stream_topk").filter(F.col("event_id") >= 0)
+
+
+@register(
+    "stream_cep_purchase_error",
+    oracle=f"""
+    WITH carried AS (
+      SELECT user_id, event_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lp,
+             last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ls
+      FROM {EVENTS_NORM}
+    )
+    SELECT user_id, event_id AS error_id,
+           epoch_us(ts) - epoch_us(lp) AS gap_us
+    FROM carried
+    WHERE event_type = 'error' AND lp IS NOT NULL
+      AND epoch_us(ts) - epoch_us(lp) <= {60 * 60_000_000}
+      AND (ls IS NULL OR ls < lp)
+    """,
+    tags=("streaming", "stateful", "cep"),
+)
+def stream_cep_purchase_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP on the STREAMING engine: purchase → error within 60 min, no
+    signup between, matched by a custom Operator whose per-key
+    ValueStates carry the NFA state (last purchase / last signup)
+    across micro-batch boundaries — the reference's stateful-operator
+    idiom (Operator trait + ValueState, operator/mod.rs:21-54) doing
+    pattern detection. Matches emit immediately on the error event
+    (no flush protocol needed). The tape is split at the time median
+    so every user's state MUST survive an epoch boundary; events are
+    in event-time order per key (in-order delivery, the reference's
+    single-upstream channel guarantee), so the batch window-pass
+    oracle (cep_purchase_error_pattern) gives identical pairs."""
+    from arcon_spark.streaming.stateful import Operator, apply_operator
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    split_ts = ev.agg(
+        F.expr("timestamp_micros(cast(percentile(unix_micros(ts), 0.5) as long))")
+    ).collect()[0][0]
+    first_half = ev.filter(F.col("ts") <= F.lit(split_ts))
+    second_half = ev.filter(F.col("ts") > F.lit(split_ts))
+
+    class CepOperator(Operator):
+        def handle_element(self, key, pdf, ctx):
+            lp = ctx.value("last_purchase")
+            ls = ctx.value("last_signup")
+            out = []
+            data = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            for _, row in data.iterrows():
+                ts_us = int(row["ts"].timestamp() * 1_000_000)
+                et = row["event_type"]
+                if et == "error":
+                    p = lp.get()
+                    s = ls.get()
+                    if (
+                        p is not None
+                        and ts_us - p <= 60 * 60_000_000
+                        and (s is None or s < p)
+                    ):
+                        out.append(
+                            {
+                                "user_id": int(key[0]),
+                                "error_id": int(row["event_id"]),
+                                "gap_us": ts_us - p,
+                            }
+                        )
+                if et == "purchase":
+                    lp.put(ts_us)
+                elif et == "signup":
+                    ls.put(ts_us)
+            return out or None
+
+    root = write_segments([first_half, second_half])
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+    out = apply_operator(
+        src,
+        ["user_id"],
+        CepOperator(),
+        "user_id long, error_id long, gap_us long",
+        ts_col=None,
+    )
+    return _run_to_memory(spark, out, "stream_cep")
+
+
+@register(
+    "stream_funnel_conversion",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts
+      FROM {EVENTS_NORM} GROUP BY user_id
+    ),
+    v AS (
+      SELECT events.user_id, s.signup_ts,
+             min(CASE WHEN events.event_type = 'view'
+                       AND events.ts > s.signup_ts THEN events.ts END) AS view_ts
+      FROM {EVENTS_NORM}
+      JOIN s ON events.user_id = s.user_id
+      WHERE s.signup_ts IS NOT NULL
+      GROUP BY events.user_id, s.signup_ts
+    ),
+    p AS (
+      SELECT events.user_id, v.view_ts,
+             min(CASE WHEN events.event_type = 'purchase'
+                       AND events.ts > v.view_ts THEN events.ts END) AS purchase_ts
+      FROM {EVENTS_NORM}
+      JOIN v ON events.user_id = v.user_id
+      GROUP BY events.user_id, v.view_ts
+    )
+    SELECT user_id,
+           CASE WHEN purchase_ts IS NOT NULL THEN 3
+                WHEN view_ts IS NOT NULL THEN 2 ELSE 1 END AS stage
+    FROM p
+    """,
+    tags=("streaming", "stateful", "funnel"),
+)
+def stream_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel as a per-user streaming STATE MACHINE: stage and
+    stage timestamps live in ValueState, advance on qualifying events
+    in event-time order, and the final stage per user emits on the
+    flush marker (the reference's drain-on-final-watermark protocol).
+    Must equal the batch funnel oracle — a state machine fed in-order
+    is the streaming dual of the window-pass plan
+    (funnel_conversion)."""
+    from arcon_spark.streaming.stateful import Operator, apply_operator
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    split_ts = ev.agg(
+        F.expr("timestamp_micros(cast(percentile(unix_micros(ts), 0.5) as long))")
+    ).collect()[0][0]
+    first_half = ev.filter(F.col("ts") <= F.lit(split_ts))
+    second_half = ev.filter(F.col("ts") > F.lit(split_ts))
+
+    class FunnelOperator(Operator):
+        def handle_element(self, key, pdf, ctx):
+            st = ctx.value("stage")  # (stage, signup_us, view_us)
+            marker = pdf["event_id"] < 0
+            data = pdf[~marker].sort_values(["ts", "event_id"], kind="mergesort")
+            stage, signup_us, view_us = st.get((0, None, None))
+            for _, row in data.iterrows():
+                ts_us = int(row["ts"].timestamp() * 1_000_000)
+                et = row["event_type"]
+                if stage == 0 and et == "signup":
+                    stage, signup_us = 1, ts_us
+                elif stage == 1 and et == "view" and ts_us > signup_us:
+                    stage, view_us = 2, ts_us
+                elif stage == 2 and et == "purchase" and ts_us > view_us:
+                    stage = 3
+            st.put((stage, signup_us, view_us))
+            if marker.any():
+                if stage > 0 and not ctx.value("emitted").get(False):
+                    ctx.value("emitted").put(True)
+                    return [{"user_id": int(key[0]), "stage": int(stage)}]
+            return None
+
+    flush = (
+        ev.groupBy("user_id")
+        .agg(F.max("ts").alias("mts"))
+        .select(
+            "user_id",
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.col("mts") + F.expr("INTERVAL 40 DAYS")).alias("ts"),
+            F.lit("__flush__").alias("event_type"),
+        )
+    )
+    root = write_segments([first_half, second_half, flush])
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+    out = apply_operator(
+        src,
+        ["user_id"],
+        FunnelOperator(),
+        "user_id long, stage int",
+        ts_col=None,
+    )
+    return _run_to_memory(spark, out, "stream_funnel")
