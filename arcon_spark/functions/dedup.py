@@ -43,15 +43,14 @@ ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
 
 # --- shared shingling (Spark; DuckDB mirror below) ------------------------
 #
-# Evaluation-structure note (this is the difference between 1s and 7s at
-# sf0.1, and it compounds at 100 TB): Spark's higher-order functions
-# (transform/filter/aggregate) are CodegenFallback — interpreted — so a
-# nested `transform(sequence(...), i -> toks[i] ...)` + array_distinct
-# pipeline costs ~7× the equivalent relational plan. Shingles are
-# therefore built relationally: posexplode tokens → window lead(1)/
-# lead(2) per doc → concat → distinct. Everything stays in whole-stage
-# codegen; the window's doc-clustering exchange doubles as the
-# co-location later stages need anyway.
+# Evaluation-structure note: Spark's higher-order functions
+# (transform/filter/aggregate) are CodegenFallback — interpreted, with
+# no common-subexpression elimination inside the lambda — so the
+# tokenization must be hoisted into its own projection and referenced
+# by name (see _shingle_rows). With that done, the in-row
+# sequence→slice→concat_ws shingle build beats both the nested-HOF
+# form (O(tokens²) re-splits) and the posexplode+window(lead) form
+# (whole-token-stream shuffle).
 
 _TOKS = "filter(split(lower(text), ' '), x -> x != '')"
 
@@ -731,3 +730,58 @@ def split_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("n_train") > 0) & (F.col("n_eval") > 0))
     )
+
+
+@register(
+    "dedup_kept_corpus",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLE_CTE},
+    shn AS (
+      SELECT sh.doc_id, sh.shingle, sz.n
+      FROM sh JOIN (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id) sz
+        ON sz.doc_id = sh.doc_id
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS i, MAX(a.n) AS na, MAX(b.n) AS nb
+      FROM shn a JOIN shn b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= {_JACCARD_T}
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+      WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= {_JACCARD_T}
+    ),
+    reach(doc_id, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, r.lab FROM edges e JOIN reach r ON r.doc_id = e.b
+    ),
+    clusters AS (SELECT doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY doc_id),
+    sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+              FROM clusters GROUP BY cluster_id)
+    SELECT c.doc_id, s.n_members, d.n_chars
+    FROM clusters c
+      JOIN sizes s ON s.cluster_id = c.cluster_id
+      JOIN documents d ON d.doc_id = c.doc_id
+    WHERE c.doc_id = c.cluster_id
+    """,
+    tags=("dedup", "clusters", "pipeline"),
+)
+def dedup_kept_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's OUTPUT: the kept (deduplicated) corpus —
+    one canonical doc (min doc_id) per near-dup cluster, singletons
+    included, annotated with the cluster size it represents. This is
+    the last stage of shingle → LSH → verify → cluster → keep: what a
+    100 TB curation run actually writes back out. The cluster-size
+    join and canonical filter ride the cluster_id hash partitioning;
+    the doc-metadata join is on doc_id (the scan's natural key)."""
+    clusters = dedup_connected_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    kept = clusters.filter(F.col("doc_id") == F.col("cluster_id")).join(sizes, "cluster_id")
+    meta = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return kept.join(meta, "doc_id").select("doc_id", "n_members", "n_chars")
