@@ -405,3 +405,41 @@ def cusum_changepoint_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("rk") == 1).select(
         "event_type", F.col("hour").alias("change_hour"), "n_hours", "score"
     )
+
+
+@register(
+    "rolling_median_value",
+    oracle=f"""
+    SELECT user_id, event_id,
+           quantile_cont(value, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS med10
+    FROM {EVENTS_NORM}
+    """,
+    tags=("analytics", "timeseries", "holistic-window"),
+)
+def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact median over the trailing 10 events per user — a
+    HOLISTIC aggregate as a window function (the reference's
+    AppenderWindow materializer shape: buffer, then a full-buffer
+    computation per emission, index/window/appender.rs:10-91, here
+    per-row instead of per-window-fire).
+
+    Both engines linear-interpolate the 0.5 quantile (mean of the two
+    middle values on even counts) — one IEEE add + multiply, so values
+    hash-match exactly. One exchange on user_id; the 10-row frame
+    bounds per-row work and memory regardless of partition size, so
+    the plan is identical at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.expr("percentile(value, 0.5)")
+        .over(w)
+        .alias("med10"),
+    )
