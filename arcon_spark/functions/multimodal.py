@@ -381,3 +381,77 @@ def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return frame.mapInPandas(hist, "doc_id long, bin long, cnt long")
+
+
+SCENE_CUT_THRESHOLD = 64  # intensity jump (0..255 scale) that counts as a cut
+
+
+@register(
+    "multimodal_scene_cuts",
+    oracle=f"""
+    WITH media AS (
+      SELECT doc_id, md5(text) AS digest,
+             CAST(1 + octet_length(encode(text)) % 16 AS BIGINT) AS n_frames
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, u.f AS idx,
+             CAST('0x' || substring(md5(digest || ':' || CAST(u.f AS VARCHAR)), 1, 2)
+                  AS BIGINT) AS inten
+      FROM media, UNNEST(generate_series(0, n_frames - 1)) AS u(f)
+    ),
+    d AS (
+      SELECT doc_id, idx,
+             abs(inten - lag(inten) OVER (PARTITION BY doc_id ORDER BY idx)) AS diff
+      FROM fr
+    )
+    SELECT m.doc_id, m.n_frames,
+           CAST(count(CASE WHEN d.diff > {SCENE_CUT_THRESHOLD} THEN 1 END) AS BIGINT)
+             AS n_cuts,
+           min(CASE WHEN d.diff > {SCENE_CUT_THRESHOLD} THEN d.idx END) AS first_cut
+    FROM d JOIN media m ON m.doc_id = d.doc_id
+    GROUP BY m.doc_id, m.n_frames
+    """,
+    tags=("multimodal", "video", "scene-detect"),
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-cut detection: adjacent-frame intensity deltas over
+    the (deterministically faked) decoded frames; a cut is a jump
+    > {threshold}. Real deployments swap the per-frame intensity stub
+    for a decoded-luma mean inside the same frame loop.
+
+    Scale shape: ZERO shuffle — the frame intensities are materialized
+    as an in-row array (hoisted projection; HOF lambdas don't CSE) and
+    the delta scan is an in-row filter over indices, so the whole
+    operator is a projection over the scan: per-video work, no
+    exploded frame rows, no per-video grouping exchange. The oracle
+    computes the same cuts the exploded-rows + lag-window way."""
+    mf = media_frame(spark, sf_dir)
+    base = mf.select(
+        "doc_id",
+        (F.lit(1) + F.col("meta.n_bytes") % 16).cast("long").alias("n_frames"),
+        F.col("meta.digest").alias("digest"),
+    )
+    with_int = base.withColumn(
+        "intens",
+        F.expr(
+            "transform(sequence(0, int(n_frames) - 1),"
+            " i -> cast(conv(substring(md5(concat(digest, ':', cast(i as string))),"
+            " 1, 2), 16, 10) as bigint))"
+        ),
+    )
+    # sequence(1, 0) counts DOWN in Spark → explicit empty-array guard
+    # for single-frame payloads (same gotcha as boilerplate_passages).
+    cut_idx = (
+        f"CASE WHEN n_frames >= 2 THEN"
+        f" filter(sequence(1, int(n_frames) - 1),"
+        f" i -> abs(element_at(intens, i + 1) - element_at(intens, i))"
+        f" > {SCENE_CUT_THRESHOLD})"
+        f" ELSE array() END"
+    )
+    return with_int.select(
+        "doc_id",
+        "n_frames",
+        F.expr(f"cast(size({cut_idx}) as bigint)").alias("n_cuts"),
+        F.expr(f"cast(array_min({cut_idx}) as bigint)").alias("first_cut"),
+    )
