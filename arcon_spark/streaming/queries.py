@@ -1344,3 +1344,187 @@ def stream_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col=None,
     )
     return _run_to_memory(spark, out, "stream_funnel")
+
+
+@register(
+    "stream_interval_coverage",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s_us,
+             epoch_us(ts) + {5 * 60_000_000} AS e_us
+      FROM {EVENTS_NORM}
+    ),
+    marked AS (
+      SELECT user_id, s_us, e_us,
+             CASE WHEN s_us <= max(e_us) OVER (
+                    PARTITION BY user_id ORDER BY s_us, e_us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 0 ELSE 1 END AS is_new
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s_us, e_us,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    ),
+    spans AS (
+      SELECT user_id, island, max(e_us) - min(s_us) AS span_us
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id, count(*) AS n_islands, sum(span_us) AS covered_us
+    FROM spans GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "sweep"),
+)
+def stream_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage as STREAMING per-key state: the
+    sweep-line needs only (current island start, current max end,
+    islands so far, covered so far) per user — O(1) state, updated
+    in event-time order, emitted on the flush marker. The streaming
+    dual of the batch window-pass (interval_coverage_users), proven
+    by sharing its oracle. State survives the mid-tape epoch
+    boundary."""
+    from arcon_spark.streaming.stateful import Operator, apply_operator
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    split_ts = ev.agg(
+        F.expr("timestamp_micros(cast(percentile(unix_micros(ts), 0.5) as long))")
+    ).collect()[0][0]
+    halves = [
+        ev.filter(F.col("ts") <= F.lit(split_ts)),
+        ev.filter(F.col("ts") > F.lit(split_ts)),
+    ]
+
+    class SweepOperator(Operator):
+        WIDTH_US = 5 * 60_000_000
+
+        def handle_element(self, key, pdf, ctx):
+            st = ctx.value("sweep")  # (island_start, max_end, n_islands, covered)
+            marker = pdf["event_id"] < 0
+            data = pdf[~marker].sort_values(["ts", "event_id"], kind="mergesort")
+            start, end, n, covered = st.get((None, None, 0, 0))
+            for ts in data["ts"]:
+                s_us = int(ts.timestamp() * 1_000_000)
+                e_us = s_us + self.WIDTH_US
+                if start is None:
+                    start, end, n = s_us, e_us, 1
+                elif s_us <= end:
+                    end = max(end, e_us)
+                else:
+                    covered += end - start
+                    start, end, n = s_us, e_us, n + 1
+            st.put((start, end, n, covered))
+            if marker.any() and not ctx.value("emitted").get(False):
+                ctx.value("emitted").put(True)
+                if start is not None:
+                    covered += end - start
+                return [
+                    {
+                        "user_id": int(key[0]),
+                        "n_islands": int(n),
+                        "covered_us": int(covered),
+                    }
+                ]
+            return None
+
+    flush = (
+        ev.groupBy("user_id")
+        .agg(F.max("ts").alias("mts"))
+        .select(
+            "user_id",
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.col("mts") + F.expr("INTERVAL 40 DAYS")).alias("ts"),
+        )
+    )
+    root = write_segments(halves + [flush])
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+    out = apply_operator(
+        src,
+        ["user_id"],
+        SweepOperator(),
+        "user_id long, n_islands long, covered_us long",
+        ts_col=None,
+    )
+    return _run_to_memory(spark, out, "stream_sweep")
+
+
+@register(
+    "stream_rolling_median",
+    oracle=f"""
+    SELECT user_id, event_id,
+           quantile_cont(value, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS med10
+    FROM {EVENTS_NORM}
+    """,
+    tags=("streaming", "stateful", "appender"),
+)
+def stream_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event rolling median on the STREAMING engine: a VecState
+    ring buffer of the trailing 10 values per user (the reference's
+    bounded AppenderIndex, index/appender/mod.rs:43-56), emitting one
+    enriched element per input element — a per-element holistic
+    aggregate no built-in streaming window expresses. Buffer state
+    crosses the epoch boundary; output equals the batch bounded-frame
+    window oracle (rolling_median_value)."""
+    from arcon_spark.streaming.stateful import Operator, apply_operator
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    split_ts = ev.agg(
+        F.expr("timestamp_micros(cast(percentile(unix_micros(ts), 0.5) as long))")
+    ).collect()[0][0]
+    halves = [
+        ev.filter(F.col("ts") <= F.lit(split_ts)),
+        ev.filter(F.col("ts") > F.lit(split_ts)),
+    ]
+
+    class RollingMedian(Operator):
+        K = 10
+
+        def handle_element(self, key, pdf, ctx):
+            buf = ctx.value("buf")
+            vals = buf.get([])
+            out = []
+            data = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            for _, row in data.iterrows():
+                vals.append(float(row["value"]))
+                if len(vals) > self.K:
+                    vals.pop(0)
+                s = sorted(vals)
+                m = len(s)
+                # (lo+hi)*0.5 is the exact even-count interpolation DuckDB
+                # quantile_cont (and Spark percentile) produce — verified
+                # empirically with exact-double inputs; lo+(hi-lo)*0.5
+                # differs in the last ulp on ~13% of pairs.
+                med = s[m // 2] if m % 2 else (s[m // 2 - 1] + s[m // 2]) * 0.5
+                out.append(
+                    {
+                        "user_id": int(key[0]),
+                        "event_id": int(row["event_id"]),
+                        "med10": med,
+                    }
+                )
+            buf.put(vals)
+            return out
+
+    root = write_segments(halves)
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+    out = apply_operator(
+        src,
+        ["user_id"],
+        RollingMedian(),
+        "user_id long, event_id long, med10 double",
+        ts_col=None,
+    )
+    return _run_to_memory(spark, out, "stream_rollmed")
