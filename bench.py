@@ -57,6 +57,13 @@ HEADLINE = [
     "domain_mixture_weights",
     "bpe_pair_merge_stats",
     "embedding_quantize_int8",
+    "funnel_conversion",
+    "interval_coverage_users",
+    "cusum_changepoint_hourly",
+    "rolling_median_value",
+    "kmv_distinct_users",
+    "text_trigram_simpson",
+    "multimodal_scene_cuts",
     "stream_tumbling_window_agg",
 ]
 
