@@ -443,3 +443,92 @@ def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .alias("med10"),
     )
+
+
+_SAX_SEG_HOURS = 6  # PAA segment width
+
+
+@register(
+    "sax_symbolize_hourly",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             epoch_us(ts) // {3600 * 1_000_000} AS hr,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM {EVENTS_NORM} GROUP BY 1, 2
+    ),
+    seg AS (
+      SELECT event_type, hr // {_SAX_SEG_HOURS} AS seg_id,
+             CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS paa
+      FROM hourly GROUP BY 1, 2
+    ),
+    br AS (
+      SELECT event_type, seg_id, paa,
+             quantile_cont(paa, 0.25) OVER w AS q1,
+             quantile_cont(paa, 0.50) OVER w AS q2,
+             quantile_cont(paa, 0.75) OVER w AS q3
+      FROM seg
+      WINDOW w AS (PARTITION BY event_type
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, seg_id, paa,
+           CASE WHEN paa < q1 THEN 'a' WHEN paa < q2 THEN 'b'
+                WHEN paa < q3 THEN 'c' ELSE 'd' END AS symbol
+    FROM br
+    """,
+    tags=("analytics", "timeseries", "sax"),
+)
+def sax_symbolize_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation) of each event_type's
+    hourly series: PAA means over 6-hour segments, discretized to a
+    4-letter alphabet at the series' own quartile breakpoints — the
+    standard index/sketch representation for time-series motif and
+    similarity search.
+
+    Determinism: segment means are exact-integer-cents sums divided
+    once; quartiles interpolate as (lo+hi)*0.5 in both engines (see
+    stream_rolling_median); symbol assignment is strict-< against
+    those doubles. Plan: two integer pre-aggregations shrink the data
+    to O(types × segments) before the per-type quantile window — the
+    only full-partition pass runs on the reduced frame."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr(f"unix_micros(ts) div {3600 * 1_000_000}").alias("hr"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    seg = (
+        hourly.groupBy(
+            "event_type", F.expr(f"hr div {_SAX_SEG_HOURS}").alias("seg_id")
+        )
+        .agg(
+            (F.sum("cents").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "paa"
+            )
+        )
+    )
+    w = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    br = seg.select(
+        "event_type",
+        "seg_id",
+        "paa",
+        F.expr("percentile(paa, 0.25)").over(w).alias("q1"),
+        F.expr("percentile(paa, 0.50)").over(w).alias("q2"),
+        F.expr("percentile(paa, 0.75)").over(w).alias("q3"),
+    )
+    return br.select(
+        "event_type",
+        "seg_id",
+        "paa",
+        F.when(F.col("paa") < F.col("q1"), "a")
+        .when(F.col("paa") < F.col("q2"), "b")
+        .when(F.col("paa") < F.col("q3"), "c")
+        .otherwise("d")
+        .alias("symbol"),
+    )

@@ -1528,3 +1528,100 @@ def stream_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col=None,
     )
     return _run_to_memory(spark, out, "stream_rollmed")
+
+
+@register(
+    "stream_kmv_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST('0x' || substring(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM {EVENTS_NORM}
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM h
+    )
+    SELECT event_type, h AS kth_hash,
+           round((12 - 1) / (CAST(h AS DOUBLE) / {16**15}.0), 4) AS est_users
+    FROM ranked WHERE rn = 12
+    """,
+    tags=("streaming", "stateful", "sketch"),
+)
+def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV distinct sketch maintained as STREAMING state: per
+    event_type, the k smallest distinct md5 hashes live in a bounded
+    sorted list (O(k) state — the mergeable-sketch property is
+    exactly what makes it a streaming/partial-aggregable structure),
+    updated per batch and drained on the flush marker. Hashing runs
+    JVM-side in the stream projection; Python only maintains the
+    k-min set. Must equal the batch sketch oracle
+    (kmv_distinct_users)."""
+    import bisect
+
+    from arcon_spark.streaming.stateful import Operator, apply_operator
+
+    K = 12
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "cast(conv(substring(md5(concat('kmv:', cast(user_id as string))), 1, 15),"
+            " 16, 10) as bigint)"
+        ).alias("h"),
+    )
+    halves = [
+        ev.filter(F.col("h") % 2 == 0),
+        ev.filter(F.col("h") % 2 == 1),
+    ]
+
+    class KmvOperator(Operator):
+        def handle_element(self, key, pdf, ctx):
+            st = ctx.value("kmin")
+            kmin = st.get([])
+            marker = pdf["h"] < 0
+            for h in pdf.loc[~marker, "h"]:
+                h = int(h)
+                i = bisect.bisect_left(kmin, h)
+                if i < len(kmin) and kmin[i] == h:
+                    continue  # distinct-only
+                if len(kmin) < K:
+                    kmin.insert(i, h)
+                elif h < kmin[-1]:
+                    kmin.insert(i, h)
+                    kmin.pop()
+            st.put(kmin)
+            if marker.any() and not ctx.value("emitted").get(False):
+                ctx.value("emitted").put(True)
+                if len(kmin) == K:
+                    kth = kmin[-1]
+                    est = round((K - 1) / (kth / float(16**15)), 4)
+                    return [
+                        {
+                            "event_type": str(key[0]),
+                            "kth_hash": kth,
+                            "est_users": est,
+                        }
+                    ]
+            return None
+
+    flush = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)))
+        .select("event_type", F.lit(-1).cast("long").alias("h"))
+    )
+    root = write_segments(halves + [flush])
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+    out = apply_operator(
+        src,
+        ["event_type"],
+        KmvOperator(),
+        "event_type string, kth_hash long, est_users double",
+        ts_col=None,
+    )
+    return _run_to_memory(spark, out, "stream_kmv")
