@@ -455,3 +455,90 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"cast(size({cut_idx}) as bigint)").alias("n_cuts"),
         F.expr(f"cast(array_min({cut_idx}) as bigint)").alias("first_cut"),
     )
+
+
+@register(
+    "multimodal_image_ahash_groups",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, CAST(ord(substr(text, u.i, 1)) // 8 AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents, UNNEST(generate_series(1, length(text))) AS u(i)
+      GROUP BY 1, 2
+    ),
+    f AS (
+      SELECT h.doc_id, h.bin, CAST(h.cnt AS DOUBLE) / length(d.text) AS freq
+      FROM h JOIN documents d ON d.doc_id = h.doc_id
+    ),
+    m AS (SELECT bin, quantile_cont(freq, 0.5) AS med FROM f GROUP BY bin),
+    ah AS (
+      SELECT f.doc_id,
+             SUM(CASE WHEN f.freq > m.med THEN 1 << f.bin ELSE 0 END) AS ahash
+      FROM f JOIN m ON m.bin = f.bin GROUP BY 1
+    )
+    SELECT ahash, MIN(doc_id) AS canonical_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_images
+    FROM ah GROUP BY ahash
+    """,
+    tags=("multimodal", "image", "dedup"),
+)
+def multimodal_image_ahash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup via a corpus-calibrated perceptual hash: one bit
+    per intensity-histogram bin, set when the payload's relative mass
+    in that bin exceeds the CORPUS median for the bin. Same-hash
+    payloads form dedup groups with a min-id canonical — the
+    image-modality counterpart of dedup_exact, robust to byte noise
+    that preserves the intensity distribution. (Plain aHash thresholds
+    each bin at the image's own mean; on a corpus whose members share
+    a global distribution — like text-derived payloads, or photos from
+    one camera pipeline — that collapses every item to one hash.
+    Corpus calibration splits each bin at its median, so bits carry
+    one bit of entropy each by construction: 27 distinct hashes over
+    the 500 sf0.001 payloads vs 1 uncalibrated.)
+
+    Scale: histograms are one zero-shuffle mapInPandas pass (≤16 tiny
+    rows per image, payloads never shuffle); the 16-row threshold
+    table is computed once and BROADCAST to the bit-assembly join;
+    the final exchange groups 2-byte hashes."""
+    import numpy as np
+
+    frame = media_frame(spark, sf_dir).select("doc_id", "payload")
+
+    def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            docs, bins, freqs = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(payload, dtype=np.uint8) // 8
+                if not len(b):
+                    continue
+                c = np.bincount(b)
+                nz = np.nonzero(c)[0]
+                docs.append(np.full(len(nz), doc_id, dtype=np.int64))
+                bins.append(nz.astype(np.int64))
+                freqs.append(c[nz].astype(np.float64) / float(len(b)))
+            if docs:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(docs),
+                        "bin": np.concatenate(bins),
+                        "freq": np.concatenate(freqs),
+                    }
+                )
+
+    f = frame.mapInPandas(hist, "doc_id long, bin long, freq double")
+    med = f.groupBy("bin").agg(F.expr("percentile(freq, 0.5)").alias("med"))
+    ah = (
+        f.join(F.broadcast(med), "bin")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("freq") > F.col("med"), F.expr("shiftleft(1L, int(bin))"))
+                .otherwise(0)
+                .cast("long")
+            ).alias("ahash")
+        )
+    )
+    return ah.groupBy("ahash").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("n_images"),
+    )
