@@ -148,3 +148,53 @@ def test_orc_source_and_sink(spark):
     q2.stop()
     got = sorted((r.k, r.v) for r in spark.table("orc_src").collect())
     assert got == [(i, i * 3) for i in range(9)]
+
+
+def test_socket_source_receives_lines(spark):
+    """SocketSource end-to-end (reference stream/source/socket.rs — the
+    TCP text source, dead code there, live here): a local TCP server
+    feeds lines; the socket stream must deliver each line as one row.
+    Mirrors the reference test's send-then-assert shape."""
+    import socket
+    import threading
+    import time
+    import uuid
+
+    from arcon_spark.streaming.stream import Stream
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    lines = [f"line-{i}" for i in range(5)]
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            for ln in lines:
+                conn.sendall((ln + "\n").encode())
+            time.sleep(3)  # keep the connection open past the first poll
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    s = Stream.from_socket(spark, "127.0.0.1", port)
+    name = f"sock_src_{uuid.uuid4().hex[:8]}"
+    q = (
+        s.df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            got = {r["value"] for r in spark.table(name).collect()}
+            if got >= set(lines):
+                break
+            time.sleep(0.5)
+        assert got >= set(lines), got
+    finally:
+        q.stop()
+        srv.close()
