@@ -532,3 +532,89 @@ def sax_symbolize_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("d")
         .alias("symbol"),
     )
+
+
+# Brown's double exponential smoothing, bounded-frame integer form.
+# S1 weights over lags 0..7: 2^(7-k) (sum 255); S2 = the same kernel
+# applied to S1, which over a FULL 15-lag frame composes to exact
+# convolved integer weights conv_m = (8-|m-7|)·2^(14-m) (sum 255²).
+_BROWN_D = 8
+_BROWN_W1 = [2 ** (_BROWN_D - 1 - k) for k in range(_BROWN_D)]
+_BROWN_SUM1 = sum(_BROWN_W1)  # 255
+_BROWN_CONV = [
+    (_BROWN_D - abs(m - (_BROWN_D - 1))) * 2 ** (2 * _BROWN_D - 2 - m)
+    for m in range(2 * _BROWN_D - 1)
+]
+_BROWN_SUM2 = sum(_BROWN_CONV)  # 255²
+
+
+def _brown_terms(lag_fmt: str) -> tuple[str, str]:
+    """(s1_num, s2_num) expressions over 15 lag columns; both are
+    exact integer dot products (cents × constant weights)."""
+    s1 = " + ".join(
+        f"{lag_fmt.format(k=k)} * {w}" for k, w in enumerate(_BROWN_W1)
+    )
+    s2 = " + ".join(
+        f"{lag_fmt.format(k=m)} * {c}" for m, c in enumerate(_BROWN_CONV)
+    )
+    return s1, s2
+
+
+@register(
+    "brown_trend_forecast",
+    oracle=(lambda terms: f"""
+    WITH t AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) AS c0,
+             {", ".join(
+                 f"lag(CAST(round(value * 100) AS BIGINT), {k}) OVER w AS c{k}"
+                 for k in range(1, 2 * _BROWN_D - 1)
+             )}
+      FROM {EVENTS_NORM}
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           CAST(({terms[0]}) AS DOUBLE) / {_BROWN_SUM1}.0 / 100.0 AS s1,
+           CAST(({terms[1]}) AS DOUBLE) / {_BROWN_SUM2}.0 / 100.0 AS s2,
+           (2.0 * (CAST(({terms[0]}) AS DOUBLE) / {_BROWN_SUM1}.0 / 100.0))
+             - CAST(({terms[1]}) AS DOUBLE) / {_BROWN_SUM2}.0 / 100.0 AS forecast
+    FROM t WHERE c{2 * _BROWN_D - 2} IS NOT NULL
+    """)(_brown_terms("c{k}")),
+    tags=("analytics", "timeseries", "forecast"),
+)
+def brown_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown's double-exponential smoothing (level + trend) with EXACT
+    arithmetic: over a full 15-lag frame the second smoothing pass
+    composes into fixed convolved integer weights, so S1, S2 and the
+    one-step forecast 2·S1 − S2 are ratios of exact integer dot
+    products — bit-identical cross-engine, where a recursive float
+    EWMA-of-EWMA never is (extends the ewma_user_value design,
+    operators/maintenance.py). Rows without full history are excluded
+    (the head-truncated variant has data-dependent weight sums on S2
+    that no longer compose exactly).
+
+    Scale: one window pass on user_id; 15 lags, O(1) per row, O(depth)
+    state per key if streamed."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.round(F.col("value") * 100).cast("long")
+    t = ev.select(
+        "user_id",
+        "event_id",
+        cents.alias("c0"),
+        *[F.lag(cents, k).over(w).alias(f"c{k}") for k in range(1, 2 * _BROWN_D - 1)],
+    )
+    s1_num, s2_num = _brown_terms("c{k}")
+    s1 = F.expr(s1_num).cast("double") / F.lit(float(_BROWN_SUM1)) / F.lit(100.0)
+    s2 = F.expr(s2_num).cast("double") / F.lit(float(_BROWN_SUM2)) / F.lit(100.0)
+    return t.filter(F.col(f"c{2 * _BROWN_D - 2}").isNotNull()).select(
+        "user_id",
+        "event_id",
+        s1.alias("s1"),
+        s2.alias("s2"),
+        (F.lit(2.0) * s1 - s2).alias("forecast"),
+    )
