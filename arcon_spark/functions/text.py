@@ -859,3 +859,85 @@ def text_trigram_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (n.cast("long") * (n.cast("long") - F.lit(1))).cast("double")
         ).alias("simpson"),
     )
+
+
+_BPE_APPLY_K = 5  # merges applied (rank order from bpe_pair_merge_stats)
+
+
+def _sql_bpe_ranked() -> str:
+    return f"""vocab AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_SQL_TOKS_LIST}) AS tok FROM documents) GROUP BY tok
+    ), bpairs AS (
+      SELECT substring(tok, i, 2) AS pair, freq
+      FROM vocab, UNNEST(generate_series(1, length(tok) - 1)) AS u(i)
+      WHERE length(tok) >= 2
+    ), ranked AS (
+      SELECT pair, row_number() OVER (ORDER BY SUM(freq) DESC, pair) AS rk
+      FROM bpairs GROUP BY pair
+    )"""
+
+
+@register(
+    "bpe_apply_merges",
+    oracle=(lambda repl: f"""
+    WITH {_sql_bpe_ranked()},
+    toks AS (SELECT doc_id, {_SQL_TOKS_LIST} AS t FROM documents),
+    tk AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    enc AS (
+      SELECT doc_id, length(tok) AS n_before, length({repl}) AS n_after
+      FROM tk
+    )
+    SELECT doc_id,
+           SUM(n_before) AS n_symbols_before,
+           SUM(n_after) AS n_symbols_after
+    FROM enc GROUP BY doc_id
+    """)(
+        "".join(
+            f"replace(" for _ in range(_BPE_APPLY_K)
+        )
+        + "tok"
+        + "".join(
+            f", (SELECT pair FROM ranked WHERE rk = {k + 1}), chr({k + 1}))"
+            for k in range(_BPE_APPLY_K)
+        )
+    ),
+    tags=("text", "bpe", "tokenizer", "pipeline"),
+)
+def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE, step 2 — APPLY the learned merges: encode every
+    token with the top-{k} merge rules (rank order from
+    bpe_pair_merge_stats) and account the symbol compression per doc.
+    Each merge is a literal left-to-right non-overlapping replace —
+    identical semantics in Spark (Java String.replace) and DuckDB —
+    with merged symbols written as control-char placeholders that
+    cannot occur in text.
+
+    Scale shape: the merge table is a trained artifact — materialized
+    once (driver-side here, a metastore table at 100 TB) and shipped
+    to executors as literals in the codegen'd projection, exactly how
+    a tokenizer model rides a broadcast. The encode pass itself is
+    ZERO shuffle: tokens, replaces, and the per-doc symbol sums all
+    happen in-row; only (doc_id, 2 longs) leave the scan."""
+    merges = [
+        r["pair"]
+        for r in bpe_pair_merge_stats(spark, sf_dir)
+        .orderBy("rk")
+        .limit(_BPE_APPLY_K)
+        .collect()
+    ]
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.expr(_TOKS).alias("t")).filter(F.expr("size(t) >= 1"))
+    chain = "tok"
+    for k, pair in enumerate(merges):
+        esc = pair.replace("\\", "\\\\").replace("'", "\\'")
+        chain = f"replace({chain}, '{esc}', chr({k + 1}))"
+    return toks.select(
+        "doc_id",
+        F.expr("aggregate(t, 0L, (a, tok) -> a + length(tok))").alias(
+            "n_symbols_before"
+        ),
+        F.expr(f"aggregate(t, 0L, (a, tok) -> a + length({chain}))").alias(
+            "n_symbols_after"
+        ),
+    )

@@ -198,3 +198,34 @@ def test_socket_source_receives_lines(spark):
     finally:
         q.stop()
         srv.close()
+
+
+def test_rate_source_produces_rows(spark):
+    """Rate source (the benchmarking/testing source; reference
+    iterator-source analog for load generation): rows with
+    (timestamp, value) must arrive."""
+    import time
+    import uuid
+
+    from arcon_spark.streaming.stream import Stream
+
+    s = Stream.from_rate(spark, rows_per_second=100)
+    name = f"rate_{uuid.uuid4().hex[:8]}"
+    q = (
+        s.df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            n = spark.table(name).count()
+            if n > 0:
+                break
+            time.sleep(0.5)
+        assert n > 0
+        assert set(spark.table(name).columns) == {"timestamp", "value"}
+    finally:
+        q.stop()
