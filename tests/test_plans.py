@@ -222,3 +222,42 @@ def test_no_batch_query_uses_sort_aggregate(spark, sf_dir):
         if "SortAggregate" in plan:
             offenders.append(name)
     assert offenders == [], offenders
+
+
+def test_parquet_aggregate_pushdown_metadata_only(spark, sf_dir):
+    """MIN/MAX/COUNT over a parquet scan can answer from footer
+    statistics alone (PushedAggregation, DataSource V2) — at 100 TB a
+    whole-table count or max becomes a metadata-only scan that reads
+    zero data pages. Not on by default (V1 reader); this pins the
+    exact confs that enable it and that the pushed plan still returns
+    correct values. Timestamp columns are excluded from pushdown by
+    Spark — use long/double columns."""
+    confs = {
+        "spark.sql.sources.useV1SourceList": "",
+        "spark.sql.parquet.aggregatePushdown": "true",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        q = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("l_orderkey").alias("max_key"),
+            F.min("l_quantity").alias("min_qty"),
+        )
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation" in plan, plan[:2000]
+        [row] = q.collect()
+        ref = df.agg(
+            F.count(F.lit(1)), F.max("l_orderkey"), F.min("l_quantity")
+        ).collect()[0]
+        assert (row["n"], row["max_key"], row["min_qty"]) == tuple(ref)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
