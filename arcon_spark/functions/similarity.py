@@ -742,3 +742,117 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_saturated"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) encode
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4  # subspaces
+_PQ_DIM = 16  # dims per subspace (embedding dim 64)
+_PQ_K = 8  # codebook size per subspace
+
+
+@register(
+    "pq_encode_embeddings",
+    oracle=f"""
+    WITH ch AS (
+      SELECT vec_id,
+             row_number() OVER (
+               ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+      FROM embeddings
+    ),
+    anchors AS (
+      SELECT c.j, e.embedding
+      FROM (SELECT * FROM ch WHERE j < {_PQ_K}) c
+      JOIN embeddings e ON e.vec_id = c.vec_id
+    ),
+    dist AS (
+      SELECT e.vec_id, a.j, s.m,
+             SUM(
+               (CAST(round(CAST(e.embedding[s.m * {_PQ_DIM} + u.i] AS DOUBLE)
+                           * {_SCALE}.0) AS BIGINT)
+                - CAST(round(CAST(a.embedding[s.m * {_PQ_DIM} + u.i] AS DOUBLE)
+                             * {_SCALE}.0) AS BIGINT))
+               * (CAST(round(CAST(e.embedding[s.m * {_PQ_DIM} + u.i] AS DOUBLE)
+                             * {_SCALE}.0) AS BIGINT)
+                  - CAST(round(CAST(a.embedding[s.m * {_PQ_DIM} + u.i] AS DOUBLE)
+                               * {_SCALE}.0) AS BIGINT))
+             ) AS d
+      FROM embeddings e, anchors a,
+           UNNEST([{", ".join(str(m) for m in range(_PQ_M))}]) AS s(m),
+           UNNEST(generate_series(1, {_PQ_DIM})) AS u(i)
+      GROUP BY 1, 2, 3
+    ),
+    best AS (
+      SELECT vec_id, m, j, d,
+             row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+      FROM dist
+    )
+    SELECT vec_id,
+           {", ".join(
+               f"MAX(CASE WHEN m = {m} AND rn = 1 THEN j END) AS code{m}"
+               for m in range(_PQ_M)
+           )},
+           SUM(CASE WHEN rn = 1 THEN d ELSE 0 END) AS qerr
+    FROM best GROUP BY vec_id
+    """,
+    tags=("similarity", "quantization", "pq"),
+)
+def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode: the 64-dim embedding split into
+    {M} subspaces of {D} dims, each assigned its nearest of {K}
+    codebook anchors by exact integer L2² (argmin ties to the lowest
+    code). Output = {M} one-byte codes + the integer quantization
+    error — a 4-byte representation of a 256-byte vector, the memory
+    layout IVF-PQ indexes search with (query-time ADC replaces each
+    subdistance with a code-indexed lookup of the same integers).
+
+    The codebook here is a deterministic hash-sample of the corpus
+    (min-md5 anchors) so the oracle can rebuild it; production learns
+    it with per-subspace k-means (kmeans_embeddings is that loop) and
+    ships it exactly like this — a tiny trained artifact in the UDF
+    closure, the broadcast-model pattern. Encode is one zero-shuffle
+    Arrow pass: per batch, one (n×{K}) integer distance matrix per
+    subspace."""
+    ch = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "embedding",
+            F.md5(F.concat(F.lit("pq:"), F.col("vec_id").cast("string"))).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(_PQ_K)
+        .collect()
+    )
+    A = _int_matrix(pd.Series([r.embedding for r in ch]))  # (K, 64), hash order = code order
+
+    emb = spread(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            X = _int_matrix(pdf["embedding"])  # (n, 64)
+            out = {"vec_id": pdf["vec_id"].to_numpy(dtype=np.int64)}
+            qerr = np.zeros(len(pdf), dtype=np.int64)
+            for m in range(_PQ_M):
+                sl = slice(m * _PQ_DIM, (m + 1) * _PQ_DIM)
+                Xm, Am = X[:, sl], A[:, sl]
+                # exact int64: ||x||² − 2x·a + ||a||² per (row, anchor)
+                D = (
+                    (Xm * Xm).sum(axis=1)[:, None]
+                    - 2 * (Xm @ Am.T)
+                    + (Am * Am).sum(axis=1)[None, :]
+                )
+                codes = D.argmin(axis=1)  # first min → lowest code on ties
+                out[f"code{m}"] = codes.astype(np.int64)
+                qerr += D[np.arange(len(pdf)), codes]
+            out["qerr"] = qerr
+            yield pd.DataFrame(out)
+
+    schema = (
+        "vec_id long, "
+        + ", ".join(f"code{m} long" for m in range(_PQ_M))
+        + ", qerr long"
+    )
+    return emb.mapInPandas(encode, schema)
