@@ -1625,3 +1625,94 @@ def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col=None,
     )
     return _run_to_memory(spark, out, "stream_kmv")
+
+
+@register(
+    "stream_brown_trend",
+    oracle=(lambda: f"""
+    WITH t AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) AS c0,
+             {", ".join(
+                 f"lag(CAST(round(value * 100) AS BIGINT), {k}) OVER w AS c{k}"
+                 for k in range(1, 15)
+             )}
+      FROM {EVENTS_NORM}
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           (2.0 * (CAST(({" + ".join(f"c{k} * {2 ** (7 - k)}" for k in range(8))}) AS DOUBLE) / 255.0 / 100.0))
+             - CAST(({" + ".join(f"c{m} * {(8 - abs(m - 7)) * 2 ** (14 - m)}" for m in range(15))}) AS DOUBLE) / 65025.0 / 100.0 AS forecast
+    FROM t WHERE c14 IS NOT NULL
+    """)(),
+    tags=("streaming", "stateful", "forecast"),
+)
+def stream_brown_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown's double-exponential forecast as STREAMING per-key state:
+    a 15-value cents ring buffer per user (O(depth) state — exactly
+    what the bounded-frame formulation buys, see
+    brown_trend_forecast), emitting the 2·S1−S2 forecast on every
+    element once the buffer is full. Same convolved-integer-weight
+    arithmetic as the batch window pass; shares its oracle."""
+    from arcon_spark.streaming.stateful import Operator, apply_operator
+
+    W1 = [2 ** (7 - k) for k in range(8)]
+    CONV = [(8 - abs(m - 7)) * 2 ** (14 - m) for m in range(15)]
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    split_ts = ev.agg(
+        F.expr("timestamp_micros(cast(percentile(unix_micros(ts), 0.5) as long))")
+    ).collect()[0][0]
+    halves = [
+        ev.filter(F.col("ts") <= F.lit(split_ts)),
+        ev.filter(F.col("ts") > F.lit(split_ts)),
+    ]
+
+    class BrownOperator(Operator):
+        DEPTH = 15
+
+        def handle_element(self, key, pdf, ctx):
+            st = ctx.value("ring")
+            ring = st.get([])  # newest first
+            out = []
+            data = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            for _, row in data.iterrows():
+                # round half away from zero — F.round/DuckDB round semantics,
+                # not Python's banker's round()
+                v = float(row["value"]) * 100.0
+                cents = int(v + 0.5) if v >= 0 else -int(-v + 0.5)
+                ring.insert(0, cents)
+                if len(ring) > self.DEPTH:
+                    ring.pop()
+                if len(ring) == self.DEPTH:
+                    s1 = sum(c * w for c, w in zip(ring[:8], W1))
+                    s2 = sum(c * w for c, w in zip(ring, CONV))
+                    forecast = 2.0 * (float(s1) / 255.0 / 100.0) - (
+                        float(s2) / 65025.0 / 100.0
+                    )
+                    out.append(
+                        {
+                            "user_id": int(key[0]),
+                            "event_id": int(row["event_id"]),
+                            "forecast": forecast,
+                        }
+                    )
+            st.put(ring)
+            return out or None
+
+    root = write_segments(halves)
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+    out = apply_operator(
+        src,
+        ["user_id"],
+        BrownOperator(),
+        "user_id long, event_id long, forecast double",
+        ts_col=None,
+    )
+    return _run_to_memory(spark, out, "stream_brown")
