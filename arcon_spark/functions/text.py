@@ -941,3 +941,109 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_symbols_after"
         ),
     )
+
+
+_CMS_D = 4  # sketch depth (hash rows)
+_CMS_W = 256  # sketch width (buckets per row)
+_CMS_TOP = 50
+
+
+def _cms_bucket(d: int, tok: str) -> str:
+    """Spark-side bucket expression for depth row d."""
+    return (
+        f"cast(conv(substring(md5(concat('cms{d}:', {tok})), 1, 8), 16, 10)"
+        f" as bigint) % {_CMS_W}"
+    )
+
+
+def _sql_cms_bucket(d: int, tok: str) -> str:
+    return (
+        f"CAST('0x' || substring(md5('cms{d}:' || {tok}), 1, 8) AS BIGINT) % {_CMS_W}"
+    )
+
+
+@register(
+    "cms_token_counts",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_SQL_TOKS_LIST}) AS tok FROM documents) GROUP BY tok
+    ),
+    counters AS (
+      {" UNION ALL ".join(
+          f"SELECT {d} AS d, {_sql_cms_bucket(d, 'tok')} AS bucket,"
+          f" SUM(freq) AS cnt FROM vocab GROUP BY 2"
+          for d in range(_CMS_D)
+      )}
+    ),
+    top AS (
+      SELECT tok, freq,
+             row_number() OVER (ORDER BY freq DESC, tok) AS rk
+      FROM vocab
+    ),
+    probes AS (
+      {" UNION ALL ".join(
+          f"SELECT tok, freq, rk, {d} AS d, {_sql_cms_bucket(d, 'tok')} AS bucket"
+          f" FROM top WHERE rk <= {_CMS_TOP}"
+          for d in range(_CMS_D)
+      )}
+    )
+    SELECT p.tok, p.freq AS exact_count, MIN(c.cnt) AS cms_estimate,
+           MIN(c.cnt) - p.freq AS overcount
+    FROM probes p JOIN counters c ON c.d = p.d AND c.bucket = p.bucket
+    GROUP BY p.tok, p.freq
+    """,
+    tags=("text", "sketch", "count-min"),
+)
+def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the token stream — the mergeable
+    fixed-size structure that replaces exact heavy-hitter counts when
+    the vocabulary tail stops fitting (the approximation
+    boilerplate_passages' docstring points at). Depth {D} md5 hash
+    rows × width {W}: estimate = min over rows, always ≥ exact. The
+    top-{K} tokens are probed against the sketch and reported with
+    exact count, estimate, and overcount, so the driver's gate
+    verifies the sketch's deterministic CONTENT, not just its shape.
+
+    Scale: counters aggregate to {D}×{W} longs (broadcastable
+    always); the token stream is touched once; estimates need no
+    second corpus pass. All hashing is md5 → cross-engine identical."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    vocab = (
+        docs.select(F.explode(F.expr(_TOKS)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    counters = None
+    for d in range(_CMS_D):
+        c = vocab.groupBy(F.expr(_cms_bucket(d, "tok")).alias("bucket")).agg(
+            F.sum("freq").alias("cnt")
+        ).select(F.lit(d).alias("d"), "bucket", "cnt")
+        counters = c if counters is None else counters.unionAll(c)
+    top = (
+        vocab.withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("tok")))
+        )
+        .filter(F.col("rk") <= _CMS_TOP)
+        .drop("rk")
+    )
+    probes = None
+    for d in range(_CMS_D):
+        p = top.select(
+            "tok",
+            "freq",
+            F.lit(d).alias("d"),
+            F.expr(_cms_bucket(d, "tok")).alias("bucket"),
+        )
+        probes = p if probes is None else probes.unionAll(p)
+    return (
+        probes.join(F.broadcast(counters), ["d", "bucket"])
+        .groupBy("tok", "freq")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .select(
+            "tok",
+            F.col("freq").alias("exact_count"),
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("freq")).alias("overcount"),
+        )
+    )
