@@ -261,3 +261,34 @@ def test_parquet_aggregate_pushdown_metadata_only(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_no_cartesian_and_bnlj_allowlisted(spark, sf_dir):
+    """Registry-wide scale guard #2: no batch query may plan a
+    CartesianProduct, and BroadcastNestedLoopJoin is allowed only on
+    the pinned list below — each of those is a 1-row scalar-subquery
+    broadcast (count/avg/threshold singletons) or a deliberately tiny
+    constant grid, which stays O(1) at any data size. A new query
+    landing here unreviewed usually means an unkeyed join that would
+    be quadratic at 100 TB."""
+    from arcon_spark.plans.registry import queries
+
+    BNLJ_OK = {
+        "graph_triangle_count",
+        "priority_region_grid",
+        "scalar_subquery_above_avg",
+        "text_tfidf_topterms",
+        "tpch_q11ish",
+        "tpch_q22ish",
+    }
+    cartesian, rogue_bnlj = [], []
+    for name, fn in sorted(queries().items()):
+        if name.startswith("stream_"):
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            cartesian.append(name)
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            rogue_bnlj.append(name)
+    assert cartesian == [], cartesian
+    assert rogue_bnlj == [], rogue_bnlj
