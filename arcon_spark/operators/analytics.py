@@ -6,10 +6,10 @@ sorts, no window functions); they are the event-stream "query
 capabilities" a state-first streaming engine is used for, expressed
 here as single-window-pass or co-partitioned-join DataFrame plans:
 
-- **Funnel** — stage timestamps chained by conditional aggregation;
-  the per-user stage-1 aggregate joins back on the SAME user_id hash
-  partitioning (one co-located shuffle join, no broadcast needed at
-  100 TB where the user dimension is large).
+- **Funnel** — stage chaining as window passes over ONE user_id
+  partitioning (running-min signup carries the global first-signup;
+  later stages are full-partition mins of carried conditionals) —
+  one events scan, 2 exchanges vs the naive join-back's 10.
 - **Cohort retention** — two aggregations sharing the user_id
   exchange; weeks are integer epoch arithmetic, so every count is
   exact.
@@ -618,3 +618,70 @@ def brown_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         s2.alias("s2"),
         (F.lit(2.0) * s1 - s2).alias("forecast"),
     )
+
+
+_DEBOUNCE_MIN = 5
+
+
+@register(
+    "debounce_events",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id))
+                  <= {_DEBOUNCE_MIN * 60_000_000}
+                  THEN 0 ELSE 1 END AS is_burst_start
+      FROM {EVENTS_NORM}
+    ),
+    b AS (
+      SELECT user_id, event_id, ts, event_type,
+             sum(is_burst_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS burst
+      FROM g
+    ),
+    r AS (
+      SELECT user_id, event_id, ts, event_type, burst,
+             row_number() OVER (PARTITION BY user_id, burst
+                                ORDER BY ts, event_id) AS rn,
+             CAST(count(*) OVER (PARTITION BY user_id, burst) AS BIGINT)
+               AS n_suppressed
+      FROM b
+    )
+    SELECT user_id, event_id, ts, event_type, n_suppressed - 1 AS n_suppressed
+    FROM r WHERE rn = 1
+    """,
+    tags=("analytics", "debounce", "sequence"),
+)
+def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce / rate-limit per user: keep only the FIRST event of
+    each activity burst (events within {gap} minutes of the previous
+    one belong to the same burst), reporting how many were
+    suppressed. The dedup-by-time-proximity operator every
+    alerting/notification pipeline needs; a lag-gap island pass —
+    the sessionize plan shape with a keep-first materializer. One
+    exchange on user_id; all three window functions and the island
+    arithmetic share its sort."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    g = ev.withColumn(
+        "is_burst_start",
+        F.when(gap_us <= F.lit(_DEBOUNCE_MIN * 60_000_000), 0).otherwise(1),
+    )
+    b = g.withColumn(
+        "burst",
+        F.sum("is_burst_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    wb = Window.partitionBy("user_id", "burst")
+    r = b.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.row_number().over(wb.orderBy("ts", "event_id")).alias("rn"),
+        (F.count(F.lit(1)).over(wb) - F.lit(1)).cast("long").alias("n_suppressed"),
+    )
+    return r.filter(F.col("rn") == 1).drop("rn")
