@@ -685,3 +685,55 @@ def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)).over(wb) - F.lit(1)).cast("long").alias("n_suppressed"),
     )
     return r.filter(F.col("rn") == 1).drop("rn")
+
+
+@register(
+    "snapshot_diff_user_stats",
+    oracle=f"""
+    WITH a AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM {EVENTS_NORM} WHERE ts < TIMESTAMP '2024-01-16'
+      GROUP BY user_id
+    ),
+    b AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM {EVENTS_NORM}
+      GROUP BY user_id
+    )
+    SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+           a.n AS n_old, b.n AS n_new,
+           CASE WHEN a.user_id IS NULL THEN 'added'
+                WHEN b.user_id IS NULL THEN 'removed'
+                WHEN a.n <> b.n THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+    """,
+    tags=("analytics", "diff", "snapshot"),
+)
+def snapshot_diff_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the audit query the TSS snapshot catalog
+    (streaming/snapshot.py time travel) exists to answer: compare a
+    per-user aggregate at two epochs (here: mid-month vs final) and
+    classify every key added / removed / changed / unchanged. One
+    full-outer join on the aggregation key; both sides reduce before
+    joining, so the join input is keys, not events. At 100 TB this
+    runs between two epoch directories of the snapshot catalog with
+    the identical plan."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    a = (
+        ev.filter(F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_old"))
+    )
+    b = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_new"))
+    j = a.alias("a").join(b.alias("b"), F.col("a.user_id") == F.col("b.user_id"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("a.user_id"), F.col("b.user_id")).alias("user_id"),
+        "n_old",
+        "n_new",
+        F.when(F.col("a.user_id").isNull(), "added")
+        .when(F.col("b.user_id").isNull(), "removed")
+        .when(F.col("n_old") != F.col("n_new"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
