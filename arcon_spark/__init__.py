@@ -15,6 +15,7 @@ API surface, the operator semantics, and scale-aware query plans.
 
 from arcon_spark.session import get_spark
 from arcon_spark.io import load_table, compact_files, TABLES
+from arcon_spark.streaming.stream import Stream
 
-__all__ = ["get_spark", "load_table", "compact_files", "TABLES"]
+__all__ = ["get_spark", "load_table", "compact_files", "Stream", "TABLES"]
 __version__ = "0.1.0"
