@@ -1716,3 +1716,113 @@ def stream_brown_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col=None,
     )
     return _run_to_memory(spark, out, "stream_brown")
+
+
+@register(
+    "stream_debounce",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id))
+                  <= {5 * 60_000_000}
+                  THEN 0 ELSE 1 END AS is_burst_start
+      FROM {EVENTS_NORM}
+    ),
+    b AS (
+      SELECT user_id, event_id, ts, event_type,
+             sum(is_burst_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS burst
+      FROM g
+    ),
+    r AS (
+      SELECT user_id, event_id, burst,
+             row_number() OVER (PARTITION BY user_id, burst
+                                ORDER BY ts, event_id) AS rn,
+             CAST(count(*) OVER (PARTITION BY user_id, burst) AS BIGINT)
+               AS n_suppressed
+      FROM b
+    )
+    SELECT user_id, event_id, n_suppressed - 1 AS n_suppressed
+    FROM r WHERE rn = 1
+    """,
+    tags=("streaming", "stateful", "debounce"),
+)
+def stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce on the STREAMING engine with O(1) per-key state
+    (current burst head, suppressed-so-far, last event time): a new
+    burst start flushes the previous head with its final suppressed
+    count; the flush marker drains the open burst. This is the
+    native habitat of the operator — alerting pipelines debounce
+    live streams — and the state is three scalars however long the
+    stream runs. Matches the batch lag-gap-island oracle
+    (debounce_events)."""
+    from arcon_spark.streaming.stateful import Operator, apply_operator
+
+    GAP_US = 5 * 60_000_000
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    split_ts = ev.agg(
+        F.expr("timestamp_micros(cast(percentile(unix_micros(ts), 0.5) as long))")
+    ).collect()[0][0]
+    halves = [
+        ev.filter(F.col("ts") <= F.lit(split_ts)),
+        ev.filter(F.col("ts") > F.lit(split_ts)),
+    ]
+
+    class DebounceOperator(Operator):
+        def handle_element(self, key, pdf, ctx):
+            st = ctx.value("burst")  # (head_event_id, n_suppressed, last_us)
+            marker = pdf["event_id"] < 0
+            data = pdf[~marker].sort_values(["ts", "event_id"], kind="mergesort")
+            head, supp, last = st.get((None, 0, None))
+            out = []
+            for _, row in data.iterrows():
+                ts_us = int(row["ts"].timestamp() * 1_000_000)
+                if last is not None and ts_us - last <= GAP_US:
+                    supp += 1
+                else:
+                    if head is not None:
+                        out.append(
+                            {
+                                "user_id": int(key[0]),
+                                "event_id": int(head),
+                                "n_suppressed": int(supp),
+                            }
+                        )
+                    head, supp = int(row["event_id"]), 0
+                last = ts_us
+            st.put((head, supp, last))
+            if marker.any() and head is not None and not ctx.value("emitted").get(False):
+                ctx.value("emitted").put(True)
+                out.append(
+                    {
+                        "user_id": int(key[0]),
+                        "event_id": int(head),
+                        "n_suppressed": int(supp),
+                    }
+                )
+            return out or None
+
+    flush = (
+        ev.groupBy("user_id")
+        .agg(F.max("ts").alias("mts"))
+        .select(
+            "user_id",
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.col("mts") + F.expr("INTERVAL 40 DAYS")).alias("ts"),
+        )
+    )
+    root = write_segments(halves + [flush])
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+    out = apply_operator(
+        src,
+        ["user_id"],
+        DebounceOperator(),
+        "user_id long, event_id long, n_suppressed long",
+        ts_col=None,
+    )
+    return _run_to_memory(spark, out, "stream_debounce")
