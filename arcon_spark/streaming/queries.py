@@ -1826,3 +1826,63 @@ def stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col=None,
     )
     return _run_to_memory(spark, out, "stream_debounce")
+
+
+@register(
+    "stream_stream_full_outer_join",
+    oracle=f"""
+    WITH a AS (SELECT event_id, ts, user_id FROM {EVENTS_NORM}
+               WHERE event_id % 2 = 0),
+    b AS (SELECT event_id, ts, user_id
+          FROM {EVENTS_NORM.replace(') events', ') e2')}
+          WHERE event_id % 2 = 1)
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           COALESCE(a.user_id, b.user_id) AS user_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM a FULL OUTER JOIN b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL '30 minutes'
+    """,
+    tags=("streaming", "join", "full_outer"),
+)
+def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completes the join
+    matrix (inner: stream_stream_range_join; left outer:
+    stream_stream_left_outer_join): null rows for unmatched state on
+    BOTH sides may only emit after both watermarks pass the match
+    horizon — symmetric join-state eviction. Sentinels drive the
+    watermark past every real event so the streamed result must equal
+    the batch FULL OUTER oracle exactly. Join state stays O(events in
+    the 30-minute horizon) on each side."""
+    src = _streamed_events(spark, sf_dir, n_sentinels=3)
+
+    def side(pred: str, alias: str) -> DataFrame:
+        return (
+            src.withWatermark("ts", "0 seconds")
+            .filter(F.expr(pred))
+            .select("event_id", "ts", "user_id")
+            .alias(alias)
+        )
+
+    # sentinels must pass both watermark nodes (see the left-outer note)
+    a = side("event_id % 2 = 0 OR event_id = -1", "a")
+    b = side("event_id % 2 = 1 OR event_id = -1", "b")
+    joined = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 30 MINUTES")),
+        "full_outer",
+    ).select(
+        F.col("a.event_id").alias("id_a"),
+        F.col("b.event_id").alias("id_b"),
+        F.coalesce(F.col("a.user_id"), F.col("b.user_id")).alias("user_id"),
+        (F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts"))).alias("gap_us"),
+    )
+    out = _run_to_memory(spark, joined, "stream_ssfoj")
+    # sentinel rows (user_id -1) surface as unmatched on both sides
+    return out.filter(
+        (F.coalesce(F.col("id_a"), F.lit(0)) >= 0)
+        & (F.coalesce(F.col("id_b"), F.lit(0)) >= 0)
+    )
