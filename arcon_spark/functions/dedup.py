@@ -785,3 +785,97 @@ def dedup_kept_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = clusters.filter(F.col("doc_id") == F.col("cluster_id")).join(sizes, "cluster_id")
     meta = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return kept.join(meta, "doc_id").select("doc_id", "n_members", "n_chars")
+
+
+@register(
+    "dedup_prefix_filter_pairs",
+    oracle=f"""
+    WITH {_SQL_SHINGLE_CTE},
+    shn AS (
+      SELECT sh.doc_id, sh.shingle, sz.n
+      FROM sh JOIN (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id) sz
+        ON sz.doc_id = sh.doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_common,
+             MAX(a.n) AS na, MAX(b.n) AS nb
+      FROM shn a JOIN shn b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE) AS jaccard
+    FROM inter
+    WHERE CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE) >= {_JACCARD_T}
+    """,
+    tags=("dedup", "jaccard", "prefix-filter"),
+)
+def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard pairs (threshold {t}) via PPJoin-style prefix
+    filtering — the sub-quadratic exact path between the inverted
+    index (dedup_ngram_jaccard: every shared shingle generates a
+    candidate, quadratic in hot shingles) and MinHash+LSH
+    (probabilistic, can miss pairs). Under a global rarest-first
+    shingle order, any pair with J ≥ t must share a shingle within
+    each side's first n − ⌈t·n⌉ + 1 shingles, so ONLY prefix shingles
+    enter the candidate self-join; hot (frequent) shingles sort last
+    and fall OUT of prefixes — exactly the rows that blow up the
+    inverted index. Candidates then get exact verification, so the
+    result equals dedup_ngram_jaccard row-for-row (the oracle IS that
+    query's formulation; no false negatives by the prefix theorem, no
+    false positives past verification).
+
+    Plan: doc-frequency agg (shingle key) → per-doc rarest-first rank
+    (doc key) → prefix self-join (shingle key) → verify joins. Every
+    exchange keys on bounded-cardinality values; the candidate set —
+    the quadratic risk — is clamped by the filter."""
+    from pyspark.sql import Window as W
+
+    sh = _shingle_rows(spark, sf_dir).select(
+        "doc_id",
+        F.count(F.lit(1)).over(W.partitionBy("doc_id")).alias("n"),
+        F.col("s").alias("shingle"),
+    )
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(freq, "shingle").withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
+        ),
+    )
+    # prefix length: n - ceil(t*n) + 1, with ceil(3n/5) = floor((3n+4)/5)
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n") - F.expr("(3 * n + 4) div 5") + F.lit(1)
+    ).select("doc_id", "shingle")
+    cand = (
+        prefix.alias("pa")
+        .join(
+            prefix.alias("pb"),
+            (F.col("pa.shingle") == F.col("pb.shingle"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(
+            b,
+            (F.col("doc_b") == F.col("b.doc_id"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.max("a.n").alias("na"),
+            F.max("b.n").alias("nb"),
+        )
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    ).cast("double")
+    return inter.select("doc_a", "doc_b", "n_common", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= _JACCARD_T
+    )

@@ -88,3 +88,23 @@ def test_lsh_bucket_cap_inactive_at_test_scale_but_enforced(spark, sf_dir, monke
     assert baseline > 0
     monkeypatch.setattr(dedup, "LSH_BUCKET_CAP", 1)
     assert dedup.dedup_minhash_lsh_pairs(spark, sf_dir).count() == 0
+
+
+def test_prefix_filter_equals_inverted_index(spark, sf_dir):
+    """The prefix-filtered plan must reproduce the quadratic inverted
+    index EXACTLY (no false negatives: prefix theorem; no false
+    positives: exact verification)."""
+    from arcon_spark.functions.dedup import (
+        dedup_ngram_jaccard,
+        dedup_prefix_filter_pairs,
+    )
+
+    ref = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["jaccard"])
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["jaccard"])
+        for r in dedup_prefix_filter_pairs(spark, sf_dir).collect()
+    }
+    assert got == ref and len(ref) > 0
