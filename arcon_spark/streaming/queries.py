@@ -1886,3 +1886,92 @@ def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.coalesce(F.col("id_a"), F.lit(0)) >= 0)
         & (F.coalesce(F.col("id_b"), F.lit(0)) >= 0)
     )
+
+
+@register(
+    "stream_absence_alert",
+    oracle=f"""
+    SELECT p.user_id, p.event_id AS purchase_id
+    FROM {EVENTS_NORM.replace(') events', ') p')}
+    WHERE p.event_type = 'purchase'
+      AND NOT EXISTS (
+        SELECT 1 FROM {EVENTS_NORM.replace(') events', ') c')}
+        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+          AND c.ts > p.ts AND c.ts <= p.ts + INTERVAL '30 minutes'
+      )
+    """,
+    tags=("streaming", "stateful", "cep", "timers"),
+)
+def stream_absence_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEGATIVE CEP — "purchase NOT followed by a click within 30
+    minutes" — the pattern class that REQUIRES event-time timers: a
+    match is the non-arrival of an event, detectable only when the
+    watermark proves the window empty. Each purchase registers a
+    pending entry and schedules a timer at ts+30min (the reference's
+    ctx.schedule_at, operator/mod.rs:129-137); clicks cancel pending
+    purchases whose window they fall in; handle_timeout fires when
+    the watermark passes the deadline and emits the still-pending
+    alerts — exactly the quad-wheel advance-and-fire contract
+    (timer.rs:252-269). Output equals the batch NOT EXISTS oracle."""
+    from arcon_spark.streaming.stateful import Operator, apply_operator
+
+    WINDOW_US = 30 * 60_000_000
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    ).select("user_id", "event_id", "ts", "event_type")
+    split_ts = ev.agg(
+        F.expr("timestamp_micros(cast(percentile(unix_micros(ts), 0.5) as long))")
+    ).collect()[0][0]
+    halves = [
+        ev.filter(F.col("ts") <= F.lit(split_ts)),
+        ev.filter(F.col("ts") > F.lit(split_ts)),
+    ]
+    # sentinel advances the watermark past every deadline (different key)
+    flush = ev.agg(F.max("ts").alias("mts")).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.col("mts") + F.expr("INTERVAL 40 DAYS")).alias("ts"),
+        F.lit("__sentinel__").alias("event_type"),
+    )
+
+    class AbsenceOperator(Operator):
+        def handle_element(self, key, pdf, ctx):
+            pend = ctx.map("pending")  # purchase_id -> (p_ts_us, deadline_us)
+            data = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            for _, row in data.iterrows():
+                ts_us = int(row["ts"].timestamp() * 1_000_000)
+                if row["event_type"] == "purchase":
+                    deadline = ts_us + WINDOW_US
+                    pend.put(int(row["event_id"]), (ts_us, deadline))
+                    ctx.schedule_at(deadline // 1000)
+                else:  # click cancels covered pending purchases
+                    for pid, (p_us, dl_us) in list(pend.items()):
+                        if p_us < ts_us <= dl_us:
+                            pend.remove(pid)
+            return None
+
+        def handle_timeout(self, key, time_ms, payload, ctx):
+            pend = ctx.map("pending")
+            out = []
+            for pid, (p_us, dl_us) in sorted(pend.items()):
+                if dl_us // 1000 <= time_ms:
+                    pend.remove(pid)
+                    out.append(
+                        {"user_id": int(key[0]), "purchase_id": int(pid)}
+                    )
+            return out or None
+
+    root = write_segments(halves + [flush])
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+    out = apply_operator(
+        src,
+        ["user_id"],
+        AbsenceOperator(),
+        "user_id long, purchase_id long",
+        ts_col="ts",
+    )
+    return _run_to_memory(spark, out, "stream_absence").filter(F.col("user_id") >= 0)
