@@ -277,3 +277,41 @@ def test_zorder_sql_expr_matches_python_reference(pairs):
     got = [r[0] for r in duckdb.sql(sql).fetchall()]
     assert got == [_z_py(x, y) for x, y in pairs]
     assert len(set(_z_py(x, y) for x, y in set(pairs))) == len(set(pairs))
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40),
+    st.integers(min_value=1, max_value=500),
+)
+@settings(max_examples=60, deadline=None)
+def test_sweep_line_island_union_matches_brute_force(starts, width):
+    """The island recurrence used by interval_coverage_users (running
+    max end → island break on s > max_end) must compute exactly the
+    measure and component count of the union of [s, s+width)
+    intervals, for ANY multiset of starts — verified against a
+    brute-force point-coverage oracle."""
+    # operator-style sweep (mirrors the SQL/window formulation)
+    xs = sorted(starts)
+    n_islands = 0
+    covered = 0
+    cur_s = cur_e = None
+    for s in xs:
+        e = s + width
+        if cur_s is None or s > cur_e:
+            if cur_s is not None:
+                covered += cur_e - cur_s
+            cur_s, cur_e = s, e
+            n_islands += 1
+        else:
+            cur_e = max(cur_e, e)
+    covered += cur_e - cur_s
+
+    # brute force: union measure via coverage marks
+    marks = set()
+    for s in starts:
+        marks.update(range(s, s + width))
+    assert covered == len(marks)
+    # brute force component count: gaps in the sorted coverage
+    pts = sorted(marks)
+    comps = 1 + sum(1 for a, b in zip(pts, pts[1:]) if b > a + 1)
+    assert n_islands == comps
