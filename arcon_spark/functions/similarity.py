@@ -856,3 +856,57 @@ def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ", qerr long"
     )
     return emb.mapInPandas(encode, schema)
+
+
+@register(
+    "embedding_dim_stats",
+    oracle=f"""
+    WITH comp AS (
+      SELECT CAST(u.i - 1 AS BIGINT) AS dim,
+             CAST(round(CAST(embedding[u.i] AS DOUBLE) * {_SCALE}.0) AS BIGINT) AS v
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+    )
+    SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v) AS DOUBLE) / COUNT(*) / {_SCALE}.0 AS mean,
+           (CAST(SUM(v * v) AS DOUBLE) / COUNT(*)
+             - (CAST(SUM(v) AS DOUBLE) / COUNT(*))
+               * (CAST(SUM(v) AS DOUBLE) / COUNT(*)))
+             / ({_SCALE}.0 * {_SCALE}.0) AS variance
+    FROM comp GROUP BY dim
+    """,
+    tags=("similarity", "statistics", "normalization"),
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance over the embedding column — the
+    statistics a normalization/whitening stage (and the int8
+    quantizer's calibration) consumes. Components are int-scaled so
+    both moment sums are EXACT integers; mean and E[x²]−E[x]² are the
+    only float ops, in a fixed evaluation order shared with the
+    oracle. One exchange on the 64-value dim key; the moment sums are
+    map-side partial, so the exchange carries 64 rows per partition
+    regardless of corpus size."""
+    emb = spread(load_table(spark, sf_dir, "embeddings").select("embedding"))
+    comp = emb.select(
+        F.posexplode(
+            F.expr(
+                f"transform(embedding,"
+                f" x -> cast(round(cast(x as double) * {_SCALE}.0) as bigint))"
+            )
+        ).alias("dim", "v")
+    ).select(F.col("dim").cast("long").alias("dim"), "v")
+    n = F.count(F.lit(1))
+    # decimal(38,0) moment sums: v² ≤ 4e14 and a long sum wraps past
+    # ~2e4 rows/dim per task-free group at 100 TB; decimal matches the
+    # oracle's HUGEINT exactly (same pattern as plans/compat.msum).
+    s1 = F.sum(F.col("v").cast("decimal(38,0)")).cast("double")
+    s2 = F.sum(
+        (F.col("v") * F.col("v")).cast("decimal(38,0)")
+    ).cast("double")
+    return comp.groupBy("dim").agg(
+        n.alias("n"),
+        (s1 / n / F.lit(float(_SCALE))).alias("mean"),
+        (
+            (s2 / n - (s1 / n) * (s1 / n))
+            / F.lit(float(_SCALE) * float(_SCALE))
+        ).alias("variance"),
+    )
