@@ -1618,3 +1618,76 @@ def transition_matrix_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.sum("n").over(norm).cast("double")).alias("p"),
     )
+
+
+@register(
+    "rfm_customer_segments",
+    oracle=f"""
+    WITH rfm AS (
+      SELECT o_custkey AS custkey,
+             CAST(date_diff('day', max(o_orderdate), TIMESTAMP '1998-12-01')
+                  AS BIGINT) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             {sql_msum('o_totalprice', 2)} AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT custkey, recency_days, frequency, monetary,
+             ntile(5) OVER (ORDER BY recency_days ASC, custkey) AS r_score,
+             ntile(5) OVER (ORDER BY frequency DESC, custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary DESC, custkey) AS m_score
+      FROM rfm
+    )
+    SELECT custkey, recency_days, frequency, monetary,
+           CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CASE WHEN r_score <= 2 AND f_score <= 2 THEN 'champion'
+                WHEN r_score <= 2 THEN 'recent'
+                WHEN f_score <= 2 THEN 'loyal'
+                WHEN r_score >= 4 AND f_score >= 4 THEN 'at_risk'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+    tags=("analytics", "rfm", "segmentation"),
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation:
+    per-customer aggregates quintile-scored with ntile and mapped to
+    segments — the standard CRM/marketing analytics operator. Monetary
+    goes through exact integer cents (plans/compat); every ntile
+    ordering carries the custkey tiebreak so quintile assignment is a
+    total order (cross-engine identical). One aggregation exchange on
+    custkey + single-partition ntile windows over the reduced
+    per-customer frame — at 100 TB replace ntile with
+    percentile-threshold joins if the customer dimension itself
+    outgrows a partition (the aggregation stage is unchanged)."""
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(
+            F.lit("1998-12-01").cast("timestamp"), F.max("o_orderdate")
+        ).cast("long").alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        msum(F.col("o_totalprice"), 2).alias("monetary"),
+    )
+    scored = rfm.select(
+        "*",
+        F.ntile(5).over(Window.orderBy(F.asc("recency_days"), F.asc("custkey"))).alias("r_score"),
+        F.ntile(5).over(Window.orderBy(F.desc("frequency"), F.asc("custkey"))).alias("f_score"),
+        F.ntile(5).over(Window.orderBy(F.desc("monetary"), F.asc("custkey"))).alias("m_score"),
+    )
+    return scored.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.col("r_score").cast("long").alias("r_score"),
+        F.col("f_score").cast("long").alias("f_score"),
+        F.col("m_score").cast("long").alias("m_score"),
+        F.when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "champion")
+        .when(F.col("r_score") <= 2, "recent")
+        .when(F.col("f_score") <= 2, "loyal")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "at_risk")
+        .otherwise("regular")
+        .alias("segment"),
+    )
