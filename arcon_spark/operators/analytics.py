@@ -737,3 +737,76 @@ def snapshot_diff_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unchanged")
         .alias("status"),
     )
+
+
+_BASKET_MIN_CO = 2  # minimum co-occurrence support
+
+
+@register(
+    "market_basket_lift",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+    ),
+    n_orders AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n FROM items),
+    supp AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY part),
+    co AS (
+      SELECT a.part AS part_a, b.part AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS n_co
+      FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+      GROUP BY 1, 2
+    )
+    SELECT c.part_a, c.part_b, c.n_co, sa.c AS n_a, sb.c AS n_b,
+           CAST(c.n_co AS DOUBLE) * (SELECT n FROM n_orders)
+             / (CAST(sa.c AS DOUBLE) * CAST(sb.c AS DOUBLE)) AS lift
+    FROM co c
+    JOIN supp sa ON sa.part = c.part_a
+    JOIN supp sb ON sb.part = c.part_b
+    WHERE c.n_co >= {_BASKET_MIN_CO}
+    """,
+    tags=("analytics", "association", "basket"),
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association: part pairs co-ordered in the same
+    order with support ≥ {m}, scored by lift = N·P(a,b)/(P(a)·P(b)) —
+    the recommendation/affinity operator. Integer supports; lift is
+    one float expression with fixed evaluation order.
+
+    Scale shape: the pair join is keyed on the order (bounded fan-out:
+    ~4-7 items per order → ≤ items²/2 pairs per basket, NOT corpus-
+    quadratic); supports broadcast onto the pair frame; the global
+    order count is a 1-row scalar broadcast. Skewed mega-baskets are
+    the LSH_BUCKET_CAP situation — cap items per basket before the
+    self-join if they occur."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    n_orders = items.select("okey").distinct().count()
+    supp = items.groupBy("part").agg(F.count(F.lit(1)).alias("c"))
+    a = items.alias("a")
+    b = items.alias("b")
+    co = (
+        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.part") < F.col("b.part")))
+        .groupBy(F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= _BASKET_MIN_CO)
+    )
+    sa = supp.select(F.col("part").alias("part_a"), F.col("c").alias("n_a"))
+    sb = supp.select(F.col("part").alias("part_b"), F.col("c").alias("n_b"))
+    return (
+        co.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_co",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_co").cast("double") * F.lit(float(n_orders))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+    )
