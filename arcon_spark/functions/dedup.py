@@ -879,3 +879,75 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inter.select("doc_a", "doc_b", "n_common", jac.alias("jaccard")).filter(
         F.col("jaccard") >= _JACCARD_T
     )
+
+
+@register(
+    "dedup_minhash_estimate_vs_exact",
+    oracle=f"""
+    WITH {_SQL_SHINGLE_CTE},
+    {_SQL_HASH_PAIR_CTE},
+    mh AS (
+      SELECT doc_id, {_sql_mh_list()}
+      FROM hp GROUP BY doc_id
+    ),
+    shn AS (
+      SELECT sh.doc_id, sh.shingle, sz.n
+      FROM sh JOIN (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id) sz
+        ON sz.doc_id = sh.doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS i, MAX(a.n) AS na, MAX(b.n) AS nb
+      FROM shn a JOIN shn b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT doc_a, doc_b,
+             CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) AS jaccard
+      FROM inter
+      WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= {_JACCARD_T}
+    )
+    SELECT e.doc_a, e.doc_b, e.jaccard,
+           CAST(({" + ".join(
+               f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END"
+               for j in range(NUM_HASHES)
+           )}) AS BIGINT) AS n_equal,
+           CAST(({" + ".join(
+               f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END"
+               for j in range(NUM_HASHES)
+           )}) AS DOUBLE) / {NUM_HASHES}.0 AS jaccard_est
+    FROM exact e
+    JOIN mh a ON a.doc_id = e.doc_a
+    JOIN mh b ON b.doc_id = e.doc_b
+    """,
+    tags=("dedup", "minhash", "sketch-accuracy"),
+)
+def dedup_minhash_estimate_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit for MinHash: over every exact near-dup
+    pair (J ≥ {t}), the signature-based estimate — the fraction of
+    equal minhash components, whose expectation IS the Jaccard — next
+    to the exact value. The measurement that justifies NUM_HASHES:
+    raise it until |est − exact| is acceptable for the dedup
+    threshold. Same audit shape as cms_token_counts (estimate vs
+    exact on probed keys) and the ANN recall tests. Signature
+    comparison is {h} integer equality checks per pair — done on the
+    already-reduced pair set, never the corpus."""
+    exact = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    sig = minhash_signatures(spark, sf_dir)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    n_equal = sum(
+        F.when(F.col(f"a.mh{j}") == F.col(f"b.mh{j}"), 1).otherwise(0)
+        for j in range(NUM_HASHES)
+    )
+    return (
+        exact.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(b, F.col("doc_b") == F.col("b.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            n_equal.cast("long").alias("n_equal"),
+            (n_equal.cast("double") / F.lit(float(NUM_HASHES))).alias("jaccard_est"),
+        )
+    )
