@@ -447,3 +447,109 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(accept, 1)).cast("long").alias("sampled_n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership probe
+# ---------------------------------------------------------------------------
+
+_BF_M = 1 << 14  # bits
+_BF_K = 3  # hash functions
+
+
+@register(
+    "bloom_split_probe",
+    oracle=f"""
+    WITH train_pos AS (
+      SELECT DISTINCT
+             CAST('0x' || substring(md5('bf' || CAST(k.i AS VARCHAR) || d.text),
+                                    1, 15) AS BIGINT) % {_BF_M} AS pos
+      FROM documents d, (SELECT unnest([1, 2, 3]) AS i) k
+      WHERE d.doc_id % 10 <> 0
+    ),
+    train_txt AS (
+      SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id % 10 <> 0
+    ),
+    probe AS (
+      SELECT d.doc_id, md5(d.text) AS digest, k.i,
+             CAST('0x' || substring(md5('bf' || CAST(k.i AS VARCHAR) || d.text),
+                                    1, 15) AS BIGINT) % {_BF_M} AS pos
+      FROM documents d, (SELECT unnest([1, 2, 3]) AS i) k
+      WHERE d.doc_id % 10 = 0
+    ),
+    hits AS (
+      SELECT p.doc_id, p.digest,
+             CAST(COUNT(tp.pos) AS BIGINT) AS k_hits
+      FROM probe p LEFT JOIN train_pos tp ON p.pos = tp.pos
+      GROUP BY p.doc_id, p.digest
+    )
+    SELECT h.doc_id,
+           k_hits = {_BF_K} AS bloom_hit,
+           t.digest IS NOT NULL AS exact_member,
+           (k_hits = {_BF_K}) AND t.digest IS NULL AS false_positive
+    FROM hits h LEFT JOIN train_txt t ON h.digest = t.digest
+    """,
+    tags=("curation", "bloom", "sketch", "membership"),
+)
+def bloom_split_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership: build a deterministic k=3, m=16384-bit
+    filter over the train split's document texts, probe every holdout
+    document, and report hit / exact-membership / false-positive per
+    probe — the primitive behind shuffle-free "seen before?" passes
+    (URL dedup, cross-shard anti-joins, runtime join pruning; the
+    engine-internal twin is verified in
+    test_runtime_bloom_filter_prunes_probe_side).
+
+    The filter here stays in relational form (distinct bit positions →
+    broadcast hash join) rather than packed bytes: the probe side joins
+    against at most m=16384 position rows, which Spark broadcasts, so
+    probing is a zero-shuffle map pass exactly like a real bitmap
+    broadcast. The k_hits == k conjunction and the exact-membership
+    join give the classic guarantee check: no false negatives (every
+    exact member bloom-hits), quantified false positives.
+
+    Scale: positions are bounded by m regardless of corpus size; the
+    exact-membership join is digest-keyed (the 100 TB form reduces each
+    side to digests first)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ks = F.array(*[F.lit(i) for i in range(1, _BF_K + 1)])
+    pos = (
+        "cast(conv(substring(md5(concat('bf', cast(i as string), text)), 1, 15),"
+        f" 16, 10) as bigint) % {_BF_M}"
+    )
+
+    def exploded(side: DataFrame) -> DataFrame:
+        return side.select(
+            "doc_id", F.md5("text").alias("digest"), F.explode(ks).alias("i"), F.col("text")
+        ).select("doc_id", "digest", F.expr(pos).alias("pos"))
+
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    train_pos = exploded(train).select("pos").distinct()
+    train_txt = train.select(F.md5("text").alias("digest")).distinct()
+
+    probe = exploded(docs.filter(F.col("doc_id") % 10 == 0))
+    # digest rides in the grouping key (it is functionally dependent on
+    # doc_id): a min(string) aggregate would demote the plan to
+    # SortAggregate — grouping keys may be var-width, buffers may not
+    hits = (
+        probe.alias("p")
+        .join(F.broadcast(train_pos.alias("tp")), F.col("p.pos") == F.col("tp.pos"), "left")
+        .groupBy("p.doc_id", "p.digest")
+        .agg(F.count("tp.pos").alias("k_hits"))
+    )
+    return (
+        hits.alias("h")
+        .join(
+            F.broadcast(train_txt.alias("t")),
+            F.col("h.digest") == F.col("t.digest"),
+            "left",
+        )
+        .select(
+            F.col("h.doc_id").alias("doc_id"),
+            (F.col("k_hits") == _BF_K).alias("bloom_hit"),
+            F.col("t.digest").isNotNull().alias("exact_member"),
+            ((F.col("k_hits") == _BF_K) & F.col("t.digest").isNull()).alias(
+                "false_positive"
+            ),
+        )
+    )

@@ -633,6 +633,13 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure, as dedup_embedding_cosine does) keeps the same loop and
     removes the d×k row blowup — ann_ivf_topk's assign stage shows the
     vectorized variant."""
+    return _km_assign(spark, sf_dir)
+
+
+def _km_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lloyd's loop shared by kmeans_embeddings and semdedup —
+    returns (vec_id, cluster) after _KM_ITERS deterministic iterations
+    (see kmeans_embeddings' docstring for the arithmetic contract)."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = (
         emb.select("vec_id", F.posexplode("embedding").alias("pidx", "x"))
@@ -909,4 +916,108 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (s2 / n - (s1 / n) * (s1 / n))
             / F.lit(float(_SCALE) * float(_SCALE))
         ).alias("variance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup = cluster, then prune near-pairs in-cluster
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.3
+
+
+@register(
+    "semdedup_embeddings",
+    oracle=f"""
+    WITH q AS (
+      SELECT e.vec_id, u.i AS idx,
+             CAST(round(CAST(e.embedding[u.i] AS DOUBLE) * {_KM_SCALE}.0) AS BIGINT) AS qv
+      FROM embeddings e, UNNEST(generate_series(1, len(e.embedding))) AS u(i)
+    ),
+    c0 AS (
+      SELECT vec_id AS cid, idx, qv AS cv FROM q WHERE vec_id < {_KM_K}
+    ),
+    {",".join(_km_sql_iter(k, f"c{k - 1}") for k in range(1, _KM_ITERS + 1))},
+    asg AS (SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a{_KM_ITERS}),
+    nrm AS (
+      SELECT e.vec_id, {_sql_int_dot("e.embedding", "e.embedding")} AS n2
+      FROM embeddings e, UNNEST(generate_series(1, len(e.embedding))) AS u(i)
+      GROUP BY e.vec_id
+    ),
+    dots AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             {_sql_int_dot("a.embedding", "b.embedding")} AS d
+      FROM embeddings a
+           JOIN asg sa ON sa.vec_id = a.vec_id
+           JOIN asg sb ON sb.cluster = sa.cluster
+           JOIN embeddings b ON b.vec_id = sb.vec_id AND a.vec_id < b.vec_id,
+           UNNEST(generate_series(1, len(a.embedding))) AS u(i)
+      GROUP BY 1, 2
+    ),
+    rm AS (
+      SELECT vb AS vec_id FROM dots
+        JOIN nrm na ON na.vec_id = va JOIN nrm nb ON nb.vec_id = vb
+      WHERE CAST(d AS DOUBLE)
+              / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+            >= {_SEMDEDUP_TAU}
+      GROUP BY vb
+    )
+    SELECT asg.vec_id, asg.cluster,
+           rm.vec_id IS NOT NULL AS removed
+    FROM asg LEFT JOIN rm ON rm.vec_id = asg.vec_id
+    """,
+    tags=("similarity", "dedup", "semdedup", "clustering"),
+)
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication for
+    pretraining corpora — k-means-cluster the embedding space, then
+    drop, within each cluster, every point that has a near-duplicate
+    (cosine ≥ τ) with a smaller id (the kept representative). The
+    clustering makes the O(n²) pair space O(n²/k): pairs are only
+    formed within a cluster, never across.
+
+    Reuses the exact deterministic Lloyd's assignment of
+    kmeans_embeddings (integer fixed-point, ties to lowest cid) and
+    the exact integer dot products of dedup_embedding_cosine, so the
+    oracle replays both and hash-matches bit-for-bit.
+
+    Scale: the within-cluster self-join keys on cluster id — at 100 TB
+    k is sized so a cluster's vectors fit a partition (k ~ n/10⁵), and
+    the pair scoring becomes a per-cluster numpy matmul via
+    applyInPandas (ann_bruteforce_topk shows that kernel); the
+    relational form here is the verifiable specification."""
+    assign = _km_assign(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    nrm = emb.select(
+        "vec_id", F.expr(_INT_DOT.format(a="embedding", b="embedding")).alias("n2")
+    )
+    withc = emb.join(assign, "vec_id").select("vec_id", "embedding", "cluster")
+    a = withc.alias("a")
+    b = withc.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("va"),
+        F.col("b.vec_id").alias("vb"),
+        F.expr(_INT_DOT.format(a="a.embedding", b="b.embedding")).alias("d"),
+    )
+    na = nrm.alias("na")
+    nb = nrm.alias("nb")
+    cos = F.col("d").cast("double") / (
+        F.sqrt(F.col("na.n2").cast("double")) * F.sqrt(F.col("nb.n2").cast("double"))
+    )
+    rm = (
+        pairs.join(na, F.col("va") == F.col("na.vec_id"))
+        .join(nb, F.col("vb") == F.col("nb.vec_id"))
+        .filter(cos >= _SEMDEDUP_TAU)
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+        .withColumn("rm", F.lit(True))
+    )
+    return assign.join(rm, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        F.coalesce(F.col("rm"), F.lit(False)).alias("removed"),
     )

@@ -592,3 +592,177 @@ def seasonal_hourly_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.abs(F.col("value") - F.col("mean_value"))).alias("max_abs_dev"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE / upsert (SCD type-1) — Delta-style MERGE INTO as plain ops
+
+
+_MERGE_SPLIT = "2024-01-21 00:00:00"
+
+# event_type packed as one digit inside the argmax key so the
+# aggregation buffer stays fixed-width (decimal(38,0) → HashAggregate;
+# a string max would demote the plan to SortAggregate, see the OHLC
+# packing note above). The event vocabulary is part of the synthetic
+# schema contract (TESTDATA.md), same assumption the funnel/CEP
+# queries make.
+_TYPE_CODE = "CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2 WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 ELSE 5 END"
+_CODE_TYPE = "CASE {c} WHEN 1 THEN 'click' WHEN 2 THEN 'error' WHEN 3 THEN 'purchase' WHEN 4 THEN 'signup' ELSE 'view' END"
+
+
+@register(
+    "merge_upsert_user_stats",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS cents,
+             max(CAST(lpad(CAST(epoch_us(ts) AS VARCHAR), 16, '0')
+                 || lpad(CAST(event_id AS VARCHAR), 12, '0')
+                 || CAST({_TYPE_CODE} AS VARCHAR) AS HUGEINT)) AS last_key
+      FROM {EVENTS_NORM} WHERE ts < TIMESTAMP '{_MERGE_SPLIT}'
+      GROUP BY user_id
+    ),
+    upd AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS cents,
+             max(CAST(lpad(CAST(epoch_us(ts) AS VARCHAR), 16, '0')
+                 || lpad(CAST(event_id AS VARCHAR), 12, '0')
+                 || CAST({_TYPE_CODE} AS VARCHAR) AS HUGEINT)) AS last_key
+      FROM {EVENTS_NORM} WHERE ts >= TIMESTAMP '{_MERGE_SPLIT}'
+      GROUP BY user_id
+    )
+    SELECT COALESCE(b.user_id, u.user_id) AS user_id,
+           COALESCE(b.n_events, 0) + COALESCE(u.n_events, 0) AS n_events,
+           CAST(COALESCE(b.cents, 0) + COALESCE(u.cents, 0) AS DOUBLE) / 100.0
+             AS total_value,
+           {_CODE_TYPE.format(c="CAST(COALESCE(u.last_key, b.last_key) % 10 AS INTEGER)")}
+             AS last_event_type,
+           CASE WHEN b.user_id IS NULL THEN 'insert'
+                WHEN u.user_id IS NULL THEN 'keep'
+                ELSE 'update' END AS action
+    FROM base b FULL OUTER JOIN upd u ON b.user_id = u.user_id
+    """,
+    tags=("merge", "upsert", "scd1", "maintenance"),
+)
+def merge_upsert_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (Delta/Iceberg upsert) as pure DataFrame
+    ops: a base snapshot (events before day 21) merged with a change
+    set (events after), per-user. Matched keys combine additively and
+    take the change set's freshest attribute; unmatched-change keys
+    insert; unmatched-base keys carry forward — the `action` column is
+    the MERGE clause router (WHEN MATCHED / NOT MATCHED [BY SOURCE]).
+
+    Freshest-attribute pick rides a zero-padded micros‖event_id‖type
+    key packed into decimal(38,0) so argmax is total-ordered, engine-
+    portable, AND fixed-width in the aggregation buffer (HashAggregate,
+    not SortAggregate); sums stay in integer cents until one final
+    division.
+
+    Scale: both sides pre-aggregate to O(users) BEFORE the full-outer
+    join — the merge joins reduced states, never raw events (reduce-
+    before-join). One co-partitioned exchange pair on user_id; at
+    100 TB both sides bucket by user_id and the exchange disappears."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 16, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        F.expr(_TYPE_CODE).cast("string"),
+    ).cast("decimal(38,0)")
+
+    def side(pred) -> DataFrame:
+        return (
+            ev.filter(pred)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+                F.max(key).alias("last_key"),
+            )
+        )
+
+    split = F.lit(_MERGE_SPLIT).cast("timestamp")
+    base = side(F.col("ts") < split).alias("b")
+    upd = side(F.col("ts") >= split).alias("u")
+    return base.join(upd, F.col("b.user_id") == F.col("u.user_id"), "full_outer").select(
+        F.coalesce(F.col("b.user_id"), F.col("u.user_id")).alias("user_id"),
+        (
+            F.coalesce(F.col("b.n_events"), F.lit(0))
+            + F.coalesce(F.col("u.n_events"), F.lit(0))
+        ).alias("n_events"),
+        (
+            (
+                F.coalesce(F.col("b.cents"), F.lit(0))
+                + F.coalesce(F.col("u.cents"), F.lit(0))
+            ).cast("double")
+            / 100.0
+        ).alias("total_value"),
+        F.expr(
+            _CODE_TYPE.format(c="CAST(COALESCE(u.last_key, b.last_key) % 10 AS INT)")
+        ).alias("last_event_type"),
+        F.when(F.col("b.user_id").isNull(), "insert")
+        .when(F.col("u.user_id").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average — TimescaleDB time_weight('LOCF') capability
+
+
+@register(
+    "time_weighted_avg_user",
+    oracle=f"""
+    WITH spans AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+               - epoch_us(ts) AS dur_us
+      FROM {EVENTS_NORM}
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           SUM(dur_us) AS window_us,
+           round(CAST(SUM(CAST(cents AS HUGEINT) * CAST(dur_us AS HUGEINT))
+                        AS DOUBLE)
+                 / CAST(SUM(dur_us) AS DOUBLE) / 100.0, 6) AS twa_value
+    FROM spans WHERE dur_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    tags=("timeseries", "twa", "maintenance"),
+)
+def time_weighted_avg_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (LOCF integral) per user — the irregular-
+    series mean a plain avg() gets wrong: each observation holds until
+    the next one, so it weighs by its holding duration. The integral
+    sum(cents·µs) runs in exact int128 (decimal(38,0) / HUGEINT — a
+    100 TB month-long span at 1e9 cents·µs per row stays within 38
+    digits); the only floats are the final two correctly-rounded
+    divisions.
+
+    Scale: one hash exchange on user_id feeds both the lead() window
+    and the aggregate (same partitioning, Spark reuses the exchange);
+    state per user is O(1)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    spans = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.lead(F.unix_micros(F.col("ts"))).over(w) - F.unix_micros(F.col("ts"))).alias(
+            "dur_us"
+        ),
+    ).filter(F.col("dur_us").isNotNull())
+    return spans.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("dur_us").alias("window_us"),
+        F.round(
+            F.sum(F.col("cents").cast("decimal(38,0)") * F.col("dur_us").cast("decimal(38,0)"))
+            .cast("double")
+            / F.sum("dur_us").cast("double")
+            / 100.0,
+            6,
+        ).alias("twa_value"),
+    )

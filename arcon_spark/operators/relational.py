@@ -1691,3 +1691,112 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("regular")
         .alias("segment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog with deterministic registers — the value-checkable HLL
+
+
+_HLL_P = 6  # 2^6 = 64 registers; stderr ~ 1.04/sqrt(64) = 13%
+_HLL_M = 1 << _HLL_P
+_HLL_ALPHA = 0.709  # exact constant for m=64 (Flajolet et al. 2007)
+_HLL_SCALE_EXP = 62  # registers summed as 2^(62 - M) integer units
+_HLL_SCALE = 1 << _HLL_SCALE_EXP
+
+
+@register(
+    "hll_distinct_users",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM {EVENTS_NORM}
+    ),
+    regs AS (
+      SELECT event_type, h % {_HLL_M} AS bucket,
+             MAX(CASE WHEN h >> {_HLL_P} = 0 THEN 55
+                      ELSE 55 - length(bin(h >> {_HLL_P})) END) AS m
+      FROM h GROUP BY event_type, h % {_HLL_M}
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS present,
+             SUM(CAST((CAST(1 AS BIGINT) << ({_HLL_SCALE_EXP} - m)) AS HUGEINT))
+               AS s_present
+      FROM regs GROUP BY event_type
+    )
+    SELECT s.event_type,
+           CAST({_HLL_M} - present AS BIGINT) AS v_zero,
+           round({_HLL_ALPHA} * {_HLL_M * _HLL_M}.0 * {_HLL_SCALE}.0
+                 / CAST(s_present + CAST({_HLL_M} - present AS HUGEINT)
+                        * CAST({_HLL_SCALE} AS HUGEINT) AS DOUBLE), 3)
+             AS est_users,
+           e.exact_users
+    FROM s JOIN (SELECT event_type,
+                        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+                 FROM {EVENTS_NORM} GROUP BY event_type) e
+      ON s.event_type = e.event_type
+    """,
+    tags=("sketch", "hll", "survey2.6"),
+)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count per event_type with DETERMINISTIC,
+    cross-engine-checkable register values — the open-box companion to
+    approx_distinct_users (whose HLL++ sketch bytes are engine-private,
+    so the driver can only rows-check it). Same md5-keyed hash family
+    as kmv_distinct_users.
+
+    Register math is exact integer end-to-end: rho comes from the bin()
+    string length (identical in Spark and DuckDB — neither pads), each
+    register contributes 2^(62-M) integer units to the harmonic sum, the
+    64 - |present| zero registers contribute 2^62 each, and the only
+    float ops are the final constant-folded alpha*m^2*2^62 numerator and
+    one correctly-rounded division. No linear-counting branch: ln() is
+    libm-dependent, so the raw estimator plus the v_zero column (what
+    the correction would key on) keeps the result portable.
+
+    Scale shape: identical to a production HLL — one map-side-combinable
+    max() aggregate to 64 rows per group, then an O(groups) reduction.
+    The registers themselves are the mergeable sketch: union = MAX per
+    bucket across shards, exactly what the first groupBy computes."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        F.expr(
+            "cast(conv(substring(md5(concat('hll:', cast(user_id as string))), 1, 15),"
+            " 16, 10) as bigint)"
+        ).alias("h"),
+    )
+    w = F.shiftright(F.col("h"), _HLL_P)
+    rho = F.when(w == 0, F.lit(55)).otherwise(F.lit(55) - F.length(F.bin(w)))
+    regs = (
+        h.select("event_type", (F.col("h") % _HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    s = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("present"),
+        F.sum(
+            F.expr(f"cast(shiftleft(1L, {_HLL_SCALE_EXP} - m) as decimal(38,0))")
+        ).alias("s_present"),
+    )
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_users"))
+    s_scaled = F.col("s_present") + (F.lit(_HLL_M) - F.col("present")).cast(
+        "decimal(38,0)"
+    ) * F.lit(_HLL_SCALE).cast("decimal(38,0)")
+    return (
+        s.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            (F.lit(_HLL_M) - F.col("present")).cast("long").alias("v_zero"),
+            F.round(
+                F.lit(_HLL_ALPHA)
+                * F.lit(float(_HLL_M * _HLL_M))
+                * F.lit(float(_HLL_SCALE))
+                / s_scaled.cast("double"),
+                3,
+            ).alias("est_users"),
+            "exact_users",
+        )
+    )

@@ -526,3 +526,56 @@ def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("next_purchase_us") - F.unix_micros(F.col("ts"))).alias("wait_us"),
         )
     )
+
+
+_SALT_N = 8
+
+
+@register(
+    "salted_skew_join",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS HUGEINT)) AS DOUBLE) / 100.0
+             AS total_value
+    FROM events JOIN customer ON c_custkey = user_id
+    GROUP BY c_mktsegment
+    """,
+    tags=("join", "skew", "salting", "scale_pattern"),
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation pattern #2: the SALTED SHUFFLE JOIN (the join-
+    side companion to salted_hot_key_agg). The fact side adds a
+    deterministic salt in [0, 8); the dimension side replicates each
+    row 8× via explode(sequence(...)); the join key becomes
+    (user_id, salt), so a hot user's rows spread over 8 reducers
+    instead of hammering one. The shuffle_hash hint forces the
+    repartition join this pattern exists for (with broadcast the skew
+    problem wouldn't arise — that escape hatch is broadcast_dim_join).
+
+    Result is provably salt-invariant: every fact row meets exactly
+    one replica of its dimension row (the one with s = its salt), so
+    the plain-join oracle hash-matches. At 100 TB: salt only the keys
+    AQE's skew split can't fix (a single key above the split size),
+    and size the salt fan-out to the observed hot-key multiplicity."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    fact = ev.withColumn("salt", F.pmod(F.xxhash64("user_id", "value"), F.lit(_SALT_N)))
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn("s", F.explode(F.sequence(F.lit(0), F.lit(_SALT_N - 1))))
+        .hint("shuffle_hash")
+    )
+    return (
+        fact.join(
+            dim,
+            (fact.user_id == dim.c_custkey) & (fact.salt == dim.s.cast("long")),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("decimal(38,0)")).cast("double")
+                / 100.0
+            ).alias("total_value"),
+        )
+    )

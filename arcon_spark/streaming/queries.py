@@ -1975,3 +1975,60 @@ def stream_absence_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
     )
     return _run_to_memory(spark, out, "stream_absence").filter(F.col("user_id") >= 0)
+
+
+@register(
+    "stream_stream_right_outer_join",
+    oracle=f"""
+    WITH a AS (SELECT event_id, ts, user_id FROM {EVENTS_NORM}
+               WHERE event_id % 2 = 0),
+    b AS (SELECT event_id, ts, user_id
+          FROM {EVENTS_NORM.replace(') events', ') e2')}
+          WHERE event_id % 2 = 1)
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           b.user_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM a RIGHT JOIN b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL '30 minutes'
+    """,
+    tags=("streaming", "join", "right_outer"),
+)
+def stream_stream_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream RIGHT OUTER interval join — the last cell of the
+    outer-join matrix (inner / left_outer / full_outer already
+    oracle-checked). Mirror semantics of the left-outer case: an
+    odd-id event with no even-id predecessor in its 30-minute window
+    emits with a null left side, and only once the left watermark has
+    passed the window end — right-side rows hold in join state until
+    the OTHER side's watermark proves no match can arrive, the
+    asymmetric eviction case."""
+    src = _streamed_events(spark, sf_dir, n_sentinels=3)
+
+    def side(pred: str, alias: str) -> DataFrame:
+        return (
+            src.withWatermark("ts", "0 seconds")
+            .filter(F.expr(pred))
+            .select("event_id", "ts", "user_id")
+            .alias(alias)
+        )
+
+    # sentinels must pass both watermark nodes (see the left-outer note)
+    a = side("event_id % 2 = 0 OR event_id = -1", "a")
+    b = side("event_id % 2 = 1 OR event_id = -1", "b")
+    joined = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 30 MINUTES")),
+        "right_outer",
+    ).select(
+        F.col("a.event_id").alias("id_a"),
+        F.col("b.event_id").alias("id_b"),
+        F.col("b.user_id").alias("user_id"),
+        (F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts"))).alias("gap_us"),
+    )
+    out = _run_to_memory(spark, joined, "stream_ssroj")
+    # sentinel rows (user_id -1) surface as unmatched rights
+    return out.filter(F.col("user_id") >= 0)
