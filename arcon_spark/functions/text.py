@@ -1047,3 +1047,86 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_estimate") - F.col("freq")).alias("overcount"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC)
+# ---------------------------------------------------------------------------
+
+_CDC_MOD = 8  # boundary gate: E[chunk] = 8 tokens
+
+
+@register(
+    "text_cdc_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, d.l[u.i] AS tok, CAST(u.i - 1 AS BIGINT) AS pos
+      FROM (SELECT doc_id, {_SQL_TOKS_LIST} AS l
+            FROM documents) d,
+           UNNEST(generate_series(1, len(d.l))) AS u(i)
+    ),
+    g AS (
+      SELECT doc_id, tok, pos,
+             CASE WHEN CAST('0x' || substring(md5('cdc:' || tok), 1, 4) AS INTEGER)
+                       % {_CDC_MOD} = 0
+                  THEN 1 ELSE 0 END AS gate
+      FROM toks
+    ),
+    c AS (
+      SELECT doc_id, tok, pos,
+             COALESCE(SUM(gate) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS chunk_id
+      FROM g
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           MIN(pos) AS first_pos,
+           md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_digest
+    FROM c GROUP BY doc_id, chunk_id
+    """,
+    tags=("text", "chunking", "cdc", "dedup"),
+)
+def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED chunking — boundaries fall where a hash of the
+    token itself passes a gate (md5 % 8 == 0), not at fixed offsets
+    (text_chunking is the fixed-stride counterpart). The property that
+    matters for dedup pipelines: inserting a sentence shifts every
+    fixed-stride chunk after it, but content-gated boundaries
+    re-synchronize immediately, so unchanged regions keep identical
+    chunk digests — this is how backup/dedup systems (and chunk-level
+    corpus dedup) get stable chunk identities under edits.
+
+    Plan shape: tokenize (in-row), gate (in-row md5), one window
+    cumsum + one hash aggregate, both over the same doc_id exchange —
+    Spark reuses the partitioning, so the whole operator costs one
+    shuffle. The ordered-digest uses the array_sort(collect_list)
+    idiom (no SortAggregate demotion)."""
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    tok = docs.select("doc_id", F.posexplode(F.expr(_TOKS)).alias("pos", "tok"))
+    gate = (
+        F.expr("cast(conv(substring(md5(concat('cdc:', tok)), 1, 4), 16, 10) as int)")
+        % _CDC_MOD
+        == 0
+    ).cast("int")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = tok.select(
+        "doc_id",
+        "tok",
+        F.col("pos").cast("long").alias("pos"),
+        F.coalesce(F.sum(gate).over(w), F.lit(0)).cast("long").alias("chunk_id"),
+    )
+    return c.groupBy("doc_id", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.min("pos").alias("first_pos"),
+        F.md5(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(pos, tok))),"
+                " x -> x.tok), ' ')"
+            )
+        ).alias("chunk_digest"),
+    )

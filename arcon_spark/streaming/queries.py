@@ -2032,3 +2032,102 @@ def stream_stream_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFram
     out = _run_to_memory(spark, joined, "stream_ssroj")
     # sentinel rows (user_id -1) surface as unmatched rights
     return out.filter(F.col("user_id") >= 0)
+
+
+@register(
+    "stream_time_weighted_avg",
+    oracle=f"""
+    WITH spans AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+               - epoch_us(ts) AS dur_us
+      FROM {EVENTS_NORM}
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           SUM(dur_us) AS window_us,
+           round(CAST(SUM(CAST(cents AS HUGEINT) * CAST(dur_us AS HUGEINT))
+                        AS DOUBLE)
+                 / CAST(SUM(dur_us) AS DOUBLE) / 100.0, 6) AS twa_value
+    FROM spans WHERE dur_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "twa", "timeseries"),
+)
+def stream_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LOCF time-weighted average (batch twin:
+    time_weighted_avg_user) as STREAMING per-key state — the textbook
+    case for O(1) incremental state: each arrival closes the span the
+    previous observation opened, so the state is just (last_micros,
+    last_cents) plus three exact integer accumulators (span count,
+    Σdur, Σcents·dur as an unbounded Python int ≅ the decimal(38)
+    column). Emitted on the flush marker; the integral accumulated
+    across the mid-tape epoch boundary must equal the batch window
+    oracle exactly."""
+    from arcon_spark.streaming.stateful import Operator, apply_operator
+    from arcon_spark.streaming.tape import write_segments
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    split_ts = ev.agg(
+        F.expr("timestamp_micros(cast(percentile(unix_micros(ts), 0.5) as long))")
+    ).collect()[0][0]
+    halves = [
+        ev.filter(F.col("ts") <= F.lit(split_ts)),
+        ev.filter(F.col("ts") > F.lit(split_ts)),
+    ]
+
+    class TwaOperator(Operator):
+        def handle_element(self, key, pdf, ctx):
+            st = ctx.value("twa")  # (last_us, last_cents, n, den, num)
+            marker = pdf["event_id"] < 0
+            data = pdf[~marker].sort_values(["ts", "event_id"], kind="mergesort")
+            last_us, last_cents, n, den, num = st.get((None, None, 0, 0, 0))
+            for ts, val in zip(data["ts"], data["value"]):
+                us = int(ts.timestamp() * 1_000_000)
+                cents = int(round(val * 100))
+                if last_us is not None:
+                    dur = us - last_us
+                    n += 1
+                    den += dur
+                    num += last_cents * dur
+                last_us, last_cents = us, cents
+            st.put((last_us, last_cents, n, den, num))
+            if marker.any() and not ctx.value("emitted").get(False):
+                ctx.value("emitted").put(True)
+                if n == 0:
+                    return None
+                return [
+                    {
+                        "user_id": int(key[0]),
+                        "n_spans": int(n),
+                        "window_us": int(den),
+                        "twa_value": round(float(num) / float(den) / 100.0, 6),
+                    }
+                ]
+            return None
+
+    flush = (
+        ev.groupBy("user_id")
+        .agg(F.max("ts").alias("mts"))
+        .select(
+            "user_id",
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.col("mts") + F.expr("INTERVAL 40 DAYS")).alias("ts"),
+            F.lit(0.0).alias("value"),
+        )
+    )
+    root = write_segments(halves + [flush])
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+    out = apply_operator(
+        src,
+        ["user_id"],
+        TwaOperator(),
+        "user_id long, n_spans long, window_us long, twa_value double",
+    )
+    return _run_to_memory(spark, out, "stream_twa")
