@@ -760,6 +760,24 @@ _PQ_DIM = 16  # dims per subspace (embedding dim 64)
 _PQ_K = 8  # codebook size per subspace
 
 
+def _pq_anchor_matrix(spark: SparkSession, sf_dir: str) -> np.ndarray:
+    """(K, 64) int64 anchor matrix — deterministic min-md5 corpus
+    sample, hash order = code order (shared by encode and ADC search;
+    the oracle rebuilds it with the same row_number CTE)."""
+    ch = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "embedding",
+            F.md5(F.concat(F.lit("pq:"), F.col("vec_id").cast("string"))).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(_PQ_K)
+        .collect()
+    )
+    return _int_matrix(pd.Series([r.embedding for r in ch]))
+
+
 @register(
     "pq_encode_embeddings",
     oracle=f"""
@@ -822,18 +840,7 @@ def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure, the broadcast-model pattern. Encode is one zero-shuffle
     Arrow pass: per batch, one (n×{K}) integer distance matrix per
     subspace."""
-    ch = (
-        load_table(spark, sf_dir, "embeddings")
-        .select(
-            "vec_id",
-            "embedding",
-            F.md5(F.concat(F.lit("pq:"), F.col("vec_id").cast("string"))).alias("h"),
-        )
-        .orderBy("h", "vec_id")
-        .limit(_PQ_K)
-        .collect()
-    )
-    A = _int_matrix(pd.Series([r.embedding for r in ch]))  # (K, 64), hash order = code order
+    A = _pq_anchor_matrix(spark, sf_dir)
 
     emb = spread(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
 
@@ -1020,4 +1027,121 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "cluster",
         F.coalesce(F.col("rm"), F.lit(False)).alias("removed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ ADC search: approximate top-k over the 4-byte codes
+# ---------------------------------------------------------------------------
+
+# the encode CTE chain (codebook → per-(vec, subspace, anchor) exact
+# integer L2² → argmin codes), shared text with pq_encode's oracle
+_PQ_BASE_CTES = f"""
+    ch AS (
+      SELECT vec_id,
+             row_number() OVER (
+               ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+      FROM embeddings
+    ),
+    anchors AS (
+      SELECT c.j, e.embedding
+      FROM (SELECT * FROM ch WHERE j < {_PQ_K}) c
+      JOIN embeddings e ON e.vec_id = c.vec_id
+    ),
+    dist AS (
+      SELECT e.vec_id, a.j, s.m,
+             SUM(
+               (CAST(round(CAST(e.embedding[s.m * {_PQ_DIM} + u.i] AS DOUBLE)
+                           * {_SCALE}.0) AS BIGINT)
+                - CAST(round(CAST(a.embedding[s.m * {_PQ_DIM} + u.i] AS DOUBLE)
+                             * {_SCALE}.0) AS BIGINT))
+               * (CAST(round(CAST(e.embedding[s.m * {_PQ_DIM} + u.i] AS DOUBLE)
+                             * {_SCALE}.0) AS BIGINT)
+                  - CAST(round(CAST(a.embedding[s.m * {_PQ_DIM} + u.i] AS DOUBLE)
+                               * {_SCALE}.0) AS BIGINT))
+             ) AS d
+      FROM embeddings e, anchors a,
+           UNNEST([{", ".join(str(m) for m in range(_PQ_M))}]) AS s(m),
+           UNNEST(generate_series(1, {_PQ_DIM})) AS u(i)
+      GROUP BY 1, 2, 3
+    ),
+    best AS (
+      SELECT vec_id, m, j, d,
+             row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+      FROM dist
+    )"""
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle=f"""
+    WITH {_PQ_BASE_CTES},
+    qt AS (
+      SELECT vec_id AS query_id, m, j, d AS t
+      FROM dist WHERE vec_id % {_QUERY_MOD} = 0
+    ),
+    codes AS (SELECT vec_id, m, j AS code FROM best WHERE rn = 1),
+    adc AS (
+      SELECT qt.query_id, c.vec_id AS candidate_id, SUM(qt.t) AS adc_dist
+      FROM codes c JOIN qt ON qt.m = c.m AND qt.j = c.code
+      WHERE c.vec_id <> qt.query_id
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, candidate_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, candidate_id) AS rn
+      FROM adc
+    )
+    SELECT query_id, candidate_id, adc_dist, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {TOP_K}
+    """,
+    tags=("similarity", "ann", "pq", "adc"),
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over the product-quantized
+    codes — the search half of the PQ story (pq_encode_embeddings is
+    the build half): each query precomputes a (M×K) integer lookup
+    table of exact subspace L2² distances to the codebook, and a
+    candidate's approximate distance is just M table lookups summed —
+    the memory-bandwidth-bound scan at the heart of IVF-PQ/FAISS.
+
+    Relational form: codes unpivot to (vec_id, m, code) and
+    broadcast-join the (query, m, j, t) table on (m, j=code) — a
+    |queries|-way fan-out per candidate code row, then one hash
+    aggregate and a WindowGroupLimit top-k. Everything stays exact
+    int64, so ranking (ties to lowest id) is engine-identical.
+
+    Scale: the scanned side is 4 longs per vector (the whole point of
+    PQ — 100 TB of vectors compress to ~1.6 TB of codes); the lookup
+    table is O(queries·M·K) broadcast; candidate pruning to an IVF
+    cell list (ann_ivf_topk's coarse quantizer) composes upstream."""
+    codes = pq_encode_embeddings(spark, sf_dir).select(
+        "vec_id", F.posexplode(F.array(*[f"code{m}" for m in range(_PQ_M)])).alias("m", "code")
+    )
+    qids, Q, _ = _query_matrix(spark, sf_dir)
+    A = _pq_anchor_matrix(spark, sf_dir)
+    rows = []
+    for qi, qid in enumerate(qids):
+        for m in range(_PQ_M):
+            sl = slice(m * _PQ_DIM, (m + 1) * _PQ_DIM)
+            diffs = Q[qi, sl][None, :] - A[:, sl]
+            ts = (diffs * diffs).sum(axis=1)
+            rows.extend(
+                (int(qid), m, int(j), int(ts[j])) for j in range(_PQ_K)
+            )
+    qt = spark.createDataFrame(rows, "query_id long, m int, j long, t long")
+    adc = (
+        codes.join(
+            F.broadcast(qt),
+            (codes.m == qt.m) & (codes.code == qt.j) & (codes.vec_id != qt.query_id),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("candidate_id"))
+        .agg(F.sum("t").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "candidate_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "candidate_id", "adc_dist", "rn")
     )
