@@ -284,10 +284,10 @@ def _bit_expr(k: int) -> str:
     return f"(shiftright({src}, {sh}) & 1)"
 
 
-@register(
-    "dedup_simhash",
-    oracle="""
-    WITH toks AS (
+# DuckDB mirror of the simhash fingerprint (shared by dedup_simhash and
+# the banded pair join below).
+_SQL_SIMHASH_CTE = """
+    toks AS (
       SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS t
       FROM documents
     ),
@@ -298,10 +298,19 @@ def _bit_expr(k: int) -> str:
                        >> (3 - (u.k % 4))) & 1) - 1) AS s
       FROM toks, UNNEST(generate_series(0, 63)) AS u(k)
       GROUP BY doc_id, u.k
-    )
-    SELECT doc_id,
-           string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY k) AS simhash_bits
-    FROM bits GROUP BY doc_id
+    ),
+    sim AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY k) AS simhash_bits
+      FROM bits GROUP BY doc_id
+    )"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_SQL_SIMHASH_CTE}
+    SELECT doc_id, simhash_bits FROM sim
     """,
     tags=("dedup", "simhash"),
 )
@@ -1008,4 +1017,109 @@ def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("edit_dist"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash banding: near-dup PAIRS from the fingerprint
+# ---------------------------------------------------------------------------
+
+_SIMHASH_MAX_HAMMING = 3
+_SIMHASH_BANDS = 4  # 4 bands x 16 bits
+
+
+@register(
+    "dedup_simhash_band_pairs",
+    oracle=f"""
+    WITH {_SQL_SIMHASH_CTE},
+    bands AS (
+      SELECT doc_id, b.band_id,
+             substr(simhash_bits, b.band_id * 16 + 1, 16) AS band
+      FROM sim, UNNEST([0, 1, 2, 3]) AS b(band_id)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band = b.band
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_filter(generate_series(1, 64),
+                    i -> substr(sa.simhash_bits, i, 1)
+                      <> substr(sb.simhash_bits, i, 1))) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN sim sa ON sa.doc_id = c.doc_a
+    JOIN sim sb ON sb.doc_id = c.doc_b
+    WHERE len(list_filter(generate_series(1, 64),
+              i -> substr(sa.simhash_bits, i, 1)
+                <> substr(sb.simhash_bits, i, 1))) <= {_SIMHASH_MAX_HAMMING}
+    """,
+    tags=("dedup", "simhash", "lsh", "pipeline"),
+)
+def dedup_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit fingerprint into 4x16-bit
+    pieces, bucket-join on any identical band, then verify exact hamming
+    distance <= 3. By pigeonhole this banding has EXACT recall at the
+    threshold: 3 differing bits can touch at most 3 of the 4 bands, so
+    every hamming<=3 pair shares at least one verbatim band — unlike
+    MinHash LSH, no probabilistic recall loss.
+
+    Plan shape: the fingerprint table (docs x 64 chars — tiny relative
+    to the corpus) is persisted once and feeds both the band self-join
+    and the verify join-back; the candidate space is bounded by band
+    collisions, never O(n^2). The hamming verify is 4 conv/xor/
+    bit_count codegen integer ops per pair, not a 64-char loop. Hot
+    bands (boilerplate corpora hash to identical fingerprints) are
+    capped at the LSH_BUCKET_CAP lowest doc_ids exactly like the
+    MinHash bucket guard — inactive at test SFs (oracle unaffected),
+    bounds the blowup at cap^2 per bucket at 100 TB.
+
+    Reference parity note: the reference has no dedup operator of any
+    kind (SURVEY.md §2.9); this is part of the beyond-reference
+    training-data pipeline surface."""
+    sig = dedup_simhash(spark, sf_dir).persist()
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("simhash_bits", b * 16 + 1, 16)
+                    for b in range(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band_id", "band"),
+    )
+    wcap = Window.partitionBy("band_id", "band").orderBy("doc_id")
+    bands = (
+        bands.withColumn("_bn", F.row_number().over(wcap))
+        .filter(F.col("_bn") <= LSH_BUCKET_CAP)
+        .drop("_bn")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash_bits").alias("bits_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash_bits").alias("bits_b"))
+    ham = sum(
+        F.expr(
+            f"bit_count(cast(conv(substring(bits_a, {b * 16 + 1}, 16), 2, 10) as int)"
+            f" ^ cast(conv(substring(bits_b, {b * 16 + 1}, 16), 2, 10) as int))"
+        )
+        for b in range(_SIMHASH_BANDS)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
     )

@@ -108,3 +108,23 @@ def test_prefix_filter_equals_inverted_index(spark, sf_dir):
         for r in dedup_prefix_filter_pairs(spark, sf_dir).collect()
     }
     assert got == ref and len(ref) > 0
+
+
+def test_simhash_band_pairs_exact_recall_at_threshold(spark, sf_dir):
+    """4x16 banding has EXACT recall at hamming<=3 (pigeonhole): the
+    banded pair set must equal the brute-force hamming<=3 pair set."""
+    from arcon_spark.functions.dedup import dedup_simhash_band_pairs
+
+    fp = {r.doc_id: r.simhash_bits for r in dedup_simhash(spark, sf_dir).collect()}
+    ids = sorted(fp)
+    truth = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = sum(x != y for x, y in zip(fp[a], fp[b], strict=True))
+            if h <= 3:
+                truth[(a, b)] = h
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup_simhash_band_pairs(spark, sf_dir).collect()
+    }
+    assert got == truth
