@@ -763,6 +763,111 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMV_HASH = (
+    "cast(conv(substring(md5(concat('kmv:', cast(user_id as string))), 1, 15),"
+    " 16, 10) as bigint)"
+)
+_SQL_KMV_HASH = (
+    "CAST('0x' || substring(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)"
+)
+
+
+@register(
+    "kmv_theta_intersection",
+    oracle=f"""
+    WITH ha AS (
+      SELECT DISTINCT {_SQL_KMV_HASH} AS h FROM {EVENTS_NORM}
+      WHERE event_type = 'view' ORDER BY h LIMIT {_KMV_K}
+    ),
+    hb AS (
+      SELECT DISTINCT {_SQL_KMV_HASH} AS h FROM {EVENTS_NORM}
+      WHERE event_type = 'purchase' ORDER BY h LIMIT {_KMV_K}
+    ),
+    u AS (
+      SELECT 'a' AS side, h FROM ha UNION ALL SELECT 'b', h FROM hb
+    ),
+    per_h AS (
+      SELECT h,
+             MAX(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS in_b
+      FROM u GROUP BY h
+    ),
+    th AS (
+      SELECT LEAST(MAX(CASE WHEN in_a = 1 THEN h END),
+                   MAX(CASE WHEN in_b = 1 THEN h END)) AS theta
+      FROM per_h
+    )
+    SELECT (SELECT theta FROM th) AS theta,
+           CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1
+                          AND h < (SELECT theta FROM th) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_common_sample,
+           round(SUM(CASE WHEN in_a = 1 AND in_b = 1
+                           AND h < (SELECT theta FROM th) THEN 1 ELSE 0 END)
+                 / ((SELECT theta FROM th) / {float(16**15)!r}), 4) AS est_common
+    FROM per_h
+    """,
+    tags=("sketch", "kmv", "setop", "survey2.6"),
+)
+def kmv_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style set-INTERSECTION estimate from two KMV
+    sketches: |view-users ∩ purchase-users| without ever joining the
+    raw sets. θ = min(kth-min hash of A, kth-min hash of B); every
+    common hash below θ is provably in both k-min sketches, so the
+    sample count divided by the sampled fraction θ/2^60 estimates the
+    true overlap. Like kmv_distinct_users, the estimate is a pure
+    function of md5 order → deterministic, oracle-hash-identical
+    (unlike engine-internal HLL/theta implementations).
+
+    Plan shape: each side is a distinct-hash reduction followed by a
+    global TakeOrdered(k) — only k longs per side survive to the
+    driver-side-free final stage; the theta/sample combination runs as
+    one unpartitioned window + aggregate over ≤ 2k rows. At 100 TB the
+    two TakeOrdered(k) are map-side partial top-k merges (k longs per
+    partition shuffled), and sketches for many segments would be built
+    in ONE pass with a k-min UDAF, this exact form as its verifier."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def kside(et: str, side: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == et)
+            .select(F.expr(_KMV_HASH).alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(_KMV_K)
+            .select(F.lit(side).alias("side"), "h")
+        )
+
+    per_h = (
+        kside("view", "a")
+        .union(kside("purchase", "b"))
+        .groupBy("h")
+        .agg(
+            F.max(F.when(F.col("side") == "a", 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("side") == "b", 1).otherwise(0)).alias("in_b"),
+        )
+    )
+    w = Window.partitionBy()
+    theta = F.least(
+        F.max(F.when(F.col("in_a") == 1, F.col("h"))).over(w),
+        F.max(F.when(F.col("in_b") == 1, F.col("h"))).over(w),
+    )
+    common = F.when(
+        (F.col("in_a") == 1) & (F.col("in_b") == 1) & (F.col("h") < F.col("theta")), 1
+    ).otherwise(0)
+    return (
+        per_h.withColumn("theta", theta)
+        .groupBy("theta")
+        .agg(
+            F.sum(common).alias("n_common_sample"),
+            F.round(
+                F.sum(common) / (F.col("theta").cast("double") / F.lit(float(16**15))),
+                4,
+            ).alias("est_common"),
+        )
+        .select("theta", "n_common_sample", "est_common")
+    )
+
+
 @register(
     "percentiles_value",
     oracle=f"""

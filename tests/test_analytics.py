@@ -115,3 +115,22 @@ def test_cusum_finds_planted_step(spark, monkeypatch):
     assert len(rows) == 1
     r = rows[0]
     assert r["change_hour"].hour == 1 and r["score"] == 400 and r["n_hours"] == 4
+
+
+def test_kmv_theta_intersection_estimates_true_overlap(spark, sf_dir):
+    """The theta-intersection estimate must land within KMV's sampling
+    error of the exact overlap (k=12 → ~1/sqrt(12) ≈ 29% std error;
+    assert a generous 3x band plus sign-correctness)."""
+    from arcon_spark.io import load_table
+    from arcon_spark.operators.relational import kmv_theta_intersection
+
+    ev = load_table(spark, sf_dir, "events")
+    views = {r.user_id for r in ev.filter(F.col("event_type") == "view").select("user_id").distinct().collect()}
+    buys = {r.user_id for r in ev.filter(F.col("event_type") == "purchase").select("user_id").distinct().collect()}
+    exact = len(views & buys)
+    row = kmv_theta_intersection(spark, sf_dir).collect()[0]
+    assert row.n_common_sample >= 0
+    if exact == 0:
+        assert row.n_common_sample == 0
+    else:
+        assert exact / 3 <= row.est_common <= exact * 3, (row.est_common, exact)
