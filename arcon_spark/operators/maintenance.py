@@ -766,3 +766,111 @@ def time_weighted_avg_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("twa_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function (ACF) over the hourly series
+# ---------------------------------------------------------------------------
+
+_ACF_LAGS = (1, 2, 3)
+
+
+@register(
+    "acf_hourly_value",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) / 3600 AS hr,
+             SUM(CAST(round(value * 100) AS HUGEINT)) AS v
+      FROM {EVENTS_NORM}
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT c.event_type, l.lag, CAST(c.v AS BIGINT) AS x, CAST(p.v AS BIGINT) AS y
+      FROM hourly c
+      JOIN UNNEST([1, 2, 3]) AS l(lag) ON TRUE
+      JOIN hourly p ON p.event_type = c.event_type AND p.hr = c.hr - l.lag
+    ),
+    m AS (
+      SELECT event_type, lag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+           (n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS acf
+    FROM m
+    """,
+    tags=("timeseries", "statistics", "correlation"),
+)
+def acf_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the hourly value series at lags 1–3 per
+    event_type — the seasonality/persistence diagnostic feeding forecast
+    model choice (brown_trend_forecast, seasonal_hourly_baseline).
+
+    Defined over TRUE hour distance (integer hour ids joined on
+    hr - lag), not adjacent rows, so gaps in the series don't silently
+    shift the lag. Pearson is computed from exact integer moments like
+    corr_quantity_price_by_flag: hourly sums are exact cents longs, the
+    five moment sums are exact decimal(38), and the final expression
+    tree is fixed-order IEEE double math — bit-identical cross-engine.
+
+    Plan shape: ONE map-side-partial hash aggregate reduces the raw
+    events to the hourly frame (the only full-data exchange); the
+    lag explode and self-join run on the reduced series (rows =
+    groups × hours, thousands per TB), then a second tiny aggregate.
+    At 100 TB the hourly frame for even 1e6 group-series × 1 year is
+    ~1e10 rows — still 1e4× smaller than the input, and the self-join
+    is an equi-join AQE handles; lags share the one exchange via the
+    explode instead of L separate joins."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            (F.unix_seconds(F.date_trunc("hour", F.col("ts"))) / F.lit(3600))
+            .cast("long")
+            .alias("hr"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.sum(F.col("cents").cast("decimal(38,0)")).cast("long").alias("v"))
+    )
+    cur = hourly.select(
+        "event_type",
+        "hr",
+        F.col("v").alias("x"),
+        F.explode(F.array(*[F.lit(lag) for lag in _ACF_LAGS])).alias("lag"),
+    )
+    prev = hourly.select(
+        F.col("event_type").alias("p_et"), F.col("hr").alias("p_hr"), F.col("v").alias("y")
+    )
+    pairs = cur.join(
+        prev,
+        (F.col("event_type") == F.col("p_et"))
+        & (F.col("p_hr") == F.col("hr") - F.col("lag")),
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
+    m = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+        dec(F.col("y") * F.col("y")).alias("syy"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        n.cast("long").alias("n_pairs"),
+        (
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("acf"),
+    )

@@ -134,3 +134,25 @@ def test_kmv_theta_intersection_estimates_true_overlap(spark, sf_dir):
         assert row.n_common_sample == 0
     else:
         assert exact / 3 <= row.est_common <= exact * 3, (row.est_common, exact)
+
+
+def test_acf_alternating_series_is_negative_at_lag1(spark, monkeypatch):
+    """A strictly alternating hourly series (+a, -a, +a, ...) has
+    ACF(1) = -1 and ACF(2) = +1 exactly — pins the lag join arithmetic
+    and the exact-moment Pearson tree."""
+    from arcon_spark.operators import maintenance
+
+    rows = [
+        (i, 7, f"2024-01-01 {i:02d}:15:00", "view", 10.0 if i % 2 == 0 else 2.0, "{}")
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts_s string, event_type string, value double, props string",
+    ).select(
+        "event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value", "props"
+    )
+    monkeypatch.setattr(maintenance, "load_table", lambda s, d, n: df)
+    got = {r.lag: r.acf for r in maintenance.acf_hourly_value(spark, "unused").collect()}
+    assert abs(got[1] - (-1.0)) < 1e-12, got
+    assert abs(got[2] - 1.0) < 1e-12, got
