@@ -412,3 +412,114 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("nationkey"), F.col("lab").alias("community")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted single-source shortest paths (Bellman-Ford)
+# ---------------------------------------------------------------------------
+
+_SSSP_ITERS = 5
+_SSSP_INF = 999_999_999  # > any real path cost; diameter * max weight bound
+
+
+def _sssp_sql_iter(k: int) -> str:
+    prev = f"d{k - 1}"
+    return f"""d{k} AS (
+      SELECT n.node, LEAST(d.dist, COALESCE(m.c, {_SSSP_INF})) AS dist
+      FROM nodes n
+        JOIN {prev} d ON d.node = n.node
+        LEFT JOIN (SELECT e.dst AS node, MIN(d.dist + e.w) AS c
+                   FROM edges e JOIN {prev} d ON d.node = e.src
+                   GROUP BY e.dst) m ON m.node = n.node
+    )"""
+
+
+@register(
+    "graph_shortest_path_weighted",
+    oracle=f"""
+    WITH flows AS (
+      SELECT s_nationkey AS src, c_nationkey AS dst,
+             CAST(MIN(round(l_quantity)) AS BIGINT) AS w
+      FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+      WHERE s_nationkey <> c_nationkey
+      GROUP BY 1, 2
+    ),
+    edges AS (SELECT src, dst, w FROM flows),
+    nodes AS (SELECT n_nationkey AS node FROM nation),
+    d0 AS (SELECT node, CASE WHEN node = 0 THEN 0 ELSE {_SSSP_INF} END AS dist
+           FROM nodes),
+    {",".join(_sssp_sql_iter(k) for k in range(1, _SSSP_ITERS + 1))}
+    SELECT node AS nationkey, CAST(dist AS BIGINT) AS dist
+    FROM d{_SSSP_ITERS}
+    """,
+    tags=("graph", "iterative", "sssp", "weighted"),
+)
+def graph_shortest_path_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (Bellman-Ford) from nation
+    0 over the trade graph, edge weight = cheapest observed shipment
+    quantity on that lane. Generalizes graph_bfs_distances: each of the
+    {_SSSP_ITERS} rounds relaxes dist'(v) = min(dist(v), min over u→v
+    of dist(u) + w(u,v)). Weights are exact integers (round(l_quantity))
+    so every round is engine- and order-independent; the oracle unrolls
+    the identical recurrence as CTEs.
+
+    Scale: the edge build is the only full-data pass (MIN-aggregated to
+    one row per lane, map-side partial); each round then shuffles the
+    node frame — rows = |V|, not |E| — joined against the persisted
+    edge list. Negative-weight-free by construction, so {_SSSP_ITERS}
+    rounds certify exactness once round k equals round k-1 (for
+    unbounded graphs: loop until no dist changed, checkpoint each few
+    rounds to cut lineage — same body)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    edges = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.min(F.round(F.col("l_quantity"))).cast("long").alias("w"))
+        .persist()
+    )
+    nodes = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node")
+    )
+    dist = nodes.select(
+        "node",
+        F.when(F.col("node") == 0, F.lit(0).cast("long"))
+        .otherwise(F.lit(_SSSP_INF).cast("long"))
+        .alias("dist"),
+    )
+    for _ in range(_SSSP_ITERS):
+        relaxed = (
+            edges.join(dist, edges.src == dist.node)
+            .select("dst", (F.col("dist") + F.col("w")).alias("cand"))
+            .groupBy("dst")
+            .agg(F.min("cand").alias("c"))
+        )
+        dist = (
+            nodes.join(relaxed, nodes.node == relaxed.dst, "left_outer")
+            .join(
+                dist.select(F.col("node").alias("pnode"), F.col("dist").alias("pdist")),
+                F.col("node") == F.col("pnode"),
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("pdist"), F.coalesce(F.col("c"), F.lit(_SSSP_INF))
+                ).alias("dist"),
+            )
+        )
+    edges.unpersist()
+    return dist.select(
+        F.col("node").alias("nationkey"), F.col("dist").cast("long").alias("dist")
+    )

@@ -874,3 +874,80 @@ def acf_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
         ).alias("acf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC apply: MERGE INTO emulation (upsert + delete changelog)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_merge_customer",
+    oracle="""
+    WITH latest AS (
+      SELECT o_custkey AS key,
+             CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+             o_totalprice AS new_bal
+      FROM (
+        SELECT o_custkey, o_orderstatus, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+      ) WHERE rn = 1
+    )
+    SELECT c.c_custkey, c.c_name,
+           CASE WHEN l.op = 'U' THEN l.new_bal ELSE c.c_acctbal END AS acctbal,
+           CASE WHEN l.op = 'U' THEN 'cdc' ELSE 'base' END AS version
+    FROM customer c LEFT JOIN latest l ON c.c_custkey = l.key
+    WHERE l.op IS NULL OR l.op <> 'D'
+    """,
+    tags=("maintenance", "cdc", "merge", "upsert"),
+)
+def cdc_merge_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply — the MERGE INTO primitive without a table format:
+    a changelog (here derived deterministically from orders: each
+    customer's latest order is a Delete if finalized else an Upsert
+    carrying a new balance) is collapsed to ONE winner per key
+    (row_number by the change sequence — "last writer wins" exactly as
+    a Delta/Iceberg MERGE resolves multiple matches), then applied to
+    the base snapshot in one outer join: base-only rows pass through,
+    U-rows overwrite, D-rows drop.
+
+    Plan shape: the changelog collapse is one shuffle on the key with
+    WindowGroupLimit (only the top row per key survives the sort); the
+    apply is one equi-join. At 100 TB the base is the big side — keep
+    it bucketed by key so only the (much smaller) per-epoch changelog
+    shuffles, and the join is exchange-free on the base; skewed hot
+    keys split by AQE. Streaming twin: the same collapse runs per
+    micro-batch via foreachBatch against the SnapshotCatalog
+    (streaming/snapshot.py), changelog semantics identical."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    latest = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("key"),
+            F.when(F.col("o_orderstatus") == "F", "D").otherwise("U").alias("op"),
+            F.col("o_totalprice").alias("new_bal"),
+        )
+    )
+    return (
+        cust.join(latest, cust.c_custkey == latest.key, "left")
+        .filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.when(F.col("op") == "U", F.col("new_bal"))
+            .otherwise(F.col("c_acctbal"))
+            .alias("acctbal"),
+            F.when(F.col("op") == "U", "cdc").otherwise("base").alias("version"),
+        )
+    )
