@@ -567,6 +567,57 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "stream_stream_left_semi_join",
+    oracle=f"""
+    SELECT a.event_id, a.user_id
+    FROM (SELECT * FROM {EVENTS_NORM} WHERE event_id % 2 = 0) a
+    WHERE EXISTS (
+      SELECT 1 FROM (SELECT event_id, ts, user_id
+                     FROM {EVENTS_NORM.replace(') events', ') e2')}
+                     WHERE event_id % 2 = 1) b
+      WHERE b.user_id = a.user_id
+        AND b.ts > a.ts
+        AND b.ts <= a.ts + INTERVAL '30 minutes')
+    """,
+    tags=("streaming", "join", "semi", "survey2.4"),
+)
+def stream_stream_left_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT SEMI join — completes the streaming join
+    matrix (inner/left/right/full outer elsewhere in this module):
+    each even-id event is emitted ONCE iff some odd-id event of the
+    same user follows within 30 minutes. The engine emits the left row
+    on its first match and must then suppress every later match — the
+    dedup-on-match contract that distinguishes semi from inner — and
+    drops unmatched state only once both watermarks pass the bound.
+    Output equals the batch EXISTS oracle exactly.
+
+    Scale: same state bound as the inner join (both sides watermarked,
+    time-bounded → state is O(30-minute horizon per side)); the output
+    never duplicates a left row regardless of match fan-out, so the
+    sink write is bounded by the left stream, not the pair count."""
+    src = _streamed_events(spark, sf_dir, n_sentinels=3)
+
+    def side(pred: str, alias: str) -> DataFrame:
+        return (
+            src.withWatermark("ts", "0 seconds")
+            .filter(F.expr(pred))
+            .select("event_id", "ts", "user_id")
+            .alias(alias)
+        )
+
+    a = side("event_id % 2 = 0 OR event_id = -1", "a")
+    b = side("event_id % 2 = 1 OR event_id = -1", "b")
+    joined = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_semi",
+    ).select("event_id", "user_id")
+    return _run_to_memory(spark, joined, "stream_sslsj").filter(F.col("event_id") >= 0)
+
+
+@register(
     "stream_count_window",
     oracle=f"""
     WITH numbered AS (
