@@ -342,8 +342,7 @@ _IVF_CENTROID_MOD = 37  # vec_id % 37 == 3 → deterministic coarse centroids
 _IVF_NPROBE = 2
 
 
-_IVF_ORACLE = f"""
-    WITH units AS (
+_IVF_ASSIGN_CTES = f"""units AS (
       SELECT e.vec_id, u.i AS i,
              CAST(round(CAST(e.embedding[u.i] AS DOUBLE) * {_SCALE}.0) AS BIGINT) AS qv
       FROM embeddings e, UNNEST(generate_series(1, len(e.embedding))) AS u(i)
@@ -380,7 +379,10 @@ _IVF_ORACLE = f"""
                                   ORDER BY sim DESC, cent_id) AS rn
         FROM csim WHERE vec_id % {_QUERY_MOD} = 0
       ) WHERE rn <= {_IVF_NPROBE}
-    ),
+    )"""
+
+_IVF_ORACLE = f"""
+    WITH {_IVF_ASSIGN_CTES},
     cand AS (
       SELECT p.query_id, a.vec_id AS candidate_id
       FROM probes p JOIN assigned a ON a.cell = p.cell
@@ -409,27 +411,13 @@ _IVF_ORACLE = f"""
     """
 
 
-@register(
-    "ann_ivf_topk",
-    oracle=_IVF_ORACLE,  # deterministic assignment + integer dots → exact oracle
-    tags=("similarity", "ann", "ivf"),
-)
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: a deterministic coarse quantizer (a fixed sample
-    of the corpus as centroids — at 100 TB these come from k-means on a
-    sample, persisted as a tiny table) partitions vectors into cells;
-    each query probes its _IVF_NPROBE nearest cells and re-ranks
-    exactly within them.
+def _ivf_assignment(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Shared IVF coarse quantizer: (assigned, probes).
 
-    Plan: centroid assignment is one broadcast matmul per Arrow batch
-    (cells table is tiny); the candidate join is an equi-join on
-    cell_id — the pair space is bounded by cell occupancy, never O(n²).
-    Approximate RECALL (< 1, asserted against the brute force in
-    tests/test_similarity.py) but a fully DETERMINISTIC result: the
-    quantizer and re-rank are exact integer math, so the oracle replays
-    the identical assignment relationally. (Cosine ties between
-    distinct centroid pairs would be the one divergence — exact
-    rational equality, measure-zero on real embeddings.)"""
+    assigned: (vec_id, embedding, cell) — every vector labeled with its
+    nearest deterministic centroid (one broadcast matmul per Arrow
+    batch). probes: (query_id, cell) — each query's _IVF_NPROBE nearest
+    cells, computed driver-side (the query set is tiny by design)."""
     qids, Q, qn2 = _query_matrix(spark, sf_dir)
     emb = spread(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
 
@@ -455,7 +443,6 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assigned = emb.mapInPandas(assign, "vec_id long, embedding array<float>, cell long")
 
-    # query → top-nprobe cells (tiny, computed driver-side)
     qsim = (Q @ Cmat.T).astype(np.float64) / (
         np.sqrt(qn2.astype(np.float64))[:, None] * cn2d[None, :]
     )
@@ -467,6 +454,31 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = spark.createDataFrame(
         pd.DataFrame(probe_rows, columns=["query_id", "cell"])
     )
+    return assigned, probes
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=_IVF_ORACLE,  # deterministic assignment + integer dots → exact oracle
+    tags=("similarity", "ann", "ivf"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a deterministic coarse quantizer (a fixed sample
+    of the corpus as centroids — at 100 TB these come from k-means on a
+    sample, persisted as a tiny table) partitions vectors into cells;
+    each query probes its _IVF_NPROBE nearest cells and re-ranks
+    exactly within them.
+
+    Plan: centroid assignment is one broadcast matmul per Arrow batch
+    (cells table is tiny); the candidate join is an equi-join on
+    cell_id — the pair space is bounded by cell occupancy, never O(n²).
+    Approximate RECALL (< 1, asserted against the brute force in
+    tests/test_similarity.py) but a fully DETERMINISTIC result: the
+    quantizer and re-rank are exact integer math, so the oracle replays
+    the identical assignment relationally. (Cosine ties between
+    distinct centroid pairs would be the one divergence — exact
+    rational equality, measure-zero on real embeddings.)"""
+    assigned, probes = _ivf_assignment(spark, sf_dir)
     qemb = (
         load_table(spark, sf_dir, "embeddings")
         .filter((F.col("vec_id") % _QUERY_MOD) == 0)
@@ -1072,6 +1084,24 @@ _PQ_BASE_CTES = f"""
     )"""
 
 
+def _pq_query_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, m, j, t): each query's exact integer L2² distance to
+    every codebook anchor per subspace — the ADC lookup table, built
+    driver-side (O(queries·M·K) rows) and broadcast."""
+    qids, Q, _ = _query_matrix(spark, sf_dir)
+    A = _pq_anchor_matrix(spark, sf_dir)
+    rows = []
+    for qi, qid in enumerate(qids):
+        for m in range(_PQ_M):
+            sl = slice(m * _PQ_DIM, (m + 1) * _PQ_DIM)
+            diffs = Q[qi, sl][None, :] - A[:, sl]
+            ts = (diffs * diffs).sum(axis=1)
+            rows.extend(
+                (int(qid), m, int(j), int(ts[j])) for j in range(_PQ_K)
+            )
+    return spark.createDataFrame(rows, "query_id long, m int, j long, t long")
+
+
 @register(
     "ann_pq_adc_topk",
     oracle=f"""
@@ -1119,24 +1149,98 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq_encode_embeddings(spark, sf_dir).select(
         "vec_id", F.posexplode(F.array(*[f"code{m}" for m in range(_PQ_M)])).alias("m", "code")
     )
-    qids, Q, _ = _query_matrix(spark, sf_dir)
-    A = _pq_anchor_matrix(spark, sf_dir)
-    rows = []
-    for qi, qid in enumerate(qids):
-        for m in range(_PQ_M):
-            sl = slice(m * _PQ_DIM, (m + 1) * _PQ_DIM)
-            diffs = Q[qi, sl][None, :] - A[:, sl]
-            ts = (diffs * diffs).sum(axis=1)
-            rows.extend(
-                (int(qid), m, int(j), int(ts[j])) for j in range(_PQ_K)
-            )
-    qt = spark.createDataFrame(rows, "query_id long, m int, j long, t long")
+    qt = _pq_query_table(spark, sf_dir)
     adc = (
         codes.join(
             F.broadcast(qt),
             (codes.m == qt.m) & (codes.code == qt.j) & (codes.vec_id != qt.query_id),
         )
         .groupBy("query_id", F.col("vec_id").alias("candidate_id"))
+        .agg(F.sum("t").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "candidate_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "candidate_id", "adc_dist", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse cells + ADC scan — the composed FAISS-style index
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_ivf_pq_topk",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_CTES},
+    {_PQ_BASE_CTES},
+    qt AS (
+      SELECT vec_id AS query_id, m, j, d AS t
+      FROM dist WHERE vec_id % {_QUERY_MOD} = 0
+    ),
+    codes AS (SELECT vec_id, m, j AS code FROM best WHERE rn = 1),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS candidate_id
+      FROM probes p JOIN assigned a ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id
+    ),
+    adc AS (
+      SELECT c.query_id, c.candidate_id, SUM(qt.t) AS adc_dist
+      FROM cand c
+        JOIN codes co ON co.vec_id = c.candidate_id
+        JOIN qt ON qt.query_id = c.query_id AND qt.m = co.m AND qt.j = co.code
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, candidate_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, candidate_id) AS rn
+      FROM adc
+    )
+    SELECT query_id, candidate_id, adc_dist, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {TOP_K}
+    """,
+    tags=("similarity", "ann", "ivf", "pq", "pipeline"),
+)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the full FAISS-style composed index: the coarse
+    quantizer (ann_ivf_topk's deterministic cells) prunes the corpus to
+    each query's _IVF_NPROBE probed cells, and within them candidates
+    are ranked by PQ asymmetric distance (ann_pq_adc_topk's integer
+    lookup-table scan) instead of exact re-rank. This is the
+    billion-scale serving shape: candidate count bounded by cell
+    occupancy AND each candidate costing 4 code lookups on a 4-byte
+    row, never a 64-float dot product.
+
+    Plan: cell assignment is one Arrow-batched broadcast matmul over
+    the corpus; the probe join and the code join are equi-joins against
+    broadcast tables (probes: queries × nprobe rows; qt: queries × M×K
+    rows); one hash aggregate sums the M lookups; WindowGroupLimit
+    takes the top-k. All distances exact int64 → the oracle replays the
+    identical assignment + ADC relationally."""
+    assigned, probes = _ivf_assignment(spark, sf_dir)
+    codes = pq_encode_embeddings(spark, sf_dir).select(
+        "vec_id",
+        F.posexplode(F.array(*[f"code{m}" for m in range(_PQ_M)])).alias("m", "code"),
+    )
+    qt = _pq_query_table(spark, sf_dir)
+    cand = (
+        assigned.select("vec_id", "cell")
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("candidate_id"))
+    )
+    adc = (
+        cand.join(codes, cand.candidate_id == codes.vec_id)
+        .join(
+            F.broadcast(qt),
+            (cand.query_id == qt.query_id)
+            & (codes.m == qt.m)
+            & (codes.code == qt.j),
+        )
+        .groupBy(cand.query_id, "candidate_id")
         .agg(F.sum("t").alias("adc_dist"))
     )
     w = Window.partitionBy("query_id").orderBy("adc_dist", "candidate_id")

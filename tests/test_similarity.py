@@ -116,3 +116,18 @@ def test_pq_adc_recall_against_exact_l2(spark, sf_dir):
     assert hits / len(exact) >= 3 * random_recall, (
         f"recall {hits}/{len(exact)} vs random {random_recall:.3f}"
     )
+
+
+def test_ivf_pq_subset_of_ivf_candidates(spark, sf_dir):
+    """IVF-PQ scans exactly the IVF candidate set, ranked by ADC instead
+    of exact cosine: every returned pair must fall inside some probed
+    cell (i.e. appear in the IVF candidate space), and a reasonable
+    fraction of the plain-IVF winners must survive PQ compression."""
+    from arcon_spark.functions.similarity import ann_ivf_pq_topk, ann_ivf_topk
+
+    ivf = {(r.query_id, r.candidate_id) for r in ann_ivf_topk(spark, sf_dir).collect()}
+    rows = ann_ivf_pq_topk(spark, sf_dir).collect()
+    assert rows, "IVF-PQ returned nothing"
+    assert all(r.adc_dist >= 0 for r in rows)
+    hits = sum(1 for r in rows if (r.query_id, r.candidate_id) in ivf)
+    assert hits / len(ivf) >= 0.2, f"overlap {hits}/{len(ivf)}"
