@@ -810,3 +810,92 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Table profiling — the data-quality "describe" primitive
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    ("o_orderkey", "CAST(o_orderkey AS VARCHAR)"),
+    ("o_custkey", "CAST(o_custkey AS VARCHAR)"),
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_orderpriority", "o_orderpriority"),
+    ("o_orderdate", "CAST(o_orderdate AS VARCHAR)"),
+]
+
+
+@register(
+    "profile_orders_columns",
+    oracle=f"""
+    WITH u AS (
+      {" UNION ALL ".join(f"SELECT '{c}' AS col_name, {e} AS val FROM orders" for c, e in _PROFILE_COLS)}
+    ),
+    g AS (SELECT col_name, val, COUNT(*) AS cnt FROM u GROUP BY 1, 2),
+    top AS (
+      SELECT col_name, val AS top_val, CAST(cnt AS BIGINT) AS top_count FROM (
+        SELECT col_name, val, cnt,
+               row_number() OVER (PARTITION BY col_name ORDER BY cnt DESC, val) AS rn
+        FROM g WHERE val IS NOT NULL
+      ) WHERE rn = 1
+    )
+    SELECT g.col_name,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN val IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(COUNT(CASE WHEN val IS NOT NULL THEN 1 END) AS BIGINT) AS n_distinct,
+           MIN(val) AS min_val, MAX(val) AS max_val,
+           MAX(t.top_val) AS top_val, MAX(t.top_count) AS top_count
+    FROM g JOIN top t ON t.col_name = g.col_name
+    GROUP BY g.col_name
+    """,
+    tags=("analytics", "profiling", "quality", "reporting"),
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling in ONE scan: every column unpivots to
+    (col_name, val) rows via stack() — a zero-shuffle codegen
+    projection — then a single (col_name, val) hash aggregate yields
+    per-column null counts, EXACT distinct counts, min/max, and the
+    modal value with one more tiny aggregate over the distinct-value
+    frame. This is df.summary()/dbt-style profiling but exact and
+    engine-portable (doubles are profiled as integer-cent strings;
+    raw double→string formatting diverges between engines).
+
+    Scale: the unpivot multiplies rows ×k but each output row carries
+    ONE short string; the first aggregate is map-side partial so the
+    exchange is Σ per-column distinct values, not k×rows. Hot columns
+    with huge cardinality (ids) dominate — swap their exact distinct
+    for approx_count_distinct / the KMV sketch when profiling 100 TB,
+    same frame shape. The modal-value pass runs on the already-reduced
+    distinct frame (WindowGroupLimit keeps one row per column)."""
+    orders = load_table(spark, sf_dir, "orders")
+    stack_args = ", ".join(
+        f"'{c}', {e.replace('VARCHAR', 'string')}" for c, e in _PROFILE_COLS
+    )
+    u = orders.select(
+        F.expr(f"stack({len(_PROFILE_COLS)}, {stack_args}) as (col_name, val)")
+    )
+    g = u.groupBy("col_name", "val").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    wtop = Window.partitionBy("col_name").orderBy(F.desc("cnt"), F.asc("val"))
+    top = (
+        g.filter(F.col("val").isNotNull())
+        .withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") == 1)
+        .select("col_name", F.col("val").alias("top_val"), F.col("cnt").alias("top_count"))
+    )
+    prof = g.groupBy("col_name").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.sum(F.when(F.col("val").isNull(), F.col("cnt")).otherwise(0)).alias("n_nulls"),
+        F.count(F.when(F.col("val").isNotNull(), 1)).alias("n_distinct"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+    return prof.join(F.broadcast(top), "col_name").select(
+        "col_name",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        "min_val",
+        "max_val",
+        "top_val",
+        "top_count",
+    )
