@@ -1905,3 +1905,90 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_users",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE) — portable text, both engines
+# ---------------------------------------------------------------------------
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT n_nationkey AS src, (n_nationkey * 2) % 25 AS dst FROM nation
+  UNION ALL
+  SELECT n_nationkey, (n_nationkey * 2 + 1) % 25 FROM nation
+),
+reach(node, dist) AS (
+  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+  UNION ALL
+  SELECT CAST(e.dst AS BIGINT), r.dist + 1
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.dist < 5
+)
+SELECT node, CAST(MIN(dist) AS BIGINT) AS dist,
+       CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM reach GROUP BY node
+"""
+
+
+@register(
+    "sql_recursive_reach",
+    oracle=_RECURSIVE_SQL,
+    tags=("sql", "iterative", "graph", "survey2.9"),
+)
+def sql_recursive_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE — Spark 4's native recursive CTE, run as ONE SQL
+    text verbatim on both engines (like sql_portable_text): 5-hop
+    reachability with path counts over a deterministic out-degree-2
+    doubling graph on the nation keys. Complements the driver-loop
+    iteration pattern (graph_bfs_distances, pagerank_trade_network):
+    the loop lives in the ENGINE — Catalyst plans the fixpoint, one
+    UnionLoop node instead of N unrolled joins, and the same text is
+    the oracle. Spark's recursion currently supports UNION ALL bodies
+    only (no semi-naive UNION dedup), so the recursion must bound
+    depth/fan-out explicitly — exactly how this query's `dist < 5`
+    guard works; dedup happens in the outer GROUP BY. At scale prefer
+    the driver loop for wide graphs (checkpointable, AQE-replanned per
+    round); the recursive form wins for deep sparse recursions
+    (hierarchies, BOM explosions) where per-round job submission
+    dominates."""
+    from arcon_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# VARIANT (Spark 4 semi-structured type)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "variant_json_extract",
+    oracle=f"""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           CAST(json_extract(props, '$.missing') AS BIGINT) AS prop_missing
+    FROM {EVENTS_NORM}
+    """,
+    tags=("json", "variant", "survey2.8"),
+)
+def variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    parse_json once into the binary variant encoding, then typed
+    variant_get path extraction — the modern engine-native path for
+    ragged JSON (columnar-shredded, no per-access re-parse), vs the
+    older get_json_object string re-scan (scalar_functions_json).
+    Missing paths yield NULL, matching the JSON oracle. At 100 TB the
+    parse happens once per row in the scan projection and every
+    downstream access is a binary offset lookup; with Parquet variant
+    shredding the reads prune to the accessed paths."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'long')").alias("prop_k"),
+        (F.expr("variant_get(parse_json(props), '$.k', 'long')") % 10).alias("k_bucket"),
+        F.expr("variant_get(parse_json(props), '$.missing', 'long')").alias(
+            "prop_missing"
+        ),
+    )
