@@ -1130,3 +1130,54 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (Spark 4 user-defined TABLE function) — §2.8's 1→N surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "udtf_sentence_split",
+    oracle="""
+    WITH parts AS (SELECT doc_id, string_split(text, '. ') AS p FROM documents)
+    SELECT doc_id, CAST(u.i - 1 AS INT) AS sent_idx, p[u.i] AS sentence,
+           CAST(len(list_filter(string_split(p[u.i], ' '), x -> x <> ''))
+                AS BIGINT) AS n_words,
+           CAST(length(p[u.i]) AS BIGINT) AS n_chars
+    FROM parts, UNNEST(generate_series(1, len(p))) AS u(i)
+    """,
+    tags=("text", "udtf", "survey2.8"),
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Python UDTF (Spark 4 `@udtf`, Arrow-optimized): one text
+    row expands to N sentence rows with word/char counts, invoked
+    through a correlated LATERAL join — the 1→N operator surface the
+    reference expresses as a FlatMap closure
+    (arcon/src/stream/operator/function/flatmap.rs) and that explode()
+    covers for array-shaped input; the UDTF form is for expansions
+    computed by arbitrary Python per input row.
+
+    Scale honesty: a UDTF is a Python-process stage like any Pandas
+    UDF — Arrow-batched here (useArrow), but still off the codegen
+    path. flatmap_tokens/text_chunking show the JVM-native expansions
+    to prefer when the logic fits expressions; this query pins the API
+    + exactly-equal semantics vs the relational oracle."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sentence string, n_words long, n_chars long",
+          useArrow=True)
+    class SentenceSplit:
+        def eval(self, text: str):
+            for i, s in enumerate((text or "").split(". ")):
+                words = [w for w in s.split(" ") if w]
+                yield i, s, len(words), len(s)
+
+    from arcon_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    spark.udtf.register("sentence_split", SentenceSplit)
+    return spark.sql(
+        "SELECT d.doc_id, s.sent_idx, s.sentence, s.n_words, s.n_chars "
+        "FROM documents d, LATERAL sentence_split(d.text) s"
+    )
