@@ -1123,3 +1123,73 @@ def dedup_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment (asymmetric near-dup: A mostly inside B)
+# ---------------------------------------------------------------------------
+
+_CONTAIN_THRESHOLD = 0.8
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH {_SQL_SHINGLE_CTE},
+    shn AS (
+      SELECT sh.doc_id, sh.shingle, sz.n
+      FROM sh JOIN (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id) sz
+        ON sz.doc_id = sh.doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_common,
+             MAX(a.n) AS na, MAX(b.n) AS nb
+      FROM shn a JOIN shn b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE) / CAST(na AS DOUBLE) AS containment
+    FROM inter
+    WHERE CAST(n_common AS DOUBLE) / CAST(na AS DOUBLE) >= {_CONTAIN_THRESHOLD}
+    """,
+    tags=("dedup", "containment", "jaccard"),
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup: containment C(A→B) = |A∩B| / |A| ≥ 0.8 —
+    doc_a's shingles are mostly inside doc_b. Jaccard misses exactly
+    this case (a paragraph quoted inside a much larger page scores
+    near-zero Jaccard but containment 1.0), which is why web-corpus
+    pipelines (CCNet-style) dedup on containment for subset-copies.
+    Ordered pairs (doc_a <> doc_b, both directions) because containment
+    is directional. Same inverted-index plan as dedup_ngram_jaccard —
+    one shuffle on the shingle, per-doc sizes carried on the index rows
+    so no join-back; integer counts, one float division. At 100 TB the
+    candidate generation runs through the MinHash/LSH or prefix-filter
+    funnel first and this formula verifies candidates only."""
+    from pyspark.sql import Window as W
+
+    sh = _shingle_rows(spark, sf_dir).select(
+        "doc_id",
+        F.count(F.lit(1)).over(W.partitionBy("doc_id")).alias("n"),
+        F.col("s").alias("shingle"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.max("a.n").alias("na"),
+        )
+    )
+    cont = F.col("n_common").cast("double") / F.col("na").cast("double")
+    return (
+        inter.filter(cont >= _CONTAIN_THRESHOLD)
+        .select("doc_a", "doc_b", "n_common", cont.alias("containment"))
+    )
