@@ -951,3 +951,113 @@ def cdc_merge_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("op") == "U", "cdc").otherwise("base").alias("version"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve layout (Z-order's better-locality sibling)
+# ---------------------------------------------------------------------------
+
+_HBITS = 8  # 8 bits per dimension → d ∈ [0, 65536)
+
+
+def _hilbert_steps(x0: str, y0: str, xr: str = "x", yr: str = "y", dr: str = "d") -> list[tuple[str, str, str]]:
+    """Unrolled xy→d Hilbert transform (the classic bit-rotation
+    recurrence) as _HBITS chained (x, y, d) integer expressions —
+    engine-neutral SQL (CASE/&/*/- only, no XOR operator divergence:
+    (3*rx) XOR ry ≡ 3*rx + ry - 2*rx*ry for bits). Step 0 reads the
+    (x0, y0) inputs; later steps read the (xr, yr, dr) register
+    columns. Catalyst collapses the chain into one codegen
+    projection."""
+    steps = []
+    for i in range(_HBITS):
+        s = 1 << (_HBITS - 1 - i)
+        x, y = (xr, yr) if i > 0 else (x0, y0)
+        d = dr if i > 0 else "0"
+        rx = f"(CASE WHEN ({x} & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN ({y} & {s}) > 0 THEN 1 ELSE 0 END)"
+        newd = f"{d} + {s * s} * (3 * {rx} + {ry} - 2 * {rx} * {ry})"
+        x1 = f"(CASE WHEN {ry} = 0 AND {rx} = 1 THEN {s - 1} - {x} ELSE {x} END)"
+        y1 = f"(CASE WHEN {ry} = 0 AND {rx} = 1 THEN {s - 1} - {y} ELSE {y} END)"
+        newx = f"CASE WHEN {ry} = 0 THEN {y1} ELSE {x1} END"
+        newy = f"CASE WHEN {ry} = 0 THEN {x1} ELSE {y1} END"
+        steps.append((newx, newy, newd))
+    return steps
+
+
+def hilbert_key(df: DataFrame, x: str, y: str, out: str = "hkey") -> DataFrame:
+    """Append a Hilbert-curve key column over two integer columns (each
+    masked to _HBITS bits). Like zorder_key but with strictly better
+    locality: consecutive keys are always grid-neighbors (the curve
+    never jumps), so per-file bounding boxes are tighter than Morton's
+    at the same sort cost. Rotation registers live in reserved __h*
+    columns so user columns (even ones literally named x/y/d) are
+    never clobbered."""
+    mask = (1 << _HBITS) - 1
+    cur = df.selectExpr("*", f"({x} & {mask}) AS __hx", f"({y} & {mask}) AS __hy")
+    keep = list(df.columns)
+    for nx, ny, nd in _hilbert_steps("__hx", "__hy", "__hxr", "__hyr", "__hdr"):
+        cur = cur.selectExpr(
+            *keep,
+            f"({nx}) AS __hxr",
+            f"({ny}) AS __hyr",
+            f"({nd}) AS __hdr",
+        )
+    return cur.selectExpr(*keep, f"__hdr AS {out}")
+
+
+def _hilbert_sql_ctes(src: str) -> str:
+    """DuckDB mirror: the same unrolled steps as chained CTEs h1..hN."""
+    parts = [f"h0 AS (SELECT *, (hx & {(1 << _HBITS) - 1}) AS x,"
+             f" (hy & {(1 << _HBITS) - 1}) AS y, 0 AS d FROM {src})"]
+    for i, (nx, ny, nd) in enumerate(_hilbert_steps("x", "y")):
+        parts.append(
+            f"h{i + 1} AS (SELECT * REPLACE (({nx}) AS x, ({ny}) AS y, ({nd}) AS d)"
+            f" FROM h{i})"
+        )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "hilbert_events_layout",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id AS hx, CAST(round(value * 100, 0) AS BIGINT) AS hy,
+             user_id, CAST(round(value * 100, 0) AS BIGINT) AS v100
+      FROM events
+    ),
+    {_hilbert_sql_ctes("v")}
+    SELECT (d >> 10) AS hbucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(user_id) AS min_user, MAX(user_id) AS max_user,
+           MIN(v100) AS min_v100, MAX(v100) AS max_v100
+    FROM h{_HBITS} GROUP BY 1
+    """,
+    tags=("maintenance", "layout", "hilbert"),
+)
+def hilbert_events_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve data-layout audit — zorder_events_layout's sibling
+    with the better space-filling curve: bucket (user_id, value) by the
+    high bits of the Hilbert index and report per-bucket bounding boxes
+    on both dimensions. Z-order's long diagonal jumps (e.g. 0x0FFF →
+    0x1000 teleports across the plane) inflate file bounding boxes;
+    the Hilbert curve moves to a grid-neighbor at every step, so
+    buckets are tighter for range filters on either dimension —
+    why Iceberg offers hilbert() alongside zorder() for OPTIMIZE.
+
+    The transform is the classic per-bit rotate-and-reflect recurrence,
+    unrolled to {_HBITS} chained integer projections (pure CASE/AND
+    arithmetic — XOR rewritten as 3rx + ry − 2rx·ry to stay
+    engine-neutral); Catalyst fuses the chain into one whole-stage
+    codegen projection, zero shuffle, and the oracle replays the
+    identical steps as CTEs."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("cast(round(value * 100, 0) as bigint)").alias("v100")
+    )
+    keyed = hilbert_key(ev, "user_id", "v100")
+    return keyed.groupBy(F.expr("shiftright(hkey, 10)").alias("hbucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+        F.min("v100").alias("min_v100"),
+        F.max("v100").alias("max_v100"),
+    )
