@@ -2182,3 +2182,114 @@ def stream_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id long, n_spans long, window_us long, twa_value double",
     )
     return _run_to_memory(spark, out, "stream_twa")
+
+
+@register(
+    "stream_cdc_upsert",
+    oracle="""
+    WITH latest AS (
+      SELECT o_custkey AS key,
+             CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+             o_totalprice AS new_bal
+      FROM (
+        SELECT o_custkey, o_orderstatus, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+      ) WHERE rn = 1
+    )
+    SELECT c.c_custkey, c.c_name,
+           CASE WHEN l.op = 'U' THEN l.new_bal ELSE c.c_acctbal END AS acctbal,
+           CASE WHEN l.op = 'U' THEN 'cdc' ELSE 'base' END AS version
+    FROM customer c LEFT JOIN latest l ON c.c_custkey = l.key
+    WHERE l.op IS NULL OR l.op <> 'D'
+    """,
+    tags=("streaming", "cdc", "merge", "upsert", "stateful"),
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MERGE INTO: the orders changelog replays as
+    micro-batches (split by orderkey PARITY, deliberately uncorrelated
+    with the change sequence) and foreachBatch maintains an upsert
+    state table — per key, the stored row is replaced only when the
+    incoming change's (o_orderdate, o_orderkey) sequence is NEWER, the
+    compare-and-swap a Delta MERGE runs per batch. Because the batch
+    split does not align with sequence order, a blind
+    last-batch-overwrites merge would corrupt keys whose newest change
+    arrived in batch 0 — the oracle (= cdc_merge_customer's batch
+    collapse over ALL orders) proves the CAS semantics exactly.
+
+    State is epoch-versioned parquet (the SnapshotCatalog layout):
+    batch N reads epoch N-1, merges, writes epoch N — idempotent on
+    retry, time-travelable, and the read-modify-write touches only the
+    keys-sized state table, never the stream history. At 100 TB the
+    state table is a bucketed/metastore table and the merge is a
+    key-partitioned join per epoch."""
+    import os
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    root = write_segments(
+        [
+            orders.filter(F.col("o_orderkey") % 2 == 0),
+            orders.filter(F.col("o_orderkey") % 2 == 1),
+        ]
+    )
+    state_root = tempfile.mkdtemp(prefix="arcon_cdc_state_")
+    holder: dict[str, str | None] = {"latest": None}
+    wseq = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+
+    def merge(bdf: DataFrame, bid: int) -> None:
+        winner = (
+            bdf.withColumn("rn", F.row_number().over(wseq))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        if holder["latest"] is not None:
+            prev = spark.read.parquet(holder["latest"])
+            winner = (
+                prev.unionByName(winner)
+                .withColumn("rn", F.row_number().over(wseq))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+        out = os.path.join(state_root, f"epoch={bid}")
+        winner.write.mode("overwrite").parquet(out)
+        holder["latest"] = out
+
+    q = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+        .writeStream.foreachBatch(merge)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    state = spark.read.parquet(holder["latest"])
+    latest = state.select(
+        F.col("o_custkey").alias("key"),
+        F.when(F.col("o_orderstatus") == "F", "D").otherwise("U").alias("op"),
+        F.col("o_totalprice").alias("new_bal"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    return (
+        cust.join(latest, cust.c_custkey == latest.key, "left")
+        .filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.when(F.col("op") == "U", F.col("new_bal"))
+            .otherwise(F.col("c_acctbal"))
+            .alias("acctbal"),
+            F.when(F.col("op") == "U", "cdc").otherwise("base").alias("version"),
+        )
+    )
