@@ -2293,3 +2293,87 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("op") == "U", "cdc").otherwise("base").alias("version"),
         )
     )
+
+
+@register(
+    "stream_temporal_dim_join",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) // 1000 END AS tier
+      FROM {EVENTS_NORM} WHERE event_type IN ('purchase', 'view')
+    ),
+    e AS (
+      SELECT *, last_value(tier IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS eff_tier
+      FROM u
+    )
+    SELECT event_id, user_id, eff_tier FROM e WHERE event_type = 'view'
+    """,
+    tags=("streaming", "join", "temporal", "asof", "stateful"),
+)
+def stream_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL (event-time as-of) dimension join as a custom streaming
+    Operator — Flink's temporal-table join, which the reference
+    structurally cannot express (its dataflow graphs are linear chains,
+    SURVEY §2.9 dfg.rs:61-114): purchase events are the dim-version
+    stream (each sets the user's tier effective FROM its timestamp);
+    view events are the fact stream, each enriched with the tier in
+    effect strictly before it. One ValueState per user holds exactly
+    the CURRENT dim version — O(keys) state, vs an interval join's
+    O(horizon) buffering — and it survives the epoch boundary (the
+    tape splits at the median timestamp, so half of every user's
+    history replays in batch 2 against state built in batch 1).
+
+    Versions and facts interleave in (ts, event_id) order inside each
+    batch; cross-batch order holds because the split is BY TIME — the
+    production contract (in-order-within-watermark) that a real
+    deployment gets from withWatermark + the state-store sort. The
+    oracle replays the identical semantics as a strictly-preceding
+    IGNORE NULLS window over the unioned streams."""
+    from arcon_spark.streaming.stateful import Operator, apply_operator
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    ).select("user_id", "event_id", "ts", "event_type", "value")
+    cut = ev.agg(F.expr("percentile_approx(unix_micros(ts), 0.5)").alias("c")).first().c
+    seg1 = ev.filter(F.unix_micros("ts") <= cut)
+    seg2 = ev.filter(F.unix_micros("ts") > cut)
+
+    class TemporalJoin(Operator):
+        def handle_element(self, key, pdf, ctx):
+            import numpy as np
+
+            st = ctx.value("tier")
+            out = []
+            data = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            for _, row in data.iterrows():
+                if row["event_type"] == "purchase":
+                    x = float(row["value"]) * 100.0
+                    cents = int(np.trunc(x + np.copysign(0.5, x)))
+                    st.put(cents // 1000)
+                else:
+                    out.append(
+                        {
+                            "event_id": int(row["event_id"]),
+                            "user_id": int(key[0]),
+                            "eff_tier": st.get(),
+                        }
+                    )
+            return out or None
+
+    root = write_segments([seg1, seg2])
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+    out = apply_operator(
+        src,
+        ["user_id"],
+        TemporalJoin(),
+        "event_id long, user_id long, eff_tier long",
+    )
+    return _run_to_memory(spark, out, "stream_tdj")
