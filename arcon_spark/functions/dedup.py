@@ -1193,3 +1193,124 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.filter(cont >= _CONTAIN_THRESHOLD)
         .select("doc_a", "doc_b", "n_common", cont.alias("containment"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership (approximate set membership across splits)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 1 << 16  # filter positions
+_BLOOM_K = 4  # hashes per item
+
+_SQL_SPLIT_TAG = """
+    tagged AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               AS content_digest,
+             CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+                  THEN 'test'
+                  WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+                  THEN 'val'
+                  ELSE 'train' END AS split
+      FROM documents
+    )"""
+
+
+@register(
+    "bloom_split_membership",
+    oracle=f"""
+    WITH {_SQL_SPLIT_TAG},
+    train_pos AS (
+      SELECT DISTINCT
+             CAST('0x' || substring(md5('bf' || j.j || ':' || content_digest), 1, 15)
+                  AS BIGINT) % {_BLOOM_M} AS pos
+      FROM tagged, UNNEST([0, 1, 2, 3]) AS j(j)
+      WHERE split = 'train'
+    ),
+    train_digests AS (
+      SELECT DISTINCT content_digest FROM tagged WHERE split = 'train'
+    ),
+    eval_pos AS (
+      SELECT t.doc_id, t.content_digest,
+             CAST('0x' || substring(md5('bf' || j.j || ':' || t.content_digest), 1, 15)
+                  AS BIGINT) % {_BLOOM_M} AS pos
+      FROM tagged t, UNNEST([0, 1, 2, 3]) AS j(j)
+      WHERE t.split <> 'train'
+    ),
+    hits AS (
+      SELECT e.doc_id, e.content_digest, COUNT(p.pos) AS n_hit
+      FROM eval_pos e LEFT JOIN train_pos p ON p.pos = e.pos
+      GROUP BY 1, 2
+    )
+    SELECT h.doc_id,
+           CAST(n_hit = {_BLOOM_K} AS BOOLEAN) AS bloom_hit,
+           CAST(td.content_digest IS NOT NULL AS BOOLEAN) AS exact_dup
+    FROM hits h
+    LEFT JOIN train_digests td ON td.content_digest = h.content_digest
+    """,
+    tags=("dedup", "sketch", "bloom", "split", "pipeline"),
+)
+def bloom_split_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership across corpus splits: the train split's
+    content digests populate a {_BLOOM_K}-hash/{_BLOOM_M}-position
+    filter; every holdout doc probes it — bloom_hit next to exact_dup
+    exposes the filter's one-sided error exactly (no false negatives:
+    every exact_dup row MUST be a bloom_hit, asserted in tests;
+    bloom_hit without exact_dup is a measurable false positive).
+
+    The filter is represented as its distinct set-bit positions —
+    relational bits, ≤ m rows of one long — which the serving layer
+    packs into the literal m/8-byte bitmask (8 KB here); at 100 TB the
+    filter table broadcasts to every probe task, the membership test
+    costs k hash+join-probe ops per doc, and train texts never move.
+    Hashing is salted md5 → identical positions in both engines. This
+    is the approximate counterpart of split_contamination_check's
+    exact digest join (same split rule, same normalization)."""
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    digest = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    h = F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 2)
+    split = F.when(h < "0d", "test").when(h < "1a", "val").otherwise("train")
+    tagged = docs.select(
+        "doc_id", digest.alias("content_digest"), split.alias("split")
+    ).persist()
+
+    def pos_col() -> F.Column:
+        return F.expr(
+            f"cast(conv(substring(md5(concat('bf', j, ':', content_digest)), 1, 15),"
+            f" 16, 10) as bigint) % {_BLOOM_M}"
+        )
+
+    js = F.explode(F.array(*[F.lit(j) for j in range(_BLOOM_K)])).alias("j")
+    train_pos = (
+        tagged.filter(F.col("split") == "train")
+        .select("content_digest", js)
+        .select(pos_col().alias("pos"))
+        .distinct()
+    )
+    train_digests = (
+        tagged.filter(F.col("split") == "train").select("content_digest").distinct()
+    )
+    eval_pos = (
+        tagged.filter(F.col("split") != "train")
+        .select("doc_id", "content_digest", js)
+        .select("doc_id", "content_digest", pos_col().alias("pos"))
+    )
+    hits = (
+        eval_pos.join(
+            F.broadcast(train_pos.withColumn("present", F.lit(1))), "pos", "left"
+        )
+        .groupBy("doc_id", "content_digest")
+        .agg(F.count("present").alias("n_hit"))
+    )
+    return (
+        hits.join(
+            F.broadcast(train_digests.withColumn("in_train", F.lit(1))),
+            "content_digest",
+            "left",
+        )
+        .select(
+            "doc_id",
+            (F.col("n_hit") == _BLOOM_K).alias("bloom_hit"),
+            F.col("in_train").isNotNull().alias("exact_dup"),
+        )
+    )

@@ -128,3 +128,15 @@ def test_simhash_band_pairs_exact_recall_at_threshold(spark, sf_dir):
         for r in dedup_simhash_band_pairs(spark, sf_dir).collect()
     }
     assert got == truth
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    """Bloom's one-sided error contract: every exact duplicate must be
+    a bloom hit (a false negative would be a filter-logic bug)."""
+    from arcon_spark.functions.dedup import bloom_split_membership
+
+    rows = bloom_split_membership(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.exact_dup:
+            assert r.bloom_hit, r
