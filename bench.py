@@ -65,6 +65,12 @@ HEADLINE = [
     "text_trigram_simpson",
     "multimodal_scene_cuts",
     "stream_tumbling_window_agg",
+    "dedup_simhash_band_pairs",
+    "ann_ivf_pq_topk",
+    "hilbert_events_layout",
+    "profile_orders_columns",
+    "acf_hourly_value",
+    "cdc_merge_customer",
 ]
 
 
