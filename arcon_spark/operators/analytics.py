@@ -899,3 +899,92 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_val",
         "top_count",
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort lifetime value (LTV curves)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cohort_ltv_weekly",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT user_id, min(epoch_us(ts) // {_US_PER_WEEK}) AS cohort_week
+      FROM {EVENTS_NORM} WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+      FROM firsts GROUP BY cohort_week
+    ),
+    rev AS (
+      SELECT f.cohort_week,
+             epoch_us(events.ts) // {_US_PER_WEEK} - f.cohort_week AS age_weeks,
+             SUM(CAST(round(events.value * 100) AS HUGEINT)) AS cents
+      FROM {EVENTS_NORM}
+      JOIN firsts f ON events.user_id = f.user_id
+      WHERE events.event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort_week, age_weeks,
+             SUM(cents) OVER (PARTITION BY cohort_week ORDER BY age_weeks
+                              ROWS UNBOUNDED PRECEDING) AS cum_cents
+      FROM rev
+    )
+    SELECT c.cohort_week, CAST(c.age_weeks AS BIGINT) AS age_weeks,
+           s.cohort_users,
+           CAST(c.cum_cents AS DOUBLE) / 100.0 AS cum_revenue,
+           CAST(c.cum_cents AS DOUBLE) / 100.0
+             / CAST(s.cohort_users AS DOUBLE) AS ltv_per_user
+    FROM cum c JOIN sizes s ON s.cohort_week = c.cohort_week
+    """,
+    tags=("analytics", "cohort", "ltv", "timeseries"),
+)
+def cohort_ltv_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: users cohorted by first-purchase week, then
+    cumulative purchase revenue per cohort-age — the
+    lifetime-value-by-age matrix growth teams read next to the
+    retention triangle (retention_cohorts, same week arithmetic).
+    Revenue accumulates as exact integer cents (order-independent
+    sums); the cumulative pass is a window over the already-aggregated
+    (cohort × age) frame — thousands of rows at any corpus size — and
+    the two divisions at the end are the only float ops.
+
+    Plan: one purchases scan feeds both the first-week aggregate and
+    the revenue join-back on the SAME user_id exchange; the
+    (cohort, age) aggregate is map-side partial; cohort sizes broadcast
+    back. No shuffle ever carries more than the reduced frames."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id",
+        F.expr(f"unix_micros(ts) div {_US_PER_WEEK}").alias("week"),
+        F.expr("cast(round(value * 100) as long)").alias("cents"),
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    rev = (
+        ev.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("age_weeks")
+        )
+        .agg(F.sum(F.col("cents").cast("decimal(38,0)")).alias("cents"))
+    )
+    wc = Window.partitionBy("cohort_week").orderBy("age_weeks").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = rev.withColumn("cum_cents", F.sum("cents").over(wc))
+    return cum.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        F.col("age_weeks").cast("long").alias("age_weeks"),
+        "cohort_users",
+        (F.col("cum_cents").cast("double") / 100.0).alias("cum_revenue"),
+        (
+            F.col("cum_cents").cast("double")
+            / 100.0
+            / F.col("cohort_users").cast("double")
+        ).alias("ltv_per_user"),
+    )
