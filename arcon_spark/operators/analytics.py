@@ -854,9 +854,10 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling in ONE scan: every column unpivots to
     (col_name, val) rows via stack() — a zero-shuffle codegen
     projection — then a single (col_name, val) hash aggregate yields
-    per-column null counts, EXACT distinct counts, min/max, and the
-    modal value with one more tiny aggregate over the distinct-value
-    frame. This is df.summary()/dbt-style profiling but exact and
+    per-column null counts and EXACT distinct counts; min/max and the
+    modal value come from WindowGroupLimit row picks over the same
+    distinct-value frame (string MIN/MAX inside a hash agg would
+    demote it to SortAggregate). This is df.summary()/dbt-style profiling but exact and
     engine-portable (doubles are profiled as integer-cent strings;
     raw double→string formatting diverges between engines).
 
@@ -875,21 +876,38 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"stack({len(_PROFILE_COLS)}, {stack_args}) as (col_name, val)")
     )
     g = u.groupBy("col_name", "val").agg(F.count(F.lit(1)).alias("cnt")).persist()
-    wtop = Window.partitionBy("col_name").orderBy(F.desc("cnt"), F.asc("val"))
-    top = (
-        g.filter(F.col("val").isNotNull())
-        .withColumn("rn", F.row_number().over(wtop))
-        .filter(F.col("rn") == 1)
-        .select("col_name", F.col("val").alias("top_val"), F.col("cnt").alias("top_count"))
+
+    # string-valued picks (min/max/mode) come from WindowGroupLimit
+    # passes over the distinct-value frame — a MIN/MAX(string) inside
+    # the hash aggregate has a var-width buffer and demotes the whole
+    # agg to SortAggregate (banned registry-wide); ranked row picks
+    # keep every aggregate hash-based and each pass reduces to one row
+    # per column before the broadcast join-back
+    nn = g.filter(F.col("val").isNotNull())
+
+    def pick(order_cols: list, val_alias: str, extra: list = ()) -> DataFrame:
+        w = Window.partitionBy("col_name").orderBy(*order_cols)
+        return (
+            nn.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("col_name", F.col("val").alias(val_alias), *extra)
+        )
+
+    minv = pick([F.asc("val")], "min_val")
+    maxv = pick([F.desc("val")], "max_val")
+    top = pick(
+        [F.desc("cnt"), F.asc("val")],
+        "top_val",
+        [F.col("cnt").alias("top_count")],
     )
     prof = g.groupBy("col_name").agg(
         F.sum("cnt").alias("n_rows"),
         F.sum(F.when(F.col("val").isNull(), F.col("cnt")).otherwise(0)).alias("n_nulls"),
         F.count(F.when(F.col("val").isNotNull(), 1)).alias("n_distinct"),
-        F.min("val").alias("min_val"),
-        F.max("val").alias("max_val"),
     )
-    return prof.join(F.broadcast(top), "col_name").select(
+    return prof.join(F.broadcast(minv), "col_name").join(
+        F.broadcast(maxv), "col_name"
+    ).join(F.broadcast(top), "col_name").select(
         "col_name",
         "n_rows",
         "n_nulls",
