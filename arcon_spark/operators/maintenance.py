@@ -1074,3 +1074,146 @@ def hilbert_events_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v100").alias("min_v100"),
         F.max("v100").alias("max_v100"),
     )
+
+
+# ---------------------------------------------------------------------------
+# OLS trend line (closed-form linear regression from exact moments)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ols_trend_hourly_value",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) / 3600 AS hr,
+             SUM(CAST(round(value * 100) AS HUGEINT)) AS cents
+      FROM {EVENTS_NORM} GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT event_type, hr - MIN(hr) OVER (PARTITION BY event_type) AS x,
+             CAST(cents AS BIGINT) AS y
+      FROM hourly
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+      FROM base GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_cents_per_hour,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             AS intercept_cents
+    FROM m
+    """,
+    tags=("timeseries", "statistics", "regression", "forecast"),
+)
+def ols_trend_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS trend per event_type: hourly revenue regressed
+    on the hour index (rebased to each series' first hour so the
+    intercept is meaningful and x stays small). Slope and intercept
+    come from the five exact integer moments — the same mergeable
+    map-side-partial shape as corr/ACF — and a fixed IEEE expression
+    tree, so the fit is bit-identical across engines; built-in
+    regr_slope (running float accumulation) can never be. This is the
+    distributed closed-form linear model: at 100 TB the only full-data
+    pass is the hourly pre-aggregate; per-series moments are 5 numbers
+    regardless of history length."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            (F.unix_seconds(F.date_trunc("hour", F.col("ts"))) / F.lit(3600))
+            .cast("long")
+            .alias("hr"),
+            F.expr("cast(round(value * 100) as long)").alias("cents"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.sum(F.col("cents").cast("decimal(38,0)")).cast("long").alias("y"))
+    )
+    base = hourly.select(
+        "event_type",
+        (F.col("hr") - F.min("hr").over(Window.partitionBy("event_type"))).alias("x"),
+        "y",
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
+    m = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy, sxx, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "event_type",
+        n.cast("long").alias("n_hours"),
+        slope.alias("slope_cents_per_hour"),
+        ((sy - slope * sx) / n).alias("intercept_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Week-over-week growth
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "wow_growth_event_revenue",
+    oracle=f"""
+    WITH weekly AS (
+      SELECT event_type, epoch_us(ts) // {7 * 86_400_000_000} AS week,
+             SUM(CAST(round(value * 100) AS HUGEINT)) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM {EVENTS_NORM} GROUP BY 1, 2
+    )
+    SELECT event_type, week,
+           CAST(cents AS DOUBLE) / 100.0 AS revenue,
+           n_events,
+           CASE WHEN lag(cents) OVER w IS NOT NULL AND lag(cents) OVER w <> 0
+                THEN CAST(cents - lag(cents) OVER w AS DOUBLE)
+                     / CAST(lag(cents) OVER w AS DOUBLE)
+           END AS wow_growth
+    FROM weekly
+    WINDOW w AS (PARTITION BY event_type ORDER BY week)
+    """,
+    tags=("timeseries", "analytics", "reporting", "window_function"),
+)
+def wow_growth_event_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event_type — the reporting staple:
+    weekly exact-cents revenue, each week compared to the PRECEDING
+    OBSERVED week via lag() (NULL growth for first/zero-base weeks
+    rather than a division blow-up). Integer cents make the ratio's
+    operands exact; the single division is the only float op. Plan:
+    one map-side-partial aggregate to the (type × week) frame, one
+    tiny window pass over it."""
+    ev = load_table(spark, sf_dir, "events")
+    weekly = (
+        ev.select(
+            "event_type",
+            F.expr(f"unix_micros(ts) div {7 * 86_400_000_000}").alias("week"),
+            F.expr("cast(round(value * 100) as long)").alias("cents"),
+        )
+        .groupBy("event_type", "week")
+        .agg(
+            F.sum(F.col("cents").cast("decimal(38,0)")).cast("long").alias("cents"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("cents").over(w)
+    return weekly.select(
+        "event_type",
+        "week",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        "n_events",
+        F.when(
+            prev.isNotNull() & (prev != 0),
+            (F.col("cents") - prev).cast("double") / prev.cast("double"),
+        ).alias("wow_growth"),
+    )
