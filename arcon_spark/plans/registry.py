@@ -63,6 +63,7 @@ def _load_all() -> None:
     import arcon_spark.functions.similarity  # noqa: F401
     import arcon_spark.functions.text  # noqa: F401
     import arcon_spark.functions.multimodal  # noqa: F401
+    import arcon_spark.sources.python_datasource  # noqa: F401
     import arcon_spark.streaming.queries  # noqa: F401
 
 

@@ -229,3 +229,37 @@ def test_rate_source_produces_rows(spark):
         assert set(spark.table(name).columns) == {"timestamp", "value"}
     finally:
         q.stop()
+
+
+def test_python_datasource_stream_replays_collection_exactly(spark):
+    """The Python DataSource's SimpleDataSourceStreamReader must
+    deliver the full deterministic collection exactly once across
+    offset-paced micro-batches (batch_size 40 over n=100 → ≥3
+    batches), matching the batch read row-for-row."""
+    from arcon_spark.sources import register_collection_source
+
+    register_collection_source(spark)
+    import time
+
+    got = []
+    q = (
+        spark.readStream.format("arcon_collection")
+        .option("n", "100")
+        .option("batch_size", "40")
+        .load()
+        .writeStream.foreachBatch(lambda df, _bid: got.extend(df.collect()))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    # a simple stream reader paces itself batch_size rows per trigger —
+    # availableNow would stop after one read(); poll until drained
+    deadline = time.time() + 120
+    while len(got) < 100 and time.time() < deadline:
+        time.sleep(0.5)
+    q.stop()
+    batch = (
+        spark.read.format("arcon_collection").option("n", "100").load().collect()
+    )
+    key = lambda r: (r.id, r.payload, r.ts)  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, batch))
+    assert len(got) == 100
