@@ -1992,3 +1992,103 @@ def variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prop_missing"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+_HQ_BINS = 128
+_HQ_CENTS_PER_BIN = 400  # domain [0, 512.00) dollars → 128 bins of 4.00
+
+
+@register(
+    "quantile_histogram_sketch",
+    oracle=f"""
+    WITH hist AS (
+      SELECT event_type,
+             LEAST({_HQ_BINS - 1},
+                   CAST(round(value * 100) AS BIGINT) // {_HQ_CENTS_PER_BIN}) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM {EVENTS_NORM} GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS total
+      FROM hist
+    ),
+    probes AS (
+      SELECT c.*, q.q, q.q * CAST(total AS DOUBLE) AS target
+      FROM cum c, UNNEST([CAST('0.5e0' AS DOUBLE), CAST('0.9e0' AS DOUBLE)]) AS q(q)
+    )
+    SELECT event_type, q,
+           (CAST(bin * {_HQ_CENTS_PER_BIN} AS DOUBLE)
+            + (target - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE)
+              * {_HQ_CENTS_PER_BIN}) / 100.0 AS est_value
+    FROM probes
+    WHERE CAST(cum - cnt AS DOUBLE) < target AND target <= CAST(cum AS DOUBLE)
+    """,
+    tags=("sketch", "quantile", "percentile", "survey2.6"),
+)
+def quantile_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile estimation: a fixed 128-bin equi-width
+    histogram per event_type (counts are plain sums — map-side
+    partial, unionable across shards/epochs, the property
+    percentile()'s full sort and approx_percentile's engine-internal
+    KLL both lack cross-engine), then p50/p90 by linear interpolation
+    inside the crossing bin. All counts exact integers; the
+    interpolation is a fixed double expression → deterministic,
+    hash-identical to the oracle. Accuracy is bounded by bin width
+    (±4.00 here); percentiles_value keeps the exact sorted answer as
+    its verifier.
+
+    At 100 TB this is the quantile plan: one histogram aggregate
+    (128 longs per group per partition shuffle), quantiles read off
+    the tiny cumulative frame; streaming twin = same counts in
+    update mode."""
+    ev = load_table(spark, sf_dir, "events")
+    hist = (
+        ev.select(
+            "event_type",
+            F.least(
+                F.lit(_HQ_BINS - 1),
+                F.expr(f"cast(round(value * 100) as bigint) div {_HQ_CENTS_PER_BIN}"),
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("total"),
+    )
+    probes = cum.select(
+        "*", F.explode(F.array(F.lit(0.5), F.lit(0.9))).alias("q")
+    ).withColumn("target", F.col("q") * F.col("total").cast("double"))
+    prev = (F.col("cum") - F.col("cnt")).cast("double")
+    return probes.filter(
+        (prev < F.col("target")) & (F.col("target") <= F.col("cum").cast("double"))
+    ).select(
+        "event_type",
+        "q",
+        (
+            (
+                (F.col("bin") * _HQ_CENTS_PER_BIN).cast("double")
+                + (F.col("target") - prev)
+                / F.col("cnt").cast("double")
+                * _HQ_CENTS_PER_BIN
+            )
+            / 100.0
+        ).alias("est_value"),
+    )

@@ -156,3 +156,17 @@ def test_acf_alternating_series_is_negative_at_lag1(spark, monkeypatch):
     got = {r.lag: r.acf for r in maintenance.acf_hourly_value(spark, "unused").collect()}
     assert abs(got[1] - (-1.0)) < 1e-12, got
     assert abs(got[2] - 1.0) < 1e-12, got
+
+
+def test_quantile_sketch_within_bin_width_of_exact(spark, sf_dir):
+    """The histogram sketch's p50/p90 must land within one bin width
+    (4.00) of the exact sorted percentile."""
+    from arcon_spark.operators.relational import (
+        percentiles_value,
+        quantile_histogram_sketch,
+    )
+
+    exact = {r.event_type: (r.p50, r.p90) for r in percentiles_value(spark, sf_dir).collect()}
+    for r in quantile_histogram_sketch(spark, sf_dir).collect():
+        want = exact[r.event_type][0 if r.q == 0.5 else 1]
+        assert abs(r.est_value - want) <= 4.0, (r.event_type, r.q, r.est_value, want)
