@@ -832,12 +832,17 @@ def text_trigram_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
     it cross-checks against the oracle bit-for-bit, unlike an entropy
     formula whose ln() would differ in the last ulp.
 
-    Scale shape: ZERO shuffle. The trigram histogram never
+    Scale shape: no aggregation shuffle. The trigram histogram never
     materializes — the sorted trigram array is walked in-row with an
-    aggregate() HOF (run-length accumulator), a pure codegen
-    projection over the scan. The oracle computes the same number the
-    explode-and-group way; matching values prove the fused form."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 4)
+    aggregate() HOF (run-length accumulator) over the scan (spread()
+    inserts the usual raw-input repartition only when the test file's
+    single split would serialize the CPU-heavy projection). The HOF is
+    interpreted with no CSE, so it is computed ONCE into its own
+    projection and the ratio reads the materialized column — inlining
+    it twice doubled the whole query (2.5 s → 1.3 s single-core at
+    sf0.1). The oracle computes the same number the explode-and-group
+    way; matching values prove the fused form."""
+    docs = spread(load_table(spark, sf_dir, "documents").filter(F.length("text") >= 4))
     num = F.expr(
         "aggregate("
         " array_sort(transform(sequence(1, length(text)-2),"
@@ -850,13 +855,16 @@ def text_trigram_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
         " s -> s.num)"
     )
     n = F.length("text") - F.lit(2)
-    return docs.select(
+    staged = docs.select(
+        "doc_id", n.cast("long").alias("n_trigrams"), num.alias("simpson_num")
+    )
+    return staged.select(
         "doc_id",
-        n.cast("long").alias("n_trigrams"),
-        num.alias("simpson_num"),
+        "n_trigrams",
+        "simpson_num",
         (
-            num.cast("double")
-            / (n.cast("long") * (n.cast("long") - F.lit(1))).cast("double")
+            F.col("simpson_num").cast("double")
+            / (F.col("n_trigrams") * (F.col("n_trigrams") - F.lit(1))).cast("double")
         ).alias("simpson"),
     )
 
