@@ -646,11 +646,21 @@ def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The verification join touches |candidates| × shingles-per-doc rows,
     shuffled on doc id — independent of corpus pair count. Zero-overlap
     candidates (pure band-hash collisions) survive via the left join
-    with jaccard 0, so the candidate set is preserved exactly."""
+    with jaccard 0, so the candidate set is preserved exactly.
+
+    Both multi-consumer frames are persisted: the candidate pairs feed
+    the verify join AND the final left join, and the shingle rows feed
+    the size aggregate AND both sides of the intersection join —
+    without materialization the tokenize/shingle HOF pipeline ran four
+    times and the LSH candidate pipeline twice (plan audit)."""
     from pyspark.sql import Window as W
 
-    cands = dedup_minhash_lsh_pairs(spark, sf_dir)
-    sh = _shingle_rows(spark, sf_dir).select("doc_id", F.col("s").alias("shingle"))
+    cands = dedup_minhash_lsh_pairs(spark, sf_dir).persist()
+    sh = (
+        _shingle_rows(spark, sf_dir)
+        .select("doc_id", F.col("s").alias("shingle"))
+        .persist()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
     com = (
         cands.join(sh.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
@@ -840,11 +850,14 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quadratic risk — is clamped by the filter."""
     from pyspark.sql import Window as W
 
+    # sh feeds the frequency agg AND both verify branches; prefix feeds
+    # both candidate branches — persisted so the shingle HOF pipeline
+    # runs once, not six times (self-join branches don't share subtrees)
     sh = _shingle_rows(spark, sf_dir).select(
         "doc_id",
         F.count(F.lit(1)).over(W.partitionBy("doc_id")).alias("n"),
         F.col("s").alias("shingle"),
-    )
+    ).persist()
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = sh.join(freq, "shingle").withColumn(
         "rn",
@@ -855,7 +868,7 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prefix length: n - ceil(t*n) + 1, with ceil(3n/5) = floor((3n+4)/5)
     prefix = ranked.filter(
         F.col("rn") <= F.col("n") - F.expr("(3 * n + 4) div 5") + F.lit(1)
-    ).select("doc_id", "shingle")
+    ).select("doc_id", "shingle").persist()
     cand = (
         prefix.alias("pa")
         .join(
@@ -942,7 +955,7 @@ def dedup_minhash_estimate_vs_exact(spark: SparkSession, sf_dir: str) -> DataFra
     comparison is {h} integer equality checks per pair — done on the
     already-reduced pair set, never the corpus."""
     exact = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
-    sig = minhash_signatures(spark, sf_dir)
+    sig = minhash_signatures(spark, sf_dir).persist()  # read by both pair sides
     a = sig.alias("a")
     b = sig.alias("b")
     n_equal = sum(

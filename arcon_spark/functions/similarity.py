@@ -257,13 +257,17 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplanes — deterministic, no RNG state to ship to executors) →
     bucket join on the signature → exact integer-cosine re-rank within
     buckets → top-k per query. One shuffle on the 8-bit signature;
-    candidate sets are bucket-local. Approximate (recall < 1), so the
+    candidate sets are bucket-local. The (n2, sig) frame is persisted:
+    both self-join branches read it, and without materialization each
+    branch re-evaluates the norm and hyperplane HOFs over the raw
+    embeddings (the signatures-as-intermediate-table step every LSH
+    pipeline materializes). Approximate (recall < 1), so the
     driver records the rows-only check; tests/test_similarity.py
     asserts recall against ann_bruteforce_topk."""
     sig_expr = F.array_join(
         F.expr(_PLANE_BIT.format(planes=_N_PLANES, scale=_SCALE)), ""
     ).alias("sig")
-    nrm = _with_norm(spark, sf_dir).withColumn("sig", sig_expr)
+    nrm = _with_norm(spark, sf_dir).withColumn("sig", sig_expr).persist()
     q = nrm.filter((F.col("vec_id") % _QUERY_MOD) == 0).alias("q")
     c = nrm.alias("c")
     dot = F.expr(_INT_DOT.format(a="q.embedding", b="c.embedding"))
@@ -1007,10 +1011,23 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     relational form here is the verifiable specification."""
     assign = _km_assign(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    nrm = emb.select(
-        "vec_id", F.expr(_INT_DOT.format(a="embedding", b="embedding")).alias("n2")
+    # n2 computed ONCE per vector and carried on the clustered frame,
+    # which is persisted because it feeds BOTH sides of the self-join —
+    # exchange/subtree reuse does not fire across self-join branches,
+    # so without this the int-dot HOF and the k-means assignment were
+    # each evaluated twice more (once per branch) plus twice again via
+    # the separate norm joins (audit: 8 aggregate() HOFs in the plan,
+    # now 1 + the per-pair dot)
+    withc = (
+        emb.join(assign, "vec_id")
+        .select(
+            "vec_id",
+            "embedding",
+            "cluster",
+            F.expr(_INT_DOT.format(a="embedding", b="embedding")).alias("n2"),
+        )
+        .persist()
     )
-    withc = emb.join(assign, "vec_id").select("vec_id", "embedding", "cluster")
     a = withc.alias("a")
     b = withc.alias("b")
     pairs = a.join(
@@ -1021,16 +1038,14 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.vec_id").alias("va"),
         F.col("b.vec_id").alias("vb"),
         F.expr(_INT_DOT.format(a="a.embedding", b="b.embedding")).alias("d"),
+        F.col("a.n2").alias("na_n2"),
+        F.col("b.n2").alias("nb_n2"),
     )
-    na = nrm.alias("na")
-    nb = nrm.alias("nb")
     cos = F.col("d").cast("double") / (
-        F.sqrt(F.col("na.n2").cast("double")) * F.sqrt(F.col("nb.n2").cast("double"))
+        F.sqrt(F.col("na_n2").cast("double")) * F.sqrt(F.col("nb_n2").cast("double"))
     )
     rm = (
-        pairs.join(na, F.col("va") == F.col("na.vec_id"))
-        .join(nb, F.col("vb") == F.col("nb.vec_id"))
-        .filter(cos >= _SEMDEDUP_TAU)
+        pairs.filter(cos >= _SEMDEDUP_TAU)
         .select(F.col("vb").alias("vec_id"))
         .distinct()
         .withColumn("rm", F.lit(True))
