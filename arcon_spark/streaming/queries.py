@@ -2377,3 +2377,116 @@ def stream_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id long, user_id long, eff_tier long",
     )
     return _run_to_memory(spark, out, "stream_tdj")
+
+
+@register(
+    "stream_quantile_histogram",
+    oracle=f"""
+    WITH hist AS (
+      SELECT event_type,
+             LEAST(127, CAST(round(value * 100) AS BIGINT) // 400) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM {EVENTS_NORM} GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS total
+      FROM hist
+    ),
+    probes AS (
+      SELECT c.*, q.q, q.q * CAST(total AS DOUBLE) AS target
+      FROM cum c, UNNEST([CAST('0.5e0' AS DOUBLE), CAST('0.9e0' AS DOUBLE)]) AS q(q)
+    )
+    SELECT event_type, q,
+           (CAST(bin * 400 AS DOUBLE)
+            + (target - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE) * 400)
+           / 100.0 AS est_value
+    FROM probes
+    WHERE CAST(cum - cnt AS DOUBLE) < target AND target <= CAST(cum AS DOUBLE)
+    """,
+    tags=("streaming", "sketch", "quantile", "update_mode", "survey2.6"),
+)
+def stream_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable histogram quantile sketch maintained BY THE
+    STREAMING ENGINE: per-(event_type, bin) counts run as an
+    update-mode aggregate across two micro-batches (the sketch's
+    mergeability IS what makes it streamable — counts are plain sums
+    in the state store); the final per-key state, recovered as the
+    latest update per key, feeds the identical cumulative/
+    interpolation arithmetic as the batch quantile_histogram_sketch,
+    and must hash-match the same oracle. At 100 TB the state is
+    O(groups × 128 bins) regardless of stream length — the quantile
+    sketch that never buffers values."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    root = write_segments(
+        [ev.filter(F.col("event_id") % 2 == 0), ev.filter(F.col("event_id") % 2 == 1)]
+    )
+    out = tempfile.mkdtemp(prefix="arcon_sqh_") + "/history"
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+    agg = src.groupBy(
+        "event_type",
+        F.least(
+            F.lit(127), F.expr("cast(round(value * 100) as bigint) div 400")
+        ).alias("bin"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+    def fb(batch_df: DataFrame, eid: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(eid)).write.mode("append").parquet(out)
+
+    def run():
+        q = (
+            agg.writeStream.foreachBatch(fb)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    _with_stream_partitions(spark, run)
+    hist = spark.read.parquet(out)
+    wlast = Window.partitionBy("event_type", "bin").orderBy(F.col("batch_id").desc())
+    final = (
+        hist.withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "bin", "cnt")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = final.select(
+        "event_type",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("total"),
+    )
+    probes = cum.select(
+        "*", F.explode(F.array(F.lit(0.5), F.lit(0.9))).alias("q")
+    ).withColumn("target", F.col("q") * F.col("total").cast("double"))
+    prev = (F.col("cum") - F.col("cnt")).cast("double")
+    return probes.filter(
+        (prev < F.col("target")) & (F.col("target") <= F.col("cum").cast("double"))
+    ).select(
+        "event_type",
+        "q",
+        (
+            (
+                (F.col("bin") * 400).cast("double")
+                + (F.col("target") - prev) / F.col("cnt").cast("double") * 400
+            )
+            / 100.0
+        ).alias("est_value"),
+    )
