@@ -1006,3 +1006,91 @@ def cohort_ltv_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("cohort_users").cast("double")
         ).alias("ltv_per_user"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed popularity (exponential decay with exact integer weights)
+# ---------------------------------------------------------------------------
+
+_DECAY_TOP = 10
+
+
+@register(
+    "decayed_topk_parts",
+    oracle=f"""
+    WITH days AS (
+      SELECT l_partkey,
+             CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) // 86400 AS day
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    ),
+    span AS (SELECT MIN(day) AS d0 FROM days),
+    scored AS (
+      SELECT l_partkey,
+             SUM(CAST(CAST(1 AS BIGINT)
+                      << CAST((day - (SELECT d0 FROM span)) // 91 AS BIGINT)
+                      AS HUGEINT)) AS decayed,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM days GROUP BY 1
+    )
+    SELECT l_partkey AS p_partkey, n_orders,
+           CAST(decayed AS VARCHAR) AS decayed_weight,
+           CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY decayed DESC, l_partkey) AS rn
+      FROM scored
+    ) WHERE rn <= {_DECAY_TOP}
+    """,
+    tags=("analytics", "topk", "timeseries", "decay"),
+)
+def decayed_topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Popularity ranking under EXPONENTIAL TIME DECAY — the trending
+    items primitive: each order contributes weight 2^(quarter since
+    corpus start), so a recent order outweighs any number of orders ≥1
+    half-life older (equivalently: everything decays by ½ per quarter
+    from NOW). The twist that makes it distributed-exact: weights are
+    integer powers of two summed exactly (the 7-year order history
+    spans 28 quarters → 2^28 max; decimal(38) headroom to 2^126 —
+    shard longer horizons by epoch and rescale), so ranking is
+    deterministic where float
+    exp-decay accumulation would be order-dependent. The score is
+    REPORTED as the exact integer too (log2 of it differs between
+    engines in the last ulp — libm, not IEEE-specified); consumers
+    wanting a float take log2 downstream.
+
+    Plan: one join + one hash aggregate (map-side partial sums), then
+    TakeOrdered {_DECAY_TOP}. The corpus-start scalar is a 1-row
+    aggregate reused via a window-free broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    days = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_partkey",
+        F.expr("cast(unix_seconds(cast(o_orderdate as timestamp)) as bigint) div 86400").alias(
+            "day"
+        ),
+    )
+    d0 = days.agg(F.min("day").alias("d0")).first().d0
+    scored = (
+        days.select(
+            "l_partkey",
+            F.expr(
+                f"cast(shiftleft(cast(1 as bigint), "
+                f"cast((day - {d0}) div 91 as int)) as decimal(38,0))"
+            ).alias("w"),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum("w").alias("decayed"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.orderBy(F.desc("decayed"), F.asc("l_partkey"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _DECAY_TOP)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "n_orders",
+            F.col("decayed").cast("string").alias("decayed_weight"),
+            "rn",
+        )
+    )
