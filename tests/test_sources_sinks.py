@@ -263,3 +263,21 @@ def test_python_datasource_stream_replays_collection_exactly(spark):
     key = lambda r: (r.id, r.payload, r.ts)  # noqa: E731
     assert sorted(map(key, got)) == sorted(map(key, batch))
     assert len(got) == 100
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution across parquet writes: a reader with
+    mergeSchema unifies old (id, a) and new (id, a, b) file schemas,
+    null-filling the added column for old rows — the contract a
+    long-lived 100 TB table relies on when columns are added."""
+    old = spark.createDataFrame([(1, "x")], "id long, a string")
+    new = spark.createDataFrame([(2, "y", 5.0)], "id long, a string, b double")
+    old.write.parquet(str(tmp_path / "t"), mode="append")
+    new.write.parquet(str(tmp_path / "t"), mode="append")
+    got = {
+        r.id: (r.a, r.b)
+        for r in spark.read.option("mergeSchema", "true")
+        .parquet(str(tmp_path / "t"))
+        .collect()
+    }
+    assert got == {1: ("x", None), 2: ("y", 5.0)}
