@@ -1094,3 +1094,112 @@ def decayed_topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations (dbt-test / Great-Expectations-style checks)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_expectations_orders",
+    oracle="""
+    SELECT 'orderkey_not_null' AS rule,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS BIGINT)
+             AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orderkey_unique',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'totalprice_positive',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'status_accepted_values',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 END)
+                AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_referential',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 END)
+                AS BIGINT)
+    FROM lineitem
+    """,
+    tags=("analytics", "quality", "validation", "pipeline"),
+)
+def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (the dbt-test /
+    Great-Expectations layer) evaluated as ONE Spark job: not-null,
+    uniqueness, range, accepted-values, cross-table referential
+    integrity, and a numeric range invariant — each rule one
+    row of (n_checked, n_violations). Every check is a conditional
+    count (exact, engine-portable); uniqueness is COUNT(*) −
+    COUNT(DISTINCT); referential integrity is an anti-join expressed
+    as a null-count over a left join with the (small) dimension
+    broadcast.
+
+    Plan: single-scan conditional aggregation per rule (Catalyst
+    shares the orders scan across the unioned branches), one
+    broadcast join, one distinct-agg — no rule ever materializes
+    violating ROWS (pair each failing rule with a follow-up query for
+    examples, as split_contamination_check does). At 100 TB this is
+    the post-load audit gate run before a partition is published."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    def rule(name: str, df: DataFrame, viol) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("rule"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(F.when(viol, 1).otherwise(0)).cast("long").alias("n_violations"),
+        ).select("rule", "n_checked", "n_violations")
+
+    uniq = orders.agg(
+        F.lit("orderkey_unique").alias("rule"),
+        F.count(F.lit(1)).alias("n_checked"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("n_violations"),
+    ).select("rule", "n_checked", "n_violations")
+    ref = rule(
+        "custkey_referential",
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left"
+        ),
+        F.col("c_custkey").isNull(),
+    )
+    return (
+        rule("orderkey_not_null", orders, F.col("o_orderkey").isNull())
+        .unionByName(uniq)
+        .unionByName(
+            rule("totalprice_positive", orders, F.col("o_totalprice") <= 0)
+        )
+        .unionByName(
+            rule(
+                "status_accepted_values",
+                orders,
+                ~F.col("o_orderstatus").isin("F", "O", "P"),
+            )
+        )
+        .unionByName(ref)
+        .unionByName(
+            rule(
+                "lineitem_discount_range",
+                li,
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1),
+            )
+        )
+    )
