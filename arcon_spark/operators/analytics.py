@@ -1203,3 +1203,123 @@ def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Decision-tree split finding (histogram method)
+# ---------------------------------------------------------------------------
+
+_GINI_BINS = 64
+_GINI_BIN_CENTS = 937_500  # 64 bins over ~$600k of o_totalprice
+
+
+@register(
+    "gini_best_split_totalprice",
+    oracle=f"""
+    WITH h AS (
+      SELECT LEAST({_GINI_BINS - 1},
+                   CAST(round(o_totalprice * 100) AS BIGINT) // {_GINI_BIN_CENTS})
+               AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+                  AS BIGINT) AS pos
+      FROM orders GROUP BY 1
+    ),
+    c AS (
+      SELECT bin, n, pos,
+             SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS nl,
+             SUM(pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS posl,
+             SUM(n) OVER () AS nt, SUM(pos) OVER () AS post
+      FROM h
+    ),
+    g AS (
+      SELECT bin, nl, nt - nl AS nr,
+             (CAST(nl AS DOUBLE) * (1.0
+                - (CAST(posl AS DOUBLE) / CAST(nl AS DOUBLE))
+                  * (CAST(posl AS DOUBLE) / CAST(nl AS DOUBLE))
+                - (CAST(nl - posl AS DOUBLE) / CAST(nl AS DOUBLE))
+                  * (CAST(nl - posl AS DOUBLE) / CAST(nl AS DOUBLE)))
+              + CAST(nt - nl AS DOUBLE) * (1.0
+                - (CAST(post - posl AS DOUBLE) / CAST(nt - nl AS DOUBLE))
+                  * (CAST(post - posl AS DOUBLE) / CAST(nt - nl AS DOUBLE))
+                - (CAST((nt - nl) - (post - posl) AS DOUBLE) / CAST(nt - nl AS DOUBLE))
+                  * (CAST((nt - nl) - (post - posl) AS DOUBLE) / CAST(nt - nl AS DOUBLE))))
+             / CAST(nt AS DOUBLE) AS gini
+      FROM c WHERE nl < nt
+    )
+    SELECT CAST(bin AS BIGINT) AS split_bin,
+           CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right, gini
+    FROM (SELECT *, row_number() OVER (ORDER BY gini, bin) AS rn FROM g)
+    WHERE rn = 1
+    """,
+    tags=("analytics", "ml", "tree", "statistics"),
+)
+def gini_best_split_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-tree node split finding by the HISTOGRAM method — the
+    distributed primitive inside XGBoost/LightGBM: bin the feature
+    (o_totalprice, 64 equal-width bins), build one (n, positives)
+    histogram in a single map-side-partial aggregate, then evaluate
+    weighted Gini impurity for every candidate threshold from the
+    cumulative histogram and take the argmin. The full-data pass is
+    the histogram build only — 64 rows of two longs per partition
+    shuffle; split evaluation runs on the 64-row frame. Label:
+    o_orderpriority = '1-URGENT'.
+
+    Cross-engine determinism: all counts exact integers; the Gini
+    expression is the IDENTICAL fixed double tree in both engines
+    (each op correctly rounded ⇒ identical values ⇒ identical
+    argmin), ties broken on bin. Growing a full tree = recurse on the
+    two partitions with the same query shape."""
+    orders = load_table(spark, sf_dir, "orders")
+    h = (
+        orders.select(
+            F.least(
+                F.lit(_GINI_BINS - 1),
+                F.expr(
+                    f"cast(round(o_totalprice * 100) as bigint) div {_GINI_BIN_CENTS}"
+                ),
+            ).alias("bin"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("p"),
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("p").cast("long").alias("pos"))
+    )
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    c = h.select(
+        "bin",
+        F.sum("n").over(wcum).alias("nl"),
+        F.sum("pos").over(wcum).alias("posl"),
+        F.sum("n").over(wall).alias("nt"),
+        F.sum("pos").over(wall).alias("post"),
+    ).filter(F.col("nl") < F.col("nt"))
+    d = lambda c_: c_.cast("double")  # noqa: E731
+    nl, posl = F.col("nl"), F.col("posl")
+    nr = F.col("nt") - nl
+    posr = F.col("post") - posl
+    gini = (
+        d(nl)
+        * (
+            F.lit(1.0)
+            - (d(posl) / d(nl)) * (d(posl) / d(nl))
+            - (d(nl - posl) / d(nl)) * (d(nl - posl) / d(nl))
+        )
+        + d(nr)
+        * (
+            F.lit(1.0)
+            - (d(posr) / d(nr)) * (d(posr) / d(nr))
+            - (d(nr - posr) / d(nr)) * (d(nr - posr) / d(nr))
+        )
+    ) / d(F.col("nt"))
+    g = c.select("bin", "nl", nr.alias("nr"), gini.alias("gini"))
+    wbest = Window.orderBy("gini", "bin")
+    return (
+        g.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("bin").cast("long").alias("split_bin"),
+            F.col("nl").cast("long").alias("n_left"),
+            F.col("nr").cast("long").alias("n_right"),
+            "gini",
+        )
+    )
