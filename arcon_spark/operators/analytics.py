@@ -1323,3 +1323,69 @@ def gini_best_split_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gini",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding (categorical feature engineering)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "target_encode_nation",
+    oracle="""
+    WITH lab AS (
+      SELECT c.c_nationkey, o.o_orderkey,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    g AS (
+      SELECT c_nationkey,
+             SUM(CAST(cents AS HUGEINT)) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lab GROUP BY 1
+    )
+    SELECT l.o_orderkey,
+           l.c_nationkey AS nationkey,
+           CASE WHEN g.n > 1
+                THEN CAST(g.s - l.cents AS DOUBLE) / CAST(g.n - 1 AS DOUBLE) / 100.0
+           END AS loo_mean_price
+    FROM lab l JOIN g ON g.c_nationkey = l.c_nationkey
+    """,
+    tags=("analytics", "ml", "encoding", "aggregate"),
+)
+def target_encode_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the categorical-feature
+    primitive for gradient-boosted models: each order's nation is
+    encoded as the mean target (order value) of OTHER orders from the
+    same nation, (Σ − x)/(n − 1), which kills the self-leakage a plain
+    group mean injects. Exact integer sums make the encoding
+    deterministic; the single division per row is the only float op.
+
+    Plan: one hash aggregate to per-nation (Σ, n) — 25 rows —
+    broadcast back over the fact scan; the encode itself is a codegen
+    projection. At 100 TB this is one map-side-partial pass plus a
+    broadcast join: the standard one-scan target-encoding job, with
+    smoothing/priors added in the same projection if needed."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    lab = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey",
+        "c_nationkey",
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+    )
+    g = lab.groupBy("c_nationkey").agg(
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return lab.join(F.broadcast(g), "c_nationkey").select(
+        "o_orderkey",
+        F.col("c_nationkey").alias("nationkey"),
+        F.when(
+            F.col("n") > 1,
+            (F.col("s") - F.col("cents")).cast("double")
+            / (F.col("n") - 1).cast("double")
+            / 100.0,
+        ).alias("loo_mean_price"),
+    )
