@@ -24,7 +24,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -542,3 +542,67 @@ def multimodal_image_ahash_groups(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min("doc_id").alias("canonical_doc_id"),
         F.count(F.lit(1)).alias("n_images"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Voice-activity segmentation over frame energies
+# ---------------------------------------------------------------------------
+
+VAD_THRESHOLD = 40_000  # per-frame energy gate (≈ mean-square of the fake PCM)
+
+
+@register(
+    "multimodal_audio_vad",
+    oracle=f"""
+    WITH chars AS (
+      SELECT doc_id, (u.i - 1) // {AUDIO_FRAME} AS frame_id,
+             ord(substr(text, u.i, 1)) - {AUDIO_BIAS} AS s
+      FROM documents,
+           UNNEST(generate_series(1, (length(text) // {AUDIO_FRAME}) * {AUDIO_FRAME})) AS u(i)
+    ),
+    energy AS (
+      SELECT doc_id, frame_id, SUM(s * s) AS energy
+      FROM chars GROUP BY 1, 2
+    ),
+    active AS (
+      SELECT doc_id, frame_id, energy,
+             frame_id - row_number() OVER (PARTITION BY doc_id ORDER BY frame_id)
+               AS seg_key
+      FROM energy WHERE energy >= {VAD_THRESHOLD}
+    )
+    SELECT doc_id,
+           CAST(MIN(frame_id) AS BIGINT) AS seg_start,
+           CAST(MAX(frame_id) AS BIGINT) AS seg_end,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(energy) AS BIGINT) AS total_energy
+    FROM active GROUP BY doc_id, seg_key
+    """,
+    tags=("multimodal", "audio", "vad", "sequence"),
+)
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity detection segments: threshold the per-frame
+    energies (multimodal_audio_energy's output, reused as the
+    upstream stage) and collapse consecutive active frames into
+    segments via the gaps-and-islands window trick — the speech-corpus
+    trimming step that cuts silence before ASR/training. Integer
+    energies and frame ids throughout → exact.
+
+    Plan: the featurizer's zero-shuffle Arrow pass, then ONE window +
+    aggregate pair both partitioned on doc_id (shared exchange). At
+    100 TB segments-per-clip is tiny, so everything after the
+    featurizer moves (doc_id, frame, energy) longs only; a streaming
+    twin is the sweep-state operator (stream_interval_coverage) with
+    the threshold gate inlined."""
+    energy = multimodal_audio_energy(spark, sf_dir).filter(
+        F.col("energy") >= VAD_THRESHOLD
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_id")
+    active = energy.withColumn(
+        "seg_key", F.col("frame_id") - F.row_number().over(w)
+    )
+    return active.groupBy("doc_id", "seg_key").agg(
+        F.min("frame_id").alias("seg_start"),
+        F.max("frame_id").alias("seg_end"),
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("energy").alias("total_energy"),
+    ).drop("seg_key")

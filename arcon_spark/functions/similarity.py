@@ -1264,3 +1264,133 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "candidate_id", "adc_dist", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation audit: prefix-dim search vs full-dim truth
+# ---------------------------------------------------------------------------
+
+_MRL_DIM = 16  # prefix dims for the truncated search
+
+
+def _prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, candidate_id, cosine) over the _MRL_DIM-prefix
+    embeddings — same Arrow-batched exact-integer matmul + lossless
+    batch-local top-(K+1) pruning as _scored_pairs, on the truncated
+    matrix."""
+    qids, Qf, _ = _query_matrix(spark, sf_dir)
+    Q = Qf[:, :_MRL_DIM]
+    qn2d = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+    emb = spread(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            C = _int_matrix(pdf["embedding"])[:, :_MRL_DIM]
+            cn2d = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+            cos = (C @ Q.T).astype(np.float64) / (cn2d[:, None] * qn2d[None, :])
+            nc = cos.shape[0]
+            cids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            kk = min(TOP_K + 1, nc)
+            thr = np.partition(cos, nc - kk, axis=0)[nc - kk, :]
+            rows, cols = np.nonzero(cos >= thr[None, :])
+            out = pd.DataFrame(
+                {
+                    "query_id": qids[cols],
+                    "candidate_id": cids[rows],
+                    "cosine": cos[rows, cols],
+                }
+            )
+            yield out[out["query_id"] != out["candidate_id"]]
+
+    return emb.mapInPandas(gen, "query_id long, candidate_id long, cosine double")
+
+
+@register(
+    "matryoshka_recall_audit",
+    oracle=f"""
+    WITH units AS (
+      SELECT e.vec_id, u.i AS i,
+             CAST(round(CAST(e.embedding[u.i] AS DOUBLE) * {_SCALE}.0) AS BIGINT) AS qv
+      FROM embeddings e, UNNEST(generate_series(1, len(e.embedding))) AS u(i)
+    ),
+    n2f AS (SELECT vec_id, SUM(qv * qv) AS n2 FROM units GROUP BY vec_id),
+    n2p AS (SELECT vec_id, SUM(qv * qv) AS n2 FROM units WHERE i <= {_MRL_DIM}
+            GROUP BY vec_id),
+    qs AS (SELECT vec_id FROM embeddings WHERE vec_id % {_QUERY_MOD} = 0),
+    fdots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+             SUM(uq.qv * uc.qv) AS d
+      FROM qs q JOIN embeddings c ON c.vec_id <> q.vec_id
+        JOIN units uq ON uq.vec_id = q.vec_id
+        JOIN units uc ON uc.vec_id = c.vec_id AND uc.i = uq.i
+      GROUP BY 1, 2
+    ),
+    pdots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+             SUM(uq.qv * uc.qv) AS d
+      FROM qs q JOIN embeddings c ON c.vec_id <> q.vec_id
+        JOIN units uq ON uq.vec_id = q.vec_id AND uq.i <= {_MRL_DIM}
+        JOIN units uc ON uc.vec_id = c.vec_id AND uc.i = uq.i
+      GROUP BY 1, 2
+    ),
+    ftop AS (
+      SELECT query_id, candidate_id FROM (
+        SELECT f.query_id, f.candidate_id,
+               row_number() OVER (PARTITION BY f.query_id
+                 ORDER BY CAST(f.d AS DOUBLE)
+                          / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) DESC,
+                          f.candidate_id) AS rn
+        FROM fdots f JOIN n2f nq ON nq.vec_id = f.query_id
+                     JOIN n2f nc ON nc.vec_id = f.candidate_id
+      ) WHERE rn <= {TOP_K}
+    ),
+    ptop AS (
+      SELECT query_id, candidate_id FROM (
+        SELECT p.query_id, p.candidate_id,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY CAST(p.d AS DOUBLE)
+                          / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) DESC,
+                          p.candidate_id) AS rn
+        FROM pdots p JOIN n2p nq ON nq.vec_id = p.query_id
+                     JOIN n2p nc ON nc.vec_id = p.candidate_id
+      ) WHERE rn <= {TOP_K}
+    )
+    SELECT f.query_id,
+           CAST(COUNT(p.candidate_id) AS BIGINT) AS n_overlap,
+           CAST(COUNT(*) AS BIGINT) AS k
+    FROM ftop f LEFT JOIN ptop p
+      ON p.query_id = f.query_id AND p.candidate_id = f.candidate_id
+    GROUP BY f.query_id
+    """,
+    tags=("similarity", "ann", "matryoshka", "evaluation"),
+)
+def matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation audit: per query, how many of the TRUE
+    top-{TOP_K} (full 64-dim cosine) survive when search runs on the
+    {_MRL_DIM}-dim PREFIX — the measurement behind MRL-style
+    progressive retrieval (search cheap prefix dims, re-rank
+    full-dim). Both sides are exact-integer matmuls with the same
+    batch-local lossless pruning as ann_bruteforce_topk; the overlap
+    join runs on two {TOP_K}-row-per-query frames. Deterministic →
+    the oracle replays both rankings relationally."""
+    full = ann_bruteforce_topk(spark, sf_dir).select("query_id", "candidate_id")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("candidate_id"))
+    prefix = (
+        _prefix_pairs(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", F.col("candidate_id").alias("p_cand"))
+    )
+    return (
+        full.join(
+            prefix,
+            (full.query_id == prefix.query_id)
+            & (full.candidate_id == prefix.p_cand),
+            "left",
+        )
+        .groupBy(full.query_id)
+        .agg(
+            F.count("p_cand").alias("n_overlap"),
+            F.count(F.lit(1)).alias("k"),
+        )
+    )
