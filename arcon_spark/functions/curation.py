@@ -553,3 +553,64 @@ def bloom_split_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Privacy audits: k-anonymity / l-diversity
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5  # minimum acceptable quasi-identifier group size
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS group_size,
+             CAST(COUNT(DISTINCT CAST(round(c_acctbal * 100) AS BIGINT) // 100000)
+                  AS BIGINT) AS l_diversity
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(group_size) AS BIGINT) AS k_anonymity,
+           CAST(COUNT(CASE WHEN group_size < {_KANON_K} THEN 1 END) AS BIGINT)
+             AS n_small_groups,
+           CAST(SUM(CASE WHEN group_size < {_KANON_K} THEN group_size ELSE 0 END)
+                AS BIGINT) AS n_exposed_rows,
+           CAST(MIN(l_diversity) AS BIGINT) AS l_diversity_min
+    FROM qi
+    """,
+    tags=("curation", "privacy", "quality", "pipeline"),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy re-identification audit before a dataset release:
+    k-anonymity (the smallest quasi-identifier group — here
+    nation × market segment; any group below {_KANON_K} re-identifies
+    its members) and l-diversity (distinct sensitive-value buckets —
+    account balance in $1000 bands — within each group; l = 1 means
+    the QI discloses the sensitive value even at large k). One hash
+    aggregate over the QI columns with an exact distinct count, one
+    5-number rollup — the gate a 100 TB release pipeline runs next to
+    pii_redact_stats; failing groups get generalized (coarser QI
+    bands) or suppressed and re-audited, same query."""
+    cust = load_table(spark, sf_dir, "customer")
+    qi = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.countDistinct(
+            F.expr("cast(round(c_acctbal * 100) as bigint) div 100000")
+        ).alias("l_diversity"),
+    )
+    return qi.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("group_size").alias("k_anonymity"),
+        F.sum(F.when(F.col("group_size") < _KANON_K, 1).otherwise(0))
+        .cast("long")
+        .alias("n_small_groups"),
+        F.sum(
+            F.when(F.col("group_size") < _KANON_K, F.col("group_size")).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_exposed_rows"),
+        F.min("l_diversity").alias("l_diversity_min"),
+    )
