@@ -1327,3 +1327,96 @@ def bloom_split_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("in_train").isNotNull().alias("exact_dup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel report
+# ---------------------------------------------------------------------------
+
+_GATE_MIN_WORDS = 50
+_GATE_MAX_WORDS = 5000
+
+
+@register(
+    "corpus_curation_report",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLE_CTE},
+    shn AS (
+      SELECT sh.doc_id, sh.shingle, sz.n
+      FROM sh JOIN (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id) sz
+        ON sz.doc_id = sh.doc_id
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS i, MAX(a.n) AS na, MAX(b.n) AS nb
+      FROM shn a JOIN shn b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= {_JACCARD_T}
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+      WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= {_JACCARD_T}
+    ),
+    reach(doc_id, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, r.lab FROM edges e JOIN reach r ON r.doc_id = e.b
+    ),
+    clusters AS (SELECT doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY doc_id),
+    kept AS (SELECT doc_id FROM clusters WHERE doc_id = cluster_id)
+    SELECT 'raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    UNION ALL
+    SELECT 'exact_unique',
+           CAST(COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+                AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'near_dedup_kept', CAST(COUNT(*) AS BIGINT) FROM kept
+    UNION ALL
+    SELECT 'length_gate', CAST(COUNT(*) AS BIGINT)
+    FROM kept k JOIN toks t ON t.doc_id = k.doc_id
+    WHERE len(t.t) BETWEEN {_GATE_MIN_WORDS} AND {_GATE_MAX_WORDS}
+    """,
+    tags=("dedup", "pipeline", "reporting", "quality"),
+)
+def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation-funnel REPORT: one row per pipeline stage with the
+    surviving document count — raw → exact-unique (digest) →
+    near-dedup kept (connected-cluster canonicals) → length gate
+    (50–5000 words). This is the per-run summary a 100 TB corpus
+    build publishes next to its output (examples/corpus_pipeline.py
+    runs the stages themselves); each count reuses the registered
+    stage operators, so the report IS the pipeline's accounting, not
+    a parallel re-implementation. The one heavy input (the cluster
+    frame) is computed once by dedup_connected_clusters' persisted
+    loop and reduced to two scalar counts."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    digest = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    kept = (
+        dedup_connected_clusters(spark, sf_dir)
+        .filter(F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id")
+        .persist()
+    )
+    nwords = F.expr(f"size({_TOKS})")
+    gated = kept.join(docs, "doc_id").filter(
+        nwords.between(_GATE_MIN_WORDS, _GATE_MAX_WORDS)
+    )
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"), F.count(F.lit(1)).alias("n_docs")
+        ).select("stage", "n_docs")
+
+    exact = docs.agg(
+        F.lit("exact_unique").alias("stage"),
+        F.countDistinct(digest).alias("n_docs"),
+    ).select("stage", "n_docs")
+    return (
+        stage("raw", docs)
+        .unionByName(exact)
+        .unionByName(stage("near_dedup_kept", kept))
+        .unionByName(stage("length_gate", gated))
+    )
