@@ -166,3 +166,58 @@ def pyds_collection_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+
+@register(
+    "stream_pyds_collection",
+    oracle=f"""
+    WITH rows AS (
+      SELECT u.i AS id, (u.i * u.i) % 97 AS payload
+      FROM UNNEST(generate_series(0, {_N - 1})) AS u(i)
+    )
+    SELECT id % 7 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(payload) AS BIGINT) AS sum_payload
+    FROM rows GROUP BY 1
+    """,
+    tags=("streaming", "sources", "python_datasource", "survey2.1"),
+)
+def stream_pyds_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pluggable Python DataSource read THROUGH THE STREAMING
+    ENGINE: the offset-paced SimpleDataSourceStreamReader replays the
+    deterministic collection in {_N // 1000}-plus micro-batches
+    (batch_size 1000), a memory sink accumulates them, and the
+    aggregate over everything delivered must equal the batch oracle —
+    exactly-once delivery of a custom source under engine offsets.
+    availableNow semantics pull only ONE read() from a simple stream
+    reader (see MEASURE.md), so the query polls a processing-time
+    trigger until the collection is drained — the production stance is
+    a continuously-running query where the offset checkpoint resumes
+    the sequence."""
+    import time
+
+    register_collection_source(spark)
+    name = f"pyds_stream_{int(spark.sparkContext.startTime) % 100000}"
+    q = (
+        spark.readStream.format("arcon_collection")
+        .option("n", str(_N))
+        .option("batch_size", "1000")
+        .load()
+        .select("id", "payload")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        if spark.table(name).count() >= _N:
+            break
+        time.sleep(0.3)
+    q.stop()
+    return (
+        spark.table(name)
+        .groupBy((F.col("id") % 7).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("payload").alias("sum_payload"))
+    )
