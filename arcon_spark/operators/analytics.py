@@ -1389,3 +1389,159 @@ def target_encode_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0,
         ).alias("loo_mean_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Survival analysis: churn risk table
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "survival_risk_table",
+    oracle=f"""
+    WITH lifespans AS (
+      SELECT user_id,
+             (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 86400000000 AS life_days
+      FROM {EVENTS_NORM} GROUP BY user_id
+    ),
+    ev AS (
+      SELECT life_days AS t, CAST(COUNT(*) AS BIGINT) AS d
+      FROM lifespans GROUP BY 1
+    ),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lifespans)
+    SELECT t, d,
+           (SELECT n FROM total)
+             - COALESCE(SUM(d) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS n_risk,
+           CAST(d AS DOUBLE)
+             / CAST((SELECT n FROM total)
+                    - COALESCE(SUM(d) OVER (ORDER BY t
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS DOUBLE) AS hazard
+    FROM ev
+    """,
+    tags=("analytics", "survival", "timeseries", "statistics"),
+)
+def survival_risk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival-analysis risk table over user lifetimes (days between
+    first and last observed event): for each distinct lifetime t, the
+    number of churn events d, the at-risk population n_risk (users
+    whose lifetime reached t), and the hazard d/n_risk — the
+    Kaplan-Meier ingredient table (the survival curve itself is the
+    running product Π(1−hazard), left to the consumer because
+    cumulative float products are order-sensitive; every column HERE
+    is exact integers plus one division). Plan: one user aggregate,
+    one tiny lifetime histogram, one cumulative window over it."""
+    ev = load_table(spark, sf_dir, "events")
+    lifespans = ev.groupBy("user_id").agg(
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            / F.lit(86_400_000_000)
+        )
+        .cast("long")
+        .alias("life_days")
+    )
+    evt = lifespans.groupBy(F.col("life_days").alias("t")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    n_total = lifespans.count()
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = F.lit(n_total) - F.coalesce(F.sum("d").over(w), F.lit(0))
+    return evt.select(
+        "t",
+        "d",
+        risk.alias("n_risk"),
+        (F.col("d").cast("double") / risk.cast("double")).alias("hazard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment analysis (two-sample z from exact moments)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ab_test_purchase_value",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM {EVENTS_NORM} WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT arm,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) AS s,
+             CAST(SUM(CAST(cents AS HUGEINT) * cents) AS DOUBLE) AS ss
+      FROM assigned GROUP BY arm
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN arm = 'control' THEN n END) AS nc,
+        MAX(CASE WHEN arm = 'control' THEN s END) AS sc,
+        MAX(CASE WHEN arm = 'control' THEN ss END) AS ssc,
+        MAX(CASE WHEN arm = 'treatment' THEN n END) AS nt,
+        MAX(CASE WHEN arm = 'treatment' THEN s END) AS st,
+        MAX(CASE WHEN arm = 'treatment' THEN ss END) AS sst
+      FROM m
+    )
+    SELECT CAST(nc AS BIGINT) AS n_control, CAST(nt AS BIGINT) AS n_treatment,
+           sc / nc / 100.0 AS mean_control,
+           st / nt / 100.0 AS mean_treatment,
+           (st / nt - sc / nc) / 100.0 AS lift,
+           (st / nt - sc / nc)
+             / sqrt((ssc / nc - (sc / nc) * (sc / nc)) / nc
+                    + (sst / nt - (st / nt) * (st / nt)) / nt) AS z_score
+    FROM wide
+    """,
+    tags=("analytics", "statistics", "experimentation"),
+)
+def ab_test_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users hash-split into control/treatment
+    arms (even/odd id — production uses the md5 split rule of
+    stratified_split), compared on mean purchase value with a
+    two-sample z statistic computed from EXACT integer moments — the
+    same mergeable (n, Σ, Σx²) shape as corr/OLS, so the whole
+    readout is one map-side-partial aggregate + a 2-row pivot, and
+    the z expression is a fixed IEEE double tree (bit-identical
+    cross-engine, unlike built-in stddev's running accumulation).
+    Consumers compare |z| to their critical value; the moments are
+    emitted via the means so sequential/peeking corrections can be
+    applied downstream."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    assigned = ev.select(
+        F.when(F.col("user_id") % 2 == 0, "control").otherwise("treatment").alias("arm"),
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
+    m = assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec(F.col("cents")).alias("s"),
+        dec(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+    wide = m.agg(
+        F.max(F.when(F.col("arm") == "control", F.col("n"))).alias("nc"),
+        F.max(F.when(F.col("arm") == "control", F.col("s"))).alias("sc"),
+        F.max(F.when(F.col("arm") == "control", F.col("ss"))).alias("ssc"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("n"))).alias("nt"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("s"))).alias("st"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("ss"))).alias("sst"),
+    )
+    nc, sc, ssc = F.col("nc"), F.col("sc"), F.col("ssc")
+    nt, st, sst = F.col("nt"), F.col("st"), F.col("sst")
+    diff = st / nt - sc / nc
+    return wide.select(
+        nc.cast("long").alias("n_control"),
+        nt.cast("long").alias("n_treatment"),
+        (sc / nc / F.lit(100.0)).alias("mean_control"),
+        (st / nt / F.lit(100.0)).alias("mean_treatment"),
+        (diff / F.lit(100.0)).alias("lift"),
+        (
+            diff
+            / F.sqrt(
+                (ssc / nc - (sc / nc) * (sc / nc)) / nc
+                + (sst / nt - (st / nt) * (st / nt)) / nt
+            )
+        ).alias("z_score"),
+    )
