@@ -2490,3 +2490,126 @@ def stream_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("est_value"),
     )
+
+
+@register(
+    "stream_gap_fill_locf",
+    oracle=f"""
+    WITH obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             arg_max(value, event_id) AS value
+      FROM {EVENTS_NORM}
+      GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(min(hour), max(hour),
+                                    INTERVAL 1 HOUR)) AS hour
+      FROM obs GROUP BY user_id
+    ),
+    joined AS (
+      SELECT g.user_id, g.hour, o.value,
+             o.user_id IS NULL AS no_obs
+      FROM grid g
+      LEFT JOIN obs o ON o.user_id = g.user_id AND o.hour = g.hour
+    )
+    SELECT user_id, hour,
+           last_value(value IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY hour
+                   ROWS UNBOUNDED PRECEDING) AS value_filled,
+           CAST(no_obs AS BOOLEAN) AS is_gap
+    FROM joined
+    """,
+    tags=("streaming", "stateful", "gapfill", "locf", "timeseries"),
+)
+def stream_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING gap fill with LOCF — the hypertable repair
+    (gap_fill_forward_hourly) as a live operator: per user, O(1) state
+    holds the open hour's best observation (max event_id — the
+    arg_max contract) and the last filled value; when an element opens
+    a LATER hour, the operator finalizes the closed hour and emits the
+    intervening empty hours carrying the last value forward (is_gap =
+    true) — event-driven catch-up, so no per-hour timers and no dense
+    grid materialization anywhere. The tape splits mid-corpus BY TIME
+    (hours may straddle the epoch boundary — the open-hour state must
+    survive it) and a per-user flush marker closes the final hour.
+    Output equals the batch grid⟕obs oracle exactly."""
+    from arcon_spark.streaming.stateful import Operator, apply_operator
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    cut = ev.agg(F.expr("percentile_approx(unix_micros(ts), 0.5)").alias("c")).first().c
+    seg1 = ev.filter(F.unix_micros("ts") <= cut)
+    seg2 = ev.filter(F.unix_micros("ts") > cut)
+    flush = (
+        ev.groupBy("user_id")
+        .agg(F.max("ts").alias("mts"))
+        .select(
+            "user_id",
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.col("mts") + F.expr("INTERVAL 40 DAYS")).alias("ts"),
+            F.lit(0.0).alias("value"),
+        )
+    )
+
+    HOUR_US = 3_600_000_000
+
+    class GapFill(Operator):
+        def handle_element(self, key, pdf, ctx):
+            st = ctx.value("gf")
+            cur_h, best_eid, best_val, prev_filled = st.get((None, None, None, None))
+            out = []
+            uid = int(key[0])
+
+            def close_hour(next_h):
+                nonlocal cur_h, best_eid, best_val, prev_filled
+                filled = best_val if best_val is not None else prev_filled
+                out.append(
+                    {"user_id": uid, "hour_us": cur_h, "value_filled": filled,
+                     "is_gap": False}
+                )
+                prev_filled = filled
+                if next_h is not None:
+                    for h in range(cur_h + HOUR_US, next_h, HOUR_US):
+                        out.append(
+                            {"user_id": uid, "hour_us": h,
+                             "value_filled": prev_filled, "is_gap": True}
+                        )
+                cur_h, best_eid, best_val = next_h, None, None
+
+            data = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            for _, row in data.iterrows():
+                eid = int(row["event_id"])
+                if eid < 0:
+                    if cur_h is not None:
+                        close_hour(None)
+                    continue
+                us = int(row["ts"].timestamp() * 1_000_000)
+                h = us - us % HOUR_US
+                if cur_h is None:
+                    cur_h = h
+                elif h > cur_h:
+                    close_hour(h)
+                if best_eid is None or eid > best_eid:
+                    best_eid, best_val = eid, float(row["value"])
+            st.put((cur_h, best_eid, best_val, prev_filled))
+            return out or None
+
+    root = write_segments([seg1, seg2, flush])
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+    out = apply_operator(
+        src,
+        ["user_id"],
+        GapFill(),
+        "user_id long, hour_us long, value_filled double, is_gap boolean",
+    )
+    res = _run_to_memory(spark, out, "stream_gfl")
+    return res.select(
+        "user_id",
+        F.expr("timestamp_micros(hour_us)").alias("hour"),
+        "value_filled",
+        "is_gap",
+    )
