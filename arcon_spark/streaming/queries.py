@@ -2613,3 +2613,130 @@ def stream_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_filled",
         "is_gap",
     )
+
+
+@register(
+    "stream_scd2_history",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM {EVENTS_NORM}
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM ordered
+    ),
+    collapsed AS (
+      SELECT user_id, CAST(run_id AS BIGINT) AS version, event_type,
+             min(ts) AS valid_from,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM runs GROUP BY user_id, run_id, event_type
+    )
+    SELECT user_id, version, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             AS valid_to,
+           n_events,
+           CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+                  IS NULL AS BOOLEAN) AS is_current
+    FROM collapsed
+    """,
+    tags=("streaming", "stateful", "scd2", "maintenance"),
+)
+def stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SCD2 — type-2 dimension versioning maintained live:
+    per-user O(1) state holds the OPEN version (type, valid_from,
+    event count); a type change CLOSES it — the closed row emits
+    immediately with valid_to = the change's timestamp — and opens the
+    next version; the flush marker emits the still-open row with
+    is_current = true. This is how a warehouse dimension stays current
+    under a CDC stream without nightly rebuilds; the run state (like
+    stream_gap_fill_locf's open hour) must survive the epoch boundary
+    (tape split mid-corpus by time). Output equals the batch
+    scd2_user_type_history collapse exactly."""
+    from arcon_spark.streaming.stateful import Operator, apply_operator
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    cut = ev.agg(F.expr("percentile_approx(unix_micros(ts), 0.5)").alias("c")).first().c
+    seg1 = ev.filter(F.unix_micros("ts") <= cut)
+    seg2 = ev.filter(F.unix_micros("ts") > cut)
+    flush = (
+        ev.groupBy("user_id")
+        .agg(F.max("ts").alias("mts"))
+        .select(
+            "user_id",
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.col("mts") + F.expr("INTERVAL 40 DAYS")).alias("ts"),
+            F.lit("__flush__").alias("event_type"),
+        )
+    )
+
+    class Scd2(Operator):
+        def handle_element(self, key, pdf, ctx):
+            st = ctx.value("v")
+            version, cur_type, from_us, n = st.get((0, None, None, 0))
+            out = []
+            uid = int(key[0])
+
+            def emit(valid_to_us, current):
+                out.append(
+                    {
+                        "user_id": uid,
+                        "version": version,
+                        "event_type": cur_type,
+                        "from_us": from_us,
+                        "to_us": valid_to_us,
+                        "n_events": n,
+                        "is_current": current,
+                    }
+                )
+
+            data = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            for _, row in data.iterrows():
+                eid = int(row["event_id"])
+                us = int(row["ts"].timestamp() * 1_000_000)
+                if eid < 0:
+                    if cur_type is not None:
+                        emit(None, True)
+                    continue
+                et = row["event_type"]
+                if cur_type is None:
+                    version, cur_type, from_us, n = 1, et, us, 1
+                elif et != cur_type:
+                    emit(us, False)
+                    version, cur_type, from_us, n = version + 1, et, us, 1
+                else:
+                    n += 1
+            st.put((version, cur_type, from_us, n))
+            return out or None
+
+    root = write_segments([seg1, seg2, flush])
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+    out = apply_operator(
+        src,
+        ["user_id"],
+        Scd2(),
+        "user_id long, version long, event_type string, from_us long,"
+        " to_us long, n_events long, is_current boolean",
+    )
+    res = _run_to_memory(spark, out, "stream_scd2")
+    return res.select(
+        "user_id",
+        "version",
+        "event_type",
+        F.expr("timestamp_micros(from_us)").alias("valid_from"),
+        F.expr("timestamp_micros(to_us)").alias("valid_to"),
+        "n_events",
+        "is_current",
+    )
