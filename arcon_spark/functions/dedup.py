@@ -1278,7 +1278,11 @@ def bloom_split_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs k hash+join-probe ops per doc, and train texts never move.
     Hashing is salted md5 → identical positions in both engines. This
     is the approximate counterpart of split_contamination_check's
-    exact digest join (same split rule, same normalization)."""
+    exact digest join — deliberately the SAME 3-way stratified split
+    rule and whitespace-normalized digest, so the two queries audit
+    the identical release split (curation.bloom_split_probe is the
+    general-purpose Bloom primitive over a raw mod-10 split; this one
+    slots into the release-gate family)."""
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     digest = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
     h = F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 2)
