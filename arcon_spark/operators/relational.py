@@ -2092,3 +2092,47 @@ def quantile_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("est_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group reservoir sample
+# ---------------------------------------------------------------------------
+
+_RESERVOIR_K = 20
+
+
+@register(
+    "reservoir_sample_per_type",
+    oracle=f"""
+    SELECT event_type, event_id, user_id
+    FROM (
+      SELECT event_type, event_id, user_id,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5('rs:' || CAST(event_id AS VARCHAR)), event_id) AS rn
+      FROM events
+    ) WHERE rn <= {_RESERVOIR_K}
+    """,
+    tags=("sample", "sampling", "per_group"),
+)
+def reservoir_sample_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-group sample, reservoir semantics without the
+    RNG: exactly {_RESERVOIR_K} rows per event_type, chosen by md5
+    rank over the unique id — uniform over the group (md5 order is
+    independent of everything else about the row), reproducible across
+    runs/engines/partitionings, and mergeable (the k smallest hashes
+    of a union = merge of per-shard k-smallest — the same property the
+    KMV sketch exploits, so shards can sample independently and
+    combine losslessly at 100 TB). The rank filter compiles to
+    WindowGroupLimit: each group materializes only k rows past the
+    exchange. This is the per-GROUP companion of deterministic_sample
+    (corpus-wide Bernoulli by hash threshold)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.concat(F.lit("rs:"), F.col("event_id").cast("string"))), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RESERVOIR_K)
+        .select("event_type", "event_id", "user_id")
+    )
