@@ -2136,3 +2136,54 @@ def reservoir_sample_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _RESERVOIR_K)
         .select("event_type", "event_id", "user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# RANGE window frame (value-based, event-time trailing aggregate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "range_frame_trailing_sum",
+    oracle=f"""
+    SELECT user_id, event_id, ts,
+           CAST(SUM(CAST(round(value * 100) AS HUGEINT)) OVER (
+                  PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS trailing_cents,
+           CAST(COUNT(*) OVER (
+                  PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS trailing_n
+    FROM {EVENTS_NORM}
+    """,
+    tags=("window_function", "frame", "range", "timeseries"),
+)
+def range_frame_trailing_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame — the VALUE-based frame type (vs the ROWS
+    frames used by moving_avg/EWMA): each event's trailing sum/count
+    over the preceding HOUR of event time, however many rows that is —
+    irregular-series rolling metrics need exactly this (a ROWS frame
+    would mix lookback horizons). Spark expresses interval ranges as
+    rangeBetween over unix_micros; DuckDB writes RANGE BETWEEN
+    INTERVAL — same frame semantics, and ties on the ORDER value are
+    both included by RANGE's peer rule in both engines, so exact
+    integer cents hash-match. One exchange on user_id, sort reused by
+    both window functions."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(F.expr("cast(round(value * 100) as long)"))
+        .over(w)
+        .cast("long")
+        .alias("trailing_cents"),
+        F.count(F.lit(1)).over(w).cast("long").alias("trailing_n"),
+    )
