@@ -315,3 +315,33 @@ def test_sweep_line_island_union_matches_brute_force(starts, width):
     pts = sorted(marks)
     comps = 1 + sum(1 for a, b in zip(pts, pts[1:]) if b > a + 1)
     assert n_islands == comps
+
+
+def test_hilbert_key_is_injective_on_random_sample(spark):
+    """Hypothesis: distinct (x, y) grid points must map to distinct
+    Hilbert keys (the curve is a bijection on the 256x256 grid) and
+    every key lies in [0, 65536)."""
+    from hypothesis import given, settings, strategies as st
+
+    from arcon_spark.operators.maintenance import hilbert_key
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=255),
+                st.integers(min_value=0, max_value=255),
+            ),
+            min_size=2,
+            max_size=40,
+            unique=True,
+        )
+    )
+    def check(pts):
+        df = spark.createDataFrame(pts, "px long, py long")
+        rows = hilbert_key(df, "px", "py").collect()
+        keys = [r.hkey for r in rows]
+        assert all(0 <= k < 65536 for k in keys)
+        assert len(set(keys)) == len(pts)
+
+    check()
