@@ -1189,3 +1189,287 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, s.sent_idx, s.sentence, s.n_words, s.n_chars "
         "FROM documents d, LATERAL sentence_split(d.text) s"
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocations, tokenizer stats, readability, association-score quality
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_PAIR = 5
+_PMI_TOP = 50
+
+# Adjacent-word bigrams per doc, as 'w1 w2' strings (both engines).
+_SQL_BIGRAMS = f"""
+  toks AS (SELECT doc_id, {_SQL_TOKS_LIST} AS t FROM documents),
+  big AS (
+    SELECT doc_id, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS pair,
+           t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+    FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)
+  )
+"""
+
+
+@register(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH {_SQL_BIGRAMS},
+    pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt_pair FROM big GROUP BY 1, 2),
+    uni AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM
+        (SELECT unnest({_SQL_TOKS_LIST}) AS tok FROM documents) GROUP BY tok
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_big FROM big)
+    SELECT w1, w2, cnt_pair, u1.cnt AS cnt_w1, u2.cnt AS cnt_w2,
+           CAST(cnt_pair * n.n_big AS DOUBLE) / CAST(u1.cnt * u2.cnt AS DOUBLE)
+             AS pmi_ratio
+    FROM pc, n
+    JOIN uni u1 ON pc.w1 = u1.tok
+    JOIN uni u2 ON pc.w2 = u2.tok
+    WHERE cnt_pair >= {_PMI_MIN_PAIR}
+    ORDER BY pmi_ratio DESC, w1, w2
+    LIMIT {_PMI_TOP}
+    """,
+    tags=("text", "collocation", "pipeline"),
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-ranked adjacent-word collocations, log-free: rank by the
+    exact PMI *ratio* P(w1,w2)/(P(w1)P(w2)) = cnt_pair·N/(cnt1·cnt2)
+    instead of its logarithm — same ordering (log is monotone), but the
+    score is BIGINT products (< 2^53, exact as doubles) and ONE
+    correctly-rounded division, so it hash-matches the oracle where an
+    ln() formula would drift in the last ulp.
+
+    Scale shape: one shuffle for the pair counts (the corpus-sized
+    aggregation), the unigram vocabulary is orders smaller and joins
+    back as broadcasts; total-N is a broadcast scalar. Top-k by a
+    totally-ordered (score, w1, w2) sort of the already-small
+    filtered pair table."""
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = docs.select("doc_id", F.expr(_TOKS).alias("t"))
+    big = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))")
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    big = big.persist()
+    pc = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt_pair"))
+        .filter(F.col("cnt_pair") >= _PMI_MIN_PAIR)
+    )
+    uni = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    n_big = big.count()
+    out = (
+        pc.join(F.broadcast(uni.withColumnRenamed("tok", "w1").withColumnRenamed("cnt", "cnt_w1")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("tok", "w2").withColumnRenamed("cnt", "cnt_w2")), "w2")
+        .select(
+            "w1",
+            "w2",
+            "cnt_pair",
+            "cnt_w1",
+            "cnt_w2",
+            (
+                (F.col("cnt_pair") * F.lit(n_big)).cast("double")
+                / (F.col("cnt_w1") * F.col("cnt_w2")).cast("double")
+            ).alias("pmi_ratio"),
+        )
+        .orderBy(F.desc("pmi_ratio"), "w1", "w2")
+        .limit(_PMI_TOP)
+    )
+    return out
+
+
+@register(
+    "tokenizer_fertility",
+    oracle=rf"""
+    WITH per_doc AS (
+      SELECT source,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tok,
+             CAST(len({_SQL_TOKS_LIST}) AS BIGINT) AS n_words,
+             CAST(strlen(text) AS BIGINT) AS n_bytes
+      FROM documents
+    )
+    SELECT source,
+           SUM(n_tok) AS total_tokens, SUM(n_words) AS total_words,
+           SUM(n_bytes) AS total_bytes,
+           CAST(SUM(n_tok) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE) AS fertility,
+           CAST(SUM(n_tok) * 100 AS DOUBLE) / CAST(SUM(n_bytes) AS DOUBLE) AS tokens_per_100_bytes
+    FROM per_doc GROUP BY source
+    """,
+    tags=("text", "tokenizer", "pipeline"),
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per source: BPE-ish tokens per
+    whitespace word and per 100 bytes — the compression-rate numbers a
+    tokenizer-selection pass computes over a corpus. All-integer sums
+    (exact, associative → safe under Spark's partial aggregation at any
+    scale); the two ratios are single correctly-rounded divisions.
+
+    Scale shape: per-row codegen token counting over the scan, then one
+    tiny shuffle keyed by `source` — map-side partial aggregation means
+    bytes-on-the-wire is O(sources × partitions), not O(rows)."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    per_doc = docs.select(
+        "source",
+        F.size(F.expr(r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)"))
+        .cast("long")
+        .alias("n_tok"),
+        F.size(F.expr(_TOKS)).cast("long").alias("n_words"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("n_words").alias("total_words"),
+        F.sum("n_bytes").alias("total_bytes"),
+        (F.sum("n_tok").cast("double") / F.sum("n_words").cast("double")).alias("fertility"),
+        (
+            (F.sum("n_tok") * F.lit(100)).cast("double") / F.sum("n_bytes").cast("double")
+        ).alias("tokens_per_100_bytes"),
+    )
+
+
+@register(
+    "text_readability_flesch",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len({_SQL_TOKS_LIST}) AS BIGINT) AS n_words,
+             CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS n_sentences,
+             CAST(list_sum(list_transform({_SQL_TOKS_LIST},
+                    w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))) AS BIGINT)
+               AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+             AS flesch
+    FROM m WHERE n_words >= 1
+    """,
+    tags=("text", "quality", "readability"),
+)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document with a vowel-group syllable
+    heuristic (runs of [aeiouy], min 1 per word) — a standard
+    quality-filter feature. Both engines evaluate the identical
+    expression tree of correctly-rounded IEEE ops (two divisions, two
+    multiplies, two subtractions in fixed order), so the double result
+    is bit-identical without any log/exp.
+
+    Scale shape: pure per-row projection over the scan — no shuffle at
+    all; at 100 TB this is a map-only pass bounded by scan bandwidth."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    m = docs.select(
+        "doc_id",
+        F.size(F.expr(_TOKS)).cast("long").alias("n_words"),
+        F.greatest(F.lit(1), F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")))
+        .cast("long")
+        .alias("n_sentences"),
+        F.expr(
+            f"aggregate({_TOKS}, 0L,"
+            " (s, w) -> s + greatest(1L, bigint(size(regexp_extract_all(w, '[aeiouy]+', 0)))))"
+        ).alias("n_syllables"),
+    ).filter(F.col("n_words") >= 1)
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast("double")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast("double")
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw).alias("flesch"),
+    )
+
+
+_ASSOC_SCALE = 1_000_000  # fixed-point units for the per-doc ratio sum
+
+
+@register(
+    "text_bigram_assoc_score",
+    oracle=f"""
+    WITH {_SQL_BIGRAMS},
+    pc AS (SELECT w1 AS pw1, w2 AS pw2, CAST(COUNT(*) AS BIGINT) AS cnt_pair
+           FROM big GROUP BY 1, 2),
+    uni AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM
+        (SELECT unnest({_SQL_TOKS_LIST}) AS tok FROM documents) GROUP BY tok
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_big FROM big),
+    scored AS (
+      SELECT big.doc_id,
+             CAST(cnt_pair * n.n_big AS DOUBLE) / CAST(u1.cnt * u2.cnt AS DOUBLE) AS r,
+             cnt_pair
+      FROM big, n
+      JOIN pc ON big.w1 = pc.pw1 AND big.w2 = pc.pw2
+      JOIN uni u1 ON big.w1 = u1.tok
+      JOIN uni u2 ON big.w2 = u2.tok
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN cnt_pair = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax_pairs,
+           CAST(SUM(CAST(round(r * {_ASSOC_SCALE}) AS HUGEINT)) AS DOUBLE)
+             / {_ASSOC_SCALE}.0 / CAST(COUNT(*) AS DOUBLE) AS assoc_score
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("text", "quality", "lm", "pipeline"),
+)
+def text_bigram_assoc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document language-model-ish quality score, log-free: the
+    mean corpus association ratio cnt(w1,w2)·N/(cnt(w1)·cnt(w2)) over
+    the doc's adjacent bigrams (the linear-space analogue of mean
+    pointwise mutual information — a perplexity-style fluency filter:
+    word salad scores ≈1, fluent text ≫1), plus the hapax-pair count
+    (bigrams seen nowhere else — the CCNet-style rarity signal). Each
+    per-row ratio is exact-integer products + one rounded division;
+    the per-doc mean goes through the msum fixed-point pattern so the
+    sum is order-independent across engines.
+
+    Scale shape: the corpus bigram stats are ONE aggregation shuffle;
+    the per-doc rejoin broadcasts the unigram vocabulary and
+    shuffle-joins the pair counts on (w1,w2); the final per-doc mean
+    shuffles on doc_id. The exploded-bigram frame feeds both the
+    stats and the rejoin, so it is persisted once (self-join branches
+    do not share subtrees — see MEASURE.md recompute audit)."""
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = docs.select("doc_id", F.expr(_TOKS).alias("t"))
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))")
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    big = big.persist()
+    pc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("cnt_pair"))
+    uni = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    n_big = big.count()
+    scored = (
+        big.join(pc, ["w1", "w2"])
+        .join(F.broadcast(uni.withColumnRenamed("tok", "w1").withColumnRenamed("cnt", "cnt_w1")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("tok", "w2").withColumnRenamed("cnt", "cnt_w2")), "w2")
+        .select(
+            "doc_id",
+            "cnt_pair",
+            (
+                (F.col("cnt_pair") * F.lit(n_big)).cast("double")
+                / (F.col("cnt_w1") * F.col("cnt_w2")).cast("double")
+            ).alias("r"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum(F.when(F.col("cnt_pair") == 1, 1).otherwise(0)).cast("long").alias("n_hapax_pairs"),
+        (
+            F.sum(F.round(F.col("r") * _ASSOC_SCALE).cast("decimal(38,0)")).cast("double")
+            / F.lit(float(_ASSOC_SCALE))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("assoc_score"),
+    )
