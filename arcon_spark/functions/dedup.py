@@ -1424,3 +1424,111 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage("near_dedup_kept", kept))
         .unionByName(stage("length_gate", gated))
     )
+
+
+# ---------------------------------------------------------------------------
+# exact substring-span dedup (Lee et al., "Deduplicating Training Data
+# Makes Language Models Better" — span-level exact dedup, token K-grams)
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 5  # tokens per exact-match span
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS g
+      FROM toks, UNNEST(generate_series(1, len(t) - {_SPAN_K - 1})) AS u(i)
+    ),
+    dupg AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+    dup AS (SELECT grams.doc_id, grams.pos FROM grams JOIN dupg USING (g)),
+    cov AS (
+      SELECT doc_id, least({_SPAN_K}, coalesce(
+                 lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos,
+                 {_SPAN_K})) AS cov
+      FROM dup
+    ),
+    cover AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+             SUM(cov) AS dup_token_coverage
+      FROM cov GROUP BY doc_id
+    )
+    SELECT toks.doc_id, CAST(len(toks.t) AS BIGINT) AS n_tokens,
+           coalesce(cover.n_dup_spans, 0) AS n_dup_spans,
+           coalesce(cover.dup_token_coverage, 0) AS dup_token_coverage,
+           CAST(coalesce(cover.dup_token_coverage, 0) AS DOUBLE)
+             / CAST(len(toks.t) AS DOUBLE) AS dup_ratio
+    FROM toks LEFT JOIN cover ON toks.doc_id = cover.doc_id
+    WHERE len(toks.t) >= {_SPAN_K}
+    """,
+    tags=("dedup", "substring", "pipeline"),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup (Lee et al. 2022 style): a position is
+    'duplicated' when its exact {K}-token gram also occurs in another
+    document; per-doc output is the count of duplicated spans and the
+    number of TOKEN POSITIONS covered by at least one duplicated span
+    (overlapping spans merged with a lead()-window interval union:
+    each span contributes min(K, next_start - start) tokens). The
+    coverage ratio is the 'what fraction of this doc is boilerplate /
+    copied' signal that decides rewrite-vs-drop in a curation pipeline
+    — strictly finer than the document-level n-gram Jaccard family
+    above.
+
+    Scale shape: positional grams are built in-row (sequence →
+    slice → concat_ws, zero shuffle, tokenization hoisted — see
+    _shingle_rows); the gram frame feeds both the duplicated-gram
+    aggregation and the position rejoin, so it is persisted once.
+    Two shuffles total at corpus scale: the gram-count aggregation
+    and the join-back keyed on the gram; the interval-union window
+    then works on the tiny duplicated-position set per doc."""
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = docs.select("doc_id", F.expr(_TOKS).alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(t) - {_SPAN_K - 1}, 0)),"
+                f" i -> struct(bigint(i) AS pos, concat_ws(' ', slice(t, i, {_SPAN_K})) AS g))"
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.pos", "s.g")
+    grams = grams.persist()
+    dupg = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    dup = grams.join(dupg, "g").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cover = (
+        dup.withColumn(
+            "cov",
+            F.least(
+                F.lit(_SPAN_K).cast("long"),
+                F.coalesce(F.lead("pos").over(w) - F.col("pos"), F.lit(_SPAN_K).cast("long")),
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+            F.sum("cov").alias("dup_token_coverage"),
+        )
+    )
+    base = toks.select("doc_id", F.size("t").cast("long").alias("n_tokens")).filter(
+        F.col("n_tokens") >= _SPAN_K
+    )
+    return base.join(cover, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_dup_spans", F.lit(0).cast("long")).alias("n_dup_spans"),
+        F.coalesce("dup_token_coverage", F.lit(0).cast("long")).alias("dup_token_coverage"),
+        (
+            F.coalesce("dup_token_coverage", F.lit(0).cast("long")).cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("dup_ratio"),
+    )

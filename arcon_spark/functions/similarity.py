@@ -1394,3 +1394,174 @@ def matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified retrieval
+# ---------------------------------------------------------------------------
+
+_MMR_POOL = 20  # relevance candidate pool per query
+_MMR_K = 5  # diversified picks
+# λ = 0.7 as exact integer weights: score ≡ 7·rel − 3·max_sel_sim
+_MMR_WREL, _MMR_WPEN = 7, 3
+
+
+def _mmr_oracle() -> str:
+    steps = []
+    for j in range(2, _MMR_K + 1):
+        sel = " UNION ALL ".join(
+            f"SELECT query_id, candidate_id FROM s{i}" for i in range(1, j)
+        )
+        steps.append(
+            f"""sel{j} AS ({sel}),
+    s{j} AS (
+      SELECT query_id, candidate_id, rel, pen FROM (
+        SELECT sc.*, row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY {_MMR_WREL}*rel - {_MMR_WPEN}*pen DESC, candidate_id) AS rn
+        FROM (
+          SELECT c.query_id, c.candidate_id, c.rel, MAX(p.dot) AS pen
+          FROM cand c
+          JOIN pw p ON p.query_id = c.query_id AND p.va = c.candidate_id
+          JOIN sel{j} s ON s.query_id = p.query_id AND s.candidate_id = p.vb
+          WHERE NOT EXISTS (SELECT 1 FROM sel{j} x
+                            WHERE x.query_id = c.query_id
+                              AND x.candidate_id = c.candidate_id)
+          GROUP BY 1, 2, 3
+        ) sc
+      ) WHERE rn = 1
+    )"""
+        )
+    finals = ["SELECT query_id, CAST(1 AS BIGINT) AS rank, candidate_id,"
+              f" rel AS rel_units, pen AS pen_units,"
+              f" {_MMR_WREL}*rel - {_MMR_WPEN}*pen AS score_units FROM s1"]
+    for j in range(2, _MMR_K + 1):
+        finals.append(
+            f"SELECT query_id, CAST({j} AS BIGINT) AS rank, candidate_id,"
+            f" rel AS rel_units, pen AS pen_units,"
+            f" {_MMR_WREL}*rel - {_MMR_WPEN}*pen AS score_units FROM s{j}"
+        )
+    return f"""
+    WITH rel AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+             {_sql_int_dot('q.embedding', 'c.embedding')} AS rel
+      FROM embeddings q JOIN embeddings c
+        ON q.vec_id % {_QUERY_MOD} = 0 AND c.vec_id <> q.vec_id,
+           UNNEST(generate_series(1, len(q.embedding))) AS u(i)
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT query_id, candidate_id, rel, rn FROM (
+        SELECT query_id, candidate_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, candidate_id) AS rn
+        FROM rel) WHERE rn <= {_MMR_POOL}
+    ),
+    pw AS (
+      SELECT a.query_id, a.candidate_id AS va, b.candidate_id AS vb,
+             {_sql_int_dot('ea.embedding', 'eb.embedding')} AS dot
+      FROM cand a
+      JOIN cand b ON a.query_id = b.query_id AND a.candidate_id <> b.candidate_id
+      JOIN embeddings ea ON ea.vec_id = a.candidate_id
+      JOIN embeddings eb ON eb.vec_id = b.candidate_id,
+           UNNEST(generate_series(1, len(ea.embedding))) AS u(i)
+      GROUP BY 1, 2, 3
+    ),
+    s1 AS (
+      SELECT query_id, candidate_id, rel, CAST(0 AS BIGINT) AS pen
+      FROM cand WHERE rn = 1
+    ),
+    {",".join(steps)}
+    {" UNION ALL ".join(finals)}
+    """
+
+
+@register(
+    "mmr_diversified_topk",
+    oracle=_mmr_oracle(),
+    tags=("similarity", "retrieval", "mmr"),
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance retrieval: per query (vec_id % 50
+    == 0), greedily pick K=5 results from the top-20 inner-product
+    pool, each step maximizing λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s)
+    with λ=0.7 encoded as the exact integer weights 7/3 over
+    fixed-point int64 dot products — the whole greedy trace (pick,
+    relevance, diversity penalty) is integer arithmetic, so the
+    oracle's 5-step chained-CTE replay matches bit-for-bit.
+
+    Scale shape: stage 1 is the ann_bruteforce pattern — one Arrow
+    matmul pass over the candidate scan with batch-local lossless
+    top-(pool+1) pruning, queries broadcast in the closure — so the
+    shuffle carries ~pool rows per query, never the full corpus.
+    Stage 2 (greedy over a 20-vector pool) is applyInPandas per
+    query: O(pool²) int64 dots on 20 vectors, trivially parallel
+    across queries. The inherently sequential part of MMR is confined
+    to the per-query pool — the corpus-sized work stays one narrow
+    scan stage at 100 TB."""
+    qids, Q, _ = _query_matrix(spark, sf_dir)
+    emb = spread(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            C = _int_matrix(pdf["embedding"])
+            D = C @ Q.T  # (nc, nq) exact int64
+            nc, nq = D.shape
+            cids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            kk = min(_MMR_POOL + 1, nc)
+            thr = np.partition(D, nc - kk, axis=0)[nc - kk, :]
+            rows, cols = np.nonzero(D >= thr[None, :])
+            out = pd.DataFrame(
+                {
+                    "query_id": qids[cols],
+                    "candidate_id": cids[rows],
+                    "rel": D[rows, cols],
+                    "embedding": pdf["embedding"].to_numpy()[rows],
+                }
+            )
+            yield out[out["query_id"] != out["candidate_id"]]
+
+    pool_schema = "query_id long, candidate_id long, rel long, embedding array<float>"
+    pool = emb.mapInPandas(gen, pool_schema)
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["rel", "candidate_id"], ascending=[False, True], kind="mergesort"
+        ).head(_MMR_POOL)
+        V = _int_matrix(pdf["embedding"])
+        P = V @ V.T  # pairwise int64 sims within the pool
+        rel = pdf["rel"].to_numpy(dtype=np.int64)
+        ids = pdf["candidate_id"].to_numpy(dtype=np.int64)
+        n = len(ids)
+        sel: list[int] = [0]  # pool is rel-sorted → row 0 is the rank-1 pick
+        pens = [np.int64(0)]
+        for _ in range(2, min(_MMR_K, n) + 1):
+            pen = P[:, sel].max(axis=1)
+            score = _MMR_WREL * rel - _MMR_WPEN * pen
+            best, key = -1, None
+            for i in range(n):
+                if i in sel:
+                    continue
+                k = (-score[i], ids[i])
+                if key is None or k < key:
+                    best, key = i, k
+            sel.append(best)
+            pens.append(pen[best])
+        qid = pdf["query_id"].iloc[0]
+        return pd.DataFrame(
+            {
+                "query_id": np.int64(qid),
+                "rank": np.arange(1, len(sel) + 1, dtype=np.int64),
+                "candidate_id": ids[sel],
+                "rel_units": rel[sel],
+                "pen_units": np.array(pens, dtype=np.int64),
+                "score_units": _MMR_WREL * rel[sel]
+                - _MMR_WPEN * np.array(pens, dtype=np.int64),
+            }
+        )
+
+    out_schema = (
+        "query_id long, rank long, candidate_id long,"
+        " rel_units long, pen_units long, score_units long"
+    )
+    return pool.groupBy("query_id").applyInPandas(greedy, out_schema)
