@@ -1545,3 +1545,253 @@ def ab_test_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend, Benford audit, HHI concentration
+# ---------------------------------------------------------------------------
+
+# Median over a ranked CTE `ranked(v, rn, n)`: pick the middle row (odd
+# n) or the two middle rows (even n) and use the (lo+hi)*0.5 sum form —
+# NOT lo + (hi-lo)*0.5, which differs in the last ulp (see verify
+# skill). SUM over ≤2 doubles is commutative → order-independent.
+_SQL_MEDIAN_FROM_RANKED = (
+    "SELECT CASE WHEN MAX(n) % 2 = 1 THEN SUM(v) ELSE SUM(v) * 0.5 END AS med"
+    " FROM ranked WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2"
+)
+
+
+@register(
+    "theil_sen_hourly_trend",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS x,
+             CAST(SUM(CAST(round(value * 100) AS HUGEINT)) AS DOUBLE) / 100.0 AS y
+      FROM {EVENTS_NORM} GROUP BY 1
+    ),
+    slopes AS (
+      SELECT (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS v
+      FROM hourly a JOIN hourly b ON b.x > a.x
+    ),
+    ranked AS (
+      SELECT v, row_number() OVER (ORDER BY v) AS rn, COUNT(*) OVER () AS n
+      FROM slopes
+    ),
+    med AS ({_SQL_MEDIAN_FROM_RANKED}),
+    resid AS (
+      SELECT hourly.y - med.med * CAST(hourly.x AS DOUBLE) AS v FROM hourly, med
+    ),
+    rranked AS (
+      SELECT v, row_number() OVER (ORDER BY v) AS rn, COUNT(*) OVER () AS n
+      FROM resid
+    ),
+    imed AS (SELECT CASE WHEN MAX(n) % 2 = 1 THEN SUM(v) ELSE SUM(v) * 0.5 END AS med
+             FROM rranked WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM hourly) AS n_points,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM slopes) AS n_pairs,
+           med.med AS slope_per_hour,
+           imed.med AS intercept
+    FROM med, imed
+    """,
+    tags=("timeseries", "robust", "analytics"),
+)
+def theil_sen_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend over the hourly revenue series: the
+    median of all pairwise slopes (y_j−y_i)/(x_j−x_i), plus the median
+    intercept — the outlier-resistant alternative to the closed-form
+    OLS in ols_trend_hourly_value. Hourly sums use the exact
+    fixed-point pattern; each slope is one double subtraction +
+    division (deterministic); both medians use the (lo+hi)·0.5 rule on
+    row_number-ranked values, so the result is bit-identical to the
+    oracle's replay.
+
+    Scale shape: the raw scan collapses to one row per HOUR before
+    anything quadratic happens — the pairwise self-join is O(h²) on
+    h = series length (720 rows/month), never on event rows. The
+    global rank of h²/2 slopes is a single-partition sort of a small
+    derived table (~260k rows for a month of hours); at longer
+    horizons switch the median to the mergeable histogram sketch
+    (quantile_histogram_sketch) — documented tradeoff, same API."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / F.lit(3600))
+            .cast("long")
+            .alias("x")
+        )
+        .agg(
+            (F.sum(F.round(F.col("value") * 100).cast("decimal(38,0)")).cast("double") / F.lit(100.0)).alias("y")
+        )
+    )
+    hourly = hourly.persist()
+    a, b = hourly.alias("a"), hourly.alias("b")
+    slopes = a.join(b, F.col("b.x") > F.col("a.x")).select(
+        ((F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x")).cast("double")).alias("v")
+    )
+
+    def _median(df: DataFrame) -> DataFrame:
+        w = Window.orderBy("v")
+        ranked = df.select(
+            "v",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        mid = ranked.filter(
+            (F.col("rn") == F.expr("(n + 1) div 2")) | (F.col("rn") == F.expr("(n + 2) div 2"))
+        )
+        return mid.agg(
+            F.when(F.max("n") % 2 == 1, F.sum("v")).otherwise(F.sum("v") * 0.5).alias("med")
+        )
+
+    slope = _median(slopes)
+    n_points = hourly.count()
+    n_pairs = n_points * (n_points - 1) // 2
+    resid = hourly.crossJoin(F.broadcast(slope)).select(
+        (F.col("y") - F.col("med") * F.col("x").cast("double")).alias("v")
+    )
+    intercept = _median(resid).withColumnRenamed("med", "intercept")
+    return (
+        slope.withColumnRenamed("med", "slope_per_hour")
+        .crossJoin(intercept)
+        .select(
+            F.lit(n_points).cast("long").alias("n_points"),
+            F.lit(n_pairs).cast("long").alias("n_pairs"),
+            "slope_per_hour",
+            "intercept",
+        )
+    )
+
+
+# log10(1 + 1/d) rounded to 10 decimals, hardcoded identically in both
+# engines so no log() is evaluated at query time.
+_BENFORD = {
+    1: 0.3010299957, 2: 0.1760912591, 3: 0.1249387366, 4: 0.0969100130,
+    5: 0.0791812460, 6: 0.0669467896, 7: 0.0579919470, 8: 0.0511525224,
+    9: 0.0457574906,
+}
+
+
+@register(
+    "benford_first_digit_audit",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    counts AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit
+    ),
+    expected AS (
+      SELECT * FROM (VALUES
+        {", ".join(f"({d}, CAST('{p}' AS DOUBLE))" for d, p in _BENFORD.items())}
+      ) AS t(digit, expected_frac)
+    )
+    SELECT e.digit, coalesce(c.n, 0) AS n,
+           CAST(coalesce(c.n, 0) AS DOUBLE)
+             / (SELECT CAST(SUM(n) AS DOUBLE) FROM counts) AS observed_frac,
+           e.expected_frac,
+           CAST(coalesce(c.n, 0) AS DOUBLE)
+             / (SELECT CAST(SUM(n) AS DOUBLE) FROM counts) - e.expected_frac
+             AS deviation
+    FROM expected e LEFT JOIN counts c ON e.digit = c.digit
+    """,
+    tags=("quality", "audit", "analytics"),
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of order totals — a
+    fraud/synthetic-data smell test. The digit is extracted from the
+    STRING form of the exact cents integer (no log10 at query time;
+    the expected frequencies are shared hardcoded constants), so
+    counts are exact and the two divisions are deterministic.
+
+    Scale shape: map-side digit projection + a 9-group aggregate —
+    bytes shuffled are O(9 × partitions) regardless of table size."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digits = orders.select(
+        F.substring(F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1)
+        .cast("long")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    total = counts.agg(F.sum("n").cast("double").alias("tot"))
+    expected = counts.sparkSession.createDataFrame(
+        [(d, p) for d, p in _BENFORD.items()], "digit long, expected_frac double"
+    )
+    return (
+        expected.join(counts, "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0).cast("long")).alias("n"),
+            (F.coalesce("n", F.lit(0).cast("long")).cast("double") / F.col("tot")).alias("observed_frac"),
+            "expected_frac",
+            (
+                F.coalesce("n", F.lit(0).cast("long")).cast("double") / F.col("tot")
+                - F.col("expected_frac")
+            ).alias("deviation"),
+        )
+    )
+
+
+@register(
+    "hhi_revenue_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation, l.l_suppkey AS suppkey,
+             SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS HUGEINT))
+               AS rev_units
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT nation,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             SUM(rev_units * rev_units) AS sumsq,
+             SUM(rev_units) AS tot
+      FROM rev GROUP BY nation
+    )
+    SELECT nation, n_suppliers,
+           CAST(sumsq AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) AS hhi,
+           1.0 / CAST(n_suppliers AS DOUBLE) AS hhi_floor
+    FROM agg
+    """,
+    tags=("analytics", "concentration"),
+)
+def hhi_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman revenue-concentration index per supplier
+    nation: Σ share², computed as Σ units² / (Σ units)² over exact
+    fixed-point revenue units — one double division at the end, so no
+    per-share float sums to drift. hhi_floor = 1/n is the perfectly
+    competitive bound for reference.
+
+    Scale shape: lineitem joins the two small dims as broadcasts, one
+    shuffle keyed (nation, suppkey) with map-side partials, then a
+    tiny per-nation reduce. units² stays in decimal(38,0)/HUGEINT —
+    a long would overflow at 100 TB revenue scales."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice", "l_discount")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+                .cast("decimal(38,0)")
+            ).alias("rev_units")
+        )
+    )
+    agg = rev.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum(F.col("rev_units") * F.col("rev_units")).alias("sumsq"),
+        F.sum("rev_units").alias("tot"),
+    )
+    return agg.select(
+        "nation",
+        "n_suppliers",
+        (F.col("sumsq").cast("double") / (F.col("tot").cast("double") * F.col("tot").cast("double"))).alias("hhi"),
+        (F.lit(1.0) / F.col("n_suppliers").cast("double")).alias("hhi_floor"),
+    )

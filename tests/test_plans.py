@@ -280,6 +280,11 @@ def test_no_cartesian_and_bnlj_allowlisted(spark, sf_dir):
         "text_tfidf_topterms",
         "tpch_q11ish",
         "tpch_q22ish",
+        # 1-row total broadcast (observed_frac divisor)
+        "benford_first_digit_audit",
+        # pairwise-slope inequality self-join on the per-HOUR series
+        # (O(h²) on series length, not events) + 1-row slope broadcast
+        "theil_sen_hourly_trend",
     }
     cartesian, rogue_bnlj = [], []
     for name, fn in sorted(queries().items()):
