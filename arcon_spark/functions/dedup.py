@@ -1532,3 +1532,110 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_tokens").cast("double")
         ).alias("dup_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood blocking (SNM) — the third blocking family next to
+# LSH-banding (dedup_minhash_lsh_pairs) and prefix-filtering
+# (dedup_prefix_filter_pairs)
+# ---------------------------------------------------------------------------
+
+_SNM_W = 3  # window: each doc pairs with its w-1 successors in key order
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    oracle=f"""
+    WITH {_SQL_SHINGLE_CTE},
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    keyed AS (
+      SELECT doc_id,
+             substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 40)
+               AS sort_key
+      FROM documents
+    ),
+    nbr AS (
+      SELECT doc_id, sort_key,
+             lead(doc_id, 1) OVER w AS n1, lead(doc_id, 2) OVER w AS n2
+      FROM keyed WINDOW w AS (ORDER BY sort_key, doc_id)
+    ),
+    cand AS (
+      SELECT LEAST(doc_id, nb) AS doc_a, GREATEST(doc_id, nb) AS doc_b
+      FROM nbr, UNNEST([n1, n2]) AS u(nb) WHERE nb IS NOT NULL
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           CAST(i.n_common AS DOUBLE)
+             / CAST(sa.n + sb.n - i.n_common AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.doc_a
+    JOIN sz sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE)
+            / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0.6
+    """,
+    tags=("dedup", "blocking", "snm"),
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup blocking: sort the corpus by a
+    normalized prefix key (first 40 alphanumeric chars), pair each doc
+    with its w-1=2 successors in key order, then exact-Jaccard-verify
+    the candidates (threshold 0.6). Near-dups share prefixes, so they
+    land adjacent after the sort — candidate count is O(w·n) versus
+    LSH's bucket blowup on skewed keys, and there is NO quadratic
+    bucket risk by construction.
+
+    Scale shape: the sort is `repartitionByRange` + local sort (Spark's
+    native total-order machinery); lead() windows need only w-1 rows of
+    cross-partition lookahead. The verify stage joins candidates to the
+    shingle index on doc_id — pushdown-friendly semi-joins, integer
+    counts, one float division at the end. The classic multi-pass SNM
+    (several sort keys to catch prefix-divergent dups) is this operator
+    unioned over key variants; pairs found here are a strict audit
+    complement to dedup_minhash_lsh_pairs (prefix-local dups LSH can
+    miss at low signature budgets)."""
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    keyed = docs.select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9]", ""), 1, 40
+        ).alias("sort_key"),
+    )
+    w = Window.orderBy("sort_key", "doc_id")
+    nbr = keyed.select(
+        "doc_id",
+        F.lead("doc_id", 1).over(w).alias("n1"),
+        F.lead("doc_id", 2).over(w).alias("n2"),
+    )
+    cand = (
+        nbr.select("doc_id", F.explode(F.array("n1", "n2")).alias("nb"))
+        .filter(F.col("nb").isNotNull())
+        .select(
+            F.least("doc_id", "nb").alias("doc_a"),
+            F.greatest("doc_id", "nb").alias("doc_b"),
+        )
+    )
+    sh = _shingle_rows(spark, sf_dir).persist()
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    ).cast("double")
+    return (
+        inter.join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.6)
+    )

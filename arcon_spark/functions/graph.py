@@ -523,3 +523,112 @@ def graph_shortest_path_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select(
         F.col("node").alias("nationkey"), F.col("dist").cast("long").alias("dist")
     )
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 5
+
+_KCORE_EDGES_SQL = """
+    flows AS (
+      SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
+      FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+      WHERE s_nationkey <> c_nationkey
+    ),
+    sym AS (
+      SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst FROM flows
+      UNION
+      SELECT DISTINCT GREATEST(src, dst) AS src, LEAST(src, dst) AS dst FROM flows
+    )"""
+
+
+def _kcore_sql_rounds() -> str:
+    parts = []
+    prev = "sym"
+    for r in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f"""d{r} AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM {prev} GROUP BY src
+    ),
+    keep{r} AS (SELECT node FROM d{r} WHERE deg >= {_KCORE_K}),
+    e{r} AS (
+      SELECT e.src, e.dst FROM {prev} e
+      JOIN keep{r} a ON a.node = e.src
+      JOIN keep{r} b ON b.node = e.dst
+    )"""
+        )
+        prev = f"e{r}"
+    return ",\n    ".join(parts)
+
+
+@register(
+    "graph_kcore",
+    oracle=f"""
+    WITH {_KCORE_EDGES_SQL},
+    {_kcore_sql_rounds()}
+    SELECT d.node, d.deg AS core_degree
+    FROM (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+          FROM e{_KCORE_ROUNDS} GROUP BY src) d
+    WHERE d.deg >= {_KCORE_K}
+    """,
+    tags=("graph", "kcore"),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=3) of the undirected nation trade graph
+    by synchronous peeling: each round recomputes degrees over the
+    surviving subgraph and drops nodes with deg < k plus their incident
+    edges; 5 rounds reach the fixpoint on this graph (asserted in
+    tests/test_integrity.py — a further round removes nothing).
+
+    Scale shape: each round is degree-aggregate + two semi-joins on the
+    node key — the same join-loop skeleton as BFS/LPA/SSSP here, so the
+    100 TB guidance is shared: persist each round's edge frame, cut
+    lineage every few rounds, and stop when `removed == 0` (driver-side
+    count on a frame that is one aggregate, not a collect of data).
+    Peeling is confluent — any removal order yields THE unique k-core —
+    so the synchronous rounds are deterministic and engine-portable;
+    the unrolled-CTE oracle mirrors them round for round."""
+    flows = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_suppkey", "l_orderkey")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+        .distinct()
+    )
+    lo = F.least("src", "dst")
+    hi = F.greatest("src", "dst")
+    sym = (
+        flows.select(lo.alias("src"), hi.alias("dst"))
+        .union(flows.select(hi.alias("src"), lo.alias("dst")))
+        .distinct()
+        .persist()
+    )
+    edges = sym
+    for _ in range(_KCORE_ROUNDS):
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= _KCORE_K).select(F.col("src").alias("node"))
+        edges = (
+            edges.join(F.broadcast(keep).withColumnRenamed("node", "src"), "src")
+            .join(F.broadcast(keep).withColumnRenamed("node", "dst"), "dst")
+            .select("src", "dst")
+            .persist()
+        )
+    return (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .filter(F.col("core_degree") >= _KCORE_K)
+    )

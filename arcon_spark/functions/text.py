@@ -1473,3 +1473,113 @@ def text_bigram_assoc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("assoc_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# two-level heavy hitters: shard-local top-m candidate union + exact probe
+# ---------------------------------------------------------------------------
+
+_HH_SHARDS = 16
+_HH_LOCAL_M = 20
+_HH_K = 10
+
+
+@register(
+    "heavy_hitters_shard_union",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id % {_HH_SHARDS} AS shard,
+             unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    local AS (
+      SELECT shard, token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks WHERE token <> '' GROUP BY shard, token
+    ),
+    cand AS (
+      SELECT DISTINCT token FROM (
+        SELECT shard, token,
+               row_number() OVER (PARTITION BY shard ORDER BY cnt DESC, token) AS rn
+        FROM local
+      ) WHERE rn <= {_HH_LOCAL_M}
+    ),
+    est AS (
+      SELECT l.token, SUM(l.cnt) AS cnt,
+             row_number() OVER (ORDER BY SUM(l.cnt) DESC, l.token) AS rank
+      FROM local l JOIN cand c ON c.token = l.token
+      GROUP BY l.token
+    ),
+    truth AS (
+      SELECT token, SUM(cnt) AS cnt,
+             row_number() OVER (ORDER BY SUM(cnt) DESC, token) AS rank
+      FROM local GROUP BY token
+    )
+    SELECT e.rank, e.token, e.cnt, t.token AS true_token,
+           t.cnt AS true_cnt, e.token = t.token AS hit
+    FROM est e JOIN truth t ON t.rank = e.rank
+    WHERE e.rank <= {_HH_K}
+    """,
+    tags=("text", "topk", "heavy_hitters"),
+)
+def heavy_hitters_shard_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level distributed heavy hitters: each of 16 data shards
+    (doc_id % 16 — a deterministic stand-in for a scan partition)
+    keeps only its local top-20 tokens; the global top-10 is computed
+    from the UNION of those candidates, with exact counts re-summed
+    from the shard-local partials. Audit columns carry the TRUE
+    top-10 alongside (`hit` = candidate method found the same token
+    at that rank).
+
+    Why this matters at 100 TB: a naive top-k over token frequency
+    hash-aggregates the ENTIRE vocabulary across the wire before
+    TakeOrdered can prune. Local-top-m-then-union ships shards×m
+    candidate rows + one candidate-filtered re-aggregation (broadcast
+    semi-join against a ≤320-token list, so the second pass moves
+    almost nothing). The union can miss a global heavy hitter only if
+    it is below rank m in EVERY shard — the audit quantifies exactly
+    that failure mode, which is the Misra-Gries/space-saving risk
+    bound made measurable. All counts are exact integers; ordering is
+    totalized by (cnt DESC, token)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        (F.col("doc_id") % _HH_SHARDS).alias("shard"),
+        F.explode(F.split(F.lower("text"), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    local = (
+        toks.groupBy("shard", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .persist()  # feeds candidates, est-counts, and truth — one compute
+    )
+    w_shard = Window.partitionBy("shard").orderBy(F.desc("cnt"), F.asc("token"))
+    cand = (
+        local.withColumn("rn", F.row_number().over(w_shard))
+        .filter(F.col("rn") <= _HH_LOCAL_M)
+        .select("token")
+        .distinct()
+    )
+    est = (
+        local.join(F.broadcast(cand), "token")
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("cnt"))
+        .withColumn(
+            "rank", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("token")))
+        )
+        .filter(F.col("rank") <= _HH_K)
+    )
+    truth = (
+        local.groupBy("token")
+        .agg(F.sum("cnt").alias("cnt"))
+        .withColumn(
+            "rank", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("token")))
+        )
+        .filter(F.col("rank") <= _HH_K)
+        .select(
+            F.col("rank"),
+            F.col("token").alias("true_token"),
+            F.col("cnt").alias("true_cnt"),
+        )
+    )
+    return est.join(truth, "rank").select(
+        "rank", "token", "cnt", "true_token", "true_cnt",
+        (F.col("token") == F.col("true_token")).alias("hit"),
+    )

@@ -1795,3 +1795,115 @@ def hhi_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sumsq").cast("double") / (F.col("tot").cast("double") * F.col("tot").cast("double"))).alias("hhi"),
         (F.lit(1.0) / F.col("n_suppliers").cast("double")).alias("hhi_floor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact distinct counting via integer bitmaps (ClickHouse groupBitmap /
+# Druid bitmap-index pattern; reference has only HashTable state —
+# arcon/arcon_state/src/index/hash_table — never a distinct operator)
+# ---------------------------------------------------------------------------
+
+_BMP_BITS = 63  # stay off the sign bit: 1<<63 differs under two's-complement ops
+
+
+@register(
+    "bitmap_distinct_users",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users,
+           CAST(COUNT(DISTINCT user_id // 63) AS BIGINT) AS n_buckets
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("analytics", "sketch", "distinct", "survey2.6"),
+)
+def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per event_type computed through integer
+    bitmaps, the OLAP engine technique (ClickHouse groupBitmap,
+    Druid/Pinot bitmap indexes): bucket = user_id div 63, bit =
+    user_id mod 63, per-(type, bucket) `bit_or(1 << bit)` collapses up
+    to 63 users into ONE long, then distinct = Σ bit_count(bitmap).
+
+    Why this survives 100 TB where COUNT(DISTINCT) struggles: the
+    bit_or partial aggregate is mergeable and map-side combinable, so
+    each task emits at most |types|×|local buckets| longs instead of
+    the full distinct user set — a dense-id population shrinks the
+    exchange ~63× vs the expand-deduplicate plan, and the final merge
+    is pure OR (associative, no rehash). The oracle computes the same
+    numbers with plain COUNT(DISTINCT): the hash-match proves the
+    bitmap path is exact, not approximate (contrast kmv/hll variants).
+    Every op (shiftleft, bit_or, bit_count) is JVM codegen — no UDF."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    bm = ev.groupBy(
+        "event_type", F.expr(f"user_id div {_BMP_BITS}").alias("bucket")
+    ).agg(
+        F.expr(
+            f"bit_or(shiftleft(1L, cast(pmod(user_id, {_BMP_BITS}) as int)))"
+        ).alias("bitmap")
+    )
+    return bm.groupBy("event_type").agg(
+        F.sum(F.expr("bit_count(bitmap)")).cast("long").alias("distinct_users"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
+
+
+@register(
+    "pandas_udaf_trimmed_mean",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY round(value * 100)) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS BIGINT) / 100.0 AS trimmed_mean,
+           CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM c
+    WHERE rn > n // 10 AND rn <= n - n // 10
+    GROUP BY event_type
+    """,
+    tags=("analytics", "udaf", "pandas", "survey2.6"),
+)
+def pandas_udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10 % trimmed mean of event value per type via a GROUPED_AGG
+    pandas UDF — the custom-aggregator API surface (reference's
+    Aggregator state: create/add/merge/result,
+    arcon/arcon_state/src/index/aggregator) for HOLISTIC aggregates
+    that built-in declarative aggs can't express.
+
+    Trimming needs the sorted group (drop ⌊n/10⌋ from each end), so
+    it is not partial-aggregable; the Arrow-batched GROUPED_AGG UDF is
+    the right tool: one hash exchange on event_type, each group lands
+    in a single Python worker as one numpy array, vectorized sort +
+    slice + int64 sum. Exactness: values go to integer cents before
+    summing (order-independent), the only float op is the final
+    division — hash-matches the oracle's window-rank formulation.
+    Ties inside the trim boundary are harmless: equal cents are
+    interchangeable, the kept MULTISET is deterministic. At 100 TB
+    group count (6 types) is tiny — pair with a salted two-level
+    scheme only when a single group outgrows one worker's memory."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: `from __future__ import annotations`
+    # turns the hints into strings pandas_udf cannot resolve here
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def trimmed_mean(cents):
+        s = cents.sort_values().to_numpy()
+        t = len(s) // 10
+        kept = s[t : len(s) - t]
+        return float(kept.sum()) / len(kept) / 100.0
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def trimmed_n(cents):
+        n = len(cents)
+        return n - 2 * (n // 10)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return ev.groupBy("event_type").agg(
+        trimmed_mean("cents").alias("trimmed_mean"),
+        trimmed_n("cents").alias("n_kept"),
+    )

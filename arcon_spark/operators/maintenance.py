@@ -1217,3 +1217,178 @@ def wow_growth_event_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cents") - prev).cast("double") / prev.cast("double"),
         ).alias("wow_growth"),
     )
+
+
+# ---------------------------------------------------------------------------
+# merkle-style table checksum comparison (replication / migration audit)
+# ---------------------------------------------------------------------------
+
+# one row-level digest expression, kept in lockstep across engines:
+# exact-integer rendering of every column (dates via ISO string, money
+# via cents) → md5 → first 15 hex digits as a bigint. XOR-folded per
+# bucket: order-independent, overflow-free, and any single-row change
+# flips the bucket checksum.
+_CK_SPARK = (
+    "cast(conv(substring(md5(concat_ws('|', cast(o_orderkey as string),"
+    " cast(o_custkey as string), o_orderstatus,"
+    " cast(cast(round(o_totalprice * 100) as bigint) as string),"
+    " cast(o_orderdate as string), o_orderpriority)), 1, 15), 16, 10) as bigint)"
+)
+_CK_SQL = (
+    "CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || '|' ||"
+    " CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' ||"
+    " CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR) || '|' ||"
+    " CAST(o_orderdate AS VARCHAR) || '|' || o_orderpriority), 1, 15) AS BIGINT)"
+)
+
+
+@register(
+    "table_checksum_compare",
+    oracle=f"""
+    WITH a AS (
+      SELECT o_orderkey % 256 AS bucket, COUNT(*) AS count_a,
+             bit_xor({_CK_SQL}) AS xor_a
+      FROM orders GROUP BY 1
+    ),
+    b_rows AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 997 = 0
+                  THEN round(o_totalprice + 0.01, 2) ELSE o_totalprice
+             END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 1009 <> 0
+    ),
+    b AS (
+      SELECT o_orderkey % 256 AS bucket, COUNT(*) AS count_b,
+             bit_xor({_CK_SQL}) AS xor_b
+      FROM b_rows GROUP BY 1
+    )
+    SELECT a.bucket, CAST(count_a AS BIGINT) AS count_a,
+           CAST(coalesce(count_b, 0) AS BIGINT) AS count_b, xor_a,
+           coalesce(xor_b, 0) AS xor_b
+    FROM a LEFT JOIN b ON a.bucket = b.bucket
+    WHERE count_b IS NULL OR count_a <> count_b OR xor_a <> xor_b
+    """,
+    tags=("maintenance", "integrity", "checksum"),
+)
+def table_checksum_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style replica comparison: find the buckets where two
+    copies of `orders` diverge, moving only 256 checksum rows per
+    side. Replica B is replica A with a deterministic fault injection
+    (orderkey%997 rows have totalprice off by one cent, orderkey%1009
+    rows missing) standing in for a drifted replication target.
+
+    Per bucket (orderkey%256): row count + XOR-fold of a row digest
+    (md5 of the exactly-rendered row → bigint). XOR is associative/
+    commutative → map-side combinable, immune to row order, and never
+    overflows; a single-row difference flips the bucket with
+    probability 1-2^-60. The compare then joins 256-row summaries —
+    at 100 TB this verifies a petabyte-scale replication by shipping
+    KILOBYTES, and the differing buckets' key ranges (bucket = key %
+    256, or key ranges when bucketing by range) are the pushed-down
+    re-scan predicates for row-level drill-down; recurse with a finer
+    modulus for log-depth localization (the Merkle tree descent,
+    DynamoDB/Cassandra anti-entropy).
+    """
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ]
+    a_rows = load_table(spark, sf_dir, "orders").select(*cols)
+    b_rows = (
+        a_rows.filter(F.col("o_orderkey") % 1009 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 997 == 0,
+                F.round(F.col("o_totalprice") + 0.01, 2),
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+
+    def summary(df: DataFrame, suffix: str) -> DataFrame:
+        return df.groupBy((F.col("o_orderkey") % 256).alias("bucket")).agg(
+            F.count(F.lit(1)).cast("long").alias(f"count_{suffix}"),
+            F.expr(f"bit_xor({_CK_SPARK})").alias(f"xor_{suffix}"),
+        )
+
+    a = summary(a_rows, "a")
+    b = summary(b_rows, "b")
+    cmpd = a.join(b, "bucket", "left").select(
+        "bucket",
+        "count_a",
+        F.coalesce("count_b", F.lit(0)).cast("long").alias("count_b"),
+        "xor_a",
+        F.coalesce("xor_b", F.lit(0)).alias("xor_b"),
+    )
+    return cmpd.filter(
+        (F.col("count_a") != F.col("count_b")) | (F.col("xor_a") != F.col("xor_b"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental view maintenance (IVM): delta-rule refresh of an aggregate
+# view — the batch expression of the reference's state-first premise
+# (arcon/src/lib.rs:10-17 — continuous state updated per epoch) on the
+# relational layer it never had
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ivm_incremental_agg",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS DOUBLE) / 100.0
+             AS revenue
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("maintenance", "ivm", "incremental"),
+)
+def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of `revenue per market segment over
+    orders ⋈ customer` by the delta rule ΔV = γ(ΔF ⋈ D): the view is
+    first materialized from epoch-1 facts (orderkey%3 ≠ 0), then
+    REFRESHED by aggregating only the epoch-2 delta (orderkey%3 = 0)
+    and merging partial states — count adds, revenue adds in exact
+    integer cents. The oracle recomputes from ALL facts; the hash
+    match proves maintained ≡ recomputed, which holds because COUNT
+    and SUM are commutative-monoid aggregates over an append-only
+    delta (the same algebra Spark's own streaming update-mode state
+    relies on).
+
+    Scale: the refresh touches |Δ| fact rows + a broadcast dim + a
+    |segments|-row merge — independent of the 100 TB history, which is
+    never re-scanned. This is the materialized-view refresh loop
+    (DBSP/Materialize-style) every warehouse runs nightly; extend to
+    deletes by feeding negative multiplicities through the same merge.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)").alias("cents"),
+    )
+
+    def view_state(fact: DataFrame) -> DataFrame:
+        return (
+            fact.join(F.broadcast(cust), fact.o_custkey == cust.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum("cents").alias("cents"),
+            )
+        )
+
+    v1 = view_state(orders.filter(F.col("o_orderkey") % 3 != 0))
+    delta = view_state(orders.filter(F.col("o_orderkey") % 3 == 0))
+    merged = (
+        v1.unionByName(delta)
+        .groupBy("c_mktsegment")
+        .agg(F.sum("n_orders").cast("long").alias("n_orders"), F.sum("cents").alias("cents"))
+    )
+    return merged.select(
+        "c_mktsegment",
+        "n_orders",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+    )

@@ -579,3 +579,132 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_value"),
         )
     )
+
+
+_NEAREST_TOL_US = 2 * 3600 * 1_000_000  # nearest-asof tolerance: 2h
+
+
+@register(
+    "asof_join_nearest",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS tag
+      FROM {EVENTS_NORM}
+      WHERE event_type IN ('view', 'purchase')
+    ),
+    carried AS (
+      SELECT user_id, event_id, ts, event_type,
+             last_value(CASE WHEN tag = 1 THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS prev_id,
+             last_value(CASE WHEN tag = 1 THEN epoch_us(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS prev_us,
+             first_value(CASE WHEN tag = 1 THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_id,
+             first_value(CASE WHEN tag = 1 THEN epoch_us(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_us
+      FROM tagged
+    ),
+    views AS (
+      SELECT user_id, event_id AS view_id, ts AS view_ts,
+             CASE WHEN prev_us IS NOT NULL
+                       AND epoch_us(ts) - prev_us <= {_NEAREST_TOL_US}
+                  THEN prev_id END AS bid,
+             CASE WHEN prev_us IS NOT NULL THEN epoch_us(ts) - prev_us END AS bd,
+             CASE WHEN next_us IS NOT NULL
+                       AND next_us - epoch_us(ts) <= {_NEAREST_TOL_US}
+                  THEN next_id END AS fid,
+             CASE WHEN next_us IS NOT NULL THEN next_us - epoch_us(ts) END AS fd
+      FROM carried WHERE event_type = 'view'
+    )
+    SELECT user_id, view_id, view_ts,
+           CASE WHEN bid IS NOT NULL AND (fid IS NULL OR bd <= fd)
+                THEN bid ELSE fid END AS nearest_purchase_id,
+           CASE WHEN bid IS NOT NULL AND (fid IS NULL OR bd <= fd)
+                THEN -bd ELSE fd END AS delta_us
+    FROM views WHERE bid IS NOT NULL OR fid IS NOT NULL
+    """,
+    tags=("join", "asof", "temporal"),
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join: for every view, the closest purchase by the
+    same user in EITHER direction within a 2 h tolerance (ties →
+    the earlier/backward purchase). Completes the as-of family:
+    backward (asof_join_purchase_view), forward (asof_join_forward),
+    nearest — the three `merge_asof` directions, each as a declarative
+    plan.
+
+    Both direction carries ride ONE window partitioning (user_id,
+    ordered ts): the backward candidate is a last_value IGNORE NULLS
+    over the preceding frame, the forward one a first_value over the
+    following frame — Spark plans a single Exchange + single Sort and
+    evaluates both frames in one pass (two WindowExec on one sorted
+    child, verified via .explain). No join against a purchases table
+    at all, so there is nothing to broadcast or skew-split; the only
+    scale knob is the user_id hash exchange AQE already balances.
+    delta_us is SIGNED (negative = purchase before view) — exact
+    integer µs arithmetic end to end."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    tag = F.when(F.col("event_type") == "view", 0).otherwise(1)
+    tagged = ev.select("user_id", "event_id", "ts", "event_type", tag.alias("tag"))
+    order = [F.col("ts"), F.col("tag"), F.col("event_id")]
+    w_back = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    pid = F.when(F.col("tag") == 1, F.col("event_id"))
+    pus = F.when(F.col("tag") == 1, F.unix_micros(F.col("ts")))
+    carried = tagged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.last(pid, ignorenulls=True).over(w_back).alias("prev_id"),
+        F.last(pus, ignorenulls=True).over(w_back).alias("prev_us"),
+        F.first(pid, ignorenulls=True).over(w_fwd).alias("next_id"),
+        F.first(pus, ignorenulls=True).over(w_fwd).alias("next_us"),
+    )
+    us = F.unix_micros(F.col("ts"))
+    views = carried.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+        F.when(
+            F.col("prev_us").isNotNull()
+            & (us - F.col("prev_us") <= _NEAREST_TOL_US),
+            F.col("prev_id"),
+        ).alias("bid"),
+        F.when(F.col("prev_us").isNotNull(), us - F.col("prev_us")).alias("bd"),
+        F.when(
+            F.col("next_us").isNotNull()
+            & (F.col("next_us") - us <= _NEAREST_TOL_US),
+            F.col("next_id"),
+        ).alias("fid"),
+        F.when(F.col("next_us").isNotNull(), F.col("next_us") - us).alias("fd"),
+    )
+    back_wins = F.col("bid").isNotNull() & (
+        F.col("fid").isNull() | (F.col("bd") <= F.col("fd"))
+    )
+    return views.filter(F.col("bid").isNotNull() | F.col("fid").isNotNull()).select(
+        "user_id",
+        "view_id",
+        "view_ts",
+        F.when(back_wins, F.col("bid")).otherwise(F.col("fid")).alias(
+            "nearest_purchase_id"
+        ),
+        F.when(back_wins, -F.col("bd")).otherwise(F.col("fd")).alias("delta_us"),
+    )

@@ -2740,3 +2740,72 @@ def stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "is_current",
     )
+
+
+@register(
+    "stream_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users,
+           CAST(COUNT(DISTINCT user_id // 63) AS BIGINT) AS n_buckets
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "sketch", "distinct", "update_mode", "survey2.6"),
+)
+def stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT streaming distinct count via integer bitmaps: the
+    per-(event_type, bucket) `bit_or(1 << user_id mod 63)` runs as an
+    update-mode aggregate in the state store across two micro-batches
+    — OR is idempotent AND associative, so re-delivered rows and any
+    batch split produce the same bitmaps (contrast a streaming
+    COUNT(DISTINCT), which Spark disallows precisely because distinct
+    state isn't a bounded mergeable value). State is one long per 63
+    live users per type. The readout (latest state per key → Σ
+    bit_count) must hash-match the plain-COUNT(DISTINCT) oracle —
+    exactness, not an estimate, the property kmv/hll twins trade
+    away. Batch twin: bitmap_distinct_users."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    root = write_segments(
+        [ev.filter(F.col("event_id") % 2 == 0), ev.filter(F.col("event_id") % 2 == 1)]
+    )
+    out = tempfile.mkdtemp(prefix="arcon_sbd_") + "/history"
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+    agg = src.groupBy(
+        "event_type", F.expr("user_id div 63").alias("bucket")
+    ).agg(
+        F.expr("bit_or(shiftleft(1L, cast(pmod(user_id, 63) as int)))").alias("bitmap")
+    )
+
+    def fb(batch_df: DataFrame, eid: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(eid)).write.mode("append").parquet(out)
+
+    def run():
+        q = (
+            agg.writeStream.foreachBatch(fb)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    _with_stream_partitions(spark, run)
+    hist = spark.read.parquet(out)
+    wlast = Window.partitionBy("event_type", "bucket").orderBy(F.col("batch_id").desc())
+    final = (
+        hist.withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "bucket", "bitmap")
+    )
+    return final.groupBy("event_type").agg(
+        F.sum(F.expr("bit_count(bitmap)")).cast("long").alias("distinct_users"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
