@@ -1639,3 +1639,141 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.6)
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted MinHash via integer multiset expansion — tf-weighted near-dup
+# detection with an exact weighted-Jaccard audit
+# ---------------------------------------------------------------------------
+
+_WMH_T = 0.5  # exact weighted-Jaccard pair threshold
+
+_SQL_WMH = f"""
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+            FROM documents)
+      WHERE token <> '' GROUP BY doc_id, token
+    ),
+    sz AS (SELECT doc_id, SUM(tf) AS n FROM tf GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             SUM(LEAST(a.tf, b.tf)) AS summin
+      FROM tf a JOIN tf b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT p.doc_a, p.doc_b, p.summin,
+             CAST(p.summin AS DOUBLE)
+               / CAST(sa.n + sb.n - p.summin AS DOUBLE) AS wj_exact
+      FROM pairs p
+      JOIN sz sa ON sa.doc_id = p.doc_a
+      JOIN sz sb ON sb.doc_id = p.doc_b
+      WHERE CAST(p.summin AS DOUBLE)
+              / CAST(sa.n + sb.n - p.summin AS DOUBLE) >= {_WMH_T}
+    ),
+    hp AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('wmhA:' || token || ':' || CAST(i AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS h1,
+             CAST('0x' || substr(md5('wmhB:' || token || ':' || CAST(i AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS h2
+      FROM tf, UNNEST(generate_series(1, tf)) AS u(i)
+    ),
+    sig AS (SELECT doc_id, {{mh_list}} FROM hp GROUP BY doc_id)"""
+
+
+@register(
+    "dedup_weighted_minhash",
+    oracle=(
+        lambda: f"""
+    WITH {_SQL_WMH.format(mh_list=_sql_mh_list())}
+    SELECT e.doc_a, e.doc_b, e.wj_exact,
+           CAST({" + ".join(f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END" for j in range(NUM_HASHES))}
+                AS BIGINT) AS n_match
+    FROM exact e
+    JOIN sig a ON a.doc_id = e.doc_a
+    JOIN sig b ON b.doc_id = e.doc_b
+    """
+    )(),
+    tags=("dedup", "minhash", "weighted"),
+)
+def dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (tf-aware) MinHash: each token is expanded into tf
+    integer replicas (token:1 … token:tf) before hashing, so signature
+    agreement estimates the WEIGHTED Jaccard Σmin(tf_a,tf_b) /
+    Σmax(tf_a,tf_b) — the similarity that distinguishes "same words,
+    very different emphasis" documents plain set-Jaccard conflates.
+    Integer expansion is the exactly-reproducible alternative to
+    consistent-weighted-sampling (ICWS needs log/exp floats that would
+    never hash-match across engines); it is exact for integer weights
+    and costs O(Σtf) = O(document length) rows — the same order as
+    tokenizing at all.
+
+    Output: every exact-weighted-Jaccard ≥ 0.5 pair with its signature
+    agreement count (n_match of 12) — the estimate-vs-truth audit in
+    one frame, like dedup_minhash_estimate_vs_exact for the
+    unweighted case. Plan: tf (one hash agg) feeds BOTH the exact
+    pair join and the expanded signature build — persisted, the
+    multi-consumer rule (MEASURE.md session-5); signature aggregation
+    is 12 MINs, map-side partial, rows ∝ docs not tokens.
+
+    Scale caveat: the EXACT side's token self-join is O(Σ_t df_t²) —
+    it exists to validate the estimator at test scale. At 100 TB,
+    compute only the signatures and band them (reuse the LSH machinery
+    of dedup_minhash_lsh_pairs on mh0..mh11), then audit the estimator
+    on a sampled pair set, never the full corpus."""
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    sz = tf.groupBy("doc_id").agg(F.sum("tf").alias("n"))
+    ta = tf.select(F.col("doc_id").alias("doc_a"), "token", F.col("tf").alias("tfa"))
+    tb = tf.select(F.col("doc_id").alias("doc_b"), "token", F.col("tf").alias("tfb"))
+    pairs = (
+        ta.join(tb, "token")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least("tfa", "tfb")).alias("summin"))
+    )
+    wj = F.col("summin").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("summin")
+    ).cast("double")
+    exact = (
+        pairs.join(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select("doc_a", "doc_b", wj.alias("wj_exact"))
+        .filter(F.col("wj_exact") >= _WMH_T)
+    )
+    expanded = tf.select(
+        "doc_id", "token", F.explode(F.expr("sequence(1, tf)")).alias("i")
+    ).select(
+        "doc_id",
+        F.expr("cast(conv(substring(md5(concat('wmhA:', token, ':', cast(i as string))), 1, 8), 16, 10) as bigint)").alias("h1"),
+        F.expr("cast(conv(substring(md5(concat('wmhB:', token, ':', cast(i as string))), 1, 8), 16, 10) as bigint)").alias("h2"),
+    )
+    sig = expanded.groupBy("doc_id").agg(
+        *[
+            F.min(F.col("h1") + F.lit(j) * F.col("h2")).alias(f"mh{j}")
+            for j in range(NUM_HASHES)
+        ]
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(NUM_HASHES)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(NUM_HASHES)]
+    )
+    n_match = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(NUM_HASHES)
+    )
+    return (
+        exact.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", "wj_exact", n_match.cast("long").alias("n_match"))
+    )

@@ -1907,3 +1907,115 @@ def pandas_udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         trimmed_mean("cents").alias("trimmed_mean"),
         trimmed_n("cents").alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact global quantile by two-phase selection (histogram descent) —
+# the O(bins)-memory exact alternative to sorting 100 TB or buffering
+# appender windows
+# ---------------------------------------------------------------------------
+
+_SEL_BIN = 400  # cents per coarse bin (matches quantile_histogram_sketch)
+
+
+@register(
+    "exact_median_selection",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+    ),
+    ranked AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM c
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN cents ELSE 0 END)
+                + SUM(CASE WHEN rn = n // 2 + 1 THEN cents ELSE 0 END) AS DOUBLE)
+             / 2.0 / 100.0 AS median_value,
+           CAST(MAX(n) AS BIGINT) AS n
+    FROM ranked GROUP BY event_type
+    """,
+    tags=("analytics", "quantile", "selection", "survey2.6"),
+)
+def exact_median_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median per event_type by two-phase selection instead of
+    sort-or-buffer: phase 1 aggregates a coarse 400-cent histogram
+    (O(bins) state, map-side combinable); phase 2 rescans ONLY the
+    rows of the bin(s) containing ranks ⌈n/2⌉ and ⌊n/2⌋+1, sorts that
+    sliver, and picks the two order statistics ((lo+hi)*0.5, the
+    cross-engine-pinned midpoint form). The full data is never
+    globally sorted and never buffered per group — the selection
+    plan an exact-quantile job at 100 TB must use (two scans, each
+    whole-stage codegen; the second scan's bin predicate could push
+    down to a min/max-indexed layout and skip most files outright).
+
+    Contrast: appender_window_median buffers whole groups (reference's
+    AppenderWindow, arcon/src/stream/operator/window/appender.rs);
+    quantile_histogram_sketch trades exactness for one pass. This op
+    completes the triangle — exact AND bounded-memory, at the price of
+    a second (pruned) scan. The oracle computes the same medians the
+    classic way (global window rank)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    hist = (
+        ev.groupBy("event_type", F.expr(f"cents div {_SEL_BIN}").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wcum = (
+        Window.partitionBy("event_type").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "bin",
+        (F.sum("cnt").over(wcum) - F.col("cnt")).alias("below"),
+        F.sum("cnt").over(wcum).alias("through"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    # target ranks (1-based): lo = (n+1) div 2, hi = n div 2 + 1
+    lo_rank = F.expr("(n + 1) div 2")
+    hi_rank = F.expr("n div 2 + 1")
+    hit = cum.filter(
+        ((lo_rank > F.col("below")) & (lo_rank <= F.col("through")))
+        | ((hi_rank > F.col("below")) & (hi_rank <= F.col("through")))
+    ).select("event_type", "bin", "below", "n")
+    # phase 2: rescan only rows in the hit bins (tiny broadcast join),
+    # rank within the sliver locally, offset by `below`
+    evb = ev.select(
+        F.col("event_type").alias("et"), "cents",
+        F.expr(f"cents div {_SEL_BIN}").alias("cbin"),
+    )
+    sliver = evb.join(
+        F.broadcast(hit),
+        (evb.et == hit.event_type) & (evb.cbin == hit.bin),
+    ).select(F.col("et").alias("event_type"), "cents", "below", "n")
+    # rows from two adjacent hit bins can coexist (empty bins between
+    # them hold no rows, so ranks stay contiguous); global rank =
+    # local rank over the union sliver + min(below) of the lowest bin
+    base = sliver.groupBy("event_type").agg(F.min("below").alias("base"))
+    ranked = (
+        sliver.join(F.broadcast(base), "event_type")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("event_type").orderBy("cents"))
+            + F.col("base"),
+        )
+    )
+    picked = ranked.filter(
+        (F.col("rn") == lo_rank) | (F.col("rn") == hi_rank)
+    )
+    return picked.groupBy("event_type").agg(
+        (
+            (
+                F.sum(F.when(F.col("rn") == lo_rank, F.col("cents")).otherwise(0))
+                + F.sum(F.when(F.col("rn") == hi_rank, F.col("cents")).otherwise(0))
+            ).cast("double")
+            / 2.0
+            / 100.0
+        ).alias("median_value"),
+        F.max("n").cast("long").alias("n"),
+    )

@@ -646,8 +646,8 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered ts): the backward candidate is a last_value IGNORE NULLS
     over the preceding frame, the forward one a first_value over the
     following frame — Spark plans a single Exchange + single Sort and
-    evaluates both frames in one pass (two WindowExec on one sorted
-    child, verified via .explain). No join against a purchases table
+    fuses all four carries into ONE WindowExec (verified:
+    executedPlan has exactly 1 Exchange, 1 Sort, 1 Window). No join against a purchases table
     at all, so there is nothing to broadcast or skew-split; the only
     scale knob is the user_id hash exchange AQE already balances.
     delta_us is SIGNED (negative = purchase before view) — exact

@@ -46,3 +46,22 @@ class MeasureListener(StreamingQueryListener):
     @property
     def rates(self) -> list[float]:
         return [b["rows_per_sec"] for b in self.batches if b["rows_per_sec"]]
+
+
+def observed_metrics(df, name: str, *exprs):
+    """Zero-cost inline metrics via Spark's Observation API — the
+    `.measure(log_freq)` idea (reference MeasureSink) for BATCH jobs:
+    accumulator-backed aggregates collected DURING the action, no
+    second scan, no extra stage.
+
+    Returns (instrumented_df, observation). After any action on the
+    instrumented frame, `observation.get` yields the metric dict.
+    Metrics must be aggregate expressions (count/sum/min/max/...) —
+    they ride the existing task results as accumulators, which is why
+    they're free at 100 TB while a separate `.agg()` audit would be a
+    second full scan. Use for row-count reconciliation, null audits,
+    and data-quality tripwires on production writes."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *exprs), obs

@@ -197,3 +197,54 @@ def test_kcore_is_fixpoint_and_subgraph_degrees_hold(spark, sf_dir):
         adj.setdefault(b, set()).add(a)
     for n in nodes:
         assert len(adj[n] & nodes) >= _KCORE_K
+
+
+def test_observation_metrics_ride_the_action(spark, sf_dir):
+    """df.observe collects aggregate metrics during the write action —
+    no second scan; values must equal a direct aggregation."""
+    from arcon_spark.streaming.measure import observed_metrics
+
+    ev = load_table(spark, sf_dir, "events")
+    inst, obs = observed_metrics(
+        ev, "ev_audit",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        F.count(F.when(F.col("user_id").isNull(), 1)).alias("null_users"),
+    )
+    inst.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    direct = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"),
+    ).collect()[0]
+    assert got["n_rows"] == direct["n"]
+    assert got["cents"] == direct["c"]
+    assert got["null_users"] == 0
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """A dim-filtered join against a partition-keyed fact table must
+    plan a dynamicpruning subquery on the fact scan — the runtime
+    analogue of static partition pruning, and the reason 100 TB star
+    joins only read the partitions the dim filter selects."""
+    fact_dir = str(tmp_path / "fact_parted")
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [("purchase", 1), ("error", 2)], "event_type string, prio int"
+    )
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    try:
+        joined = fact.join(dim.filter(F.col("prio") == 1), "event_type").groupBy(
+            "event_type"
+        ).count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        # and the result is correct under pruning
+        rows = joined.collect()
+        truth = ev.filter(F.col("event_type") == "purchase").count()
+        assert rows[0]["count"] == truth
+    finally:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)

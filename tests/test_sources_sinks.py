@@ -281,3 +281,30 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
         .collect()
     }
     assert got == {1: ("x", None), 2: ("y", 5.0)}
+
+
+def test_binaryfile_source_reads_blobs_with_metadata(spark, tmp_path):
+    """The binaryFile format is the batch ingestion path for multimodal
+    blobs (images/audio) — whole-file rows with path/length metadata
+    and the content as a binary column, ready for mapInPandas decode
+    stages (arcon_spark.functions.multimodal)."""
+    import os
+
+    blob_dir = tmp_path / "blobs"
+    os.makedirs(blob_dir)
+    payloads = {f"img_{i}.bin": bytes([i]) * (10 + i) for i in range(5)}
+    for name, data in payloads.items():
+        (blob_dir / name).write_bytes(data)
+
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(str(blob_dir))
+    )
+    assert set(df.columns) == {"path", "modificationTime", "length", "content"}
+    rows = df.collect()
+    assert len(rows) == 5
+    by_name = {r["path"].rsplit("/", 1)[-1]: r for r in rows}
+    for name, data in payloads.items():
+        assert bytes(by_name[name]["content"]) == data
+        assert by_name[name]["length"] == len(data)
