@@ -1392,3 +1392,68 @@ def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         (F.col("cents").cast("double") / 100.0).alias("revenue"),
     )
+
+
+@register(
+    "ivm_retractable_agg",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS DOUBLE) / 100.0
+             AS revenue
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    WHERE o_orderkey % 7 <> 0
+    GROUP BY c_mktsegment
+    """,
+    tags=("maintenance", "ivm", "incremental", "retraction"),
+)
+def ivm_retractable_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance WITH DELETES: the change feed is a
+    Z-set — rows tagged multiplicity +1 (insert) or −1 (retract) —
+    and the view refresh is the SAME monoid merge as
+    ivm_incremental_agg, just summing signed contributions: counts add
+    m, revenue adds m·cents. Epoch 1 materializes all orders; epoch 2
+    retracts every orderkey%7 row (a GDPR purge / correction batch).
+    The oracle recomputes from the surviving rows; hash-match proves
+    merge(V, γ(Δ⁻)) ≡ recompute(F − D).
+
+    This is the DBSP/Differential-Dataflow core trick: ANY
+    commutative-group aggregate (count, sum — not min/max, which are
+    only monoids and need re-scan on delete of the extremum) maintains
+    under retraction with zero history re-reads. At 100 TB the purge
+    job touches |Δ⁻| rows + a |segments|-row merge; the docstring
+    distinction between group (retract-safe) and monoid-only
+    (re-scan-on-delete) aggregates is exactly the line Delta Lake
+    CDF / Materialize draw in production."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)").alias("cents"),
+    )
+
+    def view_delta(fact: DataFrame, mult: int) -> DataFrame:
+        m = F.lit(mult).cast("long")
+        return (
+            fact.join(F.broadcast(cust), fact.o_custkey == cust.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.sum(m).alias("n_orders"),
+                F.sum(m.cast("decimal(38,0)") * F.col("cents")).alias("cents"),
+            )
+        )
+
+    v1 = view_delta(orders, +1)  # epoch-1 full materialization
+    retract = view_delta(orders.filter(F.col("o_orderkey") % 7 == 0), -1)
+    merged = (
+        v1.unionByName(retract)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+    return merged.select(
+        "c_mktsegment",
+        "n_orders",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+    )

@@ -2187,3 +2187,41 @@ def range_frame_trailing_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("trailing_cents"),
         F.count(F.lit(1)).over(w).cast("long").alias("trailing_n"),
     )
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS DOUBLE) / 100.0
+             AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+    tags=("sql", "pipe_syntax", "survey2.9"),
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4's `|>` operators, from the SQL:202x /
+    GoogleSQL pipe-query proposal): the same open-orders revenue
+    rollup written as a linear FROM → WHERE → AGGREGATE pipeline.
+    Pipe stages lower to the identical Catalyst plan as the classic
+    formulation (filter pushdown, partial aggregation all intact) —
+    this registers the parsing surface, not a new execution path; the
+    oracle is the classic-SQL spelling of the same query, proving the
+    two front ends agree to the last cent."""
+    from arcon_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS DECIMAL(38,0))) AS DOUBLE)
+               / 100.0 AS revenue
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, n_orders, revenue
+        """
+    )
