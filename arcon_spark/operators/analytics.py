@@ -2019,3 +2019,131 @@ def exact_median_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("median_value"),
         F.max("n").cast("long").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# distribution drift monitoring — integer-exact chi-squared between epochs
+# ---------------------------------------------------------------------------
+
+_DRIFT_BIN = 800  # cents per bin (~16 bins over the value range)
+_DRIFT_SCALE = 1_000_000
+
+
+@register(
+    "distribution_drift_chi2",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT event_type, event_id % 2 AS epoch,
+             LEAST(15, CAST(round(value * 100) AS BIGINT) // {_DRIFT_BIN}) AS bin
+      FROM events
+    ),
+    bins AS (
+      SELECT event_type, bin,
+             SUM(CASE WHEN epoch = 0 THEN 1 ELSE 0 END) AS o0,
+             SUM(CASE WHEN epoch = 1 THEN 1 ELSE 0 END) AS o1
+      FROM tagged GROUP BY event_type, bin
+    ),
+    tot AS (
+      SELECT event_type, SUM(o0) AS n0, SUM(o1) AS n1
+      FROM bins GROUP BY event_type
+    )
+    SELECT b.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM((b.o1 * t.n0 - b.o0 * t.n1) * (b.o1 * t.n0 - b.o0 * t.n1)
+                    * {_DRIFT_SCALE}
+                    // ((b.o0 + b.o1) * t.n0 * t.n1)) AS BIGINT) AS drift_units
+    FROM bins b JOIN tot t ON t.event_type = b.event_type
+    GROUP BY b.event_type
+    """,
+    tags=("analytics", "drift", "quality", "monitoring"),
+)
+def distribution_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: a two-sample chi-squared statistic
+    between two epochs of the value distribution (epoch = event_id
+    parity standing in for yesterday/today), per event_type, computed
+    ENTIRELY in integer arithmetic: with per-bin counts o0/o1 and
+    totals n0/n1, each bin contributes
+    (o1·n0 − o0·n1)²·10⁶ div ((o0+o1)·n0·n1) — the standard two-sample
+    χ² term scaled to fixed-point, floor-divided so every engine and
+    every summation order produces the identical long. (A float χ²'s
+    per-bin divisions would be order-sensitive across 1000 executors.)
+
+    Scale shape: one scan → (type, bin) hash agg (map-side partials;
+    ≤16 bins × types rows cross the wire) → broadcast totals join →
+    per-type reduce. This is the drift tripwire a training-data
+    pipeline runs between ingestion batches — pair with
+    dq_expectations_orders for schema-level checks and alert when
+    drift_units jumps. Python-free, whole-stage codegen throughout."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("event_id") % 2).alias("epoch"),
+        F.least(
+            F.lit(15), F.expr(f"cast(round(value * 100) as bigint) div {_DRIFT_BIN}")
+        ).alias("bin"),
+    )
+    bins = ev.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("epoch") == 0, 1).otherwise(0)).alias("o0"),
+        F.sum(F.when(F.col("epoch") == 1, 1).otherwise(0)).alias("o1"),
+    )
+    tot = bins.groupBy("event_type").agg(
+        F.sum("o0").alias("n0"), F.sum("o1").alias("n1")
+    )
+    j = bins.join(F.broadcast(tot), "event_type")
+    num = (F.col("o1") * F.col("n0") - F.col("o0") * F.col("n1"))
+    term = F.expr(
+        f"((o1 * n0 - o0 * n1) * (o1 * n0 - o0 * n1) * {_DRIFT_SCALE})"
+        f" div ((o0 + o1) * n0 * n1)"
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum(term).cast("long").alias("drift_units"),
+    )
+
+
+@register(
+    "sequence_gap_report",
+    oracle="""
+    WITH k AS (SELECT o_orderkey AS id FROM orders WHERE o_orderkey % 7 <> 0),
+    ordered AS (
+      SELECT id, lead(id) OVER (ORDER BY id) AS nxt FROM k
+    )
+    SELECT id + 1 AS gap_start, nxt - 1 AS gap_end,
+           CAST(nxt - id - 1 AS BIGINT) AS missing
+    FROM ordered
+    WHERE nxt IS NOT NULL AND nxt - id > 1
+    """,
+    tags=("maintenance", "quality", "sequence"),
+)
+def sequence_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-continuity audit: every gap in the o_orderkey key space
+    as (gap_start, gap_end, missing) — the completeness check for
+    ingest pipelines fed by monotonically-keyed upstreams (Kafka
+    offsets, CDC LSNs, invoice numbers), where a gap means data loss
+    or an unfinished backfill. (The audited feed drops every 7th key
+    to simulate loss — the synthetic key space is otherwise gapless,
+    which would make the report trivially empty.)
+
+    Plan: ids only (column-pruned scan) → ONE global-sort window with
+    lead(1). A single total order is the textbook window scaling
+    hazard — but the frame is one long column, and Spark's window
+    sort is a repartitionByRange + local sort, not a single-partition
+    collapse; at 100 TB, run per shard (PARTITION BY id div 2^k) and
+    stitch the ≤2^k boundary pairs driver-side, or aggregate
+    (count, min, max, sum-of-deltas) per range bucket and reconcile
+    counts — both avoid the full-order sort entirely. Gap lists are
+    exact integers, trivially oracle-matched."""
+    k = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 != 0)
+        .select(F.col("o_orderkey").alias("id"))
+    )
+    w = Window.orderBy("id")
+    return (
+        k.withColumn("nxt", F.lead("id").over(w))
+        .filter(F.col("nxt").isNotNull() & (F.col("nxt") - F.col("id") > 1))
+        .select(
+            (F.col("id") + 1).alias("gap_start"),
+            (F.col("nxt") - 1).alias("gap_end"),
+            (F.col("nxt") - F.col("id") - 1).cast("long").alias("missing"),
+        )
+    )
