@@ -632,3 +632,127 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
         .filter(F.col("core_degree") >= _KCORE_K)
     )
+
+
+@register(
+    "graph_link_prediction",
+    oracle="""
+    WITH pairs AS (
+      SELECT LEAST(s_nationkey, c_nationkey) AS a,
+             GREATEST(s_nationkey, c_nationkey) AS b,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n
+      FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+      WHERE s_nationkey <> c_nationkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(n) AS total, CAST(COUNT(*) AS BIGINT) AS np FROM pairs),
+    strong AS (
+      SELECT a, b FROM pairs, tot WHERE n * np > total
+    ),
+    sym AS (
+      SELECT a AS src, b AS dst FROM strong
+      UNION
+      SELECT b AS src, a AS dst FROM strong
+    ),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+    wedge AS (
+      SELECT a.src AS u, b.src AS v, CAST(COUNT(*) AS BIGINT) AS common
+      FROM sym a JOIN sym b ON a.dst = b.dst AND a.src < b.src
+      GROUP BY 1, 2
+    ),
+    nonedge AS (
+      SELECT w.u, w.v, w.common
+      FROM wedge w
+      LEFT JOIN sym e ON e.src = w.u AND e.dst = w.v
+      WHERE e.src IS NULL
+    )
+    SELECT n.u, n.v, n.common,
+           CAST(n.common AS DOUBLE)
+             / CAST(du.deg + dv.deg - n.common AS DOUBLE) AS jaccard
+    FROM nonedge n
+    JOIN deg du ON du.node = n.u
+    JOIN deg dv ON dv.node = n.v
+    """,
+    tags=("graph", "link_prediction", "similarity"),
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the STRONG-TIE nation trade graph: nations
+    are linked when their pair's distinct-order volume exceeds the
+    all-pairs average (an integer-exact cut: n·|pairs| > Σn — the raw
+    trade graph is complete at every SF, so scoring needs the
+    above-average backbone); for every NON-edge (u,v) of that
+    backbone, the common-neighbor count and neighbor-set Jaccard —
+    the classic topology-only link-prediction scores (Liben-Nowell &
+    Kleinberg) ranking "which strong relationships are missing".
+
+    Plan: wedges (u−w−v paths) come from ONE self-join of the
+    symmetric edge list on the middle node — the same wedge join as
+    triangle counting, but ANTI-joined against the edge list to keep
+    only open wedges. Common counts and degrees are integers; the
+    Jaccard division is the single float op. At 100 TB-scale graphs
+    the middle-node join is the skew point (celebrity nodes create
+    d² wedges): cap or sample high-degree middles (the standard
+    wedge-sampling estimator) — here the 25-node graph is exact."""
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_suppkey", "l_orderkey")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+        )
+        .agg(F.countDistinct("o_orderkey").alias("n"))
+    )
+    tot = pairs.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("np")
+    )
+    strong = (
+        pairs.join(F.broadcast(tot))
+        .filter(F.col("n") * F.col("np") > F.col("total"))
+        .select("a", "b")
+    )
+    sym = (
+        strong.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(strong.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .persist()  # feeds wedges (twice), the anti-join, and degrees
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    a = sym.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    b = sym.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    wedge = (
+        a.join(b, "w")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    nonedge = wedge.join(
+        sym.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    jac = F.col("common").cast("double") / (
+        F.col("du") + F.col("dv") - F.col("common")
+    ).cast("double")
+    return (
+        nonedge.join(F.broadcast(deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))), "u")
+        .join(F.broadcast(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))), "v")
+        .select("u", "v", "common", jac.alias("jaccard"))
+    )
