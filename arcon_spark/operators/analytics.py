@@ -2147,3 +2147,86 @@ def sequence_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("nxt") - F.col("id") - 1).cast("long").alias("missing"),
         )
     )
+
+
+@register(
+    "diff_in_diff_events",
+    oracle=f"""
+    WITH cells AS (
+      SELECT event_type,
+             user_id % 2 AS treated,
+             CASE WHEN epoch_us(ts) >= (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2
+                              FROM (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events))
+                  THEN 1 ELSE 0 END AS post,
+             SUM(CAST(round(value * 100) AS HUGEINT)) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM {EVENTS_NORM}
+      GROUP BY 1, 2, 3
+    ),
+    means AS (
+      SELECT event_type, treated, post,
+             CAST(cents AS DOUBLE) / 100.0 / CAST(n AS DOUBLE) AS m
+      FROM cells
+    )
+    SELECT event_type,
+           MAX(CASE WHEN treated = 1 AND post = 1 THEN m END) AS t_post,
+           MAX(CASE WHEN treated = 1 AND post = 0 THEN m END) AS t_pre,
+           MAX(CASE WHEN treated = 0 AND post = 1 THEN m END) AS c_post,
+           MAX(CASE WHEN treated = 0 AND post = 0 THEN m END) AS c_pre,
+           (MAX(CASE WHEN treated = 1 AND post = 1 THEN m END)
+            - MAX(CASE WHEN treated = 1 AND post = 0 THEN m END))
+           - (MAX(CASE WHEN treated = 0 AND post = 1 THEN m END)
+              - MAX(CASE WHEN treated = 0 AND post = 0 THEN m END)) AS did
+    FROM means GROUP BY event_type
+    """,
+    tags=("analytics", "statistics", "experimentation", "causal"),
+)
+def diff_in_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator per event_type: treatment =
+    user_id parity, intervention point = the time-range midpoint, and
+    DiD = (T̄post − T̄pre) − (C̄post − C̄pre) — the panel-data causal
+    baseline one step past ab_test_purchase_value's single contrast
+    (DiD nets out both group-level and period-level confounds).
+
+    Exactness discipline: the four cell means come from integer-cent
+    sums (order-invariant); each mean is one double division; the DiD
+    is the same ±-tree in both engines, so even the float columns
+    hash-match. Plan: midpoint = one broadcast 1-row aggregate; cells
+    = ONE scan + one (type,treated,post) hash agg (≤ 4·|types| rows
+    cross the wire); the pivot is a tiny conditional-MAX reduce. At
+    100 TB, this is a single-pass job — per-user panel regressions
+    with covariates would instead go through the target-encoding /
+    OLS machinery already registered."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id", "ts", "value")
+    bounds = ev.agg(
+        F.min("ts").alias("tmin"), F.max("ts").alias("tmax")
+    ).select(
+        F.expr("timestamp_micros((unix_micros(tmin) + unix_micros(tmax)) div 2)").alias("mid")
+    )
+    cells = (
+        ev.join(F.broadcast(bounds))
+        .groupBy(
+            "event_type",
+            (F.col("user_id") % 2).alias("treated"),
+            F.when(F.col("ts") >= F.col("mid"), 1).otherwise(0).alias("post"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("decimal(38,0)")).alias("cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    m = (F.col("cents").cast("double") / 100.0 / F.col("n").cast("double"))
+    means = cells.select("event_type", "treated", "post", m.alias("m"))
+
+    def cell(t: int, p: int):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p), F.col("m"))
+        )
+
+    return means.groupBy("event_type").agg(
+        cell(1, 1).alias("t_post"),
+        cell(1, 0).alias("t_pre"),
+        cell(0, 1).alias("c_post"),
+        cell(0, 0).alias("c_pre"),
+        ((cell(1, 1) - cell(1, 0)) - (cell(0, 1) - cell(0, 0))).alias("did"),
+    )

@@ -2809,3 +2809,90 @@ def stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("bit_count(bitmap)")).cast("long").alias("distinct_users"),
         F.count(F.lit(1)).cast("long").alias("n_buckets"),
     )
+
+
+@register(
+    "stream_windowed_distinct",
+    oracle=f"""
+    WITH hours AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS hour FROM {EVENTS_NORM}
+    )
+    SELECT h.hour, CAST(COUNT(DISTINCT events.user_id) AS BIGINT) AS distinct_users_3h
+    FROM hours h
+    JOIN {EVENTS_NORM} ON date_trunc('hour', events.ts)
+        BETWEEN h.hour - INTERVAL 2 HOUR AND h.hour
+    GROUP BY h.hour
+    """,
+    tags=("streaming", "window", "distinct", "update_mode", "survey2.4"),
+)
+def stream_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window EXACT distinct as a STREAM: each event's bitmap
+    bit is exploded to the 3 trailing-window hours it serves and
+    bit_or-merged in the state store (update mode, two micro-batches).
+    Sliding COUNT(DISTINCT) is unrunnable as a streaming aggregate in
+    any SQL engine — distinct state is unbounded and non-mergeable —
+    but the bitmap encoding turns it into a bounded, idempotent,
+    commutative OR per (hour, bucket): replay-safe, batch-split-safe,
+    and O(hours × buckets) state. Readout = latest state per key →
+    Σ bit_count, hash-matched against the batch interval-join oracle
+    (same truth as windowed_distinct_users_bitmap)."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("unix_micros(ts) div 3600000000").alias("hidx"),
+        "user_id",
+    )
+    root = write_segments(
+        [ev.filter(F.col("event_id") % 2 == 0), ev.filter(F.col("event_id") % 2 == 1)]
+    )
+    out = tempfile.mkdtemp(prefix="arcon_swd_") + "/history"
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+    agg = (
+        src.select(
+            F.explode(F.expr("sequence(hidx, hidx + 2)")).alias("target"),
+            F.expr("user_id div 63").alias("bucket"),
+            F.expr("shiftleft(1L, cast(pmod(user_id, 63) as int))").alias("bit"),
+        )
+        .groupBy("target", "bucket")
+        .agg(F.expr("bit_or(bit)").alias("bitmap"))
+    )
+
+    def fb(batch_df: DataFrame, eid: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(eid)).write.mode("append").parquet(out)
+
+    def run():
+        q = (
+            agg.writeStream.foreachBatch(fb)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    _with_stream_partitions(spark, run)
+    hist = spark.read.parquet(out)
+    wlast = Window.partitionBy("target", "bucket").orderBy(F.col("batch_id").desc())
+    final = (
+        hist.withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select("target", "bucket", "bitmap")
+    )
+    # emit only hours that actually observed events (exploded targets
+    # overshoot by up to 2 hours past the last event)
+    observed = ev.select("hidx").distinct().withColumnRenamed("hidx", "target")
+    return (
+        final.join(F.broadcast(observed), "target")
+        .groupBy("target")
+        .agg(F.sum(F.expr("bit_count(bitmap)")).cast("long").alias("distinct_users_3h"))
+        .select(
+            F.expr("timestamp_micros(target * 3600000000)").alias("hour"),
+            "distinct_users_3h",
+        )
+    )
