@@ -606,3 +606,91 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames"),
         F.sum("energy").alias("total_energy"),
     ).drop("seg_key")
+
+
+# ---------------------------------------------------------------------------
+# video near-dup detection via frame-hash signatures
+# ---------------------------------------------------------------------------
+
+_VF_LEN = 64  # frame payload bytes
+_VDUP_T = 0.5
+
+
+@register(
+    "multimodal_video_dedup",
+    oracle=f"""
+    WITH frames AS (
+      SELECT DISTINCT doc_id,
+             CAST('0x' || substring(md5('vf:' || substring(text, i, {_VF_LEN})), 1, 4)
+                  AS BIGINT) AS fh
+      FROM documents,
+           UNNEST(generate_series(1, GREATEST(len(text) - {_VF_LEN} + 1, 1), {_VF_LEN}))
+             AS u(i)
+    ),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM frames GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS vid_a, b.doc_id AS vid_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM frames a JOIN frames b ON a.fh = b.fh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.vid_a, i.vid_b, i.n_common,
+           CAST(i.n_common AS DOUBLE)
+             / CAST(sa.n + sb.n - i.n_common AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.vid_a
+    JOIN sz sb ON sb.doc_id = i.vid_b
+    WHERE CAST(i.n_common AS DOUBLE)
+            / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= {_VDUP_T}
+    """,
+    tags=("multimodal", "video", "dedup", "jaccard"),
+)
+def multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-video detection by frame-signature Jaccard: each
+    "video" (the synthetic media payload — documents.text bytes, the
+    same framing as multimodal_frame_sample) is cut into fixed-stride
+    64-byte frames, each frame reduced to a 16-bit content hash, and
+    videos sharing ≥ 50% of their distinct frame hashes are flagged.
+    This is the YouTube/ContentID-shaped pipeline: re-encoded or
+    trimmed copies share most frame signatures even when byte-level
+    dedup fails; with a real codec the stub hash is replaced by a
+    perceptual frame hash (multimodal_image_ahash_groups' aHash) and
+    NOTHING else changes — the signature/index/verify plumbing is
+    codec-agnostic.
+
+    Plan: frame build is an in-row sequence→substring→md5 projection
+    (zero shuffle, like _shingle_rows); the candidate join is the
+    inverted frame-hash index; counts are integers, one division.
+    16-bit hashes collide on purpose (4096 slots vs ~1k frames/corpus)
+    — collisions only INFLATE candidate overlap, and the Jaccard gate
+    re-verifies; at 100 TB widen to 32-bit hashes and band the
+    signatures (LSH) instead of self-joining the full index."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    frames = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform("
+                f"  sequence(1, greatest(length(text) - {_VF_LEN} + 1, 1), {_VF_LEN}),"
+                f"  i -> cast(conv(substring(md5(concat('vf:', substring(text, i, {_VF_LEN}))), 1, 4), 16, 10) as bigint)))"
+            )
+        ).alias("fh"),
+    ).persist()
+    sz = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    fa = frames.select(F.col("doc_id").alias("vid_a"), "fh")
+    fb = frames.select(F.col("doc_id").alias("vid_b"), "fh")
+    inter = (
+        fa.join(fb, "fh")
+        .filter(F.col("vid_a") < F.col("vid_b"))
+        .groupBy("vid_a", "vid_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    ).cast("double")
+    return (
+        inter.join(sz.select(F.col("doc_id").alias("vid_a"), F.col("n").alias("na")), "vid_a")
+        .join(sz.select(F.col("doc_id").alias("vid_b"), F.col("n").alias("nb")), "vid_b")
+        .select("vid_a", "vid_b", "n_common", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _VDUP_T)
+    )

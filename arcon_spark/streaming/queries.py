@@ -2896,3 +2896,80 @@ def stream_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_users_3h",
         )
     )
+
+
+@register(
+    "stream_table_checksum",
+    oracle="""
+    SELECT o_orderkey % 256 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+                   CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+                   CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR) || '|' ||
+                   CAST(o_orderdate AS VARCHAR) || '|' || o_orderpriority), 1, 15)
+                   AS BIGINT)) AS xor_digest
+    FROM orders GROUP BY 1
+    """,
+    tags=("streaming", "integrity", "checksum", "update_mode"),
+)
+def stream_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merkle bucket checksum (table_checksum_compare's summary
+    side) maintained BY THE STREAM as rows arrive: per-bucket COUNT +
+    XOR-fold of row digests as an update-mode aggregate across two
+    micro-batches. The readout must equal the batch checksum of the
+    full table — the property that lets a CDC consumer prove it
+    applied every change exactly once, by comparing its running
+    checksum against the source's.
+
+    The instructive contrast with stream_bitmap_distinct: OR is
+    IDEMPOTENT, so the bitmap stream is correct even under at-least-
+    once replay; XOR is only associative/commutative — a replayed row
+    cancels itself out of the digest — so this checksum REQUIRES the
+    engine's exactly-once state guarantee (checkpointed offsets +
+    transactional state store). That asymmetry is exactly why
+    anti-entropy protocols pick XOR digests (they WANT double-apply to
+    surface as a mismatch) while streaming distinct-counts pick OR."""
+    import tempfile
+
+    from arcon_spark.operators.maintenance import _CK_SPARK
+
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ]
+    rows = load_table(spark, sf_dir, "orders").select(*cols)
+    root = write_segments(
+        [rows.filter(F.col("o_orderkey") % 2 == 0), rows.filter(F.col("o_orderkey") % 2 == 1)]
+    )
+    out = tempfile.mkdtemp(prefix="arcon_sck_") + "/history"
+
+    src = (
+        spark.readStream.schema(rows.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+    agg = src.groupBy((F.col("o_orderkey") % 256).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.expr(f"bit_xor({_CK_SPARK})").alias("xor_digest"),
+    )
+
+    def fb(batch_df: DataFrame, eid: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(eid)).write.mode("append").parquet(out)
+
+    def run():
+        q = (
+            agg.writeStream.foreachBatch(fb)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    _with_stream_partitions(spark, run)
+    hist = spark.read.parquet(out)
+    wlast = Window.partitionBy("bucket").orderBy(F.col("batch_id").desc())
+    return (
+        hist.withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select("bucket", "n_rows", "xor_digest")
+    )
