@@ -2230,3 +2230,63 @@ def diff_in_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell(0, 0).alias("c_pre"),
         ((cell(1, 1) - cell(1, 0)) - (cell(0, 1) - cell(0, 0))).alias("did"),
     )
+
+
+@register(
+    "bitmap_audience_overlap",
+    oracle="""
+    WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+    p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT
+      CAST((SELECT COUNT(*) FROM v JOIN p USING (user_id)) AS BIGINT) AS n_both,
+      CAST((SELECT COUNT(*) FROM v) + (SELECT COUNT(*) FROM p)
+           - (SELECT COUNT(*) FROM v JOIN p USING (user_id)) AS BIGINT) AS n_either,
+      CAST((SELECT COUNT(*) FROM v WHERE user_id NOT IN (SELECT user_id FROM p))
+           AS BIGINT) AS n_view_only,
+      CAST((SELECT COUNT(*) FROM p WHERE user_id NOT IN (SELECT user_id FROM v))
+           AS BIGINT) AS n_purchase_only
+    """,
+    tags=("analytics", "distinct", "sketch", "audience"),
+)
+def bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT audience set algebra — |view ∩ purchase|, union, and both
+    differences over user sets — computed entirely in bitmap space:
+    each audience collapses to (bucket → 63-bit bitmap) in one hash
+    aggregate, the two bucket maps FULL-OUTER join on bucket (null →
+    0), and every set operation is one bitwise op on aligned longs
+    (AND, OR, AND-NOT) summed through bit_count.
+
+    This is the exact-arithmetic twin of kmv_theta_intersection
+    (which estimates the same intersection from two k-min sketches):
+    bitmaps win whenever id density makes |audience|/63 longs cheaper
+    than shipping distinct ids — the audience-segmentation engines
+    (ClickHouse bitmapAnd/Or/AndnotCardinality, Druid) live on this
+    plan. Exchange cost: 2×|buckets| rows regardless of audience
+    size; set ops never touch raw ids again. The oracle computes the
+    same four cardinalities relationally (joins + NOT IN)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def audience(event_type: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .groupBy(F.expr("user_id div 63").alias("bucket"))
+            .agg(
+                F.expr("bit_or(shiftleft(1L, cast(pmod(user_id, 63) as int)))").alias("bm")
+            )
+        )
+
+    v = audience("view").withColumnRenamed("bm", "bm_v")
+    p = audience("purchase").withColumnRenamed("bm", "bm_p")
+    j = (
+        v.join(p, "bucket", "full_outer")
+        .select(
+            F.coalesce("bm_v", F.lit(0)).alias("a"),
+            F.coalesce("bm_p", F.lit(0)).alias("b"),
+        )
+    )
+    return j.agg(
+        F.sum(F.expr("bit_count(a & b)")).cast("long").alias("n_both"),
+        F.sum(F.expr("bit_count(a | b)")).cast("long").alias("n_either"),
+        F.sum(F.expr("bit_count(a & ~b)")).cast("long").alias("n_view_only"),
+        F.sum(F.expr("bit_count(~a & b)")).cast("long").alias("n_purchase_only"),
+    )

@@ -71,6 +71,12 @@ HEADLINE = [
     "profile_orders_columns",
     "acf_hourly_value",
     "cdc_merge_customer",
+    "bitmap_distinct_users",
+    "windowed_distinct_users_bitmap",
+    "exact_median_selection",
+    "asof_join_nearest",
+    "distribution_drift_chi2",
+    "bitmap_audience_overlap",
 ]
 
 
