@@ -1583,3 +1583,131 @@ def heavy_hitters_shard_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank", "token", "cnt", "true_token", "true_cnt",
         (F.col("token") == F.col("true_token")).alias("hit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction — stopword-delimited phrases scored by word
+# degree/frequency
+# ---------------------------------------------------------------------------
+
+_RAKE_STOPS = (
+    "the,a,an,of,and,or,to,in,is,are,was,were,for,on,with,as,by,at,"
+    "it,its,this,that,be,from,has,have,had,not,but,they,their,we,our"
+)
+_RAKE_SCALE = 1_000_000
+_RAKE_K = 20
+
+
+@register(
+    "text_keywords_rake",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, u.i AS pos, t[u.i] AS token
+      FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+            FROM documents),
+           UNNEST(generate_series(1, len(t))) AS u(i)
+    ),
+    marked AS (
+      SELECT doc_id, pos, token,
+             CASE WHEN list_contains(string_split('{_RAKE_STOPS}', ','), token)
+                  THEN 1 ELSE 0 END AS is_stop
+      FROM toks
+    ),
+    islands AS (
+      SELECT doc_id, pos, token, is_stop,
+             SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS phrase_id
+      FROM marked
+    ),
+    phrase_words AS (
+      SELECT doc_id, phrase_id, pos, token FROM islands WHERE is_stop = 0
+    ),
+    phrases AS (
+      SELECT doc_id, phrase_id,
+             string_agg(token, ' ' ORDER BY pos) AS phrase,
+             CAST(COUNT(*) AS BIGINT) AS plen
+      FROM phrase_words GROUP BY doc_id, phrase_id
+    ),
+    word_stats AS (
+      SELECT w.token,
+             SUM(p.plen) AS deg,
+             CAST(COUNT(*) AS BIGINT) AS freq
+      FROM phrase_words w
+      JOIN phrases p ON p.doc_id = w.doc_id AND p.phrase_id = w.phrase_id
+      GROUP BY w.token
+    ),
+    scored AS (
+      SELECT p.phrase,
+             CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             MAX(ps.score_units) AS score_units
+      FROM phrases p
+      JOIN (
+        SELECT pw.doc_id, pw.phrase_id,
+               SUM(ws.deg * {_RAKE_SCALE} // ws.freq) AS score_units
+        FROM phrase_words pw JOIN word_stats ws ON ws.token = pw.token
+        GROUP BY pw.doc_id, pw.phrase_id
+      ) ps ON ps.doc_id = p.doc_id AND ps.phrase_id = p.phrase_id
+      GROUP BY p.phrase
+    )
+    SELECT phrase, n_occurrences, score_units FROM scored
+    QUALIFY row_number() OVER (ORDER BY score_units DESC, phrase) <= {_RAKE_K}
+    """,
+    tags=("text", "keywords", "rake", "topk"),
+)
+def text_keywords_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al.): candidate phrases are
+    maximal stopword-free token runs; each word scores deg/freq (deg =
+    Σ lengths of phrases it appears in — co-occurrence degree; freq =
+    its occurrence count) and a phrase scores the sum of its words'
+    scores. Top-20 phrases corpus-wide. Scores are integer fixed-point
+    (deg·10⁶ div freq per word) so every engine and execution order
+    produces identical longs — the floor-division trick every ranked
+    op here uses.
+
+    Plan shape: phrase segmentation happens IN-ROW (mark stopword
+    tokens with a sentinel, array_join, split on sentinel runs) — a
+    pure codegen projection with ZERO token-stream shuffle, the same
+    rewrite _shingle_rows uses (the posexplode + per-doc running-sum
+    window formulation, which the oracle still runs, sorts the whole
+    token stream per doc: measured 28 s → ~4 s at sf0.01). Downstream:
+    two hash aggregates (phrase occurrences, word stats) and a
+    broadcast join of vocabulary-sized word stats back onto phrase
+    words. Identical phrase TYPES score identically (scores depend
+    only on global word stats), so MAX(score_units) per phrase is a
+    no-op dedup, not an approximation."""
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    stops_sql = ",".join(f"'{w}'" for w in _RAKE_STOPS.split(","))
+    phr = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "filter(transform(split(array_join(transform("
+                " filter(split(lower(text), ' '), x -> x != ''),"
+                f" x -> IF(array_contains(array({stops_sql}), x), chr(0), x)),"
+                " ' '), chr(0)), p -> trim(p)), p -> p != '')"
+            )
+        ).alias("phrase_id", "phrase"),
+    ).persist()  # feeds phrase-words, occurrence counts, and scoring
+    pw = phr.select(
+        "doc_id",
+        "phrase_id",
+        F.size(F.split("phrase", " ")).cast("long").alias("plen"),
+        F.explode(F.split("phrase", " ")).alias("token"),
+    )
+    word_stats = pw.groupBy("token").agg(
+        F.sum("plen").alias("deg"), F.count(F.lit(1)).cast("long").alias("freq")
+    )
+    ps = (
+        pw.join(F.broadcast(word_stats), "token")
+        .groupBy("doc_id", "phrase_id")
+        .agg(F.sum(F.expr(f"deg * {_RAKE_SCALE} div freq")).alias("score_units"))
+    )
+    scored = (
+        phr.join(ps, ["doc_id", "phrase_id"])
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.max("score_units").alias("score_units"),
+        )
+    )
+    return scored.orderBy(F.desc("score_units"), F.asc("phrase")).limit(_RAKE_K)

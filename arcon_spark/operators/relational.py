@@ -2225,3 +2225,75 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT o_orderpriority, n_orders, revenue
         """
     )
+
+
+@register(
+    "session_top_paths",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM {EVENTS_NORM}
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ),
+    paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM sess GROUP BY user_id, session_id
+    ),
+    counts AS (
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+      FROM paths GROUP BY path
+    )
+    SELECT path, n_sessions FROM counts
+    QUALIFY row_number() OVER (ORDER BY n_sessions DESC, path) <= 20
+    """,
+    tags=("sessionization", "sequence", "topk", "analytics"),
+)
+def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path mining: the 20 most common session journeys,
+    where a journey is the '>'-joined event_type sequence of one
+    session (same 10-min-gap sessionization as sessionize_events).
+    This is the product-analytics "top paths" report (Amplitude/
+    Mixpanel Pathfinder) — and the input representation for sequence
+    mining (PrefixSpan's sequence database IS this frame pre-GROUP).
+
+    Plan: the session passes reuse sessionize's single user_id
+    partitioning; the path string is an order-pinned array_join over
+    collect_list sorted by (ts, event_id) — a deterministic total
+    order within each session, so both engines build the identical
+    string. The path→count aggregate hash-exchanges path strings
+    (bounded by session length × type-name size; at 100 TB hash the
+    path to a 64-bit key for the exchange and join names back for the
+    top-20 only). Top-k is TakeOrdered, tie-broken by path."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    lag_us = F.unix_micros(F.lag("ts").over(w))
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(lag_us.isNull() | ((us - lag_us) > 600_000_000), 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    paths = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)"),
+                ">",
+            ).alias("path")
+        )
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    return counts.orderBy(F.desc("n_sessions"), F.asc("path")).limit(20)
