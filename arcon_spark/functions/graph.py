@@ -756,3 +756,156 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))), "v")
         .select("u", "v", "common", jac.alias("jaccard"))
     )
+
+
+_MOD_SCALE = 1_000_000_000
+
+
+@register(
+    "graph_modularity",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT LEAST(s_nationkey, c_nationkey) AS a,
+             GREATEST(s_nationkey, c_nationkey) AS b,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n
+      FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+      WHERE s_nationkey <> c_nationkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(n) AS total, CAST(COUNT(*) AS BIGINT) AS np FROM pairs),
+    strong AS (SELECT a, b FROM pairs, tot WHERE n * np > total),
+    undirected AS (
+      SELECT a AS src, b AS dst FROM strong
+      UNION
+      SELECT b AS src, a AS dst FROM strong
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM undirected),
+    l0 AS (SELECT node, CAST(node AS BIGINT) AS lab FROM nodes),
+    {{lpa}},
+    labels AS (SELECT node, lab FROM l{{iters}}),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) // 2 AS m FROM undirected),
+    internal AS (
+      SELECT la.lab, CAST(COUNT(*) AS BIGINT) // 2 AS e_c
+      FROM undirected u
+      JOIN labels la ON la.node = u.src
+      JOIN labels lb ON lb.node = u.dst AND lb.lab = la.lab
+      GROUP BY la.lab
+    ),
+    degs AS (
+      SELECT la.lab, CAST(COUNT(*) AS BIGINT) AS d_c
+      FROM undirected u JOIN labels la ON la.node = u.src
+      GROUP BY la.lab
+    )
+    SELECT d.lab AS community,
+           CAST((SELECT COUNT(*) FROM labels WHERE lab = d.lab) AS BIGINT) AS n_nodes,
+           COALESCE(i.e_c, 0) AS internal_edges,
+           d.d_c AS degree_sum,
+           CAST((4 * m.m * COALESCE(i.e_c, 0) - d.d_c * d.d_c) * {_MOD_SCALE}
+                // (4 * m.m * m.m) AS BIGINT) AS q_units
+    FROM degs d LEFT JOIN internal i ON i.lab = d.lab, m
+    """.format(lpa=_sql_lpa_iterations(), iters=_LPA_ITERS),
+    tags=("graph", "community", "modularity"),
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA communities on the STRONG-TIE
+    trade backbone (the above-average-volume edges of
+    graph_link_prediction — the raw trade graph is complete, where
+    every partition scores Q=0): per community c, Q_c =
+    e_c/m − (D_c/2m)², emitted in integer fixed-point
+    ((4m·e_c − D_c²)·10⁹ div 4m²) alongside its raw ingredients
+    (node count, internal edges, degree mass). Σ q_units ≈ Q·10⁹ —
+    the figure of merit community detection is judged by.
+
+    Plan: LPA reruns its 3 synchronous deterministic rounds on the
+    backbone (driver-loop of join+argmax, same skeleton as
+    pagerank/kcore); modularity then needs only (a) edges joined to
+    labels twice — the same wedge-style equi-join, counting
+    label-concordant endpoints — and (b) a per-label degree count.
+    All integers until the final fixed-point division; LEFT JOIN
+    keeps communities with zero internal edges (possible under
+    synchronous LPA label oscillation)."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    pairs = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+        )
+        .agg(F.countDistinct("o_orderkey").alias("n"))
+    )
+    tot = pairs.agg(F.sum("n").alias("total"), F.count(F.lit(1)).alias("np"))
+    strong = (
+        pairs.join(F.broadcast(tot))
+        .filter(F.col("n") * F.col("np") > F.col("total"))
+        .select("a", "b")
+    )
+    und = (
+        strong.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(strong.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = und.select(F.col("src").alias("node")).distinct().withColumn(
+        "lab", F.col("node").cast("long")
+    )
+    rn_w = W.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
+    for _ in range(_LPA_ITERS):
+        votes = (
+            und.join(labels.select(F.col("node").alias("src"), "lab"), "src")
+            .groupBy(F.col("dst").alias("node"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = (
+            votes.withColumn("rn", F.row_number().over(rn_w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("lab").alias("new_lab"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select("node", F.coalesce("new_lab", "lab").alias("lab"))
+            .persist()
+        )
+    m_edges = und.count() // 2
+    la = labels.select(F.col("node").alias("src"), F.col("lab").alias("lab_a"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("lab").alias("lab_b"))
+    internal = (
+        und.join(F.broadcast(la), "src")
+        .join(F.broadcast(lb), "dst")
+        .filter(F.col("lab_a") == F.col("lab_b"))
+        .groupBy(F.col("lab_a").alias("community"))
+        .agg((F.count(F.lit(1)) / 2).cast("long").alias("internal_edges"))
+    )
+    degs = (
+        und.join(F.broadcast(la), "src")
+        .groupBy(F.col("lab_a").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("degree_sum"))
+    )
+    sizes = labels.groupBy(F.col("lab").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    q = F.expr(
+        f"cast((4 * {m_edges} * coalesce(internal_edges, 0) - degree_sum * degree_sum)"
+        f" * {_MOD_SCALE} div (4 * {m_edges} * {m_edges}) as bigint)"
+    )
+    return (
+        degs.join(internal, "community", "left")
+        .join(F.broadcast(sizes), "community")
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("internal_edges", F.lit(0)).alias("internal_edges"),
+            "degree_sum",
+            q.alias("q_units"),
+        )
+    )

@@ -708,3 +708,66 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(back_wins, -F.col("bd")).otherwise(F.col("fd")).alias("delta_us"),
     )
+
+
+@register(
+    "fifo_pairing_events",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, event_id, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM {EVENTS_NORM} WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, event_id, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM {EVENTS_NORM} WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+           epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+    FROM p JOIN v ON v.user_id = p.user_id AND v.rn = p.rn
+    """,
+    tags=("temporal", "sequence", "matching", "fifo"),
+)
+def fifo_pairing_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO queue matching: each user's k-th purchase is paired with
+    their k-th view — first-in-first-out consumption of a demand
+    queue, the allocation rule behind FIFO inventory/cost accounting,
+    capacity token matching, and message ack pairing. A per-key queue
+    that looks inherently imperative reduces to ROW_NUMBER EQUALITY:
+    rank views and purchases independently within each user (total
+    order: ts, then event_id) and equi-join on (user_id, rank).
+
+    Plan: two window passes + the join all hash-partition on user_id
+    — one logical exchange the planner reuses across all three, no
+    per-key Python, no iteration. lag_us may be negative (a purchase
+    can precede its rank-matched view when the queue runs empty) —
+    that's faithful FIFO ledger semantics, not a bug; unmatched tail
+    ranks (more views than purchases) drop out of the inner join
+    exactly as an open queue remains unconsumed. At 100 TB this is
+    skew-bounded by the hottest user like every keyed window here
+    (AQE skew split applies)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def ranked(et: str, id_alias: str):
+        return (
+            ev.filter(F.col("event_type") == et)
+            .select("user_id", "event_id", "ts")
+            .withColumn("rn", F.row_number().over(w))
+            .select(
+                "user_id",
+                F.col("event_id").alias(id_alias),
+                F.unix_micros("ts").alias(f"{id_alias}_us"),
+                "rn",
+            )
+        )
+
+    v = ranked("view", "view_id")
+    p = ranked("purchase", "purchase_id")
+    return p.join(v, ["user_id", "rn"]).select(
+        "user_id",
+        "purchase_id",
+        "view_id",
+        (F.col("purchase_id_us") - F.col("view_id_us")).alias("lag_us"),
+    )

@@ -285,6 +285,11 @@ def test_no_cartesian_and_bnlj_allowlisted(spark, sf_dir):
         # pairwise-slope inequality self-join on the per-HOUR series
         # (O(h²) on series length, not events) + 1-row slope broadcast
         "theil_sen_hourly_trend",
+        # 1-row broadcast of the time-range midpoint (treat/post split)
+        "diff_in_diff_events",
+        # 1-row broadcast of the all-pairs volume total (strong-tie cut)
+        "graph_link_prediction",
+        "graph_modularity",
     }
     cartesian, rogue_bnlj = [], []
     for name, fn in sorted(queries().items()):

@@ -85,3 +85,49 @@ def test_parameterized_sql_named_args(spark, sf_dir):
         .count()
     )
     assert got == truth
+
+
+def test_udtf_polymorphic_analyze(spark):
+    """Python UDTF with a static analyze() — the output schema is
+    computed FROM THE ARGUMENTS at plan time (polymorphic table
+    function), the surface behind pivot-like dynamic-schema TVFs."""
+    try:
+        from pyspark.sql.functions import udtf
+        from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+    except ImportError:
+        pytest.skip("udtf analyze API unavailable")
+    from pyspark.sql.types import LongType, StructType
+
+    @udtf
+    class Repeat:
+        @staticmethod
+        def analyze(n: AnalyzeArgument) -> AnalyzeResult:
+            # n copies of a long column c0..c{n-1}
+            schema = StructType()
+            for i in range(int(n.value)):
+                schema = schema.add(f"c{i}", LongType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, n: int):
+            yield tuple(range(n))
+
+    spark.udtf.register("repeat_cols", Repeat)
+    r3 = spark.sql("SELECT * FROM repeat_cols(3)")
+    assert r3.columns == ["c0", "c1", "c2"]
+    assert r3.collect()[0][2] == 2
+    r5 = spark.sql("SELECT * FROM repeat_cols(5)")
+    assert len(r5.columns) == 5  # schema follows the argument
+
+
+def test_metadata_columns_expose_file_lineage(spark, sf_dir):
+    """The hidden _metadata struct on file scans — per-row file
+    lineage (path, size, mtime) without storing it; the provenance
+    surface a 100 TB debugging session reaches for first."""
+    from arcon_spark.io import load_table
+
+    df = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("_metadata.file_path").alias("fp"),
+        F.col("_metadata.file_size").alias("fs"),
+    )
+    rows = df.limit(5).collect()
+    assert all(r["fp"].endswith(".parquet") and r["fs"] > 0 for r in rows)
