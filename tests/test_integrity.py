@@ -248,3 +248,49 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
         assert rows[0]["count"] == truth
     finally:
         spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)
+
+
+def test_fifo_pairing_is_a_bijection_on_ranks(spark, sf_dir):
+    """FIFO matching: no view or purchase is consumed twice, and the
+    match count per user is min(#views, #purchases)."""
+    from arcon_spark.operators.temporal import fifo_pairing_events
+
+    rows = fifo_pairing_events(spark, sf_dir).collect()
+    assert len({r["purchase_id"] for r in rows}) == len(rows)
+    assert len({r["view_id"] for r in rows}) == len(rows)
+    per_user: dict[int, int] = {}
+    for r in rows:
+        per_user[r["user_id"]] = per_user.get(r["user_id"], 0) + 1
+    counts = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("v"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("p"),
+        )
+        .collect()
+    )
+    for c in counts:
+        expect = min(c["v"], c["p"])
+        assert per_user.get(c["user_id"], 0) == expect
+
+
+def test_modularity_partitions_nodes_and_bounds_q(spark, sf_dir):
+    """Modularity sanity: communities partition the backbone nodes,
+    degree masses sum to 2m, and Q = Σ q_units / 1e9 lies in
+    [-0.5, 1] (the mathematical range of Newman modularity)."""
+    from arcon_spark.functions.graph import graph_modularity
+
+    rows = graph_modularity(spark, sf_dir).collect()
+    assert rows  # backbone is non-empty at every SF
+    total_deg = sum(r["degree_sum"] for r in rows)
+    assert total_deg % 2 == 0
+    q = sum(r["q_units"] for r in rows) / 1e9
+    assert -0.5 <= q <= 1.0
+    assert len({r["community"] for r in rows}) == len(rows)  # one row per community
+    assert all(r["n_nodes"] >= 1 for r in rows)
+    # every edge endpoint is labeled: internal edges can never exceed
+    # the community's complete-graph capacity
+    for r in rows:
+        assert r["internal_edges"] <= r["n_nodes"] * (r["n_nodes"] - 1) // 2
