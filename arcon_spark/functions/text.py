@@ -1711,3 +1711,70 @@ def text_keywords_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("score_units"), F.asc("phrase")).limit(_RAKE_K)
+
+
+# ---------------------------------------------------------------------------
+# lexicon sentiment scoring (cf. PAPERS.md: "Large Scale Sentiment
+# Analysis on Twitter with Spark", EDBT 2016 — lexicon-join approach)
+# ---------------------------------------------------------------------------
+
+_POS_WORDS = "good,great,excellent,best,love,happy,fast,easy,nice,clean,fresh,smooth"
+_NEG_WORDS = "bad,poor,worst,hate,slow,hard,broken,dirty,late,wrong,noisy,rough"
+
+
+@register(
+    "text_sentiment_lexicon",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(text), ' '),
+                 x -> list_contains(string_split('{_POS_WORDS}', ','), x)))
+               AS pos_hits,
+             len(list_filter(string_split(lower(text), ' '),
+                 x -> list_contains(string_split('{_NEG_WORDS}', ','), x)))
+               AS neg_hits
+      FROM documents
+    )
+    SELECT doc_id, CAST(pos_hits AS BIGINT) AS pos_hits,
+           CAST(neg_hits AS BIGINT) AS neg_hits,
+           CAST(pos_hits - neg_hits AS BIGINT) AS score,
+           CASE WHEN pos_hits > neg_hits THEN 'positive'
+                WHEN neg_hits > pos_hits THEN 'negative'
+                ELSE 'neutral' END AS label
+    FROM scored
+    """,
+    tags=("text", "sentiment", "quality"),
+)
+def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment per document — occurrence-counted
+    positive/negative word hits, integer score, 3-way label (the
+    EDBT'16 Spark-sentiment recipe, which joins tweets to a sentiment
+    lexicon; here the lexicon is small enough to inline as a literal
+    array, turning the join into an IN-ROW filter-count: ZERO
+    shuffle, pure codegen projection over one scan).
+
+    At 100 TB with a real lexicon (SentiWordNet-scale, 10⁵ entries)
+    the same plan holds as a broadcast hash join on token — the
+    pattern boundary is lexicon size vs literal-array expression
+    cost, not data size. Occurrence counting (not distinct matching)
+    weights repeated sentiment words, matching the paper's
+    term-frequency scoring."""
+    pos = F.split(F.lit(_POS_WORDS), ",")
+    neg = F.split(F.lit(_NEG_WORDS), ",")
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = F.expr("split(lower(text), ' ')")
+    scored = docs.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: F.array_contains(pos, x))).cast("long").alias("pos_hits"),
+        F.size(F.filter(toks, lambda x: F.array_contains(neg, x))).cast("long").alias("neg_hits"),
+    )
+    return scored.select(
+        "doc_id",
+        "pos_hits",
+        "neg_hits",
+        (F.col("pos_hits") - F.col("neg_hits")).cast("long").alias("score"),
+        F.when(F.col("pos_hits") > F.col("neg_hits"), "positive")
+        .when(F.col("neg_hits") > F.col("pos_hits"), "negative")
+        .otherwise("neutral")
+        .alias("label"),
+    )

@@ -2290,3 +2290,95 @@ def bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("bit_count(a & ~b)")).cast("long").alias("n_view_only"),
         F.sum(F.expr("bit_count(~a & b)")).cast("long").alias("n_purchase_only"),
     )
+
+
+# ---------------------------------------------------------------------------
+# time-series similarity search (cf. PAPERS.md: EDBT'19 streaming
+# series similarity / ICDE'21 REPOSE top-k search — the
+# normalize → norm-decompose → candidate-join → exact-verify shape)
+# ---------------------------------------------------------------------------
+
+_TSS_SCALE = 1_000_000  # per-mille-of-total fixed point for profiles
+_TSS_K = 10
+
+
+@register(
+    "ts_similarity_topk",
+    oracle=f"""
+    WITH cents AS (
+      SELECT user_id, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+             SUM(CAST(round(value * 100) AS HUGEINT)) AS c
+      FROM {{EVENTS}}
+      GROUP BY 1, 2
+    ),
+    totals AS (SELECT user_id, SUM(c) AS tot FROM cents GROUP BY user_id),
+    prof AS (
+      SELECT c.user_id, c.hod,
+             CAST(c.c * {_TSS_SCALE} // t.tot AS BIGINT) AS p
+      FROM cents c JOIN totals t ON t.user_id = c.user_id
+    ),
+    norms AS (SELECT user_id, SUM(p * p) AS n2 FROM prof GROUP BY user_id),
+    dots AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b, SUM(a.p * b.p) AS dot
+      FROM prof a JOIN prof b ON a.hod = b.hod AND a.user_id < b.user_id
+      GROUP BY 1, 2
+    )
+    SELECT user_a, user_b,
+           CAST(na.n2 + nb.n2 - 2 * d.dot AS BIGINT) AS dist2
+    FROM dots d
+    JOIN norms na ON na.user_id = d.user_a
+    JOIN norms nb ON nb.user_id = d.user_b
+    QUALIFY row_number() OVER (ORDER BY na.n2 + nb.n2 - 2 * d.dot,
+                               user_a, user_b) <= {_TSS_K}
+    """.format(EVENTS=EVENTS_NORM),
+    tags=("timeseries", "similarity", "topk", "retrieval"),
+)
+def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search: the 10 most similar pairs of
+    users by hour-of-day activity SHAPE. Each user's series is
+    volume-normalized to an integer per-mille profile (cents_h·10⁶
+    div total — shape, not size), and squared Euclidean distance
+    decomposes as ‖a‖² + ‖b‖² − 2a·b: norms are per-user aggregates,
+    dots come from ONE equi-join on the hour key — absent hours are
+    implicit zeros that contribute nothing to the dot, so no
+    densification (the same norm-decomposition that powers the
+    embedding cosine dedup).
+
+    The EDBT'19/REPOSE shape at 100 TB: the all-pairs dot join is the
+    scale hazard (users² candidates); prune it by blocking on the SAX
+    word of the profile (sax_symbolize_hourly is the registered
+    symbolizer) and verifying only same-word candidates — this query
+    IS the exact-verify stage of that pipeline. Distances stay int64
+    end to end; ties totalized by (dist2, user_a, user_b)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.hour("ts").cast("long").alias("hod"),
+        F.round(F.col("value") * 100).cast("decimal(38,0)").alias("c"),
+    )
+    cents = ev.groupBy("user_id", "hod").agg(F.sum("c").alias("c"))
+    totals = cents.groupBy("user_id").agg(F.sum("c").alias("tot"))
+    prof = (
+        cents.join(F.broadcast(totals), "user_id")
+        .select(
+            "user_id", "hod",
+            F.expr(f"cast(c * {_TSS_SCALE} div tot as bigint)").alias("p"),
+        )
+        .persist()  # feeds norms AND both dot-join branches
+    )
+    norms = prof.groupBy("user_id").agg(F.sum(F.col("p") * F.col("p")).alias("n2"))
+    a = prof.select(F.col("user_id").alias("user_a"), "hod", F.col("p").alias("pa"))
+    b = prof.select(F.col("user_id").alias("user_b"), "hod", F.col("p").alias("pb"))
+    dots = (
+        a.join(b, "hod")
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.sum(F.col("pa") * F.col("pb")).alias("dot"))
+    )
+    dist2 = (F.col("na") + F.col("nb") - 2 * F.col("dot")).cast("long")
+    return (
+        dots.join(F.broadcast(norms.select(F.col("user_id").alias("user_a"), F.col("n2").alias("na"))), "user_a")
+        .join(F.broadcast(norms.select(F.col("user_id").alias("user_b"), F.col("n2").alias("nb"))), "user_b")
+        .select("user_a", "user_b", dist2.alias("dist2"))
+        .orderBy("dist2", "user_a", "user_b")
+        .limit(_TSS_K)
+    )
