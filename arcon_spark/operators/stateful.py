@@ -141,3 +141,81 @@ def map_state_topvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "cogroup_activity_order_merge",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             MIN(CAST(ts AS TIMESTAMP)) AS first_ev,
+             MAX(CAST(ts AS TIMESTAMP)) AS last_ev
+      FROM events GROUP BY user_id
+    ),
+    o AS (
+      SELECT o_custkey AS user_id, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT ev.user_id, ev.n_events,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           CAST(COALESCE(o.cents, 0) AS DOUBLE) / 100.0 AS order_revenue,
+           CAST(epoch_us(ev.last_ev) - epoch_us(ev.first_ev) AS BIGINT) AS active_span_us
+    FROM ev LEFT JOIN o ON o.user_id = ev.user_id
+    """,
+    tags=("stateful", "cogroup", "pandas", "survey2.2"),
+)
+def cogroup_activity_order_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COGROUP surface (groupBy().cogroup().applyInPandas): both
+    relations hash-partition on the key and each key's two Arrow
+    batches land together in one Python function — the two-input
+    custom operator the reference structurally cannot build (its
+    dataflow graph is linear, SURVEY §2.9/dfg.rs), and the escape
+    hatch for per-key merge logic joins can't express (interleaved
+    timeline algorithms, custom as-of semantics, per-key model
+    scoring against a feature stream).
+
+    The computation here is deliberately join-expressible (per-user
+    event stats ⟕ order stats — the oracle's formulation) so the
+    cogroup path itself is what the hash-match certifies: exact cents
+    via int64 sums inside pandas, span in integer µs. Plan: two scans,
+    ONE co-partitioned exchange pair (both sides keyed user_id), no
+    second shuffle. At 100 TB the same caveats as every Arrow-Python
+    stage: it is the slow path (46k rows/s/core vs JVM millions) —
+    reach for it only when the per-key logic truly needs both inputs
+    in one place."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+    def merge(key, ev_pdf: pd.DataFrame, o_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(ev_pdf) == 0:
+            return pd.DataFrame(
+                columns=["user_id", "n_events", "n_orders", "order_revenue", "active_span_us"]
+            )
+        ts = ev_pdf["ts"]
+        return pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_events": [len(ev_pdf)],
+                "n_orders": [len(o_pdf)],
+                "order_revenue": [float(int(o_pdf["cents"].sum())) / 100.0],
+                "active_span_us": [
+                    int((ts.max() - ts.min()).value // 1000)  # ns → µs
+                ],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .cogroup(orders.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "user_id long, n_events long, n_orders long,"
+            " order_revenue double, active_span_us long",
+        )
+    )
