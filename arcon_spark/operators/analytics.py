@@ -2382,3 +2382,99 @@ def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist2", "user_a", "user_b")
         .limit(_TSS_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# seasonal-trend decomposition (STL-shaped, integer fixed-point)
+# ---------------------------------------------------------------------------
+
+_STL_W = 12  # centered trend half-window: 25 hours total
+
+
+@register(
+    "stl_decompose_hourly",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+             SUM(CAST(round(value * 100) AS HUGEINT)) AS cents
+      FROM {{EVENTS}} GROUP BY 1, 2
+    ),
+    trend AS (
+      SELECT hour, hod, cents,
+             SUM(cents) OVER w AS tsum,
+             CAST(COUNT(*) OVER w AS BIGINT) AS tn
+      FROM hourly
+      WINDOW w AS (ORDER BY hour ROWS BETWEEN {_STL_W} PRECEDING
+                   AND {_STL_W} FOLLOWING)
+    ),
+    detrended AS (
+      SELECT hour, hod, cents,
+             CAST(tsum * 100 // tn AS BIGINT) AS trend_units,
+             cents * 100 - CAST(tsum * 100 // tn AS BIGINT) AS det_units
+      FROM trend
+    ),
+    seasonal AS (
+      SELECT hod, CAST(SUM(det_units) // COUNT(*) AS BIGINT) AS seasonal_units
+      FROM detrended GROUP BY hod
+    )
+    SELECT d.hour, CAST(d.cents * 100 AS BIGINT) AS value_units,
+           d.trend_units, s.seasonal_units,
+           CAST(d.cents * 100 - d.trend_units - s.seasonal_units AS BIGINT)
+             AS resid_units
+    FROM detrended d JOIN seasonal s ON s.hod = d.hod
+    """.format(EVENTS=EVENTS_NORM),
+    tags=("timeseries", "seasonal", "decomposition"),
+)
+def stl_decompose_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-shaped decomposition of the hourly revenue series into
+    trend + seasonal + residual, entirely in integer fixed-point
+    (units = cents·100): trend is a centered 25-hour moving average
+    (integer floor division — identical in any engine), seasonal is
+    the hour-of-day mean of the detrended series, residual is the
+    exact remainder. The LOESS passes of full STL refine exactly
+    these two estimates; the decomposition CONTRACT
+    (value ≡ trend + seasonal + residual, enforced here to the unit)
+    is what anomaly detection downstream consumes — pair resid_units
+    with mad_outlier_events for deseasonalized alerting.
+
+    Plan: one hash agg to hours (8760/year rows per series — tiny),
+    one ordered window over the series, one 24-row seasonal agg
+    broadcast back. At 100 TB the aggregate-to-series step does all
+    the data reduction; decomposing a million series in parallel just
+    adds the series key to every PARTITION BY/GROUP BY."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            F.hour("ts").cast("long").alias("hod"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("decimal(38,0)")).alias("cents"))
+    )
+    w = Window.orderBy("hour").rowsBetween(-_STL_W, _STL_W)
+    trend = hourly.select(
+        "hour",
+        "hod",
+        "cents",
+        F.sum("cents").over(w).alias("tsum"),
+        F.count(F.lit(1)).over(w).alias("tn"),
+    )
+    det = trend.select(
+        "hour",
+        "hod",
+        "cents",
+        F.expr("cast(tsum * 100 div tn as bigint)").alias("trend_units"),
+        F.expr("cast(cents * 100 as bigint) - cast(tsum * 100 div tn as bigint)").alias("det_units"),
+    ).persist()  # feeds the seasonal agg AND the final projection
+    seasonal = det.groupBy("hod").agg(
+        F.expr("cast(sum(det_units) div count(1) as bigint)").alias("seasonal_units")
+    )
+    return det.join(F.broadcast(seasonal), "hod").select(
+        "hour",
+        F.expr("cast(cents * 100 as bigint)").alias("value_units"),
+        "trend_units",
+        "seasonal_units",
+        F.expr(
+            "cast(cents * 100 as bigint) - trend_units - seasonal_units"
+        ).cast("long").alias("resid_units"),
+    )
