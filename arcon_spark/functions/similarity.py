@@ -1565,3 +1565,75 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         " rel_units long, pen_units long, score_units long"
     )
     return pool.groupBy("query_id").applyInPandas(greedy, out_schema)
+
+
+@register(
+    "embedding_centroid_drift",
+    oracle=f"""
+    WITH units AS (
+      SELECT e.label, e.vec_id % 2 AS epoch, u.i AS dim,
+             CAST(round(CAST(e.embedding[u.i] AS DOUBLE) * {_SCALE}.0) AS HUGEINT)
+               AS qv
+      FROM embeddings e, UNNEST(generate_series(1, len(e.embedding))) AS u(i)
+    ),
+    sums AS (
+      SELECT label, epoch, dim, SUM(qv) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      FROM units GROUP BY 1, 2, 3
+    ),
+    cent AS (
+      SELECT label, epoch, dim, CAST(s // n AS BIGINT) AS c FROM sums
+    ),
+    diff AS (
+      SELECT a.label, a.dim, a.c - b.c AS d
+      FROM cent a JOIN cent b
+        ON b.label = a.label AND b.dim = a.dim AND a.epoch = 0 AND b.epoch = 1
+    )
+    SELECT label, CAST(SUM(d * d) AS BIGINT) AS drift_l2sq_units,
+           CAST(COUNT(*) AS BIGINT) AS n_dims
+    FROM diff GROUP BY label
+    """,
+    tags=("similarity", "embedding", "drift", "monitoring"),
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: per label, the squared L2
+    distance between the epoch-0 and epoch-1 centroids (epoch =
+    vec_id parity standing in for yesterday's vs today's embedding
+    batch). Centroids are integer fixed-point means (qv sums div n —
+    truncation identical across engines), so the drift metric is an
+    exact int64. The model-ops companion to distribution_drift_chi2:
+    that one watches a VALUE distribution, this one watches where a
+    population LIVES in representation space — re-embedding jobs,
+    encoder upgrades, and data-mix shifts all surface here first.
+
+    Plan: one explode to (label, epoch, dim) units → hash agg (map-
+    side partials; 2·|labels|·64 rows cross the wire) → a self-join
+    on (label, dim) that is broadcast-sized by construction. At
+    100 TB the explode never shuffles raw vectors — only the
+    per-(label, epoch, dim) partial sums move."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    units = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("epoch"),
+        F.posexplode("embedding").alias("dim0", "x"),
+    ).select(
+        "label",
+        "epoch",
+        (F.col("dim0") + 1).alias("dim"),
+        F.expr(f"cast(round(cast(x as double) * {_SCALE}.0) as decimal(38,0))").alias("qv"),
+    )
+    cent = (
+        units.groupBy("label", "epoch", "dim")
+        .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("label", "epoch", "dim", F.expr("cast(s div n as bigint)").alias("c"))
+    )
+    a = cent.filter(F.col("epoch") == 0).select("label", "dim", F.col("c").alias("ca"))
+    b = cent.filter(F.col("epoch") == 1).select("label", "dim", F.col("c").alias("cb"))
+    return (
+        a.join(b, ["label", "dim"])
+        .select("label", ((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))).alias("d2"))
+        .groupBy("label")
+        .agg(
+            F.sum("d2").cast("long").alias("drift_l2sq_units"),
+            F.count(F.lit(1)).cast("long").alias("n_dims"),
+        )
+    )

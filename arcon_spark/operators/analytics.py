@@ -2478,3 +2478,107 @@ def stl_decompose_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(cents * 100 as bigint) - trend_units - seasonal_units"
         ).cast("long").alias("resid_units"),
     )
+
+
+@register(
+    "stl_residual_anomalies",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+             SUM(CAST(round(value * 100) AS HUGEINT)) AS cents
+      FROM {{EVENTS}} GROUP BY 1, 2
+    ),
+    trend AS (
+      SELECT hour, hod, cents,
+             SUM(cents) OVER w AS tsum,
+             CAST(COUNT(*) OVER w AS BIGINT) AS tn
+      FROM hourly
+      WINDOW w AS (ORDER BY hour ROWS BETWEEN {_STL_W} PRECEDING
+                   AND {_STL_W} FOLLOWING)
+    ),
+    detrended AS (
+      SELECT hour, hod, cents,
+             cents * 100 - CAST(tsum * 100 // tn AS BIGINT) AS det_units
+      FROM trend
+    ),
+    seasonal AS (
+      SELECT hod, CAST(SUM(det_units) // COUNT(*) AS BIGINT) AS s_units
+      FROM detrended GROUP BY hod
+    ),
+    resid AS (
+      SELECT d.hour, d.det_units - s.s_units AS r FROM detrended d
+      JOIN seasonal s ON s.hod = d.hod
+    ),
+    med AS (
+      SELECT CAST(quantile_disc(r, 0.5) AS BIGINT) AS m FROM resid
+    ),
+    mad AS (
+      SELECT CAST(quantile_disc(abs(r - med.m), 0.5) AS BIGINT) AS mad, med.m
+      FROM resid, med GROUP BY med.m
+    )
+    SELECT r.hour, CAST(r.r AS BIGINT) AS resid_units,
+           CAST(abs(r.r - mad.m) AS BIGINT) AS abs_dev_units
+    FROM resid r, mad
+    WHERE abs(r.r - mad.m) > 4 * mad.mad
+    """.format(EVENTS=EVENTS_NORM),
+    tags=("timeseries", "anomaly", "seasonal", "pipeline"),
+)
+def stl_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deseasonalized anomaly detection — the composition the STL
+    docstring promises: hours whose decomposition residual deviates
+    from the residual median by > 4×MAD (≈ 2.7σ under normality via the
+    0.6745 consistency factor — the conventional robust alert line). Running the robust gate on
+    RESIDUALS instead of raw values is what stops every daily peak
+    from alerting (the seasonal term absorbs it) while a genuinely
+    anomalous quiet-hour spike still fires.
+
+    Exactness: residuals are integer units end to end;
+    median/MAD use the DISCRETE quantile (an actual data point —
+    quantile_disc / percentile_approx-free exact selection via sort)
+    so both engines pick the identical element; the 4×MAD gate is
+    pure integer comparison. Plan adds two tiny total-order medians
+    (720-row frame) and a broadcast threshold to the STL plan — the
+    detection pass is one filter."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            F.hour("ts").cast("long").alias("hod"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("decimal(38,0)")).alias("cents"))
+    )
+    w = Window.orderBy("hour").rowsBetween(-_STL_W, _STL_W)
+    det = hourly.select(
+        "hour",
+        "hod",
+        F.expr("cast(cents * 100 as bigint)").alias("v_units"),
+        F.expr(
+            f"cast(cents * 100 as bigint) - cast(sum(cents) over (order by hour rows between {_STL_W} preceding and {_STL_W} following) * 100"
+            f" div count(1) over (order by hour rows between {_STL_W} preceding and {_STL_W} following) as bigint)"
+        ).alias("det_units"),
+    ).persist()
+    seasonal = det.groupBy("hod").agg(
+        F.expr("cast(sum(det_units) div count(1) as bigint)").alias("s_units")
+    )
+    resid = det.join(F.broadcast(seasonal), "hod").select(
+        "hour", (F.col("det_units") - F.col("s_units")).alias("r")
+    ).persist()
+    med = resid.agg(
+        F.expr("cast(percentile_disc(0.5) within group (order by r) as bigint)").alias("m")
+    )
+    dev = resid.join(F.broadcast(med)).select(
+        "hour", "r", F.abs(F.col("r") - F.col("m")).alias("ad")
+    )
+    mad = dev.agg(
+        F.expr("cast(percentile_disc(0.5) within group (order by ad) as bigint)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad))
+        .filter(F.col("ad") > 4 * F.col("mad"))
+        .select(
+            "hour",
+            F.col("r").cast("long").alias("resid_units"),
+            F.col("ad").cast("long").alias("abs_dev_units"),
+        )
+    )
