@@ -2297,3 +2297,149 @@ def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = paths.groupBy("path").agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
     return counts.orderBy(F.desc("n_sessions"), F.asc("path")).limit(20)
+
+
+@register(
+    "golden_record_customers",
+    oracle="""
+    WITH keyed AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+             regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g') AS match_key
+      FROM customer
+    ),
+    seg_votes AS (
+      SELECT match_key, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS votes
+      FROM keyed GROUP BY match_key, c_mktsegment
+    ),
+    seg_pick AS (
+      SELECT match_key, c_mktsegment FROM (
+        SELECT match_key, c_mktsegment,
+               row_number() OVER (PARTITION BY match_key
+                                  ORDER BY votes DESC, c_mktsegment) AS rn
+        FROM seg_votes) WHERE rn = 1
+    )
+    SELECT k.match_key,
+           MIN(k.c_custkey) AS golden_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sources,
+           MAX(k.c_name) AS name,
+           CAST(MAX(CAST(round(k.c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS acctbal,
+           MAX(s.c_mktsegment) AS mktsegment
+    FROM keyed k JOIN seg_pick s ON s.match_key = k.match_key
+    GROUP BY k.match_key
+    """,
+    tags=("entity_resolution", "dedup", "survivorship", "mdm"),
+)
+def golden_record_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record construction (MDM survivorship): customer rows
+    sharing a normalized match key collapse to ONE record with
+    field-level survivorship rules — smallest key as the stable
+    golden id, lexicographically-greatest name (proxy for
+    most-complete), highest balance, and MAJORITY-VOTE market segment
+    (ties → alphabetical). This is the step AFTER matching
+    (fuzzy_match_customers finds the pairs; the normalized key here
+    is the transitive-closure shortcut for equality-class matches —
+    swap in dedup_connected_clusters labels for fuzzy classes).
+
+    Plan: the vote needs its own (key, segment) aggregate +
+    WindowGroupLimit argmax; every other rule folds into ONE hash
+    aggregate on the match key — survivorship is deliberately
+    expressed as commutative aggregates (MIN/MAX/majority) precisely
+    so the merge is order-independent and distributable; rules like
+    'most recent' become max_by(ts) in the same shape. Money goes
+    through integer cents so the float column hash-matches."""
+    keyed = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment",
+        F.regexp_replace(F.lower("c_name"), "[^a-z0-9]", "").alias("match_key"),
+    )
+    votes = keyed.groupBy("match_key", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    wv = Window.partitionBy("match_key").orderBy(F.desc("votes"), F.asc("c_mktsegment"))
+    pick = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("match_key", F.col("c_mktsegment").alias("seg_pick"))
+    )
+    return (
+        keyed.join(pick, "match_key")
+        .groupBy("match_key")
+        .agg(
+            F.min("c_custkey").alias("golden_id"),
+            F.count(F.lit(1)).cast("long").alias("n_sources"),
+            F.max("c_name").alias("name"),
+            (F.max(F.round(F.col("c_acctbal") * 100).cast("long")).cast("double") / 100.0).alias("acctbal"),
+            F.max("seg_pick").alias("mktsegment"),
+        )
+    )
+
+
+_AQP_MOD = 10  # 1-in-10 deterministic hash sample
+
+
+@register(
+    "sample_estimate_audit",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, value FROM events
+      WHERE CAST('0x' || substring(md5('aqp:' || CAST(event_id AS VARCHAR)), 1, 6)
+                 AS BIGINT) % {_AQP_MOD} = 0
+    ),
+    est AS (
+      SELECT event_type,
+             CAST(COUNT(*) * {_AQP_MOD} AS BIGINT) AS est_rows,
+             CAST(SUM(CAST(round(value * 100) AS HUGEINT)) * {_AQP_MOD} AS BIGINT)
+               AS est_cents
+      FROM s GROUP BY event_type
+    ),
+    exact AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(round(value * 100) AS HUGEINT)) AS BIGINT) AS cents
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, x.n_rows, e.est_rows,
+           CAST(e.est_rows - x.n_rows AS BIGINT) AS row_err,
+           x.cents, e.est_cents,
+           CAST(e.est_cents - x.cents AS BIGINT) AS cents_err
+    FROM est e JOIN exact x ON x.event_type = e.event_type
+    """,
+    tags=("sampling", "aqp", "audit", "scale_pattern"),
+)
+def sample_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing (AQP) with its error receipt: a
+    deterministic 1-in-10 hash sample (md5 of event_id — reproducible
+    across engines AND across runs, unlike TABLESAMPLE's RNG)
+    estimates per-type row counts and revenue by inverse-probability
+    scaling; the audit joins the exact aggregates alongside and emits
+    the signed errors. At 100 TB the sample-side scan is the only
+    full-data pass you pay interactively — BlinkDB/Quickr-style
+    dashboards run on exactly this plan shape, and the honest
+    error column is what makes the speedup defensible. Hash-sampling
+    beats row-position sampling because it composes: the SAME rows
+    are sampled on every replica, so sampled JOINs stay consistent
+    (join both sides' samples on the same hashed key universe)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    cents = F.round(F.col("value") * 100).cast("decimal(38,0)")
+    sample = ev.filter(
+        F.expr(
+            f"cast(conv(substring(md5(concat('aqp:', cast(event_id as string))), 1, 6), 16, 10) as bigint) % {_AQP_MOD} = 0"
+        )
+    )
+    est = sample.groupBy("event_type").agg(
+        (F.count(F.lit(1)) * _AQP_MOD).cast("long").alias("est_rows"),
+        (F.sum(cents) * _AQP_MOD).cast("long").alias("est_cents"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(cents).cast("long").alias("cents"),
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n_rows",
+        "est_rows",
+        (F.col("est_rows") - F.col("n_rows")).cast("long").alias("row_err"),
+        "cents",
+        "est_cents",
+        (F.col("est_cents") - F.col("cents")).cast("long").alias("cents_err"),
+    )
