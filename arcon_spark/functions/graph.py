@@ -909,3 +909,125 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.alias("q_units"),
         )
     )
+
+
+_PPR_SEED = 0
+
+
+def _ppr_sql_iterations() -> str:
+    parts = []
+    prev = "r0"
+    for k in range(1, _ITERS + 1):
+        parts.append(
+            f"""c{k} AS (
+      SELECT e.dst AS node, SUM({_SQL_CONTRIB}) AS s
+      FROM edges e JOIN {prev} r ON r.node = e.src
+                   JOIN deg d ON d.node = e.src
+      GROUP BY e.dst
+    ),
+    r{k} AS (
+      SELECT n.node,
+             CASE WHEN n.node = {_PPR_SEED} THEN {_TELEPORT} ELSE 0 END
+               + COALESCE(c.s, 0) AS rank
+      FROM nodes n LEFT JOIN c{k} c ON c.node = n.node
+    )"""
+        )
+        prev = f"r{k}"
+    return ",\n    ".join(parts)
+
+
+@register(
+    "ppr_from_seed",
+    oracle=f"""
+    WITH flows AS (
+      SELECT s_nationkey AS src, c_nationkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+      WHERE s_nationkey <> c_nationkey
+      GROUP BY 1, 2
+    ),
+    edges AS (SELECT src, dst FROM flows),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
+            FROM edges GROUP BY src),
+    nodes AS (SELECT n_nationkey AS node FROM nation),
+    r0 AS (
+      SELECT node,
+             CASE WHEN node = {_PPR_SEED} THEN CAST({_UNIT} AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS rank
+      FROM nodes
+    ),
+    {{iters}}
+    SELECT node AS nationkey, rank AS ppr_units
+    FROM r{_ITERS} WHERE rank > 0
+    """.format(iters=_ppr_sql_iterations()),
+    tags=("graph", "pagerank", "iterative", "recommendation"),
+)
+def ppr_from_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from seed nation 0: the teleport mass
+    returns to THE SEED instead of spreading uniformly, so the
+    stationary mass ranks nodes by proximity-weighted reachability
+    FROM that seed — the random-walk recommendation primitive
+    (who-to-follow, related-items) rather than global importance.
+    Same integer fixed-point transition as pagerank_trade_network
+    (contributions are floor-divided units, deterministic in any
+    execution order and engine); only r0 and the teleport term
+    change. Nodes the walk cannot reach stay at exactly 0 and are
+    filtered — an exact-zero test that would be meaningless with
+    float ranks.
+
+    Scale: identical loop skeleton and costs as the global pagerank;
+    at 100 TB batch many seeds at once by adding a seed column to the
+    rank frame (the standard multi-source PPR batching)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    edges = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select("src", "dst")
+        .persist()
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    edges_deg = edges.join(
+        deg.withColumnRenamed("node", "src"), "src"
+    )
+    nodes = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node")
+    )
+    ranks = nodes.select(
+        "node",
+        F.when(F.col("node") == _PPR_SEED, F.lit(_UNIT))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank"),
+    )
+    for _ in range(_ITERS):
+        contrib = (
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            .select(F.col("dst"), F.expr(_CONTRIB).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left_outer").select(
+            "node",
+            (
+                F.when(F.col("node") == _PPR_SEED, F.lit(_TELEPORT)).otherwise(F.lit(0))
+                + F.coalesce(F.col("s"), F.lit(0))
+            ).cast("long").alias("rank"),
+        )
+    edges.unpersist()
+    return ranks.filter(F.col("rank") > 0).select(
+        F.col("node").alias("nationkey"), F.col("rank").alias("ppr_units")
+    )

@@ -771,3 +771,101 @@ def fifo_pairing_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_id",
         (F.col("purchase_id_us") - F.col("view_id_us")).alias("lag_us"),
     )
+
+
+@register(
+    "bitemporal_asof",
+    oracle=f"""
+    WITH mid AS (
+      SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS t
+      FROM (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events)
+    ),
+    versions AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(ts) AS valid_us,
+             epoch_us(ts) + CASE WHEN event_id % 5 = 0
+                                 THEN 3600000000 ELSE 0 END AS recorded_us
+      FROM {EVENTS_NORM}
+    ),
+    known_then AS (
+      SELECT user_id, event_type FROM (
+        SELECT v.user_id, v.event_type,
+               row_number() OVER (PARTITION BY v.user_id
+                                  ORDER BY v.valid_us DESC, v.event_id DESC) AS rn
+        FROM versions v, mid
+        WHERE v.valid_us <= mid.t AND v.recorded_us <= mid.t
+      ) WHERE rn = 1
+    ),
+    known_now AS (
+      SELECT user_id, event_type FROM (
+        SELECT v.user_id, v.event_type,
+               row_number() OVER (PARTITION BY v.user_id
+                                  ORDER BY v.valid_us DESC, v.event_id DESC) AS rn
+        FROM versions v, mid
+        WHERE v.valid_us <= mid.t
+      ) WHERE rn = 1
+    )
+    SELECT n.user_id,
+           t.event_type AS believed_type,
+           n.event_type AS current_type,
+           t.event_type IS DISTINCT FROM n.event_type AS corrected
+    FROM known_now n LEFT JOIN known_then t ON t.user_id = n.user_id
+    """,
+    tags=("temporal", "bitemporal", "asof", "scd2"),
+)
+def bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL as-of: each user's state at VALID time T under two
+    KNOWLEDGE horizons — 'as we believed at T' (only versions
+    recorded by T; every 5th event arrives an hour late, simulating
+    out-of-band corrections) versus 'as we know now' (all versions).
+    Rows where the two disagree are exactly the retroactive
+    corrections — the audit question ('what did the system believe
+    when it made that decision?') that one-axis SCD2
+    (scd2_user_type_history) cannot answer, and the reason financial
+    / ML-feature stores carry both axes.
+
+    Plan: ONE versions scan feeds both knowledge horizons; each
+    horizon is a filtered WindowGroupLimit argmax on the same user_id
+    partitioning (exchange reused), joined user-to-user at the end.
+    The knowledge filter is a plain predicate — pushed into the scan,
+    no extra join against a transaction-time table. All comparisons
+    in integer µs; the argmax order (valid_us, event_id) is total."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    mid = ev.agg(
+        F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").alias("t")
+    )
+    versions = ev.join(F.broadcast(mid)).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("valid_us"),
+        (
+            F.unix_micros("ts")
+            + F.when(F.col("event_id") % 5 == 0, F.lit(3_600_000_000)).otherwise(F.lit(0))
+        ).alias("recorded_us"),
+        "t",
+    ).persist()  # one scan, two knowledge horizons
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("valid_us"), F.desc("event_id")
+    )
+
+    def horizon(df: DataFrame, alias: str) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("event_type").alias(alias))
+        )
+
+    then = horizon(
+        versions.filter(
+            (F.col("valid_us") <= F.col("t")) & (F.col("recorded_us") <= F.col("t"))
+        ),
+        "believed_type",
+    )
+    now = horizon(versions.filter(F.col("valid_us") <= F.col("t")), "current_type")
+    return now.join(then, "user_id", "left").select(
+        "user_id",
+        "believed_type",
+        "current_type",
+        (~F.col("believed_type").eqNullSafe(F.col("current_type"))).alias("corrected"),
+    )

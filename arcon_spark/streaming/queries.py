@@ -2973,3 +2973,108 @@ def stream_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("bucket", "n_rows", "xor_digest")
     )
+
+
+@register(
+    "stream_distribution_drift",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT event_type, event_id % 2 AS epoch,
+             LEAST(15, CAST(round(value * 100) AS BIGINT) // 800) AS bin
+      FROM {EVENTS_NORM}
+    ),
+    bins AS (
+      SELECT event_type, bin,
+             SUM(CASE WHEN epoch = 0 THEN 1 ELSE 0 END) AS o0,
+             SUM(CASE WHEN epoch = 1 THEN 1 ELSE 0 END) AS o1
+      FROM tagged GROUP BY event_type, bin
+    ),
+    tot AS (
+      SELECT event_type, SUM(o0) AS n0, SUM(o1) AS n1
+      FROM bins GROUP BY event_type
+    )
+    SELECT b.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM((b.o1 * t.n0 - b.o0 * t.n1) * (b.o1 * t.n0 - b.o0 * t.n1)
+                    * 1000000
+                    // ((b.o0 + b.o1) * t.n0 * t.n1)) AS BIGINT) AS drift_units
+    FROM bins b JOIN tot t ON t.event_type = b.event_type
+    GROUP BY b.event_type
+    """,
+    tags=("streaming", "drift", "quality", "monitoring", "update_mode"),
+)
+def stream_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift monitor RUN BY THE STREAM: per-(type, bin, epoch)
+    histogram counts accumulate as an update-mode aggregate while the
+    two epochs arrive as separate micro-batches (batch 0 = baseline
+    traffic, batch 1 = today's); the χ² readout over the final state
+    must hash-match the batch distribution_drift_chi2 oracle. This is
+    the deployment shape of drift detection — the reference histogram
+    is state, today's counts fold in per epoch, and the alert query
+    reads the state store, never the raw history. Counts are plain
+    sums (mergeable, replay adds handled by exactly-once state);
+    the integer fixed-point χ² is computed exactly as in batch."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (F.col("event_id") % 2).alias("epoch"),
+        F.least(F.lit(15), F.expr("cast(round(value * 100) as bigint) div 800")).alias("bin"),
+    )
+    root = write_segments(
+        [ev.filter(F.col("epoch") == 0), ev.filter(F.col("epoch") == 1)]
+    )
+    out = tempfile.mkdtemp(prefix="arcon_sdd_") + "/history"
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+    agg = src.groupBy("event_type", "bin", "epoch").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+    def fb(batch_df: DataFrame, eid: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(eid)).write.mode("append").parquet(out)
+
+    def run():
+        q = (
+            agg.writeStream.foreachBatch(fb)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    _with_stream_partitions(spark, run)
+    hist = spark.read.parquet(out)
+    wlast = Window.partitionBy("event_type", "bin", "epoch").orderBy(
+        F.col("batch_id").desc()
+    )
+    state = (
+        hist.withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "bin", "epoch", "cnt")
+    )
+    bins = state.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("epoch") == 0, F.col("cnt")).otherwise(0)).alias("o0"),
+        F.sum(F.when(F.col("epoch") == 1, F.col("cnt")).otherwise(0)).alias("o1"),
+    )
+    tot = bins.groupBy("event_type").agg(
+        F.sum("o0").alias("n0"), F.sum("o1").alias("n1")
+    )
+    term = F.expr(
+        "((o1 * n0 - o0 * n1) * (o1 * n0 - o0 * n1) * 1000000)"
+        " div ((o0 + o1) * n0 * n1)"
+    )
+    return (
+        bins.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bins"),
+            F.sum(term).cast("long").alias("drift_units"),
+        )
+    )
