@@ -2362,15 +2362,26 @@ def golden_record_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("match_key", F.col("c_mktsegment").alias("seg_pick"))
     )
+    # string survivorship via WindowGroupLimit row picks, NOT MAX(string):
+    # string extrema inside a hash aggregate demote the whole aggregate to
+    # SortAggregate (MEASURE.md session-5; banned registry-wide)
+    wn = Window.partitionBy("match_key").orderBy(F.desc("c_name"), F.asc("c_custkey"))
+    name_pick = (
+        keyed.withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") == 1)
+        .select("match_key", F.col("c_name").alias("name"))
+    )
+    base = keyed.groupBy("match_key").agg(
+        F.min("c_custkey").alias("golden_id"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        (F.max(F.round(F.col("c_acctbal") * 100).cast("long")).cast("double") / 100.0).alias("acctbal"),
+    )
     return (
-        keyed.join(pick, "match_key")
-        .groupBy("match_key")
-        .agg(
-            F.min("c_custkey").alias("golden_id"),
-            F.count(F.lit(1)).cast("long").alias("n_sources"),
-            F.max("c_name").alias("name"),
-            (F.max(F.round(F.col("c_acctbal") * 100).cast("long")).cast("double") / 100.0).alias("acctbal"),
-            F.max("seg_pick").alias("mktsegment"),
+        base.join(name_pick, "match_key")
+        .join(pick, "match_key")
+        .select(
+            "match_key", "golden_id", "n_sources", "name", "acctbal",
+            F.col("seg_pick").alias("mktsegment"),
         )
     )
 

@@ -294,3 +294,39 @@ def test_modularity_partitions_nodes_and_bounds_q(spark, sf_dir):
     # the community's complete-graph capacity
     for r in rows:
         assert r["internal_edges"] <= r["n_nodes"] * (r["n_nodes"] - 1) // 2
+
+
+def test_bitemporal_corrections_trace_to_late_versions(spark, sf_dir):
+    """Every `corrected` user's winning as-of-now version must be one
+    that was RECORDED after the knowledge horizon (the %5 late
+    versions) — corrections never appear without a late record."""
+    from arcon_spark.operators.temporal import bitemporal_asof
+
+    rows = {r["user_id"]: r for r in bitemporal_asof(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    ).collect()
+    tmin = min(r["us"] for r in ev)
+    tmax = max(r["us"] for r in ev)
+    t = (tmin + tmax) // 2
+    by_user: dict[int, list] = {}
+    for r in ev:
+        if r["us"] <= t:
+            by_user.setdefault(r["user_id"], []).append(r)
+    for uid, versions in by_user.items():
+        now_win = max(versions, key=lambda r: (r["us"], r["event_id"]))
+        row = rows[uid]
+        assert row["current_type"] == now_win["event_type"]
+        if row["corrected"]:
+            rec = now_win["us"] + (3_600_000_000 if now_win["event_id"] % 5 == 0 else 0)
+            assert rec > t  # the winner was not yet known at T
+
+
+def test_ppr_seed_dominates_and_nonnegative(spark, sf_dir):
+    from arcon_spark.functions.graph import _PPR_SEED, _TELEPORT, ppr_from_seed
+
+    rows = {r["nationkey"]: r["ppr_units"] for r in ppr_from_seed(spark, sf_dir).collect()}
+    assert all(v > 0 for v in rows.values())
+    # the seed receives the full teleport mass every round on top of
+    # walk-back mass — it must carry at least that floor
+    assert rows[_PPR_SEED] >= _TELEPORT

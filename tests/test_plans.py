@@ -287,6 +287,10 @@ def test_no_cartesian_and_bnlj_allowlisted(spark, sf_dir):
         "theil_sen_hourly_trend",
         # 1-row broadcast of the time-range midpoint (treat/post split)
         "diff_in_diff_events",
+        # 1-row broadcasts of median/MAD thresholds and the bitemporal
+        # knowledge horizon
+        "stl_residual_anomalies",
+        "bitemporal_asof",
         # 1-row broadcast of the all-pairs volume total (strong-tie cut)
         "graph_link_prediction",
         "graph_modularity",
