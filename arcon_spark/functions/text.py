@@ -1778,3 +1778,87 @@ def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("neutral")
         .alias("label"),
     )
+
+
+# ---------------------------------------------------------------------------
+# full-text search serving: conjunctive (AND) term query + tf-idf ranking
+# ---------------------------------------------------------------------------
+
+_SEARCH_TERMS = ("data", "join", "stream")
+_SEARCH_K = 15
+_IDF_SCALE = 1_000_000
+
+
+@register(
+    "text_search_and_rank",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE token IN ({", ".join(f"'{t}'" for t in _SEARCH_TERMS)})
+      GROUP BY doc_id, token
+    ),
+    n_docs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    hits AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_terms,
+             SUM(t.tf * ((n.n * {_IDF_SCALE}) // d.df)) AS score_units
+      FROM tf t JOIN dfreq d ON d.token = t.token, n_docs n
+      GROUP BY t.doc_id
+      HAVING COUNT(*) = {len(_SEARCH_TERMS)}
+    )
+    SELECT doc_id, score_units FROM hits
+    QUALIFY row_number() OVER (ORDER BY score_units DESC, doc_id) <= {_SEARCH_K}
+    """,
+    tags=("text", "search", "retrieval", "topk"),
+)
+def text_search_and_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text conjunctive search with tf-idf ranking: docs
+    containing ALL query terms ('data' AND 'join' AND 'stream'),
+    ranked by Σ tf·idf in integer fixed-point (idf = N·10⁶ div df —
+    floor-divided once per TERM, then multiplied by integer tf, so
+    scores are exact longs). The serving-side counterpart of the
+    indexing passes already registered (vocab/tfidf are the index
+    builders; this is the query executor).
+
+    Plan: the term filter is pushed INTO the token explode
+    (`token IN (...)` — only query-term postings materialize, the
+    inverted-index read amplification model), the AND is a
+    HAVING count = |terms| on the per-doc aggregate (no
+    |terms|-way self-join), document frequencies are a 3-row
+    broadcast, top-k is TakeOrdered. At 100 TB with a prebuilt
+    postings table this plan starts at the tf frame — identical from
+    there on; 1000 concurrent queries batch as one multi-term scan
+    with a query_id column."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    terms = list(_SEARCH_TERMS)
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+        )
+        .filter(F.col("token").isin(terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    hits = (
+        tf.join(F.broadcast(dfreq), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(
+                F.col("tf") * F.expr(f"({n_docs}L * {_IDF_SCALE}) div df")
+            ).alias("score_units"),
+        )
+        .filter(F.col("n_terms") == len(terms))
+    )
+    return (
+        hits.select("doc_id", "score_units")
+        .orderBy(F.desc("score_units"), F.asc("doc_id"))
+        .limit(_SEARCH_K)
+    )

@@ -3078,3 +3078,74 @@ def stream_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(term).cast("long").alias("drift_units"),
         )
     )
+
+
+@register(
+    "stream_union_two_sources",
+    oracle=f"""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM {EVENTS_NORM}
+    WHERE event_type IN ('view', 'purchase')
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "union", "watermark", "multi_source", "survey2.1"),
+)
+def stream_union_two_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO independent streaming sources unioned into one windowed
+    aggregate — the multi-source topology whose correctness hinges on
+    Spark tracking the GLOBAL watermark as the MIN across sources
+    (the reference's watermark min-alignment across input channels,
+    arcon/src/stream/node/mod.rs watermark handling): the view tape
+    and the purchase tape deliver THE SAME hours in opposite segment
+    order, so at every trigger one source lags the other by an hour
+    of event time; only min-alignment keeps windows open until both
+    sides arrive. Each source is its own readStream (two independent
+    file trackers, two offset logs); the union then windows per
+    (hour, type) in update mode, and the final per-key state must
+    equal the batch truth."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    views = ev.filter(F.col("event_type") == "view")
+    purch = ev.filter(F.col("event_type") == "purchase")
+    half = F.col("event_id") % 2 == 0
+    root_v = write_segments([views.filter(half), views.filter(~half)])
+    # opposite delivery order: purchases send the second half FIRST
+    root_p = write_segments([purch.filter(~half), purch.filter(half)])
+    out = tempfile.mkdtemp(prefix="arcon_su2_") + "/history"
+
+    def src(root: str) -> DataFrame:
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(root)
+        )
+
+    unioned = src(root_v).unionByName(src(root_p))
+    agg = unioned.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    def fb(batch_df: DataFrame, eid: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(eid)).write.mode("append").parquet(out)
+
+    def run():
+        q = (
+            agg.writeStream.foreachBatch(fb)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    _with_stream_partitions(spark, run)
+    hist = spark.read.parquet(out)
+    wlast = Window.partitionBy("hour", "event_type").orderBy(F.col("batch_id").desc())
+    return (
+        hist.withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select("hour", "event_type", "n")
+    )
