@@ -2582,3 +2582,99 @@ def stl_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ad").cast("long").alias("abs_dev_units"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# revenue bridge (price-volume-mix decomposition between two periods)
+# ---------------------------------------------------------------------------
+
+_PVM_SCALE = 1_000_000
+
+
+@register(
+    "revenue_bridge_analysis",
+    oracle=f"""
+    WITH halves AS (
+      SELECT c_mktsegment AS segment,
+             CASE WHEN o_orderdate < (SELECT MIN(o_orderdate)
+                                      + to_days(CAST((CAST(MAX(o_orderdate) AS DATE)
+                                          - CAST(MIN(o_orderdate) AS DATE)) // 2 AS INTEGER))
+                                      FROM orders)
+                  THEN 1 ELSE 2 END AS period,
+             CAST(round(o_totalprice * 100) AS HUGEINT) AS cents
+      FROM orders JOIN customer ON c_custkey = o_custkey
+    ),
+    agg AS (
+      SELECT segment,
+             SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN period = 2 THEN 1 ELSE 0 END) AS n2,
+             SUM(CASE WHEN period = 1 THEN cents ELSE 0 END) AS c1,
+             SUM(CASE WHEN period = 2 THEN cents ELSE 0 END) AS c2
+      FROM halves GROUP BY segment
+    )
+    SELECT segment,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(c1 AS BIGINT) AS c1_cents, CAST(c2 AS BIGINT) AS c2_cents,
+           CAST(c2 - c1 AS BIGINT) AS delta_cents,
+           CAST((n2 - n1) * (c1 * {_PVM_SCALE} // n1) // {_PVM_SCALE} AS BIGINT)
+             AS volume_effect_cents,
+           CAST(n1 * (c2 * {_PVM_SCALE} // n2 - c1 * {_PVM_SCALE} // n1)
+                // {_PVM_SCALE} AS BIGINT) AS rate_effect_cents
+    FROM agg WHERE n1 > 0 AND n2 > 0
+    """,
+    tags=("analytics", "reporting", "bridge", "pvm"),
+)
+def revenue_bridge_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue bridge (price-volume-mix): per market segment, the
+    half-over-half revenue change decomposed into a VOLUME effect
+    (order-count change at the old average ticket) and a RATE effect
+    (old volume at the new-vs-old average ticket) — the FP&A
+    waterfall that answers "did we sell more, or sell bigger?".
+    Averages are integer fixed-point (cents·10⁶ div n) and each
+    effect is one more integer multiply + floor-divide, so both
+    engines emit identical longs; the cross term (Δn·Δavg) is the
+    arithmetic remainder delta − volume − rate, reconstructable by
+    the consumer, so no rounding ambiguity hides in the bridge.
+
+    Plan: broadcast 1-row date midpoint, one fact scan → one
+    (segment, period) conditional aggregate (the halves never
+    shuffle separately), effects are a projection. Same shape at any
+    number of periods — add a period column and a lag window."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)").alias("cents"),
+    )
+    mid = orders.agg(
+        F.expr(
+            "date_add(min(o_orderdate), cast((datediff(max(o_orderdate), min(o_orderdate)) div 2) as int))"
+        ).alias("mid")
+    )
+    halves = orders.join(F.broadcast(mid)).join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("o_orderdate") < F.col("mid"), 1).otherwise(2).alias("period"),
+        "cents",
+    )
+    agg = halves.groupBy("segment").agg(
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("period") == 2, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("period") == 1, F.col("cents")).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("period") == 2, F.col("cents")).otherwise(0)).alias("c2"),
+    )
+    return agg.filter((F.col("n1") > 0) & (F.col("n2") > 0)).select(
+        "segment",
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("c1").cast("long").alias("c1_cents"),
+        F.col("c2").cast("long").alias("c2_cents"),
+        (F.col("c2") - F.col("c1")).cast("long").alias("delta_cents"),
+        F.expr(
+            f"cast((n2 - n1) * (c1 * {_PVM_SCALE} div n1) div {_PVM_SCALE} as bigint)"
+        ).alias("volume_effect_cents"),
+        F.expr(
+            f"cast(n1 * (c2 * {_PVM_SCALE} div n2 - c1 * {_PVM_SCALE} div n1)"
+            f" div {_PVM_SCALE} as bigint)"
+        ).alias("rate_effect_cents"),
+    )
