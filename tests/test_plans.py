@@ -291,6 +291,8 @@ def test_no_cartesian_and_bnlj_allowlisted(spark, sf_dir):
         # knowledge horizon
         "stl_residual_anomalies",
         "bitemporal_asof",
+        # 1-row broadcast of the date-range midpoint (period split)
+        "revenue_bridge_analysis",
         # 1-row broadcast of the all-pairs volume total (strong-tie cut)
         "graph_link_prediction",
         "graph_modularity",
