@@ -456,3 +456,58 @@ def windowed_distinct_users_bitmap(spark: SparkSession, sf_dir: str) -> DataFram
             "distinct_users_3h",
         )
     )
+
+
+@register(
+    "cumulative_distinct_users",
+    oracle=f"""
+    WITH hours AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS hour FROM {EVENTS_NORM}
+    ),
+    firsts AS (
+      SELECT user_id, MIN(date_trunc('hour', ts)) AS first_hour
+      FROM {EVENTS_NORM} GROUP BY user_id
+    ),
+    new_per_hour AS (
+      SELECT first_hour AS hour, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM firsts GROUP BY first_hour
+    )
+    SELECT h.hour, COALESCE(n.new_users, 0) AS new_users,
+           CAST(SUM(COALESCE(n.new_users, 0))
+                OVER (ORDER BY h.hour ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS users_to_date
+    FROM hours h LEFT JOIN new_per_hour n ON n.hour = h.hour
+    """,
+    tags=("window", "distinct", "cumulative", "survey2.4"),
+)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per hour (the users-to-date curve) —
+    the EXPANDING-window COUNT(DISTINCT) — via the identity
+    *cumulative distinct ≡ running sum of first occurrences*: one
+    MIN(hour) per user (hash agg, map-side partials), one count per
+    first-hour, one running sum over the tiny hour frame. The naive
+    plan re-deduplicates an ever-growing prefix per output hour
+    (O(h·n) work, exactly what the oracle's formulation would be if
+    written directly); first-occurrence reduction does ONE pass over
+    the data and all window machinery runs on |hours| rows.
+
+    This is the third distinct-counting shape: bitmap OR merges
+    arbitrary window frames (windowed_distinct_users_bitmap), KMV
+    estimates unbounded sets in O(k), and first-seen reduction is
+    EXACT for the expanding frame specifically — the cheapest of the
+    three when the frame never closes. Left-join keeps zero-new-user
+    hours on the curve."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hour"), "user_id"
+    )
+    hours = ev.select("hour").distinct()
+    firsts = ev.groupBy("user_id").agg(F.min("hour").alias("hour"))
+    new_per_hour = firsts.groupBy("hour").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        hours.join(new_per_hour, "hour", "left")
+        .select("hour", F.coalesce("new_users", F.lit(0)).alias("new_users"))
+        .withColumn("users_to_date", F.sum("new_users").over(w).cast("long"))
+    )

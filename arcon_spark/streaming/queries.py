@@ -3149,3 +3149,87 @@ def stream_union_two_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("hour", "event_type", "n")
     )
+
+
+@register(
+    "stream_cumulative_distinct",
+    oracle=f"""
+    WITH hours AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS hour FROM {EVENTS_NORM}
+    ),
+    firsts AS (
+      SELECT user_id, MIN(date_trunc('hour', ts)) AS first_hour
+      FROM {EVENTS_NORM} GROUP BY user_id
+    ),
+    new_per_hour AS (
+      SELECT first_hour AS hour, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM firsts GROUP BY first_hour
+    )
+    SELECT h.hour, COALESCE(n.new_users, 0) AS new_users,
+           CAST(SUM(COALESCE(n.new_users, 0))
+                OVER (ORDER BY h.hour ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS users_to_date
+    FROM hours h LEFT JOIN new_per_hour n ON n.hour = h.hour
+    """,
+    tags=("streaming", "distinct", "cumulative", "update_mode", "survey2.4"),
+)
+def stream_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The users-to-date curve maintained BY THE STREAM: per-user
+    MIN(first hour) runs as an update-mode aggregate (MIN is the
+    mergeable first-seen state — a late batch can only move a user's
+    first hour EARLIER, and the state store replays the smaller
+    value), with the two micro-batches deliberately split so half of
+    each user's events arrive in each epoch. Readout: latest state
+    per user → count per first-hour → running sum, hash-matched
+    against the batch identity (cumulative_distinct_users). State is
+    one timestamp per user — the minimum any exact distinct-to-date
+    needs — versus the naive stream that would carry the full seen-id
+    set per hour."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.date_trunc("hour", "ts").alias("hour"), "user_id"
+    )
+    root = write_segments(
+        [ev.filter(F.col("event_id") % 2 == 0), ev.filter(F.col("event_id") % 2 == 1)]
+    )
+    out = tempfile.mkdtemp(prefix="arcon_scd2u_") + "/history"
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+    agg = src.groupBy("user_id").agg(F.min("hour").alias("first_hour"))
+
+    def fb(batch_df: DataFrame, eid: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(eid)).write.mode("append").parquet(out)
+
+    def run():
+        q = (
+            agg.writeStream.foreachBatch(fb)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    _with_stream_partitions(spark, run)
+    hist = spark.read.parquet(out)
+    wlast = Window.partitionBy("user_id").orderBy(F.col("batch_id").desc())
+    firsts = (
+        hist.withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "first_hour")
+    )
+    new_per_hour = firsts.groupBy(F.col("first_hour").alias("hour")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    hours = ev.select("hour").distinct()
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        hours.join(new_per_hour, "hour", "left")
+        .select("hour", F.coalesce("new_users", F.lit(0)).alias("new_users"))
+        .withColumn("users_to_date", F.sum("new_users").over(w).cast("long"))
+    )
