@@ -415,6 +415,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SCALE = 10_000_000  # float32 has ~7 significant decimals
+_COS_BLOCKS = 8  # block-matmul grid; tune ≈ sqrt(corpus_rows·dim·8B / task_mem)
 
 # exact integer dot product of two float arrays (order-independent)
 _INT_DOT = (
@@ -458,43 +459,77 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.3 for this synthetic
     corpus). Components are scaled to integers (float32 is exact at 1e7)
     so dot products are exact longs — bit-identical across engines and
-    partition orders. Execution: one int64 numpy matmul per Arrow batch
-    against the full (small) matrix shipped in the closure — exact
-    brute force as the correctness baseline; the sub-O(n²) scale paths
-    are ann_lsh_bucketed / ann_ivf_topk in functions.similarity."""
-    from collections.abc import Iterator
+    partition orders.
 
+    Execution: fully distributed exact block-matmul — NO driver
+    collect. Vectors are hashed into B = _COS_BLOCKS blocks by
+    pmod(vec_id, B); every unordered block pair (i<=j) becomes one
+    group, each vector is replicated to the B+1 groups it participates
+    in (explode of a sequence — one shuffle on the (i,j) grid key), and
+    each group does one int64 numpy matmul of (n/B × n/B). Task memory
+    is 2·(n/B)·dim·8 bytes regardless of corpus size; scaling to 100 TB
+    means raising B, not the driver's RAM. The sub-O(n²) approximate
+    paths are ann_lsh_bucketed / ann_ivf_topk / semdedup_embeddings in
+    functions.similarity; this is the exact baseline they are recalled
+    against."""
     import numpy as np
     import pandas as pd
 
     from arcon_spark.functions.similarity import _int_matrix
     from arcon_spark.io import spread as _spread
 
+    B = _COS_BLOCKS
     emb = _spread(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
-    all_rows = emb.collect()
-    all_ids = np.array([r.vec_id for r in all_rows], dtype=np.int64)
-    M = _int_matrix(pd.Series([r.embedding for r in all_rows]))
-    mn = np.sqrt((M * M).sum(axis=1).astype(np.float64))
+    blk = emb.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(B)).cast("int"))
+    # A-side: vector in block i serves every pair (i, j>=i); B-side: every (i<=j, j).
+    a_side = blk.select(
+        F.col("blk").alias("pi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(B - 1))).alias("pj"),
+        F.lit("a").alias("side"),
+        "vec_id",
+        "embedding",
+    )
+    b_side = blk.select(
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("pi"),
+        F.col("blk").alias("pj"),
+        F.lit("b").alias("side"),
+        "vec_id",
+        "embedding",
+    )
+    tiles = a_side.unionByName(b_side)
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            A = _int_matrix(pdf["embedding"])
-            an = np.sqrt((A * A).sum(axis=1).astype(np.float64))
-            aids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            cos = (A @ M.T).astype(np.float64) / (an[:, None] * mn[None, :])
-            ai, bi = np.nonzero((cos >= 0.3) & (aids[:, None] < all_ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "vec_a": aids[ai],
-                    "vec_b": all_ids[bi],
-                    "cosine": cos[ai, bi],
-                }
+    def tile(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pi, pj = int(key[0]), int(key[1])
+        am = pdf["side"].to_numpy() == "a"
+        ap, bp = pdf[am], pdf[~am]
+        if ap.empty or bp.empty:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
             )
+        A = _int_matrix(ap["embedding"])
+        Bm = _int_matrix(bp["embedding"])
+        aids = ap["vec_id"].to_numpy(dtype=np.int64)
+        bids = bp["vec_id"].to_numpy(dtype=np.int64)
+        an = np.sqrt((A * A).sum(axis=1).astype(np.float64))
+        bn = np.sqrt((Bm * Bm).sum(axis=1).astype(np.float64))
+        cos = (A @ Bm.T).astype(np.float64) / (an[:, None] * bn[None, :])
+        # diagonal tile holds block i on both sides: strict < dedupes and
+        # drops self-pairs; off-diagonal blocks are disjoint id sets, so
+        # min/max canonicalisation emits each cross pair exactly once.
+        ai, bi = np.nonzero((cos >= 0.3) & (aids[:, None] < bids[None, :]))
+        out = [pd.DataFrame({"vec_a": aids[ai], "vec_b": bids[bi], "cosine": cos[ai, bi]})]
+        if pi != pj:
+            ai2, bi2 = np.nonzero((cos >= 0.3) & (aids[:, None] > bids[None, :]))
+            out.append(
+                pd.DataFrame({"vec_a": bids[bi2], "vec_b": aids[ai2], "cosine": cos[ai2, bi2]})
+            )
+        return pd.concat(out, ignore_index=True)
 
-    return emb.mapInPandas(gen, "vec_a long, vec_b long, cosine double")
+    return tiles.groupBy("pi", "pj").applyInPandas(tile, "vec_a long, vec_b long, cosine double")
 
 
 _JACCARD_T = 0.6
+_CC_CHECKPOINT_EVERY = 3  # localCheckpoint cadence for iterative label loops
 
 
 @register(
@@ -538,20 +573,27 @@ def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: this is the standard large-graph CC loop — each iteration
     is one join + aggregate on (edges ⋈ labels); rounds ≈ component
-    diameter (near-dup clusters are shallow); at 100 TB checkpoint the
-    label frame every few rounds to cut lineage. Deterministic: min-id
+    diameter (near-dup clusters are shallow). Lineage hygiene: the
+    label frame is localCheckpoint()ed every _CC_CHECKPOINT_EVERY
+    rounds so the plan (and recovery recompute) stays O(1) in round
+    count instead of O(rounds) — without it downstream consumers
+    (dedup_kept_corpus, corpus_curation_report) inherited 300+-shuffle
+    plans and quadratic driver compile time. Deterministic: min-id
     labels converge to the same fixpoint in any execution order."""
     jac = dedup_ngram_jaccard(spark, sf_dir).filter(F.col("jaccard") >= _JACCARD_T)
     fwd = jac.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     edges = fwd.union(jac.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
-    edges = edges.persist()
+    # the edge list is consumed once per round: materialize it ONCE and
+    # cut its (shingle→hash→band→join) lineage so each round's plan —
+    # and every downstream consumer's — starts from a flat RDD scan
+    edges = edges.localCheckpoint(eager=True)
 
     labels = (
         load_table(spark, sf_dir, "documents")
         .select(F.col("doc_id"), F.col("doc_id").alias("cluster_id"))
         .persist()
     )
-    for _ in range(20):  # diameter bound; near-dup clusters are tiny
+    for rnd in range(20):  # diameter bound; near-dup clusters are tiny
         neighbor_min = (
             edges.join(labels, edges.b == labels.doc_id)
             .groupBy(F.col("a").alias("doc_id"))
@@ -577,8 +619,17 @@ def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
-    return labels.select("doc_id", "cluster_id")
+        if (rnd + 1) % _CC_CHECKPOINT_EVERY == 0:
+            # truncate lineage: the plan downstream of this point no
+            # longer references the previous rounds' join chain
+            chk = labels.localCheckpoint(eager=True)
+            labels.unpersist()
+            labels = chk
+    # hand downstream consumers (dedup_kept_corpus, the curation report)
+    # a flat checkpointed frame, not N rounds of join lineage
+    out = labels.select("doc_id", "cluster_id").localCheckpoint(eager=True)
+    labels.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1590,27 +1641,67 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH's bucket blowup on skewed keys, and there is NO quadratic
     bucket risk by construction.
 
-    Scale shape: the sort is `repartitionByRange` + local sort (Spark's
-    native total-order machinery); lead() windows need only w-1 rows of
-    cross-partition lookahead. The verify stage joins candidates to the
-    shingle index on doc_id — pushdown-friendly semi-joins, integer
-    counts, one float division at the end. The classic multi-pass SNM
-    (several sort keys to catch prefix-divergent dups) is this operator
-    unioned over key variants; pairs found here are a strict audit
-    complement to dedup_minhash_lsh_pairs (prefix-local dups LSH can
-    miss at low signature budgets)."""
+    Scale shape — SHARDED sort, not a single global window: rows are
+    range-bucketed on the first sort_key character (bucket order ≡ key
+    order), lead() runs inside each bucket's partition, and the w-1
+    rows of cross-bucket lookahead are supplied by a boundary stitch:
+    each bucket's head/tail rows (≤ 2(w-1) per bucket, O(#buckets·w)
+    total — independent of corpus size) are unioned into one tiny
+    frame where a global lead() recovers every tail row's true
+    successors. A tail row's k-th global successor (k < w) is always
+    either a later tail row of its own bucket or a head row of a
+    following bucket, so the stitch set is closed — the candidate set
+    is exactly the one a true global sort would produce. The verify
+    stage joins candidates to the shingle index on doc_id —
+    pushdown-friendly semi-joins, integer counts, one float division
+    at the end. The classic multi-pass SNM (several sort keys to catch
+    prefix-divergent dups) is this operator unioned over key variants;
+    pairs found here are a strict audit complement to
+    dedup_minhash_lsh_pairs (prefix-local dups LSH can miss at low
+    signature budgets)."""
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     keyed = docs.select(
         "doc_id",
         F.substring(
             F.regexp_replace(F.lower("text"), "[^a-z0-9]", ""), 1, 40
         ).alias("sort_key"),
-    )
-    w = Window.orderBy("sort_key", "doc_id")
-    nbr = keyed.select(
+    ).withColumn("bkt", F.substring("sort_key", 1, 1))
+
+    wb = Window.partitionBy("bkt").orderBy("sort_key", "doc_id")
+    local = keyed.select(
         "doc_id",
-        F.lead("doc_id", 1).over(w).alias("n1"),
-        F.lead("doc_id", 2).over(w).alias("n2"),
+        "sort_key",
+        "bkt",
+        F.lead("doc_id", 1).over(wb).alias("n1"),
+        F.lead("doc_id", 2).over(wb).alias("n2"),
+        F.row_number().over(wb).alias("rn"),
+        F.row_number()
+        .over(Window.partitionBy("bkt").orderBy(F.desc("sort_key"), F.desc("doc_id")))
+        .alias("rn_desc"),
+    ).persist()
+
+    # boundary stitch: heads ∪ tails of every bucket, globally ordered —
+    # a bounded O(#buckets·(w-1)) frame, NOT an O(n) single-partition sort
+    small = local.filter((F.col("rn") <= _SNM_W - 1) | (F.col("rn_desc") <= _SNM_W - 1))
+    ws = Window.orderBy("sort_key", "doc_id")
+    stitch = (
+        small.select(
+            "doc_id",
+            "sort_key",
+            "rn_desc",
+            F.lead("doc_id", 1).over(ws).alias("s1"),
+            F.lead("doc_id", 2).over(ws).alias("s2"),
+        )
+        .filter(F.col("rn_desc") <= _SNM_W - 1)
+        .select("doc_id", "s1", "s2")
+    )
+    nbr = (
+        local.join(stitch, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n1", "s1").alias("n1"),
+            F.coalesce("n2", "s2").alias("n2"),
+        )
     )
     cand = (
         nbr.select("doc_id", F.explode(F.array("n1", "n2")).alias("nb"))

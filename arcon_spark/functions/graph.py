@@ -402,13 +402,19 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("node", F.col("lab").alias("newlab"))
         )
+        prev = labels
+        # eager checkpoint: materializes this round (labels is consumed
+        # twice next round), truncates lineage, and lets the superseded
+        # round's cache be dropped instead of accumulating per round
         labels = (
             labels.join(winner, "node", "left")
             .select(
                 "node", F.coalesce(F.col("newlab"), F.col("lab")).alias("lab")
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
+        prev.unpersist()
+    undirected.unpersist()
     return labels.select(
         F.col("node").alias("nationkey"), F.col("lab").alias("community")
     )
@@ -621,12 +627,16 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_KCORE_ROUNDS):
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= _KCORE_K).select(F.col("src").alias("node"))
+        prev = edges
+        # eager checkpoint then drop the superseded round's cache —
+        # the peel loop otherwise stacks one cached edge frame per round
         edges = (
             edges.join(F.broadcast(keep).withColumnRenamed("node", "src"), "src")
             .join(F.broadcast(keep).withColumnRenamed("node", "dst"), "dst")
             .select("src", "dst")
-            .persist()
+            .localCheckpoint(eager=True)
         )
+        prev.unpersist()
     return (
         edges.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
@@ -871,11 +881,13 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("node", F.col("lab").alias("new_lab"))
         )
+        prev = labels
         labels = (
             labels.join(best, "node", "left")
             .select("node", F.coalesce("new_lab", "lab").alias("lab"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
+        prev.unpersist()
     m_edges = und.count() // 2
     la = labels.select(F.col("node").alias("src"), F.col("lab").alias("lab_a"))
     lb = labels.select(F.col("node").alias("dst"), F.col("lab").alias("lab_b"))

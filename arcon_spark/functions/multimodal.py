@@ -694,3 +694,120 @@ def multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vid_a", "vid_b", "n_common", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= _VDUP_T)
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL codec round trips (round 2): the decode stage runs an actual
+# PNG / WAV implementation (arcon_spark.functions.codecs — stdlib-only,
+# spec-conformant), not the deterministic fake. Each doc's text bytes
+# become pixels / PCM samples, travel through the real container
+# format, and must come back digest-identical.
+# ---------------------------------------------------------------------------
+
+_PNG_W = 48  # RGB columns -> stride 144 bytes per row
+
+
+@register(
+    "multimodal_png_roundtrip",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_PNG_W} AS INTEGER) AS width,
+           CAST(greatest(1, (octet_length(encode(text)) + {_PNG_W * 3 - 1})
+                            // {_PNG_W * 3}) AS INTEGER) AS height,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest
+    FROM documents
+    """,
+    tags=("multimodal", "codec", "png"),
+)
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-format round trip: each document's utf-8 bytes are
+    laid out as 8-bit RGB pixels (width 48, zero-padded final row),
+    encoded to a spec-conformant PNG (chunk CRCs, zlib IDAT, scanline
+    filtering — functions/codecs.py), then DECODED back by the PNG
+    parser; the recovered leading n_bytes must hash to md5(text). The
+    oracle computes geometry + digest from the raw table, so a
+    hash-match proves the codec is lossless on real format bytes —
+    the un-stubbed form of the round-1 decode_image_stub path. Runs
+    as one Arrow-batched mapInPandas stage, no shuffle before the
+    final projection."""
+    import hashlib
+
+    from arcon_spark.functions.codecs import png_decode, png_encode
+
+    stride = _PNG_W * 3
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: dict[str, list] = {"doc_id": [], "width": [], "height": [], "n_bytes": [], "digest": []}
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                n = len(data)
+                height = max(1, -(-n // stride))
+                padded = data + b"\x00" * (stride * height - n)
+                png = png_encode(padded, _PNG_W, height, color_type=2, filter_type=(n % 5))
+                dec = png_decode(png)
+                recovered = dec["pixels"][:n]
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(dec["width"])
+                rows["height"].append(dec["height"])
+                rows["n_bytes"].append(n)
+                rows["digest"].append(hashlib.md5(recovered).hexdigest())
+        yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        rt, "doc_id long, width int, height int, n_bytes long, digest string"
+    )
+
+
+_WAV_RATE = 16000
+
+
+@register(
+    "multimodal_wav_roundtrip",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_WAV_RATE} AS BIGINT) AS sample_rate,
+           CAST((octet_length(encode(text)) + 1) // 2 AS BIGINT) AS n_samples,
+           CAST(((octet_length(encode(text)) + 1) // 2) * 1000 // {_WAV_RATE}
+                AS BIGINT) AS duration_ms,
+           md5(text) AS digest
+    FROM documents
+    """,
+    tags=("multimodal", "codec", "wav", "audio"),
+)
+def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-container round trip: text bytes as 16-bit PCM mono
+    samples inside a RIFF/WAVE file (functions/codecs.py), parsed back
+    by the chunk walker; the recovered data chunk's leading n bytes
+    must hash to md5(text), and sample count / duration derive from
+    the parsed header, not the input. Proves the container framing
+    (chunk sizes, word alignment, fmt fields) is implemented right."""
+    import hashlib
+
+    from arcon_spark.functions.codecs import wav_encode, wav_parse
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: dict[str, list] = {
+            "doc_id": [], "sample_rate": [], "n_samples": [], "duration_ms": [], "digest": []
+        }
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                n = len(data)
+                pcm = data + (b"\x00" if n % 2 else b"")
+                wav = wav_encode(pcm, sample_rate=_WAV_RATE, channels=1, bits=16)
+                parsed = wav_parse(wav)
+                rows["doc_id"].append(int(doc_id))
+                rows["sample_rate"].append(parsed["sample_rate"])
+                rows["n_samples"].append(parsed["n_samples"])
+                rows["duration_ms"].append(parsed["n_samples"] * 1000 // parsed["sample_rate"])
+                rows["digest"].append(hashlib.md5(parsed["pcm"][:n]).hexdigest())
+        yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        rt, "doc_id long, sample_rate long, n_samples long, duration_ms long, digest string"
+    )

@@ -1015,35 +1015,31 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: counters aggregate to {D}×{W} longs (broadcastable
     always); the token stream is touched once; estimates need no
-    second corpus pass. All hashing is md5 → cross-engine identical."""
+    second corpus pass. All hashing is md5 → cross-engine identical.
+    THREE shuffles total: the vocab aggregate, ONE (d, bucket)
+    aggregate over depth-exploded vocab rows (was one groupBy per
+    depth row), and the tiny probe merge; top-K goes through
+    TakeOrderedAndProject (per-partition partial top-K), never a
+    global row_number sort."""
     docs = load_table(spark, sf_dir, "documents").select("text")
     vocab = (
         docs.select(F.explode(F.expr(_TOKS)).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .persist()  # feeds the counter build AND the top-K probe side
     )
-    counters = None
-    for d in range(_CMS_D):
-        c = vocab.groupBy(F.expr(_cms_bucket(d, "tok")).alias("bucket")).agg(
-            F.sum("freq").alias("cnt")
-        ).select(F.lit(d).alias("d"), "bucket", "cnt")
-        counters = c if counters is None else counters.unionAll(c)
-    top = (
-        vocab.withColumn(
-            "rk", F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("tok")))
-        )
-        .filter(F.col("rk") <= _CMS_TOP)
-        .drop("rk")
+    depth_rows = ", ".join(
+        f"struct({d}L as d, {_cms_bucket(d, 'tok')} as bucket)" for d in range(_CMS_D)
     )
-    probes = None
-    for d in range(_CMS_D):
-        p = top.select(
-            "tok",
-            "freq",
-            F.lit(d).alias("d"),
-            F.expr(_cms_bucket(d, "tok")).alias("bucket"),
-        )
-        probes = p if probes is None else probes.unionAll(p)
+    counters = (
+        vocab.select(F.explode(F.expr(f"array({depth_rows})")).alias("db"), "freq")
+        .groupBy(F.col("db.d").alias("d"), F.col("db.bucket").alias("bucket"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    top = vocab.orderBy(F.desc("freq"), F.asc("tok")).limit(_CMS_TOP)
+    probes = top.select(
+        "tok", "freq", F.explode(F.expr(f"array({depth_rows})")).alias("db")
+    ).select("tok", "freq", F.col("db.d").alias("d"), F.col("db.bucket").alias("bucket"))
     return (
         probes.join(F.broadcast(counters), ["d", "bucket"])
         .groupBy("tok", "freq")

@@ -866,8 +866,13 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange is Σ per-column distinct values, not k×rows. Hot columns
     with huge cardinality (ids) dominate — swap their exact distinct
     for approx_count_distinct / the KMV sketch when profiling 100 TB,
-    same frame shape. The modal-value pass runs on the already-reduced
-    distinct frame (WindowGroupLimit keeps one row per column)."""
+    same frame shape. TWO exchanges total: the (col_name, val) hash
+    aggregate, then ONE repartition on col_name that serves every
+    window pass — min/max/mode are first_value/last_value picks and
+    the per-column totals are full-frame window sums over the same
+    partitioning (three sort orders, zero extra shuffles, zero
+    join-backs; string MIN/MAX stays out of hash-agg buffers so
+    nothing demotes to SortAggregate)."""
     orders = load_table(spark, sf_dir, "orders")
     stack_args = ", ".join(
         f"'{c}', {e.replace('VARCHAR', 'string')}" for c, e in _PROFILE_COLS
@@ -875,39 +880,39 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = orders.select(
         F.expr(f"stack({len(_PROFILE_COLS)}, {stack_args}) as (col_name, val)")
     )
-    g = u.groupBy("col_name", "val").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    g = u.groupBy("col_name", "val").agg(F.count(F.lit(1)).alias("cnt"))
 
-    # string-valued picks (min/max/mode) come from WindowGroupLimit
-    # passes over the distinct-value frame — a MIN/MAX(string) inside
-    # the hash aggregate has a var-width buffer and demotes the whole
-    # agg to SortAggregate (banned registry-wide); ranked row picks
-    # keep every aggregate hash-based and each pass reduces to one row
-    # per column before the broadcast join-back
-    nn = g.filter(F.col("val").isNotNull())
-
-    def pick(order_cols: list, val_alias: str, extra: list = ()) -> DataFrame:
-        w = Window.partitionBy("col_name").orderBy(*order_cols)
-        return (
-            nn.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("col_name", F.col("val").alias(val_alias), *extra)
-        )
-
-    minv = pick([F.asc("val")], "min_val")
-    maxv = pick([F.desc("val")], "max_val")
-    top = pick(
-        [F.desc("cnt"), F.asc("val")],
-        "top_val",
-        [F.col("cnt").alias("top_count")],
+    w_all = Window.partitionBy("col_name")
+    full = Window.unboundedPreceding, Window.unboundedFollowing
+    w_val = (
+        Window.partitionBy("col_name")
+        .orderBy(F.asc_nulls_last("val"))
+        .rowsBetween(*full)
     )
-    prof = g.groupBy("col_name").agg(
-        F.sum("cnt").alias("n_rows"),
-        F.sum(F.when(F.col("val").isNull(), F.col("cnt")).otherwise(0)).alias("n_nulls"),
-        F.count(F.when(F.col("val").isNotNull(), 1)).alias("n_distinct"),
+    w_mode = (
+        Window.partitionBy("col_name")
+        .orderBy(F.col("val").isNull().asc(), F.desc("cnt"), F.asc("val"))
+        .rowsBetween(*full)
     )
-    return prof.join(F.broadcast(minv), "col_name").join(
-        F.broadcast(maxv), "col_name"
-    ).join(F.broadcast(top), "col_name").select(
+    ranked = g.select(
+        "col_name",
+        F.sum("cnt").over(w_all).alias("n_rows"),
+        F.sum(F.when(F.col("val").isNull(), F.col("cnt")).otherwise(0))
+        .over(w_all)
+        .alias("n_nulls"),
+        F.sum(F.when(F.col("val").isNotNull(), 1).otherwise(0))
+        .over(w_all)
+        .cast("long")
+        .alias("n_distinct"),
+        F.first("val").over(w_val).alias("min_val"),
+        F.last("val", ignorenulls=True).over(w_val).alias("max_val"),
+        F.first("val").over(w_mode).alias("top_val"),
+        F.first("cnt").over(w_mode).alias("top_count"),
+        F.row_number()
+        .over(Window.partitionBy("col_name").orderBy(F.asc_nulls_last("val")))
+        .alias("rn"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
         "col_name",
         "n_rows",
         "n_nulls",
@@ -1811,7 +1816,8 @@ _BMP_BITS = 63  # stay off the sign bit: 1<<63 differs under two's-complement op
     oracle="""
     SELECT event_type,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users,
-           CAST(COUNT(DISTINCT user_id // 63) AS BIGINT) AS n_buckets
+           CAST(COUNT(DISTINCT (user_id - ((user_id % 63 + 63) % 63)) // 63)
+                AS BIGINT) AS n_buckets
     FROM events
     GROUP BY event_type
     """,
@@ -1820,9 +1826,12 @@ _BMP_BITS = 63  # stay off the sign bit: 1<<63 differs under two's-complement op
 def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT distinct users per event_type computed through integer
     bitmaps, the OLAP engine technique (ClickHouse groupBitmap,
-    Druid/Pinot bitmap indexes): bucket = user_id div 63, bit =
-    user_id mod 63, per-(type, bucket) `bit_or(1 << bit)` collapses up
-    to 63 users into ONE long, then distinct = Σ bit_count(bitmap).
+    Druid/Pinot bitmap indexes): bit = pmod(user_id, 63) (floor-mod),
+    bucket = (user_id - bit) div 63 — exact floor division, so the
+    (bucket, bit) map is injective for NEGATIVE ids too (a truncating
+    `div` paired with pmod would collide -5 with 58); per-(type,
+    bucket) `bit_or(1 << bit)` collapses up to 63 users into ONE
+    long, then distinct = Σ bit_count(bitmap).
 
     Why this survives 100 TB where COUNT(DISTINCT) struggles: the
     bit_or partial aggregate is mergeable and map-side combinable, so
@@ -1835,7 +1844,8 @@ def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every op (shiftleft, bit_or, bit_count) is JVM codegen — no UDF."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
     bm = ev.groupBy(
-        "event_type", F.expr(f"user_id div {_BMP_BITS}").alias("bucket")
+        "event_type",
+        F.expr(f"(user_id - pmod(user_id, {_BMP_BITS})) div {_BMP_BITS}").alias("bucket"),
     ).agg(
         F.expr(
             f"bit_or(shiftleft(1L, cast(pmod(user_id, {_BMP_BITS}) as int)))"
@@ -2123,23 +2133,33 @@ def sequence_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     to simulate loss — the synthetic key space is otherwise gapless,
     which would make the report trivially empty.)
 
-    Plan: ids only (column-pruned scan) → ONE global-sort window with
-    lead(1). A single total order is the textbook window scaling
-    hazard — but the frame is one long column, and Spark's window
-    sort is a repartitionByRange + local sort, not a single-partition
-    collapse; at 100 TB, run per shard (PARTITION BY id div 2^k) and
-    stitch the ≤2^k boundary pairs driver-side, or aggregate
-    (count, min, max, sum-of-deltas) per range bucket and reconcile
-    counts — both avoid the full-order sort entirely. Gap lists are
-    exact integers, trivially oracle-matched."""
+    Plan: ids only (column-pruned scan) → SHARDED lead(1), not a global
+    window. Ids are range-sharded by `id div 2^14` (shard order ≡ id
+    order), lead() runs inside each shard's hash partition, and the
+    one missing successor per shard (its max row) is stitched from a
+    per-shard (min, max) aggregate — a #shards-row frame whose global
+    lead(min) is broadcast back. The only total order in the plan is
+    over that bounded aggregate, never over the id column itself, so
+    there is no single-partition collapse at any corpus size. Gap
+    lists are exact integers, trivially oracle-matched."""
+    shard_w = 1 << 14
     k = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % 7 != 0)
         .select(F.col("o_orderkey").alias("id"))
+        .withColumn("shard", F.expr(f"id div {shard_w}"))
     )
-    w = Window.orderBy("id")
+    wl = Window.partitionBy("shard").orderBy("id")
+    local = k.withColumn("nxt_local", F.lead("id").over(wl))
+    # boundary stitch: one (min, max) row per non-empty shard; the tiny
+    # global lead skips empty shards for free
+    bounds = k.groupBy("shard").agg(F.min("id").alias("mn"))
+    stitch = bounds.select(
+        "shard", F.lead("mn").over(Window.orderBy("shard")).alias("next_mn")
+    )
     return (
-        k.withColumn("nxt", F.lead("id").over(w))
+        local.join(F.broadcast(stitch), "shard", "left")
+        .withColumn("nxt", F.coalesce("nxt_local", "next_mn"))
         .filter(F.col("nxt").isNotNull() & (F.col("nxt") - F.col("id") > 1))
         .select(
             (F.col("id") + 1).alias("gap_start"),
@@ -2269,7 +2289,7 @@ def bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     def audience(event_type: str) -> DataFrame:
         return (
             ev.filter(F.col("event_type") == event_type)
-            .groupBy(F.expr("user_id div 63").alias("bucket"))
+            .groupBy(F.expr("(user_id - pmod(user_id, 63)) div 63").alias("bucket"))
             .agg(
                 F.expr("bit_or(shiftleft(1L, cast(pmod(user_id, 63) as int)))").alias("bm")
             )

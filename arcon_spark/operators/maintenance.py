@@ -1227,18 +1227,30 @@ def wow_growth_event_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact-integer rendering of every column (dates via ISO string, money
 # via cents) → md5 → first 15 hex digits as a bigint. XOR-folded per
 # bucket: order-independent, overflow-free, and any single-row change
-# flips the bucket checksum.
+# flips the bucket checksum. Every field is wrapped in an explicit
+# NULL sentinel (U+2400) so a NULL is digest-distinct from '' in BOTH
+# engines (concat_ws silently skips NULLs; DuckDB '||' nullifies the
+# whole row). Remaining precondition: string columns must not contain
+# '|' or U+2400 — true for TPC-H enumerations; for arbitrary strings
+# swap the join for a length-prefixed rendering.
+_CK_NULL = "␀"
 _CK_SPARK = (
-    "cast(conv(substring(md5(concat_ws('|', cast(o_orderkey as string),"
-    " cast(o_custkey as string), o_orderstatus,"
-    " cast(cast(round(o_totalprice * 100) as bigint) as string),"
-    " cast(o_orderdate as string), o_orderpriority)), 1, 15), 16, 10) as bigint)"
+    "cast(conv(substring(md5(concat_ws('|',"
+    f" coalesce(cast(o_orderkey as string), '{_CK_NULL}'),"
+    f" coalesce(cast(o_custkey as string), '{_CK_NULL}'),"
+    f" coalesce(o_orderstatus, '{_CK_NULL}'),"
+    f" coalesce(cast(cast(round(o_totalprice * 100) as bigint) as string), '{_CK_NULL}'),"
+    f" coalesce(cast(o_orderdate as string), '{_CK_NULL}'),"
+    f" coalesce(o_orderpriority, '{_CK_NULL}'))), 1, 15), 16, 10) as bigint)"
 )
 _CK_SQL = (
-    "CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || '|' ||"
-    " CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' ||"
-    " CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR) || '|' ||"
-    " CAST(o_orderdate AS VARCHAR) || '|' || o_orderpriority), 1, 15) AS BIGINT)"
+    "CAST('0x' || substring(md5("
+    f"coalesce(CAST(o_orderkey AS VARCHAR), '{_CK_NULL}') || '|' ||"
+    f" coalesce(CAST(o_custkey AS VARCHAR), '{_CK_NULL}') || '|' ||"
+    f" coalesce(o_orderstatus, '{_CK_NULL}') || '|' ||"
+    f" coalesce(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), '{_CK_NULL}') || '|' ||"
+    f" coalesce(CAST(o_orderdate AS VARCHAR), '{_CK_NULL}') || '|' ||"
+    f" coalesce(o_orderpriority, '{_CK_NULL}')), 1, 15) AS BIGINT)"
 )
 
 

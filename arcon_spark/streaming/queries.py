@@ -17,7 +17,9 @@ never passes them) and are filtered from the result anyway.
 
 from __future__ import annotations
 
+import datetime as _dt
 import uuid
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -28,6 +30,43 @@ from arcon_spark.plans.registry import register
 from arcon_spark.streaming.tape import write_segments
 
 _SENTINEL = "__sentinel__"
+
+
+@lru_cache(maxsize=None)
+def _tape_stats_us(sf_dir: str, types: tuple[str, ...] | None = None) -> tuple[int, int, int]:
+    """(min, median, max) event-time in µs for the tape — the
+    epoch-boundary split constants. Computed ONCE per sf_dir with a
+    driver-side duckdb parquet scan and memoized, so registered
+    streaming queries run ZERO Spark actions at construction time
+    (previously each did its own `ev.agg(...).collect()` full scan).
+    In production these are config inputs; this helper is the
+    parameter seam — tests monkeypatch it to pin custom splits. Any
+    mid-tape value is a valid split (it only forces state to cross an
+    epoch boundary), so exact engine-interpolation parity with the
+    old Spark percentile() is not required, only determinism."""
+    import duckdb
+
+    where = ""
+    if types:
+        inlist = ", ".join(f"'{t}'" for t in types)
+        where = f"WHERE event_type IN ({inlist})"
+    [(lo, med, hi)] = duckdb.sql(
+        "SELECT CAST(min(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT),"
+        " CAST(quantile_cont(epoch_us(CAST(ts AS TIMESTAMP)), 0.5) AS BIGINT),"
+        " CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT)"
+        f" FROM '{sf_dir}/events.parquet' {where}"
+    ).fetchall()
+    return int(lo), int(med), int(hi)
+
+
+def _us_to_naive_utc(us: int) -> _dt.datetime:
+    # naive datetime == session-tz (UTC) wall time for F.lit()
+    return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=us)
+
+
+def _tape_split_ts(sf_dir: str, types: tuple[str, ...] | None = None) -> _dt.datetime:
+    """Median-of-tape split timestamp (µs precision, naive UTC)."""
+    return _us_to_naive_utc(_tape_stats_us(sf_dir, types)[1])
 
 # State-store partition count for the tape queries. Streaming state
 # partitioning is fixed for a checkpoint's lifetime, so it must be
@@ -653,8 +692,8 @@ def stream_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "value"
     )
-    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
-    mid = lo + (hi - lo) / 2
+    lo_us, _, hi_us = _tape_stats_us(sf_dir)
+    mid = _us_to_naive_utc((lo_us + hi_us) // 2)
 
     class CountWindowOp(Operator):
         def handle_element(self, key, pdf, ctx):
@@ -1025,8 +1064,8 @@ def stream_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arcon_spark.streaming.stateful import Operator, apply_operator
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
-    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
-    mid = lo + (hi - lo) / 2
+    lo_us, _, hi_us = _tape_stats_us(sf_dir)
+    mid = _us_to_naive_utc((lo_us + hi_us) // 2)
 
     class EwmaOperator(Operator):
         """Vectorized: the weighted lag sum is an integer convolution
@@ -1246,9 +1285,7 @@ def stream_cep_purchase_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "event_type"
     )
-    split_ts = ev.agg(
-        F.expr("timestamp_micros(cast(percentile(unix_micros(ts), 0.5) as long))")
-    ).collect()[0][0]
+    split_ts = _tape_split_ts(sf_dir)
     first_half = ev.filter(F.col("ts") <= F.lit(split_ts))
     second_half = ev.filter(F.col("ts") > F.lit(split_ts))
 
@@ -1343,9 +1380,7 @@ def stream_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "event_type"
     )
-    split_ts = ev.agg(
-        F.expr("timestamp_micros(cast(percentile(unix_micros(ts), 0.5) as long))")
-    ).collect()[0][0]
+    split_ts = _tape_split_ts(sf_dir)
     first_half = ev.filter(F.col("ts") <= F.lit(split_ts))
     second_half = ev.filter(F.col("ts") > F.lit(split_ts))
 
@@ -1439,9 +1474,7 @@ def stream_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arcon_spark.streaming.stateful import Operator, apply_operator
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
-    split_ts = ev.agg(
-        F.expr("timestamp_micros(cast(percentile(unix_micros(ts), 0.5) as long))")
-    ).collect()[0][0]
+    split_ts = _tape_split_ts(sf_dir)
     halves = [
         ev.filter(F.col("ts") <= F.lit(split_ts)),
         ev.filter(F.col("ts") > F.lit(split_ts)),
@@ -1528,9 +1561,7 @@ def stream_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "value"
     )
-    split_ts = ev.agg(
-        F.expr("timestamp_micros(cast(percentile(unix_micros(ts), 0.5) as long))")
-    ).collect()[0][0]
+    split_ts = _tape_split_ts(sf_dir)
     halves = [
         ev.filter(F.col("ts") <= F.lit(split_ts)),
         ev.filter(F.col("ts") > F.lit(split_ts)),
@@ -1713,9 +1744,7 @@ def stream_brown_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "value"
     )
-    split_ts = ev.agg(
-        F.expr("timestamp_micros(cast(percentile(unix_micros(ts), 0.5) as long))")
-    ).collect()[0][0]
+    split_ts = _tape_split_ts(sf_dir)
     halves = [
         ev.filter(F.col("ts") <= F.lit(split_ts)),
         ev.filter(F.col("ts") > F.lit(split_ts)),
@@ -1812,9 +1841,7 @@ def stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     GAP_US = 5 * 60_000_000
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
-    split_ts = ev.agg(
-        F.expr("timestamp_micros(cast(percentile(unix_micros(ts), 0.5) as long))")
-    ).collect()[0][0]
+    split_ts = _tape_split_ts(sf_dir)
     halves = [
         ev.filter(F.col("ts") <= F.lit(split_ts)),
         ev.filter(F.col("ts") > F.lit(split_ts)),
@@ -1970,9 +1997,7 @@ def stream_absence_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
     ).select("user_id", "event_id", "ts", "event_type")
-    split_ts = ev.agg(
-        F.expr("timestamp_micros(cast(percentile(unix_micros(ts), 0.5) as long))")
-    ).collect()[0][0]
+    split_ts = _tape_split_ts(sf_dir, ("purchase", "click"))
     halves = [
         ev.filter(F.col("ts") <= F.lit(split_ts)),
         ev.filter(F.col("ts") > F.lit(split_ts)),
@@ -2121,9 +2146,7 @@ def stream_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arcon_spark.streaming.tape import write_segments
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
-    split_ts = ev.agg(
-        F.expr("timestamp_micros(cast(percentile(unix_micros(ts), 0.5) as long))")
-    ).collect()[0][0]
+    split_ts = _tape_split_ts(sf_dir)
     halves = [
         ev.filter(F.col("ts") <= F.lit(split_ts)),
         ev.filter(F.col("ts") > F.lit(split_ts)),
@@ -3099,12 +3122,16 @@ def stream_union_two_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the reference's watermark min-alignment across input channels,
     arcon/src/stream/node/mod.rs watermark handling): the view tape
     and the purchase tape deliver THE SAME hours in opposite segment
-    order, so at every trigger one source lags the other by an hour
-    of event time; only min-alignment keeps windows open until both
-    sides arrive. Each source is its own readStream (two independent
-    file trackers, two offset logs); the union then windows per
-    (hour, type) in update mode, and the final per-key state must
-    equal the batch truth."""
+    order, so at every trigger one source lags the other in event
+    time; min-alignment (multipleWatermarkPolicy=min, the default)
+    keeps the global watermark at the lagging source's. Each source
+    carries its OWN withWatermark("ts") node — two watermark trackers
+    whose min is the operator watermark, exactly the reference's
+    channel min-alignment; the delay exceeds the tape's 30-day span
+    so alignment is exercised with zero late drops and the final
+    per-key state must equal the batch truth. Each source is its own
+    readStream (two independent file trackers, two offset logs); the
+    union then windows per (hour, type) in update mode."""
     import tempfile
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
@@ -3121,6 +3148,7 @@ def stream_union_two_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", "1")
             .parquet(root)
+            .withWatermark("ts", "31 days")
         )
 
     unioned = src(root_v).unionByName(src(root_p))

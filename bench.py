@@ -141,6 +141,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     t_all = time.time()
     for name in HEADLINE:
+        # drop the previous query's persisted blocks so cached frames
+        # don't accumulate (and distort memory pressure) across the run
+        spark.catalog.clearCache()
         fn = qmap[name]
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

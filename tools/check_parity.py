@@ -54,6 +54,7 @@ def main() -> int:
     for name, fn in sorted(qmap.items()):
         if only and name not in only:
             continue
+        spark.catalog.clearCache()  # no cross-query cached-block accumulation
         spec = REGISTRY[name]
         t0 = time.time()
         try:
