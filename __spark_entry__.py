@@ -33,12 +33,75 @@ def entry(spark: SparkSession) -> DataFrame:
     return tpch_q1(spark, "/root/testdata/sf0.001")
 
 
+# iteration-order priority for the driver's correctness sample: the
+# high-value window / streaming / dedup / connector queries lead, so a
+# prefix sample of queries() exercises the paths that matter most;
+# everything else follows in registration order. Names not in the
+# registry are ignored (robust to renames).
+_SAMPLE_FIRST = [
+    # round-2 connector + codec surfaces
+    "stream_kafka_log_roundtrip",
+    "source_protobuf_roundtrip",
+    "arrow_ipc_roundtrip",
+    "multimodal_png_roundtrip",
+    "multimodal_wav_roundtrip",
+    # dedup pipeline (incl. the de-drivered cosine + checkpointed CC)
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_lsh_verified_pairs",
+    "dedup_embedding_cosine",
+    "dedup_connected_clusters",
+    "dedup_kept_corpus",
+    "corpus_curation_report",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_sorted_neighborhood",
+    # windows (batch + streaming twins)
+    "tumbling_window_agg",
+    "sliding_window_agg",
+    "session_window_agg",
+    "appender_window_median",
+    "stream_tumbling_window_agg",
+    "stream_session_window_agg",
+    "stream_late_data_side_output",
+    # stateful streaming operators across epoch boundaries
+    "stream_stateful_first_value",
+    "stream_count_window",
+    "stream_cep_purchase_error",
+    "stream_ewma_user_value",
+    "stream_absence_alert",
+    "stream_union_two_sources",
+    "stream_cumulative_distinct",
+    # scale-sensitive rewrites
+    "profile_orders_columns",
+    "cms_token_counts",
+    "sequence_gap_report",
+    "bitmap_distinct_users",
+    "bitmap_audience_overlap",
+    "table_checksum_compare",
+    # similarity / ANN
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "semdedup_embeddings",
+    # relational core
+    "tpch_q1",
+    "tpch_q3",
+    "broadcast_dim_join",
+    "keyby_reduce",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (plus the
-    beyond-reference dedup/similarity/text/multimodal suites)."""
+    beyond-reference dedup/similarity/text/multimodal suites), with the
+    high-value queries first in iteration order (driver samples a
+    prefix)."""
     from arcon_spark.plans.registry import queries as _queries
 
-    return _queries()
+    qmap = _queries()
+    ordered = {n: qmap[n] for n in _SAMPLE_FIRST if n in qmap}
+    ordered.update(qmap)
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

@@ -77,6 +77,13 @@ HEADLINE = [
     "asof_join_nearest",
     "distribution_drift_chi2",
     "bitmap_audience_overlap",
+    # round 2: connector + codec surfaces and the de-drivered cosine
+    "arrow_ipc_roundtrip",
+    "source_protobuf_roundtrip",
+    "multimodal_png_roundtrip",
+    "dedup_embedding_cosine",
+    "dedup_connected_clusters",
+    "cms_token_counts",
 ]
 
 

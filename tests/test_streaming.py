@@ -264,3 +264,35 @@ def test_late_side_output_split_and_monotonic_watermark(spark):
     assert main == {10, 11, 13, 16}, main
     assert late | main == set(range(10, 17)) and not (late & main)
     assert wm == 21_000_000  # µs: final watermark = max ts seen
+
+
+# ---------------------------------------------------------------------------
+# tape split constants: driver-side, memoized, Spark-free (round-2 fix
+# for the per-query ev.agg(...).collect() scans at construction time)
+# ---------------------------------------------------------------------------
+
+
+def test_tape_stats_need_no_spark():
+    """The split-constant helper must run without any Spark session —
+    it is a duckdb parquet metadata read, so registered streaming
+    queries launch ZERO Spark jobs to derive their tape constants."""
+    from arcon_spark.streaming.queries import _tape_stats_us
+
+    _tape_stats_us.cache_clear()
+    lo, med, hi = _tape_stats_us("/root/testdata/sf0.001")
+    assert lo < med < hi
+    # memoized: second call is the cached tuple
+    assert _tape_stats_us("/root/testdata/sf0.001") == (lo, med, hi)
+    # typed-subset variant (used by stream_absence_alert)
+    lo2, med2, hi2 = _tape_stats_us("/root/testdata/sf0.001", ("purchase", "click"))
+    assert lo <= lo2 < med2 < hi2 <= hi
+
+
+def test_tape_split_is_a_parameter_seam(monkeypatch):
+    """Production thresholds are config inputs; the helper is the
+    injection point — monkeypatching it moves the epoch split."""
+    import arcon_spark.streaming.queries as q
+
+    fixed = (0, 1_000_000, 2_000_000)
+    monkeypatch.setattr(q, "_tape_stats_us", lambda sf, types=None: fixed)
+    assert q._tape_split_ts("whatever") == q._us_to_naive_utc(1_000_000)
