@@ -39,7 +39,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # everything else follows in registration order. Names not in the
 # registry are ignored (robust to renames).
 _SAMPLE_FIRST = [
-    # round-2 connector + codec surfaces
+    # round-2 connector + codec + native-stateful surfaces
+    "stream_first_seen_tws",
     "stream_kafka_log_roundtrip",
     "source_protobuf_roundtrip",
     "arrow_ipc_roundtrip",
@@ -51,6 +52,7 @@ _SAMPLE_FIRST = [
     "dedup_lsh_verified_pairs",
     "dedup_embedding_cosine",
     "dedup_connected_clusters",
+    "dedup_cc_star_contraction",
     "dedup_kept_corpus",
     "corpus_curation_report",
     "dedup_simhash",

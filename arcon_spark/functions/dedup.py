@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from arcon_spark.io import load_table, spread
-from arcon_spark.plans.registry import register
+from arcon_spark.plans.registry import REGISTRY, register
 
 NUM_HASHES = 12
 NUM_BANDS = 4
@@ -630,6 +630,102 @@ def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = labels.select("doc_id", "cluster_id").localCheckpoint(eager=True)
     labels.unpersist()
     return out
+
+
+def _cc_large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round: every node attaches its strictly-larger
+    neighbors to the minimum of its closed neighborhood. Join-based (no
+    collect_list), so a hot node's neighborhood is never materialized
+    on one task — m(u) comes from a hash aggregate and flows back via a
+    key join. Edges stored as (hi, lo) with hi > lo."""
+    sym = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+        edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    )
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+    )
+    return (
+        sym.filter(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+    )
+
+
+def _cc_small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: every node attaches itself and all its smaller
+    neighbors to the minimum of its smaller neighborhood."""
+    mins = edges.groupBy("hi").agg(F.min("lo").alias("m"))
+    attached = (
+        edges.join(mins, "hi")
+        .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+        .filter(F.col("hi") != F.col("lo"))
+    )
+    self_edges = mins.select(F.col("hi"), F.col("m").alias("lo"))
+    return attached.union(self_edges).distinct()
+
+
+@register(
+    "dedup_cc_star_contraction",
+    oracle=REGISTRY["dedup_connected_clusters"].oracle,
+    tags=("dedup", "clusters", "iterative", "scale"),
+)
+def dedup_cc_star_contraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction — the O(log n)-round formulation (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) of the
+    same cluster-formation step as dedup_connected_clusters, and the
+    100 TB-preferred one: round count scales with log(component size),
+    not component diameter, so a pathological chain that costs the
+    label-propagation loop hundreds of rounds converges here in ~10.
+
+    Both star operations are join+aggregate only (min per neighborhood
+    via hash agg, attached via key join) — no neighborhood is ever
+    collected onto a single task, so hot nodes cost a shuffle skew
+    (AQE-splittable) rather than task-OOM. Every round is
+    localCheckpoint()ed: plan size and recovery recompute stay O(1) in
+    round count. Converges to the star graph {(v, min_of_component)};
+    the same recursive-CTE oracle as the label-propagation twin proves
+    both return identical clusters."""
+    jac = dedup_ngram_jaccard(spark, sf_dir).filter(F.col("jaccard") >= _JACCARD_T)
+    edges = (
+        jac.select(
+            F.greatest("doc_a", "doc_b").alias("hi"),
+            F.least("doc_a", "doc_b").alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _ in range(12):  # ~log2(max component size); test graphs take 2-3
+        new_edges = _cc_small_star(_cc_large_star(edges)).localCheckpoint(eager=True)
+        # set-equality check: both frames are distinct, so ⊆ + equal
+        # cardinality ⇒ equal. Two cheap actions on checkpointed frames.
+        if (
+            new_edges.count() == edges.count()
+            and new_edges.subtract(edges).count() == 0
+        ):
+            edges.unpersist()
+            edges = new_edges
+            converged = True
+            break
+        edges.unpersist()
+        edges = new_edges
+    if not converged:  # pragma: no cover - bound is generous
+        raise RuntimeError("star-contraction CC did not converge in 12 rounds")
+    # converged edge set is the star graph: each non-root points at its
+    # component min. Isolated docs keep their own id.
+    stars = edges.groupBy("hi").agg(F.min("lo").alias("root"))
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(stars.withColumnRenamed("hi", "doc_id"), "doc_id", "left_outer")
+        .select("doc_id", F.coalesce(F.col("root"), F.col("doc_id")).alias("cluster_id"))
+    )
 
 
 # ---------------------------------------------------------------------------

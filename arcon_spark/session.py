@@ -18,6 +18,8 @@ import os
 
 from pyspark.sql import SparkSession
 
+from arcon_spark.protoshim import ensure_protobuf
+
 
 def get_spark(
     app_name: str = "arcon_spark",
@@ -31,6 +33,11 @@ def get_spark(
     ``master`` and memory knobs differ, and those come from
     spark-submit, not from here.
     """
+    # Must run before the JVM launches: puts google.protobuf (vendored
+    # shim if no real install) on PYTHONPATH so transformWithState
+    # python workers can import it (see arcon_spark/protoshim).
+    ensure_protobuf()
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     master = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:

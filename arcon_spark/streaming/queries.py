@@ -341,6 +341,114 @@ def stream_stateful_first_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_first_seen_tws",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT user_id, min_by(value, printf('%030d', epoch_us(ts)) || printf('%020d', event_id)) AS first_val
+      FROM {EVENTS_NORM} GROUP BY user_id
+    )
+    SELECT user_id, first_val FROM firsts
+    """,
+    tags=("streaming", "stateful", "tws", "survey2.6"),
+)
+def stream_first_seen_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same keyby_integration stateful enrichment as
+    stream_stateful_first_value, but on Spark 4's NATIVE
+    transformWithStateInPandas (typed ValueState in the RocksDB state
+    store — the direct analogue of the reference's state backend
+    handles, arcon/arcon_state/src/backend/mod.rs:144-242) instead of
+    the applyInPandasWithState fallback. The Python worker speaks the
+    protobuf state protocol via the vendored runtime
+    (arcon_spark/protoshim). Two data segments force the ValueState to
+    survive a micro-batch boundary; a flush-marker third segment
+    triggers emission, and the result must hash-match the same batch
+    oracle as the apipws twin."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    from arcon_spark.streaming.tws import ROCKSDB_PROVIDER, TWS_AVAILABLE
+
+    if not TWS_AVAILABLE:  # pragma: no cover - shim makes this unreachable here
+        raise RuntimeError("transformWithState requires protobuf (vendored shim failed)")
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "value",
+        )
+    )
+    first_half = ev.filter(F.col("event_id") % 2 == 0)
+    second_half = ev.filter(F.col("event_id") % 2 == 1)
+    flush = (
+        ev.groupBy("user_id")
+        .agg((F.max("ts_us") + F.lit(3_456_000_000_000)).alias("ts_us"))
+        .select(
+            "user_id",
+            F.lit(-1).cast("long").alias("event_id"),
+            "ts_us",
+            F.lit(0.0).alias("value"),
+        )
+    )
+
+    class FirstSeenTws(StatefulProcessor):
+        """ValueState holds the (ts_us, event_id)-min candidate per key;
+        the flush marker (event_id < 0) emits it exactly once."""
+
+        def init(self, handle) -> None:
+            self.first = handle.getValueState("first", "v double, ts_us long, eid long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            saw_marker = False
+            for pdf in rows:
+                marker = pdf["event_id"] < 0
+                saw_marker = saw_marker or bool(marker.any())
+                data = pdf[~marker]
+                if len(data):
+                    idx = data.sort_values(["ts_us", "event_id"], kind="mergesort").index[0]
+                    cand = (
+                        float(data.at[idx, "value"]),
+                        int(data.at[idx, "ts_us"]),
+                        int(data.at[idx, "event_id"]),
+                    )
+                    cur = self.first.get() if self.first.exists() else None
+                    if cur is None or (cand[1], cand[2]) < (int(cur[1]), int(cur[2])):
+                        self.first.update(cand)
+            if saw_marker and self.first.exists():
+                cur = self.first.get()
+                yield pd.DataFrame({"user_id": [int(key[0])], "first_val": [float(cur[0])]})
+
+        def close(self) -> None:
+            pass
+
+    root = write_segments([first_half, second_half, flush])
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+    out = src.groupBy("user_id").transformWithStateInPandas(
+        FirstSeenTws(),
+        "user_id long, first_val double",
+        "Append",
+        "None",
+    )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, ROCKSDB_PROVIDER)
+    try:
+        return _run_to_memory(spark, out, "tws_first_seen")
+    finally:
+        if prev is not None:
+            spark.conf.set(provider_key, prev)
+        else:
+            spark.conf.unset(provider_key)
+
+
+@register(
     "stream_sliding_window_agg",
     oracle=f"""
     SELECT time_bucket(INTERVAL '15 minutes', ts) - (o.j * INTERVAL '15 minutes') AS win_start,

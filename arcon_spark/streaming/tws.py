@@ -8,15 +8,14 @@ ValueState / ListState / MapState objects persisted in the RocksDB
 state store, plus per-key timers (the quad-wheel timer parity,
 reference: arcon/src/stream/node/timer.rs:61-274).
 
-CONTAINER GATE: the tWS Python worker speaks protobuf to the JVM state
-server, and this container has no ``google.protobuf`` (pip installs are
-unavailable). The processors below are therefore exercised by
-tests/test_tws.py only when protobuf imports; everywhere else the
-engine's stateful surface runs on applyInPandasWithState
-(streaming/stateful.py), which covers the same five primitives with the
-state encoded in the GroupState value. On a normally-provisioned
-cluster (pyspark[connect] or any env with protobuf) `run_first_seen`
-works as-is — the API usage is complete, not a sketch.
+PROTOBUF: the tWS Python worker speaks protobuf to the JVM state
+server. This container has no ``google.protobuf`` wheel, so the engine
+vendors a spec-conformant pure-Python runtime
+(arcon_spark/protoshim — wire conformance pinned in
+tests/test_protoshim.py) and bootstraps it onto the worker PYTHONPATH
+before the JVM launches. A real protobuf install, when present, always
+wins. The applyInPandasWithState twin (streaming/stateful.py) remains
+the fallback surface covering the same five state primitives.
 
 TWS_AVAILABLE is the import-try flag callers check.
 """
@@ -25,12 +24,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-try:  # tWS python worker hard-requires protobuf at runtime
-    import google.protobuf  # noqa: F401
+from arcon_spark.protoshim import ensure_protobuf
 
-    TWS_AVAILABLE = True
-except Exception:  # pragma: no cover - container lacks protobuf
-    TWS_AVAILABLE = False
+TWS_AVAILABLE = ensure_protobuf()
 
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"

@@ -83,7 +83,10 @@ HEADLINE = [
     "multimodal_png_roundtrip",
     "dedup_embedding_cosine",
     "dedup_connected_clusters",
+    "dedup_cc_star_contraction",
     "cms_token_counts",
+    # native transformWithState stateful path (vendored protobuf runtime)
+    "stream_first_seen_tws",
 ]
 
 

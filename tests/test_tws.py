@@ -1,11 +1,13 @@
-"""transformWithState (Spark 4 native typed state) — gated on protobuf.
+"""transformWithState (Spark 4 native typed state) — end to end.
 
-The container this repo is built in has no google.protobuf, which the
-tWS Python worker requires (verified: the query crashes in
-StreamingPythonRunner init with `cannot import name 'descriptor'`).
-The API-level contract is still enforced here: the plan must build
-(analysis catches schema/usage errors), and the full runtime test
-executes wherever protobuf exists.
+The tWS Python worker requires google.protobuf; this container has no
+wheel, so the engine vendors a spec-conformant runtime
+(arcon_spark/protoshim, conformance in test_protoshim.py) that
+session.py bootstraps onto the worker PYTHONPATH. The runtime test
+below therefore executes for real here: the worker speaks the protobuf
+state protocol to the JVM TransformWithStateInPandasStateServer
+(ValueState + ListState + MapState against RocksDB), which parses with
+the real Java protobuf runtime — full wire conformance or loud failure.
 """
 
 from __future__ import annotations
@@ -34,7 +36,92 @@ def test_tws_plan_builds(spark):
     assert out.isStreaming
 
 
-@pytest.mark.skipif(not TWS_AVAILABLE, reason="google.protobuf not in container")
+@pytest.mark.skipif(not TWS_AVAILABLE, reason="protobuf bootstrap failed")
+def test_tws_event_time_timer_fires(spark):
+    """Native per-key event-time timers (the reference's quad-wheel,
+    arcon/src/stream/node/timer.rs:61-274, on the tWS timer protocol:
+    RegisterTimer / ListTimers / ExpiryTimerRequest shim messages flow
+    to the JVM timer state). Each key registers a timer at
+    first_ts + 10s; a later batch advances the watermark past it; the
+    expired-timer callback emits one row per key."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming import StatefulProcessor
+
+    from arcon_spark.streaming.tape import write_segments
+
+    class TimerEmit(StatefulProcessor):
+        def init(self, handle) -> None:
+            self.handle = handle
+            self.count = handle.getValueState("count", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self.count.get()[0] if self.count.exists() else 0
+            first_batch = n == 0
+            ts_min = None
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    m = int(pdf["ts_ms"].min())
+                    ts_min = m if ts_min is None else min(ts_min, m)
+            self.count.update((n,))
+            if first_batch and ts_min is not None:
+                self.handle.registerTimer(ts_min + 10_000)
+            return iter(())
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            n = self.count.get()[0] if self.count.exists() else 0
+            yield pd.DataFrame(
+                {
+                    "k": [key[0]],
+                    "n": [n],
+                    "fired_at": [expiredTimerInfo.getExpiryTimeInMs()],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    base = 1_700_000_000_000  # ms epoch
+    rows1 = [(i % 3, base + i * 100) for i in range(12)]
+    rows2 = [(9, base + 3_600_000)]  # watermark pusher, 1h later
+    seg1 = spark.createDataFrame(rows1, "k long, ts_ms long")
+    seg2 = spark.createDataFrame(rows2, "k long, ts_ms long")
+    root = write_segments([seg1, seg2])
+    src = (
+        spark.readStream.schema("k long, ts_ms long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+        .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+        .withWatermark("ts", "1 second")
+    )
+    out = src.groupBy("k").transformWithStateInPandas(
+        TimerEmit(), "k long, n long, fired_at long", "Append", "EventTime"
+    )
+    prev = spark.conf.get(_KEY, None)
+    spark.conf.set(_KEY, ROCKSDB_PROVIDER)
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_timers")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {(r.k, r.n) for r in spark.table("tws_timers").collect()}
+        # keys 0,1,2 got 4 elements each in batch 1; timers fired once
+        # the pusher row advanced the watermark past first_ts + 10s
+        assert got == {(0, 4), (1, 4), (2, 4)}
+    finally:
+        if prev is not None:
+            spark.conf.set(_KEY, prev)
+        else:
+            spark.conf.unset(_KEY)
+
+
+@pytest.mark.skipif(not TWS_AVAILABLE, reason="protobuf bootstrap failed")
 def test_tws_first_seen_runs(spark):
     prev = spark.conf.get(_KEY, None)
     spark.conf.set(_KEY, ROCKSDB_PROVIDER)
