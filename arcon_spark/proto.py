@@ -376,9 +376,12 @@ def proto_encode(df: DataFrame, msg: MessageType, out_col: str = "proto") -> Dat
         import pandas as pd
 
         for pdf in batches:
+            # column-wise tolist + zip beats iterrows ~20x: one dtype
+            # conversion per column instead of one boxed Series per row
+            col_vals = [pdf[c].tolist() for c in cols]
             payloads = [
-                encode_message(msg, {c: _na_to_none(row[c]) for c in cols})
-                for _, row in pdf.iterrows()
+                encode_message(msg, {c: _na_to_none(v) for c, v in zip(cols, vals)})
+                for vals in zip(*col_vals)
             ]
             yield pd.DataFrame({out_col: payloads})
 

@@ -140,6 +140,65 @@ def main() -> None:
     results.append(_run(spark, py_out, "python_op"))
     spark.conf.set("spark.sql.shuffle.partitions", "32")
 
+    # -- 4. the SAME custom-operator workload on Spark 4's native
+    #       transformWithStateInPandas (typed ValueState + native
+    #       event-time timers over RocksDB, protobuf state protocol via
+    #       the vendored runtime) — apples-to-apples against python_op.
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    from arcon_spark.streaming.tws import ROCKSDB_PROVIDER
+
+    class TimerTws(StatefulProcessor):
+        def init(self, handle) -> None:
+            self.handle = handle
+            self.mx = handle.getValueState("mx", "v long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            last_t = -1
+            last_id = -1
+            for pdf in rows:
+                if len(pdf):
+                    last_t = max(last_t, int(pdf["tms"].max()))
+                    last_id = max(last_id, int(pdf["id"].max()))
+                    out = pdf[["id"]].copy()
+                    out["fired"] = False
+                    yield out
+            if last_t >= 0:
+                self.mx.update((last_id,))
+                self.handle.registerTimer(last_t + 1000)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self.mx.exists():
+                yield pd.DataFrame(
+                    {"id": [int(self.mx.get()[0])], "fired": [True]}
+                )
+
+        def close(self) -> None:
+            pass
+
+    tws_src = (
+        spark.readStream.schema("id long, tms long, ts timestamp, k long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(py_root)
+        .withWatermark("ts", "0 seconds")
+    )
+    tws_out = tws_src.groupBy("k").transformWithStateInPandas(
+        TimerTws(), "id long, fired boolean", "Append", "EventTime"
+    )
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_prov = spark.conf.get(prov_key, None)
+    spark.conf.set(prov_key, ROCKSDB_PROVIDER)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        results.append(_run(spark, tws_out, "tws_op"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        if prev_prov is not None:
+            spark.conf.set(prov_key, prev_prov)
+        else:
+            spark.conf.unset(prov_key)
+
     for r in results:
         print(json.dumps(r))
     print(json.dumps({
