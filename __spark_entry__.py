@@ -56,6 +56,7 @@ _SAMPLE_FIRST = [
     "dedup_kept_corpus",
     "corpus_curation_report",
     "dedup_simhash",
+    "dedup_duplicated_spans",
     "dedup_ngram_jaccard",
     "dedup_sorted_neighborhood",
     # windows (batch + streaming twins)

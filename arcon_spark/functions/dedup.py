@@ -728,6 +728,279 @@ def dedup_cc_star_contraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPAN_L = 8  # seed gram length (tokens): spans shorter than this are noise
+_SPAN_DF_CAP = 50  # max docs sharing a seed gram — bounds postings blowup
+
+
+@register(
+    "dedup_duplicated_spans",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i AS pos, array_to_string(toks[i:i+{_SPAN_L - 1}], ' ') AS gram
+      FROM t, unnest(generate_series(1, greatest(len(toks) - {_SPAN_L - 1}, 0))) u(i)
+    ),
+    ok AS (
+      SELECT gram FROM g GROUP BY gram
+      HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {_SPAN_DF_CAP}
+    ),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
+      FROM g a JOIN g b USING (gram)
+      WHERE a.doc_id < b.doc_id AND gram IN (SELECT gram FROM ok)
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+             pos_a - row_number() OVER (
+               PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a
+             ) AS island
+      FROM p
+    )
+    SELECT doc_a, doc_b,
+           CAST(MIN(pos_a) AS BIGINT) AS start_a,
+           CAST(MIN(pos_b) AS BIGINT) AS start_b,
+           CAST(COUNT(*) + {_SPAN_L - 1} AS BIGINT) AS span_len
+    FROM isl GROUP BY doc_a, doc_b, diag, island
+    """,
+    tags=("dedup", "substring", "spans", "pipeline"),
+)
+def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-substring spans across document pairs — the
+    exact-substring dedup of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better") re-expressed relationally:
+    instead of a monolithic suffix array, seed matches are token
+    L-grams (L = _SPAN_L = 8) joined through an inverted index, and
+    maximal spans are recovered by merging consecutive seeds on each
+    alignment diagonal (pos_a - pos_b) with the classic
+    gaps-and-islands window — a span of k shared consecutive grams is
+    a duplicated substring of k + L - 1 tokens. Output: one row per
+    maximal span (doc_a < doc_b, 1-based token starts, length ≥ L).
+
+    Scale shape: tokenization is one projection (split hoisted once per
+    doc — MEASURE.md session-4 HOF lesson); the seed join shuffles on
+    gram with a document-frequency cap [2, _SPAN_DF_CAP] bounding any
+    hot gram's postings (boilerplate phrases would otherwise explode
+    quadratically — same guard family as LSH_BUCKET_CAP); the island
+    window partitions by (doc_a, doc_b, diag) — millions of small
+    partitions, no global sort. All JVM codegen, no Python."""
+    L = _SPAN_L
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.when(
+                F.size("toks") >= L, F.expr(f"sequence(1, size(toks) - {L - 1})")
+            )
+            .otherwise(F.array())
+            .alias("positions"),
+            "toks",
+        )
+    )
+    g = toks.select(
+        "doc_id",
+        F.explode("positions").alias("pos"),
+        "toks",
+    ).select(
+        "doc_id",
+        "pos",
+        F.array_join(F.expr(f"slice(toks, pos, {L})"), " ").alias("gram"),
+    )
+    ok = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= _SPAN_DF_CAP))
+        .select("gram")
+    )
+    g = g.join(ok, "gram").persist()  # feeds both sides of the pair join
+    pairs = (
+        g.alias("a")
+        .join(g.alias("b"), "gram")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.pos").alias("pos_a"),
+            F.col("b.pos").alias("pos_b"),
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    return (
+        pairs.withColumn("diag", F.col("pos_a") - F.col("pos_b"))
+        .withColumn("island", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(
+            F.min("pos_a").cast("long").alias("start_a"),
+            F.min("pos_b").cast("long").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(L - 1)).cast("long").alias("span_len"),
+        )
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_len")
+    )
+
+
+_SPAN_CTES = f"""t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i AS pos, array_to_string(toks[i:i+{_SPAN_L - 1}], ' ') AS gram
+      FROM t, unnest(generate_series(1, greatest(len(toks) - {_SPAN_L - 1}, 0))) u(i)
+    ),
+    ok AS (
+      SELECT gram FROM g GROUP BY gram
+      HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {_SPAN_DF_CAP}
+    ),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
+      FROM g a JOIN g b USING (gram)
+      WHERE a.doc_id < b.doc_id AND gram IN (SELECT gram FROM ok)
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+             pos_a - row_number() OVER (
+               PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a
+             ) AS island
+      FROM p
+    ),
+    spans AS (
+      SELECT doc_a, doc_b,
+             CAST(MIN(pos_a) AS BIGINT) AS start_a,
+             CAST(MIN(pos_b) AS BIGINT) AS start_b,
+             CAST(COUNT(*) + {_SPAN_L - 1} AS BIGINT) AS span_len
+      FROM isl GROUP BY doc_a, doc_b, diag, island
+    )"""
+
+
+@register(
+    "dedup_span_removal",
+    oracle=f"""
+    WITH {_SPAN_CTES},
+    iv AS (
+      SELECT doc_b AS doc_id, start_b AS s, start_b + span_len - 1 AS e FROM spans
+    ),
+    marked AS (
+      SELECT doc_id, s, e,
+             CASE WHEN MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR s > MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  )
+             THEN 1 ELSE 0 END AS brk
+      FROM iv
+    ),
+    grp AS (
+      SELECT doc_id, s, e,
+             SUM(brk) OVER (
+               PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS g
+      FROM marked
+    ),
+    merged AS (
+      SELECT doc_id, MIN(s) AS s, MAX(e) AS e FROM grp GROUP BY doc_id, g
+    ),
+    tok AS (
+      SELECT doc_id, i AS pos, toks[i] AS tok
+      FROM t, unnest(generate_series(1, len(toks))) u(i)
+    ),
+    kept AS (
+      SELECT tok.doc_id, tok.pos, tok.tok
+      FROM tok LEFT JOIN merged
+        ON merged.doc_id = tok.doc_id AND tok.pos BETWEEN merged.s AND merged.e
+      WHERE merged.doc_id IS NULL
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS text_clean
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(r.text_clean, '') AS text_clean
+    FROM t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+    """,
+    tags=("dedup", "substring", "curation", "pipeline"),
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVE step of exact-substring dedup (Lee et al. 2022 cut
+    duplicated byte ranges out of the corpus): for every maximal
+    duplicated span found by dedup_duplicated_spans, the LATER document
+    (doc_b — higher id) loses the span; the earliest occurrence stays
+    canonical. Per doc: overlapping remove-intervals are merged with
+    the gaps-and-islands sweep (running-max end over a 1-PRECEDING
+    frame marks interval breaks), surviving tokens are re-joined in
+    position order. Output: (doc_id, n_removed, text_clean) for every
+    document — zero removals included, so the result IS the cleaned
+    corpus.
+
+    Scale shape: interval merge windows partition by doc_id (no global
+    sort); token retention is a doc_id-equi anti join with a range
+    residual; text rebuild is a per-doc hash aggregate over
+    (pos, token) structs sorted in-memory per group — group size =
+    document length, bounded. All JVM."""
+    spans = dedup_duplicated_spans(spark, sf_dir)
+    iv = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("span_len") - 1).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_max = F.max("e").over(w_prev)
+    marked = iv.withColumn(
+        "brk",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), F.lit(1)).otherwise(F.lit(0)),
+    )
+    merged = (
+        marked.withColumn("g", F.sum("brk").over(w_run))
+        .groupBy("doc_id", "g")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .select("doc_id", "s", "e")
+    )
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    )
+    tok = toks.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = tok.join(
+        merged,
+        (tok.doc_id == merged.doc_id)
+        & (tok.pos >= merged.s)
+        & (tok.pos <= merged.e),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')"
+        ).alias("text_clean"),
+    )
+    return (
+        toks.join(rebuilt, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            (F.size("toks") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH candidates → exact-Jaccard verification (the full pipeline stage)
 # ---------------------------------------------------------------------------

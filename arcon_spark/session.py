@@ -55,6 +55,11 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow for every Python<->JVM hop (pandas UDFs, toPandas).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 64k-row Arrow batches (default 10k): the vectorized Python
+        # stages (IVF-PQ matmuls, codec batches) amortize per-batch
+        # Python dispatch — ann_ivf_pq_topk 6.4s→4.0s median at sf0.1.
+        # ~16 MB/batch at 64-dim float embeddings; executor-safe.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # Deterministic cross-engine timestamp semantics (duckdb oracle
         # timestamps are UTC-naive).
         .config("spark.sql.session.timeZone", "UTC")

@@ -84,6 +84,7 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "dedup_connected_clusters",
     "dedup_cc_star_contraction",
+    "dedup_duplicated_spans",
     "cms_token_counts",
     # native transformWithState stateful path (vendored protobuf runtime)
     "stream_first_seen_tws",
