@@ -57,6 +57,7 @@ _SAMPLE_FIRST = [
     "corpus_curation_report",
     "dedup_simhash",
     "dedup_duplicated_spans",
+    "stream_incremental_dedup",
     "dedup_ngram_jaccard",
     "dedup_sorted_neighborhood",
     # windows (batch + streaming twins)

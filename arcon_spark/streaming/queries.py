@@ -448,6 +448,117 @@ def stream_first_seen_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(provider_key)
 
 
+def _incremental_dedup_oracle() -> str:
+    from arcon_spark.functions.dedup import (
+        _SQL_HASH_PAIR_CTE,
+        _SQL_SHINGLE_CTE,
+        _sql_mh_list,
+        NUM_BANDS,
+        ROWS_PER_BAND,
+    )
+
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, md5(concat_ws('_', "
+        + ", ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        + ")) AS band_hash FROM mh"
+        for b in range(NUM_BANDS)
+    )
+    return f"""
+    WITH {_SQL_SHINGLE_CTE},
+    {_SQL_HASH_PAIR_CTE},
+    mh AS (
+      SELECT doc_id, {_sql_mh_list()}
+      FROM hp GROUP BY doc_id
+    ),
+    bands AS ({bands_union})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+     AND (a.doc_id % 3) < (b.doc_id % 3)
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "stream_incremental_dedup",
+    oracle=_incremental_dedup_oracle(),
+    tags=("streaming", "dedup", "lsh", "pipeline", "incremental"),
+)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time near-dup detection: documents arrive in waves
+    (three micro-batches here, split by doc_id % 3) and every new
+    batch is LSH-matched against the ACCUMULATED corpus index before
+    being appended to it — the streaming form of the MinHash+LSH
+    pipeline, i.e. "is this incoming document a near-dup of anything
+    we already ingested?". Emitted pairs are (doc_a = already-indexed,
+    doc_b = newly arrived); within-batch pairs are deliberately not
+    emitted (the batch indexes atomically after the probe), which the
+    oracle mirrors with the segment-order predicate
+    (doc_a % 3) < (doc_b % 3).
+
+    Scale shape: per batch, ONE band-key equi join of the batch's band
+    rows (docs × NUM_BANDS rows) against the parquet band index, plus
+    one append — the index grows as O(corpus × NUM_BANDS) small rows
+    and is the same partitioned table a 100 TB ingest would bucket by
+    band_hash; signature computation is the batch-parameterized twin
+    of the batch pipeline (shingles_of → signatures_of_shingles →
+    lsh_bands_of), so both paths share one implementation."""
+    import os
+    import tempfile
+
+    from arcon_spark.functions.dedup import (
+        lsh_bands_of,
+        shingles_of,
+        signatures_of_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    segs = [docs.filter(F.col("doc_id") % 3 == k) for k in range(3)]
+    root = write_segments(segs)
+    work = tempfile.mkdtemp(prefix="arcon_incdedup_")
+    index_dir = os.path.join(work, "band_index")
+    results_dir = os.path.join(work, "pairs")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        bands = lsh_bands_of(
+            signatures_of_shingles(shingles_of(batch_df))
+        ).persist()
+        if os.path.isdir(index_dir):
+            idx = spark.read.parquet(index_dir)
+            (
+                idx.alias("a")
+                .join(bands.alias("b"), ["band_id", "band_hash"])
+                .select(
+                    F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                )
+                .distinct()
+                .write.mode("append")
+                .parquet(results_dir)
+            )
+        bands.write.mode("append").parquet(index_dir)
+        bands.unpersist()
+
+    src = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(root)
+
+    def run():
+        q = (
+            src.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    _with_stream_partitions(spark, run)
+    if not os.path.isdir(results_dir):  # pragma: no cover - corpus has dups
+        return spark.createDataFrame([], "doc_a long, doc_b long")
+    return spark.read.parquet(results_dir).distinct()
+
+
 @register(
     "stream_sliding_window_agg",
     oracle=f"""

@@ -88,6 +88,8 @@ HEADLINE = [
     "cms_token_counts",
     # native transformWithState stateful path (vendored protobuf runtime)
     "stream_first_seen_tws",
+    # ingestion-time LSH dedup against the accumulated index
+    "stream_incremental_dedup",
 ]
 
 
