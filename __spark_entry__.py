@@ -43,6 +43,7 @@ _SAMPLE_FIRST = [
     "stream_first_seen_tws",
     "stream_kafka_log_roundtrip",
     "source_protobuf_roundtrip",
+    "source_avro_roundtrip",
     "arrow_ipc_roundtrip",
     "multimodal_png_roundtrip",
     "multimodal_wav_roundtrip",

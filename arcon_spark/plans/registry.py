@@ -65,6 +65,7 @@ def _load_all() -> None:
     import arcon_spark.functions.multimodal  # noqa: F401
     import arcon_spark.sources.python_datasource  # noqa: F401
     import arcon_spark.sources.arrow_ipc  # noqa: F401
+    import arcon_spark.sources.avro_io  # noqa: F401
     import arcon_spark.proto  # noqa: F401
     import arcon_spark.sources.kafka_log  # noqa: F401
     import arcon_spark.streaming.queries  # noqa: F401

@@ -80,6 +80,7 @@ HEADLINE = [
     # round 2: connector + codec surfaces and the de-drivered cosine
     "arrow_ipc_roundtrip",
     "source_protobuf_roundtrip",
+    "source_avro_roundtrip",
     "multimodal_png_roundtrip",
     "dedup_embedding_cosine",
     "dedup_connected_clusters",
