@@ -73,6 +73,15 @@ class FieldDescriptor(DescriptorBase):
         return self.label == self.LABEL_REPEATED
 
     @property
+    def is_map(self) -> bool:
+        return (
+            self.label == self.LABEL_REPEATED
+            and self.type == self.TYPE_MESSAGE
+            and self.message_type is not None
+            and getattr(self.message_type, "_is_map_entry", False)
+        )
+
+    @property
     def has_presence(self) -> bool:
         """proto3 explicit presence: message fields, oneof members
         (including the synthetic oneof of `optional` fields)."""
@@ -137,6 +146,7 @@ class Descriptor(DescriptorBase):
         self.enum_types_by_name = {e.name: e for e in enum_types}
         self.containing_type: Descriptor | None = None
         self.file: FileDescriptor | None = None
+        self._is_map_entry = False  # set true for synthetic map<K,V> entries
         # Populated by the message factory; GetPrototype-style lookup.
         self._concrete_class = None
 

@@ -28,10 +28,12 @@ _FIELD_T = {
     10: ("json_name", "string"),
     17: ("proto3_optional", "varint"),
 }
+_MSG_OPTIONS_T = {7: ("map_entry", "varint")}
 _MESSAGE_T: dict = {
     1: ("name", "string"),
     2: ("field", _FIELD_T, True),
     4: ("enum_type", _ENUM_T, True),
+    7: ("options", _MSG_OPTIONS_T),
     8: ("oneof_decl", _ONEOF_T, True),
 }
 _MESSAGE_T[3] = ("nested_type", _MESSAGE_T, True)  # recursive
@@ -103,6 +105,9 @@ def _build_message(proto: dict, prefix: str) -> _d.Descriptor:
     nested = [_build_message(m, full) for m in proto.get("nested_type", [])]
     enums = [_build_enum(e, full) for e in proto.get("enum_type", [])]
     desc = _d.Descriptor(name, full, fields, oneofs, nested, enums)
+    # map<K,V> fields compile to repeated synthetic Entry messages with
+    # options.map_entry = true (public descriptor.proto contract)
+    desc._is_map_entry = bool(proto.get("options", {}).get("map_entry", 0))
     for f in fields:
         f.containing_type = desc
     for t in nested:

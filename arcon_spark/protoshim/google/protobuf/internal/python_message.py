@@ -153,7 +153,18 @@ class _ShimMessage(Message):
             fd = self.DESCRIPTOR.fields_by_name.get(name)
             if fd is None:
                 raise ValueError(f'Protocol message {self.DESCRIPTOR.name} has no "{name}" field.')
-            if fd.is_repeated:
+            if fd.is_map:
+                entry = fd.message_type
+                kf, vf = entry.fields_by_number[1], entry.fields_by_number[2]
+                target: dict = {}
+                for k, v in dict(value).items():
+                    key = _coerce(kf, k)
+                    if vf.type == _F.TYPE_MESSAGE:
+                        target[key] = self._copy_sub(vf, v)
+                    else:
+                        target[key] = _coerce(vf, v)
+                self._values[name] = target
+            elif fd.is_repeated:
                 if fd.type == _F.TYPE_MESSAGE:
                     self._values[name] = [self._copy_sub(fd, v) for v in value]
                 else:
@@ -191,6 +202,10 @@ class _ShimMessage(Message):
         values = self._values
         if name in values:
             return values[name]
+        if fd.is_map:
+            fresh_map: dict = {}
+            values[name] = fresh_map  # auto-vivify so writes persist
+            return fresh_map
         if fd.is_repeated:
             fresh: list = []
             values[name] = fresh  # auto-vivify so appends persist
@@ -250,7 +265,14 @@ class _ShimMessage(Message):
             if fd.name not in other._values:
                 continue
             value = other._values[fd.name]
-            if fd.is_repeated:
+            if fd.is_map:
+                mine_map = self.__getattr__(fd.name)
+                vf = fd.message_type.fields_by_number[2]
+                for k, v in value.items():
+                    mine_map[k] = (
+                        self._copy_sub(vf, v) if vf.type == _F.TYPE_MESSAGE else v
+                    )
+            elif fd.is_repeated:
                 mine = self.__getattr__(fd.name)
                 if fd.type == _F.TYPE_MESSAGE:
                     mine.extend(self._copy_sub(fd, v) for v in value)
@@ -284,7 +306,29 @@ class _ShimMessage(Message):
             value = self._values.get(fd.name)
             if value is None:
                 continue
-            if fd.is_repeated:
+            if fd.is_map:
+                if not value:
+                    continue
+                entry = fd.message_type
+                kf, vf = entry.fields_by_number[1], entry.fields_by_number[2]
+                for k in sorted(value):  # deterministic entry order
+                    body = bytearray()
+                    v = value[k]
+                    if k != _scalar_default(kf):  # entry fields: implicit presence
+                        w.write_varint(body, w.make_tag(1, _wire_type_of(kf.type)))
+                        _encode_scalar(body, kf, k)
+                    if vf.type == _F.TYPE_MESSAGE:
+                        sub = v.SerializeToString()
+                        w.write_varint(body, w.make_tag(2, w.WIRETYPE_LENGTH_DELIMITED))
+                        w.write_varint(body, len(sub))
+                        body.extend(sub)
+                    elif v != _scalar_default(vf):
+                        w.write_varint(body, w.make_tag(2, _wire_type_of(vf.type)))
+                        _encode_scalar(body, vf, v)
+                    w.write_varint(buf, w.make_tag(fd.number, w.WIRETYPE_LENGTH_DELIMITED))
+                    w.write_varint(buf, len(body))
+                    buf.extend(body)
+            elif fd.is_repeated:
                 if not value:
                     continue
                 if fd.type in _NUMERIC_TYPES:
@@ -340,7 +384,35 @@ class _ShimMessage(Message):
                 if fd is None:
                     pos = w.skip_field(data, pos, wire)
                     continue
-                if fd.is_repeated:
+                if fd.is_map:
+                    target_map = self.__getattr__(fd.name)
+                    entry = fd.message_type
+                    kf, vf = entry.fields_by_number[1], entry.fields_by_number[2]
+                    length, pos = w.read_varint(data, pos)
+                    body = data[pos : pos + length]
+                    pos += length
+                    k = _scalar_default(kf)
+                    v = (
+                        build_message_class(vf.message_type)()
+                        if vf.type == _F.TYPE_MESSAGE
+                        else _scalar_default(vf)
+                    )
+                    bp = 0
+                    while bp < len(body):
+                        btag, bp = w.read_varint(body, bp)
+                        bnum, bwire = w.split_tag(btag)
+                        if bnum == 1:
+                            k, bp = _decode_scalar(kf, body, bp, bwire)
+                        elif bnum == 2 and vf.type == _F.TYPE_MESSAGE:
+                            blen, bp = w.read_varint(body, bp)
+                            v.MergeFromString(body[bp : bp + blen])
+                            bp += blen
+                        elif bnum == 2:
+                            v, bp = _decode_scalar(vf, body, bp, bwire)
+                        else:
+                            bp = w.skip_field(body, bp, bwire)
+                    target_map[k] = v
+                elif fd.is_repeated:
                     target = self.__getattr__(fd.name)
                     if fd.type == _F.TYPE_MESSAGE:
                         length, pos = w.read_varint(data, pos)

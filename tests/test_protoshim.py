@@ -440,3 +440,72 @@ def test_cross_codec_identical_bytes_and_roundtrip():
             assert got == expect, (name, got, expect)
 
     check()
+
+
+# ------------------------------------------------------------- map fields
+
+def _map_message():
+    """message M { map<string,int64> counts = 1; map<int64,string> names = 2; }
+    — map fields compile to repeated synthetic *Entry messages with
+    options.map_entry=true (public descriptor.proto contract)."""
+    from google.protobuf import descriptor_pool
+    from google.protobuf.internal import python_message
+    from google.protobuf.internal import wire_format as w
+
+    def entry_msg(name, ktype, vtype):
+        mb = bytearray()
+        raw = name.encode()
+        w.write_varint(mb, w.make_tag(1, 2)); w.write_varint(mb, len(raw)); mb.extend(raw)
+        for fb in (_encode_field_proto("key", 1, ktype, 1),
+                   _encode_field_proto("value", 2, vtype, 1)):
+            w.write_varint(mb, w.make_tag(2, 2)); w.write_varint(mb, len(fb)); mb.extend(fb)
+        opts = bytearray()
+        w.write_varint(opts, w.make_tag(7, 0)); w.write_varint(opts, 1)  # map_entry
+        w.write_varint(mb, w.make_tag(7, 2)); w.write_varint(mb, len(opts)); mb.extend(opts)
+        return bytes(mb)
+
+    def map_field(name, number, entry_full):
+        from google.protobuf.internal import wire_format as w2
+
+        buf = bytearray(_encode_field_proto(name, number, 11, 3))  # repeated message
+        tn = entry_full.encode()
+        w2.write_varint(buf, w2.make_tag(6, 2)); w2.write_varint(buf, len(tn)); buf.extend(tn)
+        return bytes(buf)
+
+    mb = bytearray()
+    raw = b"M"
+    w.write_varint(mb, w.make_tag(1, 2)); w.write_varint(mb, len(raw)); mb.extend(raw)
+    for fb in (map_field("counts", 1, ".maptest.M.CountsEntry"),
+               map_field("names", 2, ".maptest.M.NamesEntry")):
+        w.write_varint(mb, w.make_tag(2, 2)); w.write_varint(mb, len(fb)); mb.extend(fb)
+    for nb in (entry_msg("CountsEntry", 9, 3), entry_msg("NamesEntry", 3, 9)):
+        w.write_varint(mb, w.make_tag(3, 2)); w.write_varint(mb, len(nb)); mb.extend(nb)
+
+    fp = bytearray()
+    raw = b"maptest/m.proto"
+    w.write_varint(fp, w.make_tag(1, 2)); w.write_varint(fp, len(raw)); fp.extend(raw)
+    raw = b"maptest"
+    w.write_varint(fp, w.make_tag(2, 2)); w.write_varint(fp, len(raw)); fp.extend(raw)
+    w.write_varint(fp, w.make_tag(4, 2)); w.write_varint(fp, len(mb)); fp.extend(mb)
+    fd = descriptor_pool.Default().AddSerializedFile(bytes(fp))
+    return python_message.build_message_class(fd.message_types_by_name["M"])
+
+
+def test_map_field_golden_and_roundtrip():
+    M = _map_message()
+    m = M(counts={"a": 1})
+    # entry body: key tag1 wire2 len1 'a' = 0A 01 61 ; value tag2 varint 1 = 10 01
+    # wrapped at field 1 wire2 len5
+    assert m.SerializeToString() == bytes.fromhex("0a050a0161" + "1001")
+    m2 = M(counts={"a": 1, "b": -2, "": 0}, names={7: "seven", -1: ""})
+    back = M()
+    back.ParseFromString(m2.SerializeToString())
+    assert dict(back.counts) == {"a": 1, "b": -2, "": 0}
+    assert dict(back.names) == {7: "seven", -1: ""}
+    # auto-vivified map writes persist and serialize
+    m3 = M()
+    m3.counts["x"] = 9
+    b3 = M(); b3.ParseFromString(m3.SerializeToString())
+    assert dict(b3.counts) == {"x": 9}
+    # default key/value omitted from entry bodies, parsed back as defaults
+    assert M(counts={"": 0}).SerializeToString() == bytes.fromhex("0a00")
