@@ -65,6 +65,8 @@ _SAMPLE_FIRST = [
     "tumbling_window_agg",
     "sliding_window_agg",
     "session_window_agg",
+    "cumulate_window_agg",
+    "stream_cumulate_window_agg",
     "appender_window_median",
     "stream_tumbling_window_agg",
     "stream_session_window_agg",

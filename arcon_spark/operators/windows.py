@@ -81,6 +81,57 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cumulate_window_agg",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+           time_bucket(INTERVAL '1 hour', ts) + o.j * INTERVAL '15 minutes' AS win_end,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_msum('value', 2)} AS sum_value
+    FROM {EVENTS_NORM}, UNNEST([1, 2, 3, 4]) AS o(j)
+    WHERE ts < time_bucket(INTERVAL '1 hour', ts) + o.j * INTERVAL '15 minutes'
+    GROUP BY 1, 2
+    """,
+    tags=("window", "cumulate", "survey2.4"),
+)
+def cumulate_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUMULATE windows (Flink's third windowing TVF, absent from both
+    Spark and the reference's Assigner::{Tumbling,Sliding},
+    assigner.rs:61-229): within each 1-hour period, growing windows
+    [H, H+15m), [H, H+30m), [H, H+45m), [H, H+60m) — early partial
+    results of the eventual tumbling total, the standard "dashboard
+    counts that fill in over the hour" shape.
+
+    Implementation: each event fans out ONLY to the windows that
+    contain it — j = floor(offset/15min)+1 .. 4 via sequence+explode,
+    so fan-out is exact (≤4, average 2.5) with no post-filter, and the
+    aggregate is one hash agg on (win_start, win_end). The oracle does
+    the naive fan-out-then-filter; both collapse to the same groups.
+    At 100 TB the pre-aggregation fan-out is the cost — it stays
+    proportional to events × avg windows, all map-side before the one
+    exchange."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    with_h = ev.select(
+        "ts",
+        "value",
+        F.date_trunc("hour", F.col("ts")).alias("win_start"),
+    ).withColumn(
+        "j",
+        F.explode(
+            F.expr(
+                "sequence(cast((unix_micros(ts) - unix_micros(win_start)) div 900000000 + 1 as int), 4)"
+            )
+        ),
+    )
+    return (
+        with_h.withColumn(
+            "win_end", F.expr("win_start + make_interval(0, 0, 0, 0, 0, 15 * j, 0)")
+        )
+        .groupBy("win_start", "win_end")
+        .agg(F.count(F.lit(1)).alias("n"), msum(F.col("value"), 2).alias("sum_value"))
+    )
+
+
+@register(
     "session_window_agg",
     oracle=f"""
     WITH     flagged AS (

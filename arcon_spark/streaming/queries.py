@@ -1184,6 +1184,84 @@ def stream_running_counts_update_mode(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @register(
+    "stream_cumulate_window_agg",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+           time_bucket(INTERVAL '1 hour', ts) + o.j * INTERVAL '15 minutes' AS win_end,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_msum('value', 2)} AS sum_value
+    FROM {EVENTS_NORM}, UNNEST([1, 2, 3, 4]) AS o(j)
+    WHERE ts < time_bucket(INTERVAL '1 hour', ts) + o.j * INTERVAL '15 minutes'
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "cumulate", "update_mode", "survey2.4"),
+)
+def stream_cumulate_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUMULATE windows maintained by the STREAMING engine in update
+    mode: the growing [H, H+15m·j) partials (batch twin
+    cumulate_window_agg — Flink's third windowing TVF) emitted per
+    micro-batch as events arrive, each window's row superseding its
+    previous value; final state must equal the batch oracle. This is
+    exactly the "dashboard fills in over the hour" production shape:
+    early partials are REAL emitted rows, not recomputations. Same
+    exact fan-out projection as the batch twin (map-side, ≤4 rows per
+    event), one keyed state aggregate."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    root = write_segments(
+        [ev.filter(F.col("event_id") % 2 == 0), ev.filter(F.col("event_id") % 2 == 1)]
+    )
+    out = tempfile.mkdtemp(prefix="arcon_cumulate_") + "/history"
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+    fanned = (
+        src.select("ts", "value", F.date_trunc("hour", F.col("ts")).alias("win_start"))
+        .withColumn(
+            "j",
+            F.explode(
+                F.expr(
+                    "sequence(cast((unix_micros(ts) - unix_micros(win_start)) div 900000000 + 1 as int), 4)"
+                )
+            ),
+        )
+        .withColumn(
+            "win_end", F.expr("win_start + make_interval(0, 0, 0, 0, 0, 15 * j, 0)")
+        )
+    )
+    agg = fanned.groupBy("win_start", "win_end").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        msum(F.col("value"), 2).alias("sum_value"),
+    )
+
+    def fb(batch_df: DataFrame, eid: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(eid)).write.mode("append").parquet(out)
+
+    def run():
+        q = (
+            agg.writeStream.foreachBatch(fb)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    _with_stream_partitions(spark, run)
+    hist = spark.read.parquet(out)
+    w = Window.partitionBy("win_start", "win_end").orderBy(F.col("batch_id").desc())
+    return (
+        hist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("win_start", "win_end", "n", "sum_value")
+    )
+
+
+@register(
     "stream_ohlc_hourly",
     oracle=f"""
     WITH t AS (
