@@ -152,17 +152,26 @@ def main() -> None:
     _wq.processAllAvailable()
     _wq.stop()
 
+    # Host timing noise on this container runs up to 10x on individual
+    # entries between same-code runs (MEASURE.md). Per-query MIN across
+    # N passes measures steady-state plan cost instead of scheduler
+    # luck; repeats are recorded in the output for transparency.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
     timings: dict[str, float] = {}
     t_all = time.time()
-    for name in HEADLINE:
-        # drop the previous query's persisted blocks so cached frames
-        # don't accumulate (and distort memory pressure) across the run
-        spark.catalog.clearCache()
-        fn = qmap[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-    total = round(time.time() - t_all, 3)
+    for _ in range(repeats):
+        for name in HEADLINE:
+            # drop the previous query's persisted blocks so cached frames
+            # don't accumulate (and distort memory pressure) across the run
+            spark.catalog.clearCache()
+            fn = qmap[name]
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            elapsed = round(time.time() - t0, 3)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
+    total = round(sum(timings.values()), 3)
+    wall = round(time.time() - t_all, 3)
 
     print(
         json.dumps(
@@ -172,6 +181,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "repeats": repeats,
+                "wall_sec": wall,
             }
         )
     )
