@@ -12,7 +12,7 @@ Module map (reference → here):
 - Sources (stream/source/*)                              → stream.py (Stream.from_*)
 """
 
-from arcon_spark.streaming.stream import ArconTime, Stream, Tumbling, Sliding, Session
+from arcon_spark.streaming.stream import ArconTime, Cumulate, Stream, Tumbling, Sliding, Session
 from arcon_spark.streaming.stateful import (
     Operator,
     OperatorContext,
@@ -28,6 +28,7 @@ __all__ = [
     "Tumbling",
     "Sliding",
     "Session",
+    "Cumulate",
     "Operator",
     "OperatorContext",
     "apply_operator",

@@ -92,6 +92,40 @@ class Session:
     late_arrival: str = "0 seconds"
 
 
+def _dur_sec(s: str) -> float:
+    n, unit = s.split()
+    mult = {"millisecond": 0.001, "second": 1, "minute": 60, "hour": 3600}[
+        unit.rstrip("s")
+    ]
+    return float(n) * mult
+
+
+@dataclass(frozen=True)
+class Cumulate:
+    """CUMULATE window (Flink's third windowing TVF; absent from both
+    Spark and the reference): growing windows [H, H+step·j) within
+    each `period`, emitting early partials of the eventual tumbling
+    total. period must be a multiple of step. Implemented
+    append-compatible: each element fans out to the windows containing
+    it, re-stamped at win_end − 1µs, so a step-sized tumbling window
+    over the re-stamp fires exactly when each cumulate window closes
+    (Flink's emission semantics)."""
+
+    period: str
+    step: str
+    late_arrival: str = "0 seconds"
+
+    def __post_init__(self) -> None:
+        if _dur_sec(self.period) % _dur_sec(self.step) != 0:
+            raise ValueError(
+                f"period {self.period} must be a multiple of step {self.step}"
+            )
+
+    @property
+    def n_steps(self) -> int:
+        return int(_dur_sec(self.period) / _dur_sec(self.step))
+
+
 class Stream:
     """A (streaming or batch) DataFrame with event-time + key context.
 
@@ -271,9 +305,61 @@ class Stream:
         there)."""
         return self._same(self.df.repartition(n))
 
+    # -- custom operators (reference §2.2 Operator, §2.4 timers) ------------
+
+    def operator(
+        self,
+        op,
+        output_schema: StructType | str,
+        late_arrival: str = "0 seconds",
+    ) -> "Stream":
+        """Custom stateful Operator with per-key state + event-time
+        timers (reference dataflow/stream/operator.rs:39-81 /
+        builder.rs:27-54) on the applyInPandasWithState engine path.
+        Requires key_by() first; with a timestamp extractor the
+        operator gets event-time timers, without one it runs
+        timerless."""
+        from arcon_spark.streaming.stateful import apply_operator
+
+        if not self.keys:
+            raise ValueError("operator() requires key_by() first (keyed stream)")
+        out = apply_operator(
+            self.df,
+            list(self.keys),
+            op,
+            output_schema,
+            ts_col=self.ts_col,
+            late_arrival=late_arrival,
+        )
+        return Stream(out, ts_col=None, keys=self.keys, time=self.time)
+
+    def operator_tws(
+        self,
+        processor,
+        output_schema: StructType | str,
+        time_mode: str = "None",
+        output_mode: str = "Append",
+    ) -> "Stream":
+        """The same custom-operator slot on Spark 4's NATIVE
+        transformWithStateInPandas (typed ValueState/ListState/MapState
+        + native timers; protobuf state protocol via the vendored
+        runtime, arcon_spark/protoshim). `processor` is a
+        pyspark.sql.streaming.StatefulProcessor. Requires key_by()
+        first and the RocksDB state store provider
+        (streaming.tws.ROCKSDB_PROVIDER) set on the session before the
+        query starts; time_mode "EventTime" additionally needs a
+        watermark on the source (with_timestamp_extractor + a
+        withWatermark upstream)."""
+        if not self.keys:
+            raise ValueError("operator_tws() requires key_by() first (keyed stream)")
+        out = self.df.groupBy(*self.keys).transformWithStateInPandas(
+            processor, output_schema, output_mode, time_mode
+        )
+        return Stream(out, ts_col=None, keys=self.keys, time=self.time)
+
     # -- windows (reference §2.4) -------------------------------------------
 
-    def window(self, assigner: Tumbling | Sliding | Session) -> "WindowedStream":
+    def window(self, assigner: Tumbling | Sliding | Session | Cumulate) -> "WindowedStream":
         if self.ts_col is None:
             raise ValueError("window() requires a timestamp extractor (event time)")
         return WindowedStream(self, assigner)
@@ -439,6 +525,8 @@ class WindowedStream:
     def agg(self, *aggs: Column) -> Stream:
         s = self.stream
         a = self.assigner
+        if isinstance(a, Cumulate):
+            return self._agg_cumulate(a, aggs)
         df = s.df.withWatermark(s.ts_col, a.late_arrival)
         if isinstance(a, Tumbling):
             win = F.window(s.ts_col, a.length)
@@ -452,6 +540,44 @@ class WindowedStream:
         out = agg_df.select(
             F.col("win.start").alias("win_start"),
             F.col("win.end").alias("win_end"),
+            *[F.col(k) for k in s.keys],
+            *[F.col(c) for c in agg_cols],
+        )
+        return Stream(out, ts_col=None, keys=s.keys, time=s.time)
+
+    def _agg_cumulate(self, a: Cumulate, aggs: tuple[Column, ...]) -> Stream:
+        """CUMULATE via exact fan-out + step-tumbling re-window: each
+        element explodes only to the cumulate windows containing it,
+        re-stamped at win_end − 1µs; a step-length tumbling window over
+        the re-stamp then closes exactly when each cumulate window
+        does, keeping the query APPEND-mode compatible (window-grouped
+        state with watermark eviction)."""
+        s = self.stream
+        step_us = int(_dur_sec(a.step) * 1_000_000)
+        fanned = (
+            s.df.withColumn("__cum_start", F.window(F.col(s.ts_col), a.period).start)
+            .withColumn(
+                "__cum_j",
+                F.explode(
+                    F.expr(
+                        f"sequence(cast((unix_micros({s.ts_col}) - unix_micros(__cum_start))"
+                        f" div {step_us} + 1 as int), {a.n_steps})"
+                    )
+                ),
+            )
+            .withColumn("__cum_end", F.expr(f"__cum_start + __cum_j * INTERVAL {a.step}"))
+            .withColumn("__cum_ts", F.expr("__cum_end - INTERVAL 1 MICROSECOND"))
+        )
+        grouped = fanned.withWatermark("__cum_ts", a.late_arrival).groupBy(
+            F.window("__cum_ts", a.step).alias("__w"),
+            F.col("__cum_start"),
+            *[F.col(k) for k in s.keys],
+        )
+        agg_df = grouped.agg(*aggs)
+        agg_cols = agg_df.columns[2 + len(s.keys):]
+        out = agg_df.select(
+            F.col("__cum_start").alias("win_start"),
+            F.col("__w.end").alias("win_end"),
             *[F.col(k) for k in s.keys],
             *[F.col(c) for c in agg_cols],
         )

@@ -296,3 +296,135 @@ def test_tape_split_is_a_parameter_seam(monkeypatch):
     fixed = (0, 1_000_000, 2_000_000)
     monkeypatch.setattr(q, "_tape_stats_us", lambda sf, types=None: fixed)
     assert q._tape_split_ts("whatever") == q._us_to_naive_utc(1_000_000)
+
+
+def test_cumulate_window_fluent(spark):
+    """Cumulate assigner on the fluent API (Flink CUMULATE semantics):
+    period 40s / step 10s; an element at t belongs to every growing
+    window [H, H+10j) with end > t, and each window's row emits in
+    APPEND mode once the watermark passes its end (the step-tumbling
+    re-window construction). Elements at 5s and 15s in the first
+    period: 5s is in all 4 windows, 15s in windows ending 20/30/40."""
+    from arcon_spark.streaming import Cumulate
+
+    def xform(src_df):
+        return (
+            Stream(src_df, ts_col="ts")
+            .window(Cumulate("40 seconds", "10 seconds"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .df
+        )
+
+    segments = [
+        [(1, 10, _ts(5)), (1, 11, _ts(15))],
+        [(1, 12, _ts(200))],  # watermark pusher: closes period 1 windows
+    ]
+    out = run_tape(spark, SCHEMA, segments, xform)
+    got = {
+        (r.win_start.second, r.win_end.second + 60 * r.win_end.minute): r.n
+        for r in out.collect()
+        if r.win_start.minute == 0 and r.win_start.second == 0
+    }
+    assert got == {(0, 10): 1, (0, 20): 2, (0, 30): 2, (0, 40): 2}
+
+
+def test_cumulate_asserts_period_multiple_of_step():
+    from arcon_spark.streaming import Cumulate
+
+    with pytest.raises(ValueError):
+        Cumulate("50 seconds", "15 seconds")
+
+
+def test_stream_operator_fluent(spark):
+    """Stream.operator(): the custom-Operator slot on the fluent
+    builder (reference stream.operator(OperatorBuilder), dataflow/
+    stream/operator.rs:39-81) — a keyed running count with state
+    surviving across micro-batches."""
+    from arcon_spark.streaming import Operator
+
+    class Counter(Operator):
+        def handle_element(self, key, pdf, ctx):
+            st = ctx.value("n")
+            n = (st.get() or 0) + len(pdf)
+            st.put(n)
+            return [{"key": int(key[0]), "n": int(n)}]
+
+    def xform(src_df):
+        return (
+            Stream(src_df, ts_col=None)
+            .key_by("key")
+            .operator(Counter(), "key long, n long")
+            .df
+        )
+
+    segments = [
+        [(1, 10, _ts(1)), (1, 11, _ts(2)), (2, 20, _ts(3))],
+        [(1, 12, _ts(4))],
+    ]
+    out = run_tape(spark, SCHEMA, segments, xform)
+    rows = {(r.key, r.n) for r in out.collect()}
+    assert (1, 2) in rows and (1, 3) in rows and (2, 1) in rows
+
+
+def test_stream_operator_requires_keys(spark):
+    from arcon_spark.streaming import Operator
+
+    class Noop(Operator):
+        def handle_element(self, key, pdf, ctx):
+            return None
+
+    src = spark.createDataFrame([(1, 2, _ts(1))], SCHEMA)
+    with pytest.raises(ValueError):
+        Stream(src, ts_col=None).operator(Noop(), "key long")
+
+
+def test_stream_operator_tws_fluent(spark):
+    """Stream.operator_tws(): the same slot on native
+    transformWithStateInPandas (typed ValueState via the vendored
+    protobuf runtime)."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    from arcon_spark.streaming.tws import ROCKSDB_PROVIDER, TWS_AVAILABLE
+
+    if not TWS_AVAILABLE:
+        pytest.skip("protobuf bootstrap failed")
+
+    class Counter(StatefulProcessor):
+        def init(self, handle) -> None:
+            self.n = handle.getValueState("n", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self.n.get()[0] if self.n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self.n.update((n,))
+            yield pd.DataFrame({"key": [int(key[0])], "n": [int(n)]})
+
+        def close(self) -> None:
+            pass
+
+    def xform(src_df):
+        return (
+            Stream(src_df, ts_col=None)
+            .key_by("key")
+            .operator_tws(Counter(), "key long, n long")
+            .df
+        )
+
+    key_conf = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key_conf, None)
+    spark.conf.set(key_conf, ROCKSDB_PROVIDER)
+    try:
+        segments = [
+            [(1, 10, _ts(1)), (2, 20, _ts(2))],
+            [(1, 11, _ts(3))],
+        ]
+        out = run_tape(spark, SCHEMA, segments, xform)
+        rows = {(r.key, r.n) for r in out.collect()}
+        assert (1, 1) in rows and (1, 2) in rows and (2, 1) in rows
+    finally:
+        if prev is not None:
+            spark.conf.set(key_conf, prev)
+        else:
+            spark.conf.unset(key_conf)
