@@ -289,7 +289,10 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.col("pdist"), F.coalesce(F.col("c"), F.lit(_UNREACHED))).alias(
                 "dist"
             ),
-        )
+        ).localCheckpoint(eager=True)  # flat 25-row frame per round: the
+        # plan (and SCALE.md exchange count) stays O(1) in round count
+        # instead of compounding a join chain — same lineage hygiene as
+        # dedup_connected_clusters
     edges.unpersist()
     return dist.select(
         F.col("node").alias("nationkey"), F.col("dist").cast("long").alias("dist")
@@ -524,6 +527,7 @@ def graph_shortest_path_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("pdist"), F.coalesce(F.col("c"), F.lit(_SSSP_INF))
                 ).alias("dist"),
             )
+            .localCheckpoint(eager=True)  # lineage cut per round, as in BFS
         )
     edges.unpersist()
     return dist.select(
