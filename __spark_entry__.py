@@ -91,6 +91,7 @@ _SAMPLE_FIRST = [
     "ann_ivf_topk",
     "semdedup_embeddings",
     # relational core
+    "sql_recursive_reachability",
     "tpch_q1",
     "tpch_q3",
     "broadcast_dim_join",

@@ -242,6 +242,85 @@ def _bfs_sql_iter(k: int) -> str:
 )
 def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-source shortest hop counts (BFS) over the directed nation
+    trade graph from nation 0 — driver-loop relaxation rounds with
+    per-round lineage cuts; see _graph_bfs_distances_impl for the full
+    mechanics, and sql_recursive_reachability for the same reachable
+    set computed by the engines' native WITH RECURSIVE."""
+    return _graph_bfs_distances_impl(spark, sf_dir)
+
+
+@register(
+    "sql_recursive_reachability",
+    oracle="""
+    WITH RECURSIVE flows AS (
+      SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
+      FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+      WHERE s_nationkey <> c_nationkey
+    ),
+    r(node, depth) AS (
+      SELECT CAST((SELECT MIN(src) FROM flows) AS BIGINT), CAST(0 AS BIGINT)
+      UNION ALL
+      SELECT CAST(e.dst AS BIGINT), r.depth + 1
+      FROM r JOIN flows e ON e.src = r.node
+      WHERE r.depth < 2
+    )
+    SELECT node, CAST(MIN(depth) AS BIGINT) AS min_depth
+    FROM r GROUP BY node
+    """,
+    tags=("graph", "sql", "recursive_cte", "survey2.9"),
+)
+def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE reachability run NATIVELY in both engines — Spark
+    4's `WITH RECURSIVE` (UNION ALL bodies, the probe pinned in
+    tests/test_spark4_surfaces.py) against DuckDB's, text-identical
+    modulo the view source: min hop depth ≤ 2 from the smallest
+    trading nation (scalar-subquery seed — robust at every SF) over
+    the trade graph. Complements the driver-loop BFS twin
+    (graph_bfs_distances): same reachable set, recursion planned by the
+    engine instead of the driver — the declarative form a SQL user
+    writes. Depth guard bounds the UNION ALL expansion; at 100 TB the
+    per-level plan is the same join+filter the loop form runs, chosen
+    by Catalyst's recursion operator."""
+    edges = _trade_edges(spark, sf_dir)
+    view = "trade_edges_rec_tmp"
+    edges.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        WITH RECURSIVE r(node, depth) AS (
+          SELECT CAST((SELECT MIN(src) FROM {view}) AS BIGINT), CAST(0 AS BIGINT)
+          UNION ALL
+          SELECT CAST(e.dst AS BIGINT), r.depth + 1
+          FROM r JOIN {view} e ON e.src = r.node
+          WHERE r.depth < 2
+        )
+        SELECT node, CAST(MIN(depth) AS BIGINT) AS min_depth
+        FROM r GROUP BY node
+        """
+    )
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct directed nation trade edges (shared by BFS/SSSP/the
+    recursive-CTE query)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+        .distinct()
+    )
+
+
+def _graph_bfs_distances_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest hop counts (BFS) over the directed nation
     trade graph from nation 0, {_BFS_ITERS} fixed Bellman-Ford-style
     relaxation rounds: dist'(v) = min(dist(v), min over u→v of
     dist(u)+1), unreachable = {_UNREACHED}. Same driver-loop-of-joins
