@@ -72,3 +72,57 @@ def ensure_protobuf() -> bool:
         return True
     except Exception:  # pragma: no cover - shim broken
         return False
+
+
+def ensure_protobuf_on_session(spark) -> None:
+    """Runtime attach for a session whose JVM launched WITHOUT the
+    PYTHONPATH bootstrap (e.g. an external harness that built its own
+    SparkSession and then calls our queries): python workers for
+    functions created AFTER this call resolve google.protobuf anyway.
+
+    Two belt-and-braces mechanisms, both effective post-JVM-launch:
+    - ``sc.environment["PYTHONPATH"]`` — captured into every
+      subsequently-created PythonFunction's envVars; worker daemons are
+      keyed on those envVars, so a fresh daemon spawns with the shim
+      on its path (this is also what the transformWithState driver
+      worker's StreamingPythonRunner consults).
+    - ``sc.addPyFile(zip)`` — ships the package as a zipimport entry
+      prepended to worker sys.path.
+
+    Idempotent per SparkContext; no-op when a real protobuf (or an
+    earlier bootstrap) already covers the workers' path."""
+    ensure_protobuf()
+    import google.protobuf as _gp
+
+    if not os.path.abspath(_gp.__file__ or "").startswith(_SHIM_DIR):
+        # a real protobuf serves the driver — assume the cluster image
+        # provides it to workers too; never shadow it with the shim
+        return
+    sc = spark.sparkContext
+    if getattr(sc, "_arcon_protoshim_attached", False):
+        return
+    env_pp = sc.environment.get("PYTHONPATH", "")
+    parts = env_pp.split(os.pathsep) if env_pp else []
+    if _SHIM_DIR not in parts:
+        sc.environment["PYTHONPATH"] = (
+            _SHIM_DIR + (os.pathsep + env_pp if env_pp else "")
+        )
+    try:
+        import tempfile
+        import zipfile
+
+        zip_path = os.path.join(
+            tempfile.gettempdir(), f"arcon_protoshim_{os.getpid()}.zip"
+        )
+        if not os.path.exists(zip_path):
+            with zipfile.ZipFile(zip_path, "w") as zf:
+                pkg_root = os.path.join(_SHIM_DIR, "google")
+                for dirpath, _dirs, files in os.walk(pkg_root):
+                    for fn in files:
+                        if fn.endswith(".py"):
+                            full = os.path.join(dirpath, fn)
+                            zf.write(full, os.path.relpath(full, _SHIM_DIR))
+        sc.addPyFile(zip_path)
+    except Exception:  # pragma: no cover - env path alone usually suffices
+        pass
+    sc._arcon_protoshim_attached = True

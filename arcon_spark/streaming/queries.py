@@ -366,10 +366,14 @@ def stream_first_seen_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming import StatefulProcessor
 
+    from arcon_spark.protoshim import ensure_protobuf_on_session
     from arcon_spark.streaming.tws import ROCKSDB_PROVIDER, TWS_AVAILABLE
 
     if not TWS_AVAILABLE:  # pragma: no cover - shim makes this unreachable here
         raise RuntimeError("transformWithState requires protobuf (vendored shim failed)")
+    # the caller's session may have launched its JVM without the
+    # PYTHONPATH bootstrap (external harness): attach at runtime
+    ensure_protobuf_on_session(spark)
 
     ev = (
         load_table(spark, sf_dir, "events")

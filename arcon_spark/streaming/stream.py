@@ -352,6 +352,9 @@ class Stream:
         withWatermark upstream)."""
         if not self.keys:
             raise ValueError("operator_tws() requires key_by() first (keyed stream)")
+        from arcon_spark.protoshim import ensure_protobuf_on_session
+
+        ensure_protobuf_on_session(self.df.sparkSession)
         out = self.df.groupBy(*self.keys).transformWithStateInPandas(
             processor, output_schema, output_mode, time_mode
         )

@@ -242,3 +242,48 @@ def test_tws_first_seen_runs(spark):
             spark.conf.set(_KEY, prev)
         else:
             spark.conf.unset(_KEY)
+
+
+def test_tws_runs_under_foreign_session(spark):
+    """DRIVER-SIMULATION: an external harness builds its own bare
+    SparkSession (JVM env captured WITHOUT the protoshim PYTHONPATH)
+    and only then calls our registered tWS query. The runtime attach
+    (protoshim.ensure_protobuf_on_session: sc.environment PYTHONPATH +
+    addPyFile zip) must make the python workers resolve
+    google.protobuf anyway. Run in a clean subprocess so the parent's
+    env bootstrap can't leak through the JVM."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        """
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from pyspark.sql import SparkSession
+        spark = (
+            SparkSession.builder.master("local[4]")
+            .config("spark.sql.shuffle.partitions", "4")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+            .config("spark.ui.enabled", "false")
+            .config("spark.driver.memory", "4g")
+            .getOrCreate()
+        )
+        import __spark_entry__ as e
+        df = e.queries()["stream_first_seen_tws"](spark, "/root/testdata/sf0.001")
+        print("TWS_ROWS:", df.count())
+        """
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert "TWS_ROWS:" in out.stdout, out.stderr[-2000:]
+    n = int(out.stdout.split("TWS_ROWS:")[1].split()[0])
+    assert n > 0
