@@ -810,6 +810,9 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("s_nationkey", "c_nationkey").alias("b"),
         )
         .agg(F.countDistinct("o_orderkey").alias("n"))
+        .persist()  # feeds the totals scalar AND the strong-edge filter:
+        # without this the 3-join countDistinct pipeline runs twice
+        # (self-join-branch recompute, MEASURE.md session-5)
     )
     tot = pairs.agg(
         F.sum("n").alias("total"), F.count(F.lit(1)).alias("np")
@@ -936,6 +939,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("s_nationkey", "c_nationkey").alias("b"),
         )
         .agg(F.countDistinct("o_orderkey").alias("n"))
+        .persist()  # totals scalar + strong-edge filter both read it
     )
     tot = pairs.agg(F.sum("n").alias("total"), F.count(F.lit(1)).alias("np"))
     strong = (
