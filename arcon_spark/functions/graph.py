@@ -486,8 +486,9 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         prev = labels
         # eager checkpoint: materializes this round (labels is consumed
-        # twice next round), truncates lineage, and lets the superseded
-        # round's cache be dropped instead of accumulating per round
+        # twice next round) and truncates lineage; the superseded
+        # round's checkpoint blocks are released by the ContextCleaner
+        # once dereferenced (GC-bounded, not unpersist-immediate)
         labels = (
             labels.join(winner, "node", "left")
             .select(
@@ -495,6 +496,10 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        # NOTE: unpersist() only releases CacheManager entries; a
+        # localCheckpoint()'ed predecessor's blocks are freed by the
+        # ContextCleaner once this frame is dereferenced (GC-bounded
+        # retention, one round's blocks at a time)
         prev.unpersist()
     undirected.unpersist()
     return labels.select(
@@ -711,8 +716,9 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= _KCORE_K).select(F.col("src").alias("node"))
         prev = edges
-        # eager checkpoint then drop the superseded round's cache —
-        # the peel loop otherwise stacks one cached edge frame per round
+        # eager checkpoint; the superseded round's blocks are freed by
+        # the ContextCleaner once dereferenced (GC-bounded) — without
+        # the checkpoint the peel loop compounds lineage per round
         edges = (
             edges.join(F.broadcast(keep).withColumnRenamed("node", "src"), "src")
             .join(F.broadcast(keep).withColumnRenamed("node", "dst"), "dst")

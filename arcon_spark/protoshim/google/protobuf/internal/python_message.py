@@ -192,6 +192,16 @@ class _ShimMessage(Message):
                 self._values.pop(current, None)
             self._oneof_case[oneof.name] = fd.name
         self._values[fd.name] = value
+        # write-through for default sub-message views: `msg.sub.x = 1`
+        # must register `sub` on the parent (real-runtime semantics),
+        # not silently mutate a throwaway — chains recursively so
+        # `msg.a.b.x = 1` attaches the whole path
+        parent_ref = self.__dict__.get("_parent_ref")
+        if parent_ref is not None:
+            parent, pfd = parent_ref
+            object.__setattr__(self, "_parent_ref", None)
+            if parent._values.get(pfd.name) is not self:
+                parent._set_field(pfd, self)
 
     def __getattr__(self, name: str):
         # Only reached when normal lookup fails — all field reads land here.
@@ -211,7 +221,11 @@ class _ShimMessage(Message):
             values[name] = fresh  # auto-vivify so appends persist
             return fresh
         if fd.type == _F.TYPE_MESSAGE:
-            return build_message_class(fd.message_type)()  # read-only default
+            # default view: reading sets no presence, but a write to any
+            # of its fields attaches it to this parent (_set_field)
+            sub = build_message_class(fd.message_type)()
+            object.__setattr__(sub, "_parent_ref", (self, fd))
+            return sub
         return _scalar_default(fd)
 
     def __setattr__(self, name: str, value) -> None:

@@ -47,8 +47,8 @@ def to_arrow_ipc(df: DataFrame, path: str) -> int:
     import pyarrow as pa
 
     os.makedirs(path, exist_ok=True)
-    # resolve the Arrow schema driver-side so every partition writes an
-    # identical footer even when it holds zero batches
+    # empty partitions skip their file; a fully-empty frame gets one
+    # footer-only file below so the schema always round-trips
     run_id = uuid.uuid4().hex[:12]
 
     def write_partition(batches):
@@ -68,6 +68,17 @@ def to_arrow_ipc(df: DataFrame, path: str) -> int:
             yield pa.RecordBatch.from_pydict({"file": [fname], "n_rows": [n]})
 
     manifest = df.mapInArrow(write_partition, "file string, n_rows long").collect()
+    if not manifest:
+        # empty frame: no partition wrote a file, but the table must
+        # still round-trip — write one footer-only file with the schema
+        # resolved driver-side (metadata only, no data scan)
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(df.schema)
+        fname = os.path.join(path, f"part-empty-{run_id}{_MAGIC_SUFFIX}")
+        with pa.ipc.new_file(fname, arrow_schema):
+            pass
+        return 1
     return len(manifest)
 
 

@@ -67,15 +67,30 @@ _IDX = struct.Struct("<q")  # file position of each record
 
 
 class KafkaLogProducer:
-    """Single-writer appender for one topic directory."""
+    """Single-writer appender for one topic directory.
+
+    Crash-safety: the .log record and its .idx entry are two writes; a
+    crash between them leaves orphan bytes at the log tail that no
+    index entry references. The first send() to a partition repairs it
+    by truncating the log to the index's last recorded end, so an
+    orphan can never sit BETWEEN indexed positions and shift later
+    records (the index is the source of truth, exactly like a Kafka
+    segment's offset index). Repair is lazy and per-partition because
+    each partition has exactly ONE writer — eagerly sweeping the whole
+    topic would race with concurrent writers of other partitions
+    (executor-side production assigns one task per log)."""
 
     def __init__(self, topic_dir: str, num_partitions: int = 4) -> None:
         self.topic_dir = topic_dir
         self.num_partitions = num_partitions
+        self._repaired: set[int] = set()
         os.makedirs(topic_dir, exist_ok=True)
 
     def send(self, partition: int, key: bytes, value: bytes, ts_us: int = 0) -> int:
         """Append one record; returns its offset within the partition."""
+        if partition not in self._repaired:
+            _repair_partition(self.topic_dir, partition)
+            self._repaired.add(partition)
         base = os.path.join(self.topic_dir, f"p-{partition:04d}")
         rec = _HDR.pack(len(key), len(value), ts_us) + key + value
         with open(base + ".log", "ab") as lf:
@@ -85,6 +100,33 @@ class KafkaLogProducer:
             offset = xf.tell() // _IDX.size
             xf.write(_IDX.pack(pos))
         return offset
+
+
+def _indexed_log_end(topic_dir: str, partition: int) -> int:
+    """Byte position just past the last INDEXED record (0 if empty)."""
+    base = os.path.join(topic_dir, f"p-{partition:04d}")
+    n = end_offset(topic_dir, partition)
+    if n == 0:
+        return 0
+    with open(base + ".idx", "rb") as xf:
+        xf.seek((n - 1) * _IDX.size)
+        (pos,) = _IDX.unpack(xf.read(_IDX.size))
+    with open(base + ".log", "rb") as lf:
+        lf.seek(pos)
+        klen, vlen, _ = _HDR.unpack(lf.read(_HDR.size))
+    return pos + _HDR.size + klen + vlen
+
+
+def _repair_partition(topic_dir: str, partition: int) -> None:
+    """Truncate un-indexed orphan bytes from the log tail (crash between
+    the record append and the index append)."""
+    base = os.path.join(topic_dir, f"p-{partition:04d}")
+    if not os.path.exists(base + ".log"):
+        return
+    want = _indexed_log_end(topic_dir, partition)
+    if os.path.getsize(base + ".log") > want:
+        with open(base + ".log", "r+b") as lf:
+            lf.truncate(want)
 
 
 def topic_partitions(topic_dir: str) -> list[int]:
@@ -122,7 +164,12 @@ def _to_row(topic: str, partition: int, rec):
     import datetime
 
     key, value, ts_us, off = rec
-    ts = datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=ts_us)
+    # tz-AWARE UTC: a naive datetime would be reinterpreted through the
+    # host/session zone by TimestampType.toInternal, shifting every
+    # record's timestamp on non-UTC hosts
+    ts = datetime.datetime(
+        1970, 1, 1, tzinfo=datetime.timezone.utc
+    ) + datetime.timedelta(microseconds=ts_us)  # exact int µs arithmetic
     return (key, value, topic, partition, off, ts)
 
 
@@ -254,16 +301,39 @@ def append_stream_to_kafka_log(
     batch_df, batch_id: int, topic_dir: str, num_partitions: int = 4
 ) -> None:
     """foreachBatch body: append (key, value, ts) rows to the topic,
-    idempotently — a commit marker per batch_id makes redelivery
-    (failure/restart replay) a no-op, so the log sees each record
-    exactly once. Rows are collected per batch on the driver because
-    the log is single-writer; a real Kafka sink shards this across
-    executors with the broker's idempotent producer."""
+    idempotently — WAL-style begin/commit markers per batch_id make
+    redelivery (failure/restart replay) a no-op AND make a crash
+    mid-append recoverable: the begin marker records each partition's
+    pre-append end offset, so a redelivered batch whose commit never
+    landed first TRUNCATES the logs back to those offsets (undoing the
+    partial append) before re-appending. The log therefore sees each
+    record exactly once under arbitrary crash points. Rows are
+    collected per batch on the driver because the log is
+    single-writer; a real Kafka sink shards this across executors with
+    the broker's transactional producer (same begin/commit protocol,
+    broker-side)."""
     commits = os.path.join(topic_dir, "_commits")
     os.makedirs(commits, exist_ok=True)
     marker = os.path.join(commits, f"{batch_id}.json")
+    begin = os.path.join(commits, f"{batch_id}.begin")
     if os.path.exists(marker):
         return  # already delivered — exactly-once under retry
+    if os.path.exists(begin):
+        # crashed mid-append on a previous delivery: roll back to the
+        # recorded pre-append offsets before re-appending
+        with open(begin) as fh:
+            pre = {int(k): int(v) for k, v in json.load(fh)["end_offsets"].items()}
+        for part, off in pre.items():
+            _truncate_partition(topic_dir, part, off)
+    else:
+        pre = {
+            p: end_offset(topic_dir, p)
+            for p in range(num_partitions)
+        }
+        tmp = begin + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"batch_id": batch_id, "end_offsets": pre}, fh)
+        os.replace(tmp, begin)
     producer = KafkaLogProducer(topic_dir, num_partitions)
     n = 0
     for row in batch_df.select("key", "value", "ts_us", "partition").toLocalIterator():
@@ -273,6 +343,30 @@ def append_stream_to_kafka_log(
     with open(tmp, "w") as fh:
         json.dump({"batch_id": batch_id, "n": n}, fh)
     os.replace(tmp, marker)  # atomic commit point
+
+
+def _truncate_partition(topic_dir: str, partition: int, offset: int) -> None:
+    """Roll a partition log back to `offset` records (WAL undo)."""
+    base = os.path.join(topic_dir, f"p-{partition:04d}")
+    if not os.path.exists(base + ".idx"):
+        return
+    cur = end_offset(topic_dir, partition)
+    if cur <= offset:
+        return
+    if offset == 0:
+        log_end = 0
+    else:
+        with open(base + ".idx", "rb") as xf:
+            xf.seek((offset - 1) * _IDX.size)
+            (pos,) = _IDX.unpack(xf.read(_IDX.size))
+        with open(base + ".log", "rb") as lf:
+            lf.seek(pos)
+            klen, vlen, _ = _HDR.unpack(lf.read(_HDR.size))
+        log_end = pos + _HDR.size + klen + vlen
+    with open(base + ".idx", "r+b") as xf:
+        xf.truncate(offset * _IDX.size)
+    with open(base + ".log", "r+b") as lf:
+        lf.truncate(log_end)
 
 
 # ---------------------------------------------------------------------------

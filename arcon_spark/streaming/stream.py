@@ -69,14 +69,7 @@ class Sliding:
     late_arrival: str = "0 seconds"
 
     def __post_init__(self) -> None:
-        def _sec(s: str) -> float:
-            n, unit = s.split()
-            mult = {"millisecond": 0.001, "second": 1, "minute": 60, "hour": 3600}[
-                unit.rstrip("s")
-            ]
-            return float(n) * mult
-
-        if _sec(self.length) % _sec(self.slide) != 0:
+        if _dur_us(self.length) % _dur_us(self.slide) != 0:
             raise ValueError(
                 f"length {self.length} must be a multiple of slide {self.slide} "
                 "(reference assigner.rs window_length % slide == 0)"
@@ -92,12 +85,22 @@ class Session:
     late_arrival: str = "0 seconds"
 
 
-def _dur_sec(s: str) -> float:
+def _dur_us(s: str) -> int:
+    """Duration string → integer microseconds (float seconds would make
+    divisibility checks fail on ms-granularity configs: 1.0 % 0.1 ≠ 0)."""
     n, unit = s.split()
-    mult = {"millisecond": 0.001, "second": 1, "minute": 60, "hour": 3600}[
-        unit.rstrip("s")
-    ]
-    return float(n) * mult
+    mult = {
+        "microsecond": 1,
+        "millisecond": 1_000,
+        "second": 1_000_000,
+        "minute": 60_000_000,
+        "hour": 3_600_000_000,
+    }[unit.rstrip("s")]
+    return int(n) * mult
+
+
+def _dur_sec(s: str) -> float:
+    return _dur_us(s) / 1_000_000
 
 
 @dataclass(frozen=True)
@@ -116,14 +119,14 @@ class Cumulate:
     late_arrival: str = "0 seconds"
 
     def __post_init__(self) -> None:
-        if _dur_sec(self.period) % _dur_sec(self.step) != 0:
+        if _dur_us(self.period) % _dur_us(self.step) != 0:
             raise ValueError(
                 f"period {self.period} must be a multiple of step {self.step}"
             )
 
     @property
     def n_steps(self) -> int:
-        return int(_dur_sec(self.period) / _dur_sec(self.step))
+        return _dur_us(self.period) // _dur_us(self.step)
 
 
 class Stream:
@@ -556,7 +559,7 @@ class WindowedStream:
         does, keeping the query APPEND-mode compatible (window-grouped
         state with watermark eviction)."""
         s = self.stream
-        step_us = int(_dur_sec(a.step) * 1_000_000)
+        step_us = _dur_us(a.step)
         fanned = (
             s.df.withColumn("__cum_start", F.window(F.col(s.ts_col), a.period).start)
             .withColumn(

@@ -78,3 +78,18 @@ def test_read_is_distributed_not_driver_side(spark):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan or "MapInArrow" in plan or "PythonMapInArrow" in plan
     assert "FileScan binaryFile" in plan
+
+
+def test_empty_frame_roundtrip(spark):
+    """An empty DataFrame must round-trip: the writer leaves a
+    footer-only file carrying the schema."""
+    import tempfile
+
+    from arcon_spark.sources.arrow_ipc import from_arrow_ipc, to_arrow_ipc
+
+    df = spark.createDataFrame([], "a long, b string")
+    path = tempfile.mkdtemp(prefix="ipc_empty_") + "/t"
+    assert to_arrow_ipc(df, path) == 1
+    back = from_arrow_ipc(spark, path)
+    assert back.count() == 0
+    assert dict(back.dtypes) == {"a": "bigint", "b": "string"}

@@ -239,3 +239,74 @@ def test_full_pipeline_source_tws_sink_restart(spark):
             spark.conf.set(prov, prev)
         else:
             spark.conf.unset(prov)
+
+
+def test_sink_crash_mid_append_rolls_back(spark):
+    """WAL semantics: a crash AFTER partial appends but BEFORE the
+    commit marker must not duplicate on redelivery — the begin marker
+    records pre-append offsets and the redelivery truncates back to
+    them first."""
+    from arcon_spark.sources.kafka_log import append_stream_to_kafka_log
+
+    topic = tempfile.mkdtemp(prefix="klog_wal_")
+    _fill(topic, 4, parts=2)  # offsets 0,1 per partition
+
+    df = spark.createDataFrame(
+        [(f"k{i}".encode(), f"v{i}".encode(), i * 1000, i % 2) for i in range(6)],
+        "key binary, value binary, ts_us long, partition int",
+    )
+    # simulate the crash: write the begin marker + partial appends by
+    # hand (what a real crash leaves behind), no commit marker
+    import json as _json
+
+    commits = os.path.join(topic, "_commits")
+    os.makedirs(commits, exist_ok=True)
+    pre = {p: end_offset(topic, p) for p in range(2)}
+    with open(os.path.join(commits, "7.begin"), "w") as fh:
+        _json.dump({"batch_id": 7, "end_offsets": pre}, fh)
+    partial = KafkaLogProducer(topic, 2)
+    partial.send(0, b"k0", b"v0", 0)
+    partial.send(0, b"k2", b"v2", 2000)  # 2 of 6 rows landed, then "crash"
+
+    # redelivery of the SAME batch id must first roll back the partials
+    append_stream_to_kafka_log(df, 7, topic, num_partitions=2)
+
+    assert end_offset(topic, 0) == pre[0] + 3  # exactly the 3 even rows
+    assert end_offset(topic, 1) == pre[1] + 3
+    got = [bytes(k) for k, v, t, o in read_range(topic, 0, pre[0], end_offset(topic, 0))]
+    assert got == [b"k0", b"k2", b"k4"]
+    # a second redelivery (commit now exists) is a no-op
+    append_stream_to_kafka_log(df, 7, topic, num_partitions=2)
+    assert end_offset(topic, 0) == pre[0] + 3
+
+
+def test_producer_repairs_orphan_log_tail():
+    """Crash between the .log append and the .idx append leaves orphan
+    bytes; the next producer truncates them so offsets never shift."""
+    topic = tempfile.mkdtemp(prefix="klog_orphan_")
+    _fill(topic, 3, parts=1)
+    base = os.path.join(topic, "p-0000")
+    with open(base + ".log", "ab") as lf:
+        lf.write(b"\x99" * 23)  # orphan garbage, no idx entry
+    p = KafkaLogProducer(topic, 1)  # repair-on-open
+    off = p.send(0, b"k3", b"v3", 3000)
+    assert off == 3
+    got = [(bytes(k), bytes(v)) for k, v, t, o in read_range(topic, 0, 0, 4)]
+    assert got == [(b"k0", b"v0"), (b"k1", b"v1"), (b"k2", b"v2"), (b"k3", b"v3")]
+
+
+def test_source_timestamp_is_utc_epoch(spark):
+    """ts column must be the exact epoch instant regardless of host
+    zone (tz-aware conversion, not naive-local reinterpretation)."""
+    topic = tempfile.mkdtemp(prefix="klog_ts_")
+    p = KafkaLogProducer(topic, 1)
+    p.send(0, b"k", b"v", 1_700_000_000_123_456)
+    register_kafka_log_source(spark)
+    row = (
+        spark.read.format("arcon_kafka_log").option("topic", topic).load().collect()[0]
+    )
+    # UTC session: internal micros == produced micros exactly
+    import calendar
+
+    micros = calendar.timegm(row.timestamp.timetuple()) * 1_000_000 + row.timestamp.microsecond
+    assert micros == 1_700_000_000_123_456

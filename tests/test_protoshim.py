@@ -509,3 +509,25 @@ def test_map_field_golden_and_roundtrip():
     assert dict(b3.counts) == {"x": 9}
     # default key/value omitted from entry bodies, parsed back as defaults
     assert M(counts={"": 0}).SerializeToString() == bytes.fromhex("0a00")
+
+
+def test_submessage_write_through_registers_presence():
+    """Real-runtime semantics: `msg.sub.x = 1` on an UNSET sub-message
+    must register the sub on the parent (presence + serialization),
+    not mutate a discarded default view."""
+    sm = _sm()
+    req = sm.StateRequest()
+    call = req.statefulProcessorCall  # unset default view
+    assert not req.HasField("statefulProcessorCall")
+    cmd = call.getValueState  # nested unset view
+    cmd.stateName = "s1"  # deep write attaches the whole chain
+    assert req.HasField("statefulProcessorCall")
+    assert req.WhichOneof("method") == "statefulProcessorCall"
+    back = sm.StateRequest()
+    back.ParseFromString(req.SerializeToString())
+    assert back.statefulProcessorCall.getValueState.stateName == "s1"
+    # reading alone never sets presence
+    fresh = sm.StateRequest()
+    _ = fresh.statefulProcessorCall.getValueState.stateName
+    assert not fresh.HasField("statefulProcessorCall")
+    assert fresh.SerializeToString() == b""

@@ -428,3 +428,13 @@ def test_stream_operator_tws_fluent(spark):
             spark.conf.set(key_conf, prev)
         else:
             spark.conf.unset(key_conf)
+
+
+def test_cumulate_millisecond_granularity_accepted():
+    """Integer-microsecond divisibility: 1s/100ms is exactly 10 steps
+    (float-second modulo used to reject this)."""
+    from arcon_spark.streaming import Cumulate
+
+    c = Cumulate("1 second", "100 milliseconds")
+    assert c.n_steps == 10
+    assert Cumulate("1 minute", "100 milliseconds").n_steps == 600
