@@ -12,6 +12,14 @@ every registered query:
   bit-identical across engines.
 - Any top-k / limit has a total (unique-key) ordering.
 - Timestamps: Spark session TZ pinned to UTC; DuckDB is UTC-naive.
+
+Cache lifecycle contract: query functions may persist() intermediate
+frames that feed multiple branches of the returned (lazy) plan, so
+they cannot unpersist before returning — the CALLER owns cleanup.
+Long-lived sessions running many queries should clearCache() between
+them (bench.py and tools/check_parity.py do); persisted blocks use
+the default MEMORY_AND_DISK level, so even without cleanup they are
+LRU-evicted under pressure rather than failing the session.
 """
 
 from __future__ import annotations
