@@ -41,6 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _SAMPLE_FIRST = [
     # round-2 connector + codec + native-stateful surfaces
     "stream_first_seen_tws",
+    "stream_type_counts_tws",
     "stream_kafka_log_roundtrip",
     "source_protobuf_roundtrip",
     "source_avro_roundtrip",

@@ -452,6 +452,107 @@ def stream_first_seen_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(provider_key)
 
 
+@register(
+    "stream_type_counts_tws",
+    oracle=f"""
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM {EVENTS_NORM} GROUP BY user_id, event_type
+    """,
+    tags=("streaming", "stateful", "tws", "map_state", "survey2.6"),
+)
+def stream_type_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user per-event-type counts held in NATIVE MapState
+    (transformWithStateInPandas) across micro-batches — the
+    HashTable-index parity (reference arcon/src/index/hash_table/
+    mod.rs:59-120) on the typed-state API, exercising the MapState
+    protocol (GetValue/UpdateValue/Iterator round-trips through the
+    vendored protobuf runtime) under the DuckDB oracle. Two data
+    segments split by event_id parity force every map entry to
+    survive a batch boundary; the flush-marker segment triggers one
+    emission per (user, type) by iterating the map."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    from arcon_spark.protoshim import ensure_protobuf_on_session
+    from arcon_spark.streaming.tws import ROCKSDB_PROVIDER, TWS_AVAILABLE
+
+    if not TWS_AVAILABLE:  # pragma: no cover
+        raise RuntimeError("transformWithState requires protobuf (vendored shim failed)")
+    ensure_protobuf_on_session(spark)
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    first_half = ev.filter(F.col("event_id") % 2 == 0)
+    second_half = ev.filter(F.col("event_id") % 2 == 1)
+    flush = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit("flush").alias("event_type"),
+        )
+    )
+
+    class TypeCounts(StatefulProcessor):
+        def init(self, handle) -> None:
+            self.counts = handle.getMapState("counts", "t string", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            saw_marker = False
+            for pdf in rows:
+                marker = pdf["event_id"] < 0
+                saw_marker = saw_marker or bool(marker.any())
+                data = pdf[~marker]
+                if len(data):
+                    for t, n in data.groupby("event_type").size().items():
+                        prev = (
+                            self.counts.getValue((t,))
+                            if self.counts.containsKey((t,))
+                            else None
+                        )
+                        self.counts.updateValue(
+                            (t,), (int(prev[0] if prev else 0) + int(n),)
+                        )
+            if saw_marker:
+                items = [
+                    (str(k[0]), int(v[0])) for k, v in self.counts.iterator()
+                ]
+                if items:
+                    yield pd.DataFrame(
+                        {
+                            "user_id": [int(key[0])] * len(items),
+                            "event_type": [t for t, _ in items],
+                            "n": [n for _, n in items],
+                        }
+                    )
+
+        def close(self) -> None:
+            pass
+
+    root = write_segments([first_half, second_half, flush])
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+    out = src.groupBy("user_id").transformWithStateInPandas(
+        TypeCounts(),
+        "user_id long, event_type string, n long",
+        "Append",
+        "None",
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, ROCKSDB_PROVIDER)
+    try:
+        return _run_to_memory(spark, out, "tws_type_counts")
+    finally:
+        if prev is not None:
+            spark.conf.set(provider_key, prev)
+        else:
+            spark.conf.unset(provider_key)
+
+
 def _incremental_dedup_oracle() -> str:
     from arcon_spark.functions.dedup import (
         _SQL_HASH_PAIR_CTE,
