@@ -42,6 +42,7 @@ _SAMPLE_FIRST = [
     # round-2 connector + codec + native-stateful surfaces
     "stream_first_seen_tws",
     "stream_type_counts_tws",
+    "stream_last5_sum_tws",
     "stream_kafka_log_roundtrip",
     "source_protobuf_roundtrip",
     "source_avro_roundtrip",

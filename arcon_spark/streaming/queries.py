@@ -553,6 +553,113 @@ def stream_type_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(provider_key)
 
 
+@register(
+    "stream_last5_sum_tws",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, value,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts) DESC, event_id DESC
+             ) AS rn
+      FROM {EVENTS_NORM}
+    )
+    SELECT user_id,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS last5_cents
+    FROM ranked WHERE rn <= 5 GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "tws", "vec_state", "bounded_state", "survey2.6"),
+)
+def stream_last5_sum_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded per-key buffer in NATIVE ListState — the reference's
+    VecState window buffer (arcon_state backend/mod.rs:194-202) on
+    transformWithState: each key keeps only its 5 most recent
+    (event-time, event_id)-ordered elements, re-trimmed with
+    ListStatePut after every batch (exercising AppendList + Get + Put
+    on the list protocol), and emits the exact integer-cents sum of
+    that buffer at flush. Trim-then-merge is correct across batch
+    boundaries because top-5-by-(ts,eid) is a mergeable selection.
+    Oracle: window row_number over the batch table."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    from arcon_spark.protoshim import ensure_protobuf_on_session
+    from arcon_spark.streaming.tws import ROCKSDB_PROVIDER, TWS_AVAILABLE
+
+    if not TWS_AVAILABLE:  # pragma: no cover
+        raise RuntimeError("transformWithState requires protobuf (vendored shim failed)")
+    ensure_protobuf_on_session(spark)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    first_half = ev.filter(F.col("event_id") % 2 == 0)
+    second_half = ev.filter(F.col("event_id") % 2 == 1)
+    flush = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit(0).cast("long").alias("ts_us"),
+            F.lit(0).cast("long").alias("cents"),
+        )
+    )
+
+    class Last5(StatefulProcessor):
+        def init(self, handle) -> None:
+            self.buf = handle.getListState("buf", "ts_us long, eid long, cents long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            saw_marker = False
+            fresh: list[tuple[int, int, int]] = []
+            for pdf in rows:
+                marker = pdf["event_id"] < 0
+                saw_marker = saw_marker or bool(marker.any())
+                data = pdf[~marker]
+                fresh.extend(
+                    (int(t), int(e), int(c))
+                    for t, e, c in zip(data["ts_us"], data["event_id"], data["cents"])
+                )
+            if fresh:
+                cur = [
+                    (int(r[0]), int(r[1]), int(r[2])) for r in self.buf.get()
+                ] if self.buf.exists() else []
+                merged = sorted(cur + fresh, key=lambda r: (r[0], r[1]), reverse=True)[:5]
+                self.buf.put([tuple(r) for r in merged])
+            if saw_marker and self.buf.exists():
+                total = sum(int(r[2]) for r in self.buf.get())
+                yield pd.DataFrame(
+                    {"user_id": [int(key[0])], "last5_cents": [total]}
+                )
+
+        def close(self) -> None:
+            pass
+
+    root = write_segments([first_half, second_half, flush])
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+    out = src.groupBy("user_id").transformWithStateInPandas(
+        Last5(), "user_id long, last5_cents long", "Append", "None"
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, ROCKSDB_PROVIDER)
+    try:
+        return _run_to_memory(spark, out, "tws_last5")
+    finally:
+        if prev is not None:
+            spark.conf.set(provider_key, prev)
+        else:
+            spark.conf.unset(provider_key)
+
+
 def _incremental_dedup_oracle() -> str:
     from arcon_spark.functions.dedup import (
         _SQL_HASH_PAIR_CTE,
