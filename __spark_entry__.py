@@ -43,6 +43,7 @@ _SAMPLE_FIRST = [
     "stream_first_seen_tws",
     "stream_type_counts_tws",
     "stream_last5_sum_tws",
+    "stream_absence_emit_tws",
     "stream_kafka_log_roundtrip",
     "source_protobuf_roundtrip",
     "source_avro_roundtrip",

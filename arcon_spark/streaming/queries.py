@@ -660,6 +660,109 @@ def stream_last5_sum_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(provider_key)
 
 
+@register(
+    "stream_absence_emit_tws",
+    oracle=f"""
+    SELECT user_id, CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_seen_us
+    FROM {EVENTS_NORM} GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "tws", "timers", "survey2.4"),
+)
+def stream_absence_emit_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timer-driven absence emission on NATIVE event-time timers (the
+    quad-wheel parity, arcon/src/stream/node/timer.rs:61-274, on the
+    tWS timer protocol): every event re-arms its user's timer at
+    last_ts + 40 days (DeleteTimer + RegisterTimer per batch); when a
+    synthetic watermark pusher finally advances event time past the
+    gap, handleExpiredTimer fires once per real user and emits the
+    last-seen timestamp from ValueState — emission driven purely by
+    the timer wheel, no flush-marker rows in the data. Hash-matches
+    the per-user max-timestamp oracle, so the timer path itself is
+    under the correctness gate (previously pytest-only)."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    from arcon_spark.protoshim import ensure_protobuf_on_session
+    from arcon_spark.streaming.tws import ROCKSDB_PROVIDER, TWS_AVAILABLE
+
+    if not TWS_AVAILABLE:  # pragma: no cover
+        raise RuntimeError("transformWithState requires protobuf (vendored shim failed)")
+    ensure_protobuf_on_session(spark)
+
+    _GAP_MS = 40 * 24 * 3600 * 1000  # 40 days, past the dataset span
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    first_half = ev.filter(F.col("event_id") % 2 == 0)
+    second_half = ev.filter(F.col("event_id") % 2 == 1)
+    # watermark pusher: one far-future synthetic row for a SENTINEL user
+    # (excluded from the oracle); its own timer never fires
+    pusher = ev.agg(F.max("ts").alias("mts")).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.col("mts") + F.expr("INTERVAL 100 DAYS")).alias("ts"),
+        F.lit(0).cast("long").alias("ts_us"),
+    )
+
+    class AbsenceEmit(StatefulProcessor):
+        def init(self, handle) -> None:
+            self.handle = handle
+            self.last = handle.getValueState("last", "ts_us long")
+            self.armed = handle.getValueState("armed", "t long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            mx = None
+            for pdf in rows:
+                data = pdf[pdf["event_id"] >= 0]
+                if len(data):
+                    m = int(data["ts_us"].max())
+                    mx = m if mx is None else max(mx, m)
+            if mx is not None:
+                prev = self.last.get()[0] if self.last.exists() else -1
+                if mx > prev:
+                    self.last.update((mx,))
+                    if self.armed.exists():  # re-arm: drop the stale timer
+                        self.handle.deleteTimer(self.armed.get()[0])
+                    new_t = mx // 1000 + _GAP_MS
+                    self.handle.registerTimer(new_t)
+                    self.armed.update((new_t,))
+            return iter(())
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self.last.exists():
+                yield pd.DataFrame(
+                    {
+                        "user_id": [int(key[0])],
+                        "last_seen_us": [int(self.last.get()[0])],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    root = write_segments([first_half, second_half, pusher])
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+        .withWatermark("ts", "0 seconds")
+    )
+    out = src.groupBy("user_id").transformWithStateInPandas(
+        AbsenceEmit(), "user_id long, last_seen_us long", "Append", "EventTime"
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, ROCKSDB_PROVIDER)
+    try:
+        res = _run_to_memory(spark, out, "tws_absence")
+        return res.filter(F.col("user_id") >= 0)
+    finally:
+        if prev is not None:
+            spark.conf.set(provider_key, prev)
+        else:
+            spark.conf.unset(provider_key)
+
+
 def _incremental_dedup_oracle() -> str:
     from arcon_spark.functions.dedup import (
         _SQL_HASH_PAIR_CTE,
