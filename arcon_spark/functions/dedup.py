@@ -1896,7 +1896,7 @@ _SPAN_K = 5  # tokens per exact-match span
     ),
     cover AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
-             SUM(cov) AS dup_token_coverage
+             CAST(SUM(cov) AS BIGINT) AS dup_token_coverage
       FROM cov GROUP BY doc_id
     )
     SELECT toks.doc_id, CAST(len(toks.t) AS BIGINT) AS n_tokens,

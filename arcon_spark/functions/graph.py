@@ -71,7 +71,7 @@ def _sql_iterations() -> str:
             FROM edges GROUP BY src),
     r0 AS (SELECT node, CAST({_UNIT} AS BIGINT) AS rank FROM nodes),
     {_sql_iterations()}
-    SELECT node AS nationkey, rank AS pagerank_units
+    SELECT node AS nationkey, CAST(rank AS BIGINT) AS pagerank_units
     FROM r{_ITERS}
     """,
     tags=("graph", "iterative", "pagerank"),
@@ -1065,7 +1065,7 @@ def _ppr_sql_iterations() -> str:
       FROM nodes
     ),
     {{iters}}
-    SELECT node AS nationkey, rank AS ppr_units
+    SELECT node AS nationkey, CAST(rank AS BIGINT) AS ppr_units
     FROM r{_ITERS} WHERE rank > 0
     """.format(iters=_ppr_sql_iterations()),
     tags=("graph", "pagerank", "iterative", "recommendation"),

@@ -473,7 +473,8 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (SELECT bin, quantile_cont(freq, 0.5) AS med FROM f GROUP BY bin),
     ah AS (
       SELECT f.doc_id,
-             SUM(CASE WHEN f.freq > m.med THEN 1 << f.bin ELSE 0 END) AS ahash
+             CAST(SUM(CASE WHEN f.freq > m.med THEN 1 << f.bin ELSE 0 END)
+                  AS BIGINT) AS ahash
       FROM f JOIN m ON m.bin = f.bin GROUP BY 1
     )
     SELECT ahash, MIN(doc_id) AS canonical_doc_id,

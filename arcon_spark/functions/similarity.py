@@ -835,7 +835,7 @@ def _pq_anchor_matrix(spark: SparkSession, sf_dir: str) -> np.ndarray:
                f"MAX(CASE WHEN m = {m} AND rn = 1 THEN j END) AS code{m}"
                for m in range(_PQ_M)
            )},
-           SUM(CASE WHEN rn = 1 THEN d ELSE 0 END) AS qerr
+           CAST(SUM(CASE WHEN rn = 1 THEN d ELSE 0 END) AS BIGINT) AS qerr
     FROM best GROUP BY vec_id
     """,
     tags=("similarity", "quantization", "pq"),
@@ -1127,7 +1127,8 @@ def _pq_query_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     codes AS (SELECT vec_id, m, j AS code FROM best WHERE rn = 1),
     adc AS (
-      SELECT qt.query_id, c.vec_id AS candidate_id, SUM(qt.t) AS adc_dist
+      SELECT qt.query_id, c.vec_id AS candidate_id,
+             CAST(SUM(qt.t) AS BIGINT) AS adc_dist
       FROM codes c JOIN qt ON qt.m = c.m AND qt.j = c.code
       WHERE c.vec_id <> qt.query_id
       GROUP BY 1, 2
@@ -1202,7 +1203,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE a.vec_id <> p.query_id
     ),
     adc AS (
-      SELECT c.query_id, c.candidate_id, SUM(qt.t) AS adc_dist
+      SELECT c.query_id, c.candidate_id, CAST(SUM(qt.t) AS BIGINT) AS adc_dist
       FROM cand c
         JOIN codes co ON co.vec_id = c.candidate_id
         JOIN qt ON qt.query_id = c.query_id AND qt.m = co.m AND qt.j = co.code
@@ -1433,13 +1434,15 @@ def _mmr_oracle() -> str:
     )"""
         )
     finals = ["SELECT query_id, CAST(1 AS BIGINT) AS rank, candidate_id,"
-              f" rel AS rel_units, pen AS pen_units,"
-              f" {_MMR_WREL}*rel - {_MMR_WPEN}*pen AS score_units FROM s1"]
+              f" CAST(rel AS BIGINT) AS rel_units, CAST(pen AS BIGINT) AS pen_units,"
+              f" CAST({_MMR_WREL}*rel - {_MMR_WPEN}*pen AS BIGINT)"
+              f" AS score_units FROM s1"]
     for j in range(2, _MMR_K + 1):
         finals.append(
             f"SELECT query_id, CAST({j} AS BIGINT) AS rank, candidate_id,"
-            f" rel AS rel_units, pen AS pen_units,"
-            f" {_MMR_WREL}*rel - {_MMR_WPEN}*pen AS score_units FROM s{j}"
+            f" CAST(rel AS BIGINT) AS rel_units, CAST(pen AS BIGINT) AS pen_units,"
+            f" CAST({_MMR_WREL}*rel - {_MMR_WPEN}*pen AS BIGINT)"
+            f" AS score_units FROM s{j}"
         )
     return f"""
     WITH rel AS (

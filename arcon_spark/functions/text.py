@@ -424,7 +424,7 @@ PACK_BUDGET = 2048
       FROM toks
     )
     SELECT doc_id, n_tokens,
-           cum_before // {PACK_BUDGET} AS bin_id
+           CAST(cum_before // {PACK_BUDGET} AS BIGINT) AS bin_id
     FROM ordered
     """,
     tags=("corpus", "packing"),
@@ -682,7 +682,7 @@ _SQL_TOKS_LIST = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
       WHERE length(tok) >= 2
     ), agg AS (
       SELECT pair,
-             SUM(freq) AS pair_count,
+             CAST(SUM(freq) AS BIGINT) AS pair_count,
              CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types
       FROM pairs GROUP BY pair
     )
@@ -754,7 +754,7 @@ _BP_MIN_DOCS = 3
     )
     SELECT ngram AS passage,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           SUM(n_in_doc) AS n_occurrences,
+           CAST(SUM(n_in_doc) AS BIGINT) AS n_occurrences,
            MIN(doc_id) AS example_doc_id
     FROM ng GROUP BY ngram
     HAVING COUNT(*) >= {_BP_MIN_DOCS}
@@ -816,7 +816,7 @@ def boilerplate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tri AS (SELECT doc_id, substring(text, CAST(i AS INT), 3) AS tg FROM idx),
     c AS (SELECT doc_id, tg, count(*) AS c FROM tri GROUP BY 1, 2),
-    num AS (SELECT doc_id, SUM(c*(c-1)) AS simpson_num FROM c GROUP BY 1)
+    num AS (SELECT doc_id, CAST(SUM(c*(c-1)) AS BIGINT) AS simpson_num FROM c GROUP BY 1)
     SELECT d.doc_id, length(d.text) - 2 AS n_trigrams, n.simpson_num,
            CAST(n.simpson_num AS DOUBLE)
              / ((length(d.text) - 2) * (length(d.text) - 3)) AS simpson
@@ -897,8 +897,8 @@ def _sql_bpe_ranked() -> str:
       FROM tk
     )
     SELECT doc_id,
-           SUM(n_before) AS n_symbols_before,
-           SUM(n_after) AS n_symbols_after
+           CAST(SUM(n_before) AS BIGINT) AS n_symbols_before,
+           CAST(SUM(n_after) AS BIGINT) AS n_symbols_after
     FROM enc GROUP BY doc_id
     """)(
         "".join(
@@ -980,7 +980,7 @@ def _sql_cms_bucket(d: int, tok: str) -> str:
     counters AS (
       {" UNION ALL ".join(
           f"SELECT {d} AS d, {_sql_cms_bucket(d, 'tok')} AS bucket,"
-          f" SUM(freq) AS cnt FROM vocab GROUP BY 2"
+          f" CAST(SUM(freq) AS BIGINT) AS cnt FROM vocab GROUP BY 2"
           for d in range(_CMS_D)
       )}
     ),
@@ -1290,8 +1290,9 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT source,
-           SUM(n_tok) AS total_tokens, SUM(n_words) AS total_words,
-           SUM(n_bytes) AS total_bytes,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
            CAST(SUM(n_tok) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE) AS fertility,
            CAST(SUM(n_tok) * 100 AS DOUBLE) / CAST(SUM(n_bytes) AS DOUBLE) AS tokens_per_100_bytes
     FROM per_doc GROUP BY source
@@ -1500,13 +1501,13 @@ _HH_K = 10
       ) WHERE rn <= {_HH_LOCAL_M}
     ),
     est AS (
-      SELECT l.token, SUM(l.cnt) AS cnt,
+      SELECT l.token, CAST(SUM(l.cnt) AS BIGINT) AS cnt,
              row_number() OVER (ORDER BY SUM(l.cnt) DESC, l.token) AS rank
       FROM local l JOIN cand c ON c.token = l.token
       GROUP BY l.token
     ),
     truth AS (
-      SELECT token, SUM(cnt) AS cnt,
+      SELECT token, CAST(SUM(cnt) AS BIGINT) AS cnt,
              row_number() OVER (ORDER BY SUM(cnt) DESC, token) AS rank
       FROM local GROUP BY token
     )
@@ -1639,7 +1640,7 @@ _RAKE_K = 20
       FROM phrases p
       JOIN (
         SELECT pw.doc_id, pw.phrase_id,
-               SUM(ws.deg * {_RAKE_SCALE} // ws.freq) AS score_units
+               CAST(SUM(ws.deg * {_RAKE_SCALE} // ws.freq) AS BIGINT) AS score_units
         FROM phrase_words pw JOIN word_stats ws ON ws.token = pw.token
         GROUP BY pw.doc_id, pw.phrase_id
       ) ps ON ps.doc_id = p.doc_id AND ps.phrase_id = p.phrase_id
@@ -1802,7 +1803,7 @@ _IDF_SCALE = 1_000_000
     hits AS (
       SELECT t.doc_id,
              CAST(COUNT(*) AS BIGINT) AS n_terms,
-             SUM(t.tf * ((n.n * {_IDF_SCALE}) // d.df)) AS score_units
+             CAST(SUM(t.tf * ((n.n * {_IDF_SCALE}) // d.df)) AS BIGINT) AS score_units
       FROM tf t JOIN dfreq d ON d.token = t.token, n_docs n
       GROUP BY t.doc_id
       HAVING COUNT(*) = {len(_SEARCH_TERMS)}

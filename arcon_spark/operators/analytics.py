@@ -209,7 +209,8 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
              max(e_us) - min(s_us) AS span_us
       FROM islands GROUP BY user_id, island
     )
-    SELECT user_id, count(*) AS n_islands, sum(span_us) AS covered_us
+    SELECT user_id, count(*) AS n_islands,
+           CAST(sum(span_us) AS BIGINT) AS covered_us
     FROM spans GROUP BY user_id
     """,
     tags=("analytics", "temporal", "sweep"),
@@ -341,7 +342,7 @@ def cep_purchase_error_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM hourly h JOIN stats s USING (event_type)
     ),
     scored AS (
-      SELECT event_type, hour, n_hours, abs(d) AS score,
+      SELECT event_type, hour, n_hours, CAST(abs(d) AS BIGINT) AS score,
              row_number() OVER (PARTITION BY event_type
                                 ORDER BY abs(d) DESC, hour) AS rk
       FROM cum
@@ -1415,10 +1416,10 @@ def target_encode_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lifespans)
     SELECT t, d,
-           (SELECT n FROM total)
+           CAST((SELECT n FROM total)
              - COALESCE(SUM(d) OVER (ORDER BY t
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             AS n_risk,
+             AS BIGINT) AS n_risk,
            CAST(d AS DOUBLE)
              / CAST((SELECT n FROM total)
                     - COALESCE(SUM(d) OVER (ORDER BY t

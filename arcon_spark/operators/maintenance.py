@@ -332,7 +332,7 @@ def pattern_view_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(value) AS low,
            CAST(MAX(packed) % 10000000000 AS DOUBLE) / 100.0 AS close,
            CAST(COUNT(*) AS BIGINT) AS n_trades,
-           SUM(CAST(round(value * 100, 0) AS BIGINT)) AS vol_cents
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS vol_cents
     FROM t GROUP BY 1
     """,
     tags=("timeseries", "ohlc", "aggregation"),
@@ -738,7 +738,7 @@ def merge_upsert_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_spans,
-           SUM(dur_us) AS window_us,
+           CAST(SUM(dur_us) AS BIGINT) AS window_us,
            round(CAST(SUM(CAST(cents AS HUGEINT) * CAST(dur_us AS HUGEINT))
                         AS DOUBLE)
                  / CAST(SUM(dur_us) AS DOUBLE) / 100.0, 6) AS twa_value

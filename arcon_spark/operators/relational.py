@@ -1298,8 +1298,8 @@ def moving_avg_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     "histogram_event_values",
     oracle=f"""
     SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
-           CAST(floor(value / 50.0) AS BIGINT) * 50.0 AS lo,
-           (CAST(floor(value / 50.0) AS BIGINT) + 1) * 50.0 AS hi,
+           CAST(CAST(floor(value / 50.0) AS BIGINT) * 50.0 AS DOUBLE) AS lo,
+           CAST((CAST(floor(value / 50.0) AS BIGINT) + 1) * 50.0 AS DOUBLE) AS hi,
            CAST(COUNT(*) AS BIGINT) AS cnt
     FROM {EVENTS_NORM}
     GROUP BY 1, 2, 3

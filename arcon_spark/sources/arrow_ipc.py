@@ -139,8 +139,8 @@ from arcon_spark.plans.registry import register  # noqa: E402
     SELECT vec_id % 10 AS grp,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(vec_id) AS BIGINT) AS sum_id,
-           SUM(CAST(round(CAST(embedding[1] AS DOUBLE) * 10000000.0) AS BIGINT))
-             AS c0_units
+           CAST(SUM(CAST(round(CAST(embedding[1] AS DOUBLE) * 10000000.0) AS BIGINT))
+             AS BIGINT) AS c0_units
     FROM embeddings
     GROUP BY 1
     """,

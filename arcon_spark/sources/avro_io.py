@@ -372,7 +372,7 @@ def _register_roundtrip_query() -> None:
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(user_id) AS BIGINT) AS sum_user,
-               SUM(CAST(round(value * 100) AS BIGINT)) AS cents,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
                CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us
         FROM {EVENTS_NORM}
         GROUP BY event_type

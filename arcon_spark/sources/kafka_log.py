@@ -447,7 +447,7 @@ def _produce_events_topic(spark: SparkSession, sf_dir: str) -> str:
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(user_id) AS BIGINT) AS sum_user,
-           SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
     FROM events
     GROUP BY event_type
     """,

@@ -2070,7 +2070,8 @@ def stream_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, island, max(e_us) - min(s_us) AS span_us
       FROM islands GROUP BY user_id, island
     )
-    SELECT user_id, count(*) AS n_islands, sum(span_us) AS covered_us
+    SELECT user_id, count(*) AS n_islands,
+           CAST(sum(span_us) AS BIGINT) AS covered_us
     FROM spans GROUP BY user_id
     """,
     tags=("streaming", "stateful", "sweep"),
@@ -2735,7 +2736,7 @@ def stream_stream_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFram
     )
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_spans,
-           SUM(dur_us) AS window_us,
+           CAST(SUM(dur_us) AS BIGINT) AS window_us,
            round(CAST(SUM(CAST(cents AS HUGEINT) * CAST(dur_us AS HUGEINT))
                         AS DOUBLE)
                  / CAST(SUM(dur_us) AS DOUBLE) / 100.0, 6) AS twa_value

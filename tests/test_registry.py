@@ -64,3 +64,20 @@ def test_ensure_session_confs_repairs_foreign_session(spark):
         assert dt["ts"] == "timestamp"
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+@pytest.mark.parametrize("name", sorted(oracle_sql()))
+def test_oracle_types_never_hugeint(duck, name):
+    """The driver's value hash canonicalizes DuckDB HUGEINT (int128)
+    and DECIMAL differently from Spark's int64/double, so an oracle
+    whose outer aggregate is an uncast SUM(BIGINT) hash-mismatches
+    even when the values are identical (all 5 red CORRECTNESS_r02
+    rows were exactly this). Spark can never produce those types, so
+    no oracle column may type as them."""
+    desc = duck.sql(f"DESCRIBE ({oracle_sql()[name]})").fetchall()
+    bad = [
+        (col, typ)
+        for col, typ, *_ in desc
+        if any(b in typ.upper() for b in ("HUGEINT", "DECIMAL"))
+    ]
+    assert not bad, f"{name}: HUGEINT/DECIMAL oracle columns {bad}"
