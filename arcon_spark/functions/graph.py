@@ -126,11 +126,21 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left_outer").select(
-            "node",
-            (F.lit(_TELEPORT) + F.coalesce(F.col("s"), F.lit(0))).cast("long").alias("rank"),
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left_outer")
+            .select(
+                "node",
+                (F.lit(_TELEPORT) + F.coalesce(F.col("s"), F.lit(0)))
+                .cast("long")
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=True)  # flat ~|V|-row frame per round, as in
+            # BFS/SSSP: cuts the unrolled-iteration lineage so the final plan
+            # is one scan of the checkpointed ranks (driver compile cost and
+            # executor-loss recompute stay O(1 round), not O(all rounds))
         )
     edges.unpersist()
+    edges_deg.unpersist()
     return ranks.select(
         F.col("node").alias("nationkey"), F.col("rank").alias("pagerank_units")
     )
@@ -832,8 +842,13 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         strong.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .union(strong.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .distinct()
-        .persist()  # feeds wedges (twice), the anti-join, and degrees
+        .localCheckpoint(eager=True)  # feeds wedges (twice), the anti-join,
+        # and degrees: a plain persist dedupes the work but every branch
+        # still carries the 6-shuffle backbone lineage in the plan (the
+        # executed adaptive plan repeated it ~15x); checkpointing makes the
+        # small backbone a scan leaf
     )
+    pairs.unpersist()
     deg = sym.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )
@@ -957,8 +972,11 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         strong.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .union(strong.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)  # backbone leaf: the LPA loop, internal-
+        # edge join, degree count, and m_edges count all read it; persist
+        # alone leaves its 6-shuffle lineage in every branch's plan
     )
+    pairs.unpersist()
     labels = und.select(F.col("src").alias("node")).distinct().withColumn(
         "lab", F.col("node").cast("long")
     )
@@ -1125,12 +1143,18 @@ def ppr_from_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left_outer").select(
-            "node",
-            (
-                F.when(F.col("node") == _PPR_SEED, F.lit(_TELEPORT)).otherwise(F.lit(0))
-                + F.coalesce(F.col("s"), F.lit(0))
-            ).cast("long").alias("rank"),
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left_outer")
+            .select(
+                "node",
+                (
+                    F.when(F.col("node") == _PPR_SEED, F.lit(_TELEPORT)).otherwise(
+                        F.lit(0)
+                    )
+                    + F.coalesce(F.col("s"), F.lit(0))
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)  # per-round lineage cut, as in BFS
         )
     edges.unpersist()
     return ranks.filter(F.col("rank") > 0).select(
