@@ -307,17 +307,26 @@ def append_stream_to_kafka_log(
     pre-append end offset, so a redelivered batch whose commit never
     landed first TRUNCATES the logs back to those offsets (undoing the
     partial append) before re-appending. The log therefore sees each
-    record exactly once under arbitrary crash points. Rows are
-    collected per batch on the driver because the log is
-    single-writer; a real Kafka sink shards this across executors with
-    the broker's transactional producer (same begin/commit protocol,
-    broker-side)."""
+    record exactly once under arbitrary crash points.
+
+    Appends are EXECUTOR-side: the batch is hash-repartitioned on the
+    log partition id so each per-partition log is written by exactly
+    one task (single-writer per log, parallel across logs — the Kafka
+    producer sharding model, same as _produce_events_topic). Only the
+    tiny begin/commit marker protocol runs on the driver. A real Kafka
+    sink maps this 1:1 onto the broker's transactional producer
+    (begin/commit become broker-side transaction markers)."""
     commits = os.path.join(topic_dir, "_commits")
     os.makedirs(commits, exist_ok=True)
     marker = os.path.join(commits, f"{batch_id}.json")
     begin = os.path.join(commits, f"{batch_id}.begin")
     if os.path.exists(marker):
-        return  # already delivered — exactly-once under retry
+        # already delivered — exactly-once under retry. A crash in the
+        # window between commit and begin-removal leaves a stale begin;
+        # the commit marker wins, so finish the cleanup here.
+        if os.path.exists(begin):
+            os.remove(begin)
+        return
     if os.path.exists(begin):
         # crashed mid-append on a previous delivery: roll back to the
         # recorded pre-append offsets before re-appending
@@ -334,15 +343,46 @@ def append_stream_to_kafka_log(
         with open(tmp, "w") as fh:
             json.dump({"batch_id": batch_id, "end_offsets": pre}, fh)
         os.replace(tmp, begin)
-    producer = KafkaLogProducer(topic_dir, num_partitions)
-    n = 0
-    for row in batch_df.select("key", "value", "ts_us", "partition").toLocalIterator():
-        producer.send(int(row["partition"]), bytes(row["key"]), bytes(row["value"]), int(row["ts_us"]))
-        n += 1
+    def _append(batches):
+        import pandas as pd
+
+        producer = KafkaLogProducer(topic_dir, num_partitions)
+        n = 0
+        touched: set[int] = set()
+        for pdf in batches:
+            for part, key, value, ts_us in zip(
+                pdf["partition"], pdf["key"], pdf["value"], pdf["ts_us"]
+            ):
+                part = int(part)
+                if part not in touched:
+                    # task-retry idempotence: this task is the sole
+                    # writer of this log partition, so rolling it back
+                    # to the begin-marker offset discards any partial
+                    # append from a failed earlier attempt of THIS task
+                    _truncate_partition(topic_dir, part, pre[part])
+                    touched.add(part)
+                producer.send(part, bytes(key), bytes(value), int(ts_us))
+                n += 1
+        yield pd.DataFrame({"n": [n]})
+
+    n = sum(
+        r["n"]
+        for r in (
+            batch_df.select("key", "value", "ts_us", "partition")
+            .repartition(num_partitions, "partition")
+            .mapInPandas(_append, "n long")
+            .collect()
+        )
+    )
     tmp = marker + ".tmp"
     with open(tmp, "w") as fh:
         json.dump({"batch_id": batch_id, "n": n}, fh)
     os.replace(tmp, marker)  # atomic commit point
+    # begin-present must stay strictly equivalent to "append in flight":
+    # a stale begin surviving past its commit would, on a later
+    # redelivery after the commit marker is pruned, roll the logs back
+    # to its old offsets and destroy subsequent batches' records.
+    os.remove(begin)
 
 
 def _truncate_partition(topic_dir: str, partition: int, offset: int) -> None:
