@@ -11,7 +11,7 @@ avro.schema/avro.codec, 16-byte sync marker, blocks of
 longs, little-endian IEEE doubles, length-prefixed strings/bytes,
 union index before value). Spark-side the shape mirrors
 sources/arrow_ipc.py: `to_avro` writes one container file per
-partition through `mapInPandas` (executor-side, driver sees only the
+partition through `mapInArrow` (executor-side, driver sees only the
 manifest), `from_avro` distributes decode across executors via the
 `binaryFile` source.
 
@@ -247,16 +247,22 @@ def _read_container(data: bytes) -> tuple[str, list[tuple]]:
 def to_avro(df: DataFrame, path: str) -> int:
     """Write `df` as a directory of Avro object-container files, one
     per partition (executor-side writers, null codec). Returns the
-    number of files written."""
+    number of files written.
+
+    Values are taken straight off the Arrow batches (mapInArrow), never
+    through pandas: the Arrow→pandas conversion upcasts a nullable
+    bigint column to float64, silently rounding longs above 2^53 and
+    making genuine NaN doubles indistinguishable from nulls. Arrow
+    `to_pylist` keeps int64 exact, null as None, and NaN as a real
+    float — null and NaN round-trip as the distinct values they are."""
     os.makedirs(path, exist_ok=True)
     schema_json = avro_schema_json(df)
-    cols = df.columns
     run_id = uuid.uuid4().hex[:12]
 
     def write_partition(batches):
         import hashlib
 
-        import pandas as pd
+        import pyarrow as pa
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
@@ -268,12 +274,9 @@ def to_avro(df: DataFrame, path: str) -> int:
         try:
             # stream one block per Arrow batch — partition rows never
             # accumulate in Python memory
-            for pdf in batches:
-                col_vals = [pdf[c].tolist() for c in cols]
-                rows = [
-                    tuple(None if _is_na(v) else v for v in row)
-                    for row in zip(*col_vals)
-                ]
+            for rb in batches:
+                col_vals = [rb.column(i).to_pylist() for i in range(rb.num_columns)]
+                rows = list(zip(*col_vals))
                 if not rows:
                     continue
                 if fh is None:
@@ -285,27 +288,40 @@ def to_avro(df: DataFrame, path: str) -> int:
             if fh is not None:
                 fh.close()
         if n:
-            yield pd.DataFrame({"file": [fname], "n_rows": [n]})
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([fname], pa.string()), pa.array([n], pa.int64())],
+                names=["file", "n_rows"],
+            )
 
-    manifest = df.mapInPandas(write_partition, "file string, n_rows long").collect()
+    manifest = df.mapInArrow(write_partition, "file string, n_rows long").collect()
+    if not manifest:
+        # empty frame: every partition yielded nothing, so no file
+        # carries the schema. Write one header-only container
+        # driver-side so write∘read = identity holds for empty frames
+        # (same footer-only fix as arrow_ipc).
+        import hashlib
+
+        fname = os.path.join(path, f"part-empty-{run_id}.avro")
+        with open(fname, "wb") as fh:
+            _write_header(fh, schema_json, hashlib.md5(fname.encode()).digest())
+        return 1
     return len(manifest)
 
 
-def _is_na(v) -> bool:
-    if v is None:
-        return True
-    try:
-        import math
-
-        return isinstance(v, float) and math.isnan(v)
-    except Exception:  # pragma: no cover
-        return False
+_AVRO_TO_PA = {
+    "long": "int64",
+    "double": "float64",
+    "string": "string",
+    "boolean": "bool_",
+    "bytes": "binary",
+}
 
 
 def from_avro(spark: SparkSession, path: str) -> DataFrame:
     """Read a `to_avro` directory back as a DataFrame. Schema resolves
     from ONE file header driver-side; decode distributes via the
-    binaryFile source + mapInPandas."""
+    binaryFile source + mapInArrow (explicitly-typed Arrow arrays, so
+    a long column with nulls never passes through pandas float64)."""
     import glob as _glob
 
     files = sorted(_glob.glob(os.path.join(path, "*.avro")))
@@ -320,13 +336,18 @@ def from_avro(spark: SparkSession, path: str) -> DataFrame:
     spark_schema = ", ".join(f"{n} {back[t]}" for n, t in types)
 
     def decode(batches):
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
-            for blob in pdf["content"]:
+        pa_types = {n: getattr(pa, _AVRO_TO_PA[t])() for n, t in types}
+        for rb in batches:
+            for blob in rb.column(rb.schema.get_field_index("content")).to_pylist():
                 _, rows = _read_container(bytes(blob))
-                yield pd.DataFrame(
-                    {n: [r[i] for r in rows] for i, (n, _t) in enumerate(types)}
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([r[i] for r in rows], type=pa_types[n])
+                        for i, (n, _t) in enumerate(types)
+                    ],
+                    names=[n for n, _t in types],
                 )
 
     src = (
@@ -335,7 +356,7 @@ def from_avro(spark: SparkSession, path: str) -> DataFrame:
         .load(path)
         .select("content")
     )
-    return src.mapInPandas(decode, spark_schema)
+    return src.mapInArrow(decode, spark_schema)
 
 
 def _header_only(data: bytes) -> bytes:

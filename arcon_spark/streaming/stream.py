@@ -87,7 +87,12 @@ class Session:
 
 def _dur_us(s: str) -> int:
     """Duration string → integer microseconds (float seconds would make
-    divisibility checks fail on ms-granularity configs: 1.0 % 0.1 ≠ 0)."""
+    divisibility checks fail on ms-granularity configs: 1.0 % 0.1 ≠ 0).
+    Fractional counts like '1.5 seconds' are accepted when they resolve
+    to whole microseconds; a sub-microsecond remainder is rejected with
+    a clear error rather than a bare int() ValueError."""
+    from fractions import Fraction
+
     n, unit = s.split()
     mult = {
         "microsecond": 1,
@@ -96,11 +101,10 @@ def _dur_us(s: str) -> int:
         "minute": 60_000_000,
         "hour": 3_600_000_000,
     }[unit.rstrip("s")]
-    return int(n) * mult
-
-
-def _dur_sec(s: str) -> float:
-    return _dur_us(s) / 1_000_000
+    us = Fraction(n) * mult
+    if us.denominator != 1:
+        raise ValueError(f"duration {s!r} is not a whole number of microseconds")
+    return int(us)
 
 
 @dataclass(frozen=True)

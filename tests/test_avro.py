@@ -156,3 +156,39 @@ def test_unsupported_type_raises(spark):
     df = spark.createDataFrame([(1, [1, 2])], "a long, xs array<long>")
     with pytest.raises(TypeError):
         avro_schema_json(df)
+
+
+def test_large_long_and_nan_null_distinction(spark):
+    """Regression: the pandas write path upcast nullable bigint columns
+    to float64, rounding longs above 2^53 (2**62+1 round-tripped to
+    2**62) and writing genuine NaN doubles as null. The Arrow path
+    must keep exact int64 and the NaN/null distinction both ways."""
+    import math
+
+    rows = [
+        (2**53 + 1, float("nan")),
+        (None, None),
+        (-(2**62) - 3, 0.0),
+    ]
+    df = spark.createDataFrame(rows, "a long, b double").repartition(2)
+    path = tempfile.mkdtemp(prefix="arcon_avro_t_") + "/big"
+    to_avro(df, path)
+    got = sorted(
+        ((r["a"], r["b"]) for r in from_avro(spark, path).collect()),
+        key=repr,
+    )
+    by_a = {a: b for a, b in got}
+    assert 2**53 + 1 in by_a and math.isnan(by_a[2**53 + 1])
+    assert -(2**62) - 3 in by_a and by_a[-(2**62) - 3] == 0.0
+    assert None in by_a and by_a[None] is None
+
+
+def test_empty_frame_roundtrip(spark):
+    """write∘read = identity for an empty frame: to_avro writes one
+    header-only container so from_avro can resolve the schema."""
+    df = spark.createDataFrame([], "a long, b string")
+    path = tempfile.mkdtemp(prefix="arcon_avro_t_") + "/empty"
+    assert to_avro(df, path) == 1
+    back = from_avro(spark, path)
+    assert dict(back.dtypes) == dict(df.dtypes)
+    assert back.count() == 0
