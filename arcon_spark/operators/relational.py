@@ -22,6 +22,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+from arcon_spark.scratch import scratch_dir
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1585,7 +1587,7 @@ def source_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type"
     )
-    root = tempfile.mkdtemp(prefix="arcon_srcfmt_")
+    root = scratch_dir("arcon_srcfmt_")
     ev.write.option("header", True).csv(root + "/csv")
     ev.write.json(root + "/json")
     schema = "event_id long, user_id long, event_type string"

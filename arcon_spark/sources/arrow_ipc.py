@@ -29,6 +29,8 @@ table/mod.rs:312-341).
 
 from __future__ import annotations
 
+from arcon_spark.scratch import scratch_dir
+
 import os
 import uuid
 
@@ -157,7 +159,7 @@ def arrow_ipc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     src = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    path = tempfile.mkdtemp(prefix="arcon_ipc_")
+    path = scratch_dir("arcon_ipc_")
     to_arrow_ipc(src, path)
     back = from_arrow_ipc(spark, path)
     return back.groupBy(F.pmod("vec_id", F.lit(10)).alias("grp")).agg(

@@ -28,6 +28,8 @@ Spark-default nullability): long, double, string, boolean, bytes.
 
 from __future__ import annotations
 
+from arcon_spark.scratch import scratch_dir
+
 import io
 import json
 import os
@@ -416,7 +418,7 @@ def _register_roundtrip_query() -> None:
             "value",
             F.expr("unix_micros(ts)").alias("ts_us"),
         )
-        out = tempfile.mkdtemp(prefix="arcon_avro_") + "/events"
+        out = scratch_dir("arcon_avro_") + "/events"
         to_avro(ev, out)
         dec = from_avro(spark, out)
         return dec.groupBy("event_type").agg(

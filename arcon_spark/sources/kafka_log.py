@@ -40,6 +40,8 @@ topic string, partition int, offset long, timestamp timestamp).
 
 from __future__ import annotations
 
+from arcon_spark.scratch import scratch_dir
+
 import glob
 import json
 import os
@@ -436,7 +438,7 @@ def _produce_events_topic(spark: SparkSession, sf_dir: str) -> str:
     from arcon_spark.io import load_table
     from arcon_spark.proto import encode_message, message_from_spark_schema
 
-    topic_dir = tempfile.mkdtemp(prefix="arcon_kafka_log_")
+    topic_dir = scratch_dir("arcon_kafka_log_")
     ev = (
         load_table(spark, sf_dir, "events")
         .select(
@@ -509,8 +511,8 @@ def stream_kafka_log_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_kafka_log_source(spark)
     topic_dir = _produce_events_topic(spark, sf_dir)
-    out_dir = tempfile.mkdtemp(prefix="arcon_kafka_out_") + "/rows"
-    ck = tempfile.mkdtemp(prefix="arcon_kafka_ck_")
+    out_dir = scratch_dir("arcon_kafka_out_") + "/rows"
+    ck = scratch_dir("arcon_kafka_ck_")
 
     stream = (
         spark.readStream.format("arcon_kafka_log")

@@ -17,6 +17,8 @@ never passes them) and are filtered from the result anyway.
 
 from __future__ import annotations
 
+from arcon_spark.scratch import scratch_dir
+
 import datetime as _dt
 import uuid
 from functools import lru_cache
@@ -166,7 +168,7 @@ def _streamed_events(spark: SparkSession, sf_dir: str, n_sentinels: int = 2) -> 
         max_ts = int(pa.scalar(max_ts, pa.timestamp(unit)).value)
     day = {"s": 86_400, "ms": 86_400_000, "us": 86_400_000_000,
            "ns": 86_400_000_000_000}[unit]
-    root = tempfile.mkdtemp(prefix="arcon_stream_ev_")
+    root = scratch_dir("arcon_stream_ev_")
     dst = os.path.join(root, "base.parquet")  # ordered first via older mtime
     shutil.copyfile(src_file, dst)
     past = time.time() - 3600
@@ -830,7 +832,7 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     segs = [docs.filter(F.col("doc_id") % 3 == k) for k in range(3)]
     root = write_segments(segs)
-    work = tempfile.mkdtemp(prefix="arcon_incdedup_")
+    work = scratch_dir("arcon_incdedup_")
     index_dir = os.path.join(work, "band_index")
     results_dir = os.path.join(work, "pairs")
 
@@ -985,7 +987,7 @@ def stream_stream_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil
         import tempfile
 
-        root = tempfile.mkdtemp(prefix="arcon_ssj_")
+        root = scratch_dir("arcon_ssj_")
         shutil.copyfile(f"{sf_dir}/events.parquet", os.path.join(root, "b.parquet"))
         src = spark.readStream.schema(ev_raw.schema).parquet(root)
         return (
@@ -1031,7 +1033,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     ev_raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    root = tempfile.mkdtemp(prefix="arcon_sse_")
+    root = scratch_dir("arcon_sse_")
     shutil.copyfile(f"{sf_dir}/events.parquet", os.path.join(root, "b.parquet"))
     src = _ts_to_timestamp(
         spark.readStream.schema(ev_raw.schema).parquet(root)
@@ -1059,7 +1061,7 @@ def stream_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     ev_raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    root = tempfile.mkdtemp(prefix="arcon_sdd_")
+    root = scratch_dir("arcon_sdd_")
     shutil.copyfile(f"{sf_dir}/events.parquet", os.path.join(root, "b.parquet"))
     src = (
         spark.readStream.schema(ev_raw.schema)
@@ -1385,7 +1387,7 @@ def stream_late_data_side_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = write_segments(
         [ev.filter(F.col("event_id") % 2 == 0), ev.filter(F.col("event_id") % 2 == 1)]
     )
-    out = tempfile.mkdtemp(prefix="arcon_side_out_")
+    out = scratch_dir("arcon_side_out_")
     side_dir = os.path.join(out, "late")
     main_dir = os.path.join(out, "main")
 
@@ -1464,7 +1466,7 @@ def stream_running_counts_update_mode(spark: SparkSession, sf_dir: str) -> DataF
     root = write_segments(
         [ev.filter(F.col("event_id") % 2 == 0), ev.filter(F.col("event_id") % 2 == 1)]
     )
-    out = tempfile.mkdtemp(prefix="arcon_ivm_") + "/history"
+    out = scratch_dir("arcon_ivm_") + "/history"
 
     src = (
         spark.readStream.schema(ev.schema)
@@ -1527,7 +1529,7 @@ def stream_cumulate_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = write_segments(
         [ev.filter(F.col("event_id") % 2 == 0), ev.filter(F.col("event_id") % 2 == 1)]
     )
-    out = tempfile.mkdtemp(prefix="arcon_cumulate_") + "/history"
+    out = scratch_dir("arcon_cumulate_") + "/history"
 
     src = (
         spark.readStream.schema(ev.schema)
@@ -1782,7 +1784,7 @@ def stream_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stats = mad_outlier_events(spark, sf_dir).select("event_type", "med", "mad")
     ev_raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    root = tempfile.mkdtemp(prefix="arcon_smad_")
+    root = scratch_dir("arcon_smad_")
     shutil.copyfile(f"{sf_dir}/events.parquet", os.path.join(root, "b.parquet"))
     src = _ts_to_timestamp(
         spark.readStream.schema(ev_raw.schema).parquet(root)
@@ -2872,7 +2874,7 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.filter(F.col("o_orderkey") % 2 == 1),
         ]
     )
-    state_root = tempfile.mkdtemp(prefix="arcon_cdc_state_")
+    state_root = scratch_dir("arcon_cdc_state_")
     holder: dict[str, str | None] = {"latest": None}
     wseq = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_orderdate"), F.desc("o_orderkey")
@@ -3061,7 +3063,7 @@ def stream_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = write_segments(
         [ev.filter(F.col("event_id") % 2 == 0), ev.filter(F.col("event_id") % 2 == 1)]
     )
-    out = tempfile.mkdtemp(prefix="arcon_sqh_") + "/history"
+    out = scratch_dir("arcon_sqh_") + "/history"
 
     src = (
         spark.readStream.schema(ev.schema)
@@ -3407,7 +3409,7 @@ def stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = write_segments(
         [ev.filter(F.col("event_id") % 2 == 0), ev.filter(F.col("event_id") % 2 == 1)]
     )
-    out = tempfile.mkdtemp(prefix="arcon_sbd_") + "/history"
+    out = scratch_dir("arcon_sbd_") + "/history"
 
     src = (
         spark.readStream.schema(ev.schema)
@@ -3482,7 +3484,7 @@ def stream_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = write_segments(
         [ev.filter(F.col("event_id") % 2 == 0), ev.filter(F.col("event_id") % 2 == 1)]
     )
-    out = tempfile.mkdtemp(prefix="arcon_swd_") + "/history"
+    out = scratch_dir("arcon_swd_") + "/history"
 
     src = (
         spark.readStream.schema(ev.schema)
@@ -3576,7 +3578,7 @@ def stream_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = write_segments(
         [rows.filter(F.col("o_orderkey") % 2 == 0), rows.filter(F.col("o_orderkey") % 2 == 1)]
     )
-    out = tempfile.mkdtemp(prefix="arcon_sck_") + "/history"
+    out = scratch_dir("arcon_sck_") + "/history"
 
     src = (
         spark.readStream.schema(rows.schema)
@@ -3661,7 +3663,7 @@ def stream_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = write_segments(
         [ev.filter(F.col("epoch") == 0), ev.filter(F.col("epoch") == 1)]
     )
-    out = tempfile.mkdtemp(prefix="arcon_sdd_") + "/history"
+    out = scratch_dir("arcon_sdd_") + "/history"
 
     src = (
         spark.readStream.schema(ev.schema)
@@ -3754,7 +3756,7 @@ def stream_union_two_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     root_v = write_segments([views.filter(half), views.filter(~half)])
     # opposite delivery order: purchases send the second half FIRST
     root_p = write_segments([purch.filter(~half), purch.filter(half)])
-    out = tempfile.mkdtemp(prefix="arcon_su2_") + "/history"
+    out = scratch_dir("arcon_su2_") + "/history"
 
     def src(root: str) -> DataFrame:
         return (
@@ -3834,7 +3836,7 @@ def stream_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = write_segments(
         [ev.filter(F.col("event_id") % 2 == 0), ev.filter(F.col("event_id") % 2 == 1)]
     )
-    out = tempfile.mkdtemp(prefix="arcon_scd2u_") + "/history"
+    out = scratch_dir("arcon_scd2u_") + "/history"
 
     src = (
         spark.readStream.schema(ev.schema)

@@ -32,6 +32,8 @@ batch and streaming paths.
 
 from __future__ import annotations
 
+from arcon_spark.scratch import scratch_dir
+
 import tempfile
 from collections.abc import Callable, Iterable
 from dataclasses import dataclass
@@ -174,7 +176,7 @@ class Stream:
         batch = local_df(spark, rows, schema)
         if not streaming:
             return Stream(batch, ts_col=ts_col)
-        out = dir or tempfile.mkdtemp(prefix="arcon_stream_src_")
+        out = dir or scratch_dir("arcon_stream_src_")
         batch.coalesce(1).write.mode("append").parquet(out)
         sdf = spark.readStream.schema(batch.schema).parquet(out)
         return Stream(sdf, ts_col=ts_col)
@@ -406,7 +408,7 @@ class Stream:
     def to_file(self, path: str, fmt: str = "parquet", checkpoint: str | None = None) -> StreamingQuery:
         """LocalFileSink (reference operator/sink/local_file.rs), but a
         real exactly-once file sink: checkpointed, atomic per batch."""
-        cp = checkpoint or tempfile.mkdtemp(prefix="arcon_ckpt_")
+        cp = checkpoint or scratch_dir("arcon_ckpt_")
         return (
             self.df.writeStream.format(fmt)
             .option("path", path)
@@ -426,7 +428,7 @@ class Stream:
         and commits on epoch; here the checkpoint provides the same
         batch-commit semantics. Expects a `value` column (cast or
         to_json upstream); requires the Kafka connector jar."""
-        cp = checkpoint or tempfile.mkdtemp(prefix="arcon_ckpt_")
+        cp = checkpoint or scratch_dir("arcon_ckpt_")
         return (
             self.df.writeStream.format("kafka")
             .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -475,7 +477,7 @@ class Stream:
         """Epoch hook: fn(batch_df, epoch_id) per micro-batch — the
         user-visible equivalent of the reference's epoch callback
         (manager/epoch.rs), used by SnapshotCatalog."""
-        cp = checkpoint or tempfile.mkdtemp(prefix="arcon_ckpt_")
+        cp = checkpoint or scratch_dir("arcon_ckpt_")
         return (
             self.df.writeStream.foreachBatch(fn)
             .option("checkpointLocation", cp)

@@ -10,6 +10,8 @@ as sequentially-stamped files.
 
 from __future__ import annotations
 
+from arcon_spark.scratch import scratch_dir
+
 import os
 import shutil
 import tempfile
@@ -21,7 +23,7 @@ from pyspark.sql import DataFrame
 def write_segments(dfs: list[DataFrame], root: str | None = None) -> str:
     """Write each DataFrame as one parquet file with strictly
     increasing mtime; returns the directory to readStream from."""
-    root = root or tempfile.mkdtemp(prefix="arcon_tape_")
+    root = root or scratch_dir("arcon_tape_")
     base = time.time()
     for i, df in enumerate(dfs):
         part = os.path.join(root, f"_seg_{i:03d}")
