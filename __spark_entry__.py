@@ -39,66 +39,84 @@ def entry(spark: SparkSession) -> DataFrame:
 # everything else follows in registration order. Names not in the
 # registry are ignored (robust to renames).
 _SAMPLE_FIRST = [
-    # round-2 connector + codec + native-stateful surfaces
-    "stream_first_seen_tws",
-    "stream_type_counts_tws",
-    "stream_last5_sum_tws",
-    "stream_absence_emit_tws",
+    # the 5 rows red in CORRECTNESS_r02 (HUGEINT oracle typing, fixed
+    # this round) lead so the driver re-proves them green
     "stream_kafka_log_roundtrip",
     "source_protobuf_roundtrip",
     "source_avro_roundtrip",
     "arrow_ipc_roundtrip",
+    "cms_token_counts",
+    # never-driver-checked queries whose oracles carried the same
+    # latent HUGEINT bug — fixed this round, so sampling them both
+    # proves the fix and covers new ground
+    "interval_coverage_users",
+    "cusum_changepoint_hourly",
+    "survival_risk_table",
+    "ohlc_hourly_value",
+    "time_weighted_avg_user",
+    "dedup_substring_spans",
+    "pq_encode_embeddings",
+    "ann_pq_adc_topk",
+    "ann_ivf_pq_topk",
+    "mmr_diversified_topk",
+    "corpus_pack_bins",
+    "bpe_pair_merge_stats",
+    "boilerplate_passages",
+    "text_trigram_simpson",
+    "bpe_apply_merges",
+    "tokenizer_fertility",
+    "heavy_hitters_shard_union",
+    "text_keywords_rake",
+    "text_search_and_rank",
+    "multimodal_image_ahash_groups",
+    "stream_interval_coverage",
+    "stream_time_weighted_avg",
+    "histogram_event_values",
+    # TPC-H shape catalog beyond q1/q3 (never driver-checked)
+    "tpch_q2ish",
+    "tpch_q4ish",
+    "tpch_q6",
+    "tpch_q7ish",
+    "tpch_q8ish",
+    "tpch_q9ish",
+    "tpch_q10ish",
+    "tpch_q12ish",
+    "tpch_q14ish",
+    "tpch_q15ish",
+    "tpch_q17ish",
+    "tpch_q18ish",
+    "tpch_q19ish",
+    "tpch_q21ish",
+    "tpch_q22ish",
+    # graph suite (never driver-checked; pagerank/PPR also newly
+    # lineage-checkpointed)
+    "pagerank_trade_network",
+    "ppr_from_seed",
+    "graph_triangle_count",
+    "graph_bfs_distances",
+    "graph_shortest_path_weighted",
+    "graph_kcore",
+    "graph_link_prediction",
+    "graph_modularity",
+    "graph_label_propagation",
+    # curation suite (never driver-checked)
+    "pii_redact_stats",
+    "gopher_quality_flags",
+    "decontam_ngram_overlap",
+    "bloom_split_probe",
+    "k_anonymity_audit",
+    "split_contamination_check",
+    "domain_mixture_weights",
+    # round-2 surfaces stay close behind the 50-prefix for rotation
+    "stream_first_seen_tws",
+    "stream_type_counts_tws",
+    "stream_absence_emit_tws",
     "multimodal_png_roundtrip",
     "multimodal_wav_roundtrip",
-    # dedup pipeline (incl. the de-drivered cosine + checkpointed CC)
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
-    "dedup_lsh_verified_pairs",
     "dedup_embedding_cosine",
-    "dedup_connected_clusters",
-    "dedup_cc_star_contraction",
-    "dedup_kept_corpus",
-    "corpus_curation_report",
-    "dedup_simhash",
-    "dedup_duplicated_spans",
-    "stream_incremental_dedup",
-    "dedup_ngram_jaccard",
-    "dedup_sorted_neighborhood",
-    # windows (batch + streaming twins)
-    "tumbling_window_agg",
-    "sliding_window_agg",
-    "session_window_agg",
-    "cumulate_window_agg",
-    "stream_cumulate_window_agg",
-    "appender_window_median",
-    "stream_tumbling_window_agg",
-    "stream_session_window_agg",
-    "stream_late_data_side_output",
-    # stateful streaming operators across epoch boundaries
-    "stream_stateful_first_value",
-    "stream_count_window",
-    "stream_cep_purchase_error",
-    "stream_ewma_user_value",
-    "stream_absence_alert",
-    "stream_union_two_sources",
-    "stream_cumulative_distinct",
-    # scale-sensitive rewrites
-    "profile_orders_columns",
-    "cms_token_counts",
-    "sequence_gap_report",
-    "bitmap_distinct_users",
-    "bitmap_audience_overlap",
-    "table_checksum_compare",
-    # similarity / ANN
-    "ann_bruteforce_topk",
-    "ann_ivf_topk",
-    "semdedup_embeddings",
-    # relational core
-    "sql_recursive_reachability",
     "tpch_q1",
-    "tpch_q3",
-    "broadcast_dim_join",
-    "keyby_reduce",
 ]
 
 

@@ -132,9 +132,9 @@ def main() -> None:
     # that has nothing to do with any particular query. Run a 1-file
     # tape through a windowed count so the measured streaming entry
     # reflects steady-state cost.
-    import tempfile
+    from arcon_spark.scratch import scratch_dir
 
-    _wdir = tempfile.mkdtemp(prefix="bench_stream_warm_")
+    _wdir = scratch_dir("bench_stream_warm_")
     spark.range(10).select(
         F.expr("timestamp_micros(id * 1000000)").alias("ts"), F.col("id")
     ).coalesce(1).write.mode("overwrite").parquet(_wdir + "/in")
@@ -173,19 +173,28 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     wall = round(time.time() - t_all, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "repeats": repeats,
-                "wall_sec": wall,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "repeats": repeats,
+            "wall_sec": wall,
+        }
     )
+    # The JSON goes to its own file as well as stdout: the r2 artifact
+    # lost the head of the stdout line to interleaved Spark progress
+    # output, dropping the first queries and making it unparseable.
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+    try:
+        with open(out_path, "w") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass  # stdout line below is still the contract
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
