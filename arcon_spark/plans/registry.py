@@ -76,6 +76,7 @@ def _load_all() -> None:
     import arcon_spark.sources.avro_io  # noqa: F401
     import arcon_spark.proto  # noqa: F401
     import arcon_spark.sources.kafka_log  # noqa: F401
+    import arcon_spark.sources.kafka_wire  # noqa: F401
     import arcon_spark.streaming.queries  # noqa: F401
 
 

@@ -1,0 +1,817 @@
+"""Real Kafka WIRE-PROTOCOL execution — from-spec broker + client.
+
+The reference's one true external connector is Kafka
+(`/root/reference/arcon/src/stream/source/kafka.rs:29-189`): a
+librdkafka consumer whose per-partition offsets live in operator state
+(kafka.rs:130-137) and replay on restart (kafka.rs:171-175), plus a
+producer sink. Rounds 1-2 proved the OFFSET CONTRACT on a local log
+(sources/kafka_log.py) but the Kafka protocol itself had never
+executed: this container has no spark-sql-kafka jar, no broker
+install, and no network egress.
+
+The protocol, however, is PUBLIC (https://kafka.apache.org/protocol
+— the Apache Kafka protocol guide), so this module implements the
+minimum of it from the spec, the same way the repo's Avro/protobuf/
+PNG/WAV codecs implement their public specs:
+
+- :class:`MiniKafkaBroker` — a threaded TCP server speaking the Kafka
+  request/response framing (4-byte size, int16 api_key, int16
+  api_version, int32 correlation_id, nullable client_id string) and
+  serving ApiVersions(18) v0, Metadata(3) v0, Produce(0) v0,
+  Fetch(1) v0, and ListOffsets(2) v0 over MessageSet v0 records
+  (offset int64, size int32, crc32 over magic|attributes|key|value,
+  magic=0). One broker = leader of every partition, exactly what a
+  single-node dev cluster reports in Metadata.
+- :class:`KafkaWireClient` — the matching minimal client (connect,
+  correlate, encode requests, decode responses).
+- ``format("arcon_kafka_wire")`` — a Spark DataSource whose batch and
+  stream readers FETCH over TCP from executor tasks (one input split
+  per partition, offsets checkpointed by Spark), and whose producer
+  helper PRODUCES over TCP from executor tasks. The layout is the real
+  Kafka source's: parallelism = partition count, offset ranges planned
+  driver-side from ListOffsets, data moved broker→executor.
+
+What stays impossible in this container: the JVM `format("kafka")`
+datasource (needs the spark-sql-kafka + kafka-clients jars; no
+network to fetch them, none vendored on disk — see MEASURE.md). The
+wire protocol itself, the offset contract, and executor-side TCP I/O
+all execute for real here; pointing the client at a genuine cluster
+is a bootstrap-address change.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+import zlib
+
+__all__ = [
+    "MiniKafkaBroker",
+    "KafkaWireClient",
+    "KafkaWireDataSource",
+    "register_kafka_wire_source",
+]
+
+API_PRODUCE = 0
+API_FETCH = 1
+API_LIST_OFFSETS = 2
+API_METADATA = 3
+API_VERSIONS = 18
+
+_ERR_NONE = 0
+_ERR_UNKNOWN_TOPIC = 3
+_ERR_OFFSET_OUT_OF_RANGE = 1
+
+
+# ---------------------------------------------------------------------------
+# primitive wire encoding (big-endian, per the protocol guide)
+# ---------------------------------------------------------------------------
+
+
+def _w_str(buf: bytearray, s: str | None) -> None:
+    if s is None:
+        buf += struct.pack(">h", -1)
+    else:
+        raw = s.encode("utf-8")
+        buf += struct.pack(">h", len(raw)) + raw
+
+
+def _r_str(data: bytes, pos: int) -> tuple[str | None, int]:
+    (n,) = struct.unpack_from(">h", data, pos)
+    pos += 2
+    if n == -1:
+        return None, pos
+    return data[pos : pos + n].decode("utf-8"), pos + n
+
+
+def _w_bytes(buf: bytearray, b: bytes | None) -> None:
+    if b is None:
+        buf += struct.pack(">i", -1)
+    else:
+        buf += struct.pack(">i", len(b)) + b
+
+
+def _r_bytes(data: bytes, pos: int) -> tuple[bytes | None, int]:
+    (n,) = struct.unpack_from(">i", data, pos)
+    pos += 4
+    if n == -1:
+        return None, pos
+    return data[pos : pos + n], pos + n
+
+
+def _message_v0(key: bytes | None, value: bytes | None) -> bytes:
+    """MessageSet v0 entry body: crc32(magic|attrs|key|value)."""
+    body = bytearray()
+    body.append(0)  # magic 0
+    body.append(0)  # attributes (no compression)
+    _w_bytes(body, key)
+    _w_bytes(body, value)
+    crc = zlib.crc32(bytes(body)) & 0xFFFFFFFF
+    return struct.pack(">I", crc) + bytes(body)
+
+
+def encode_message_set(records, base_offset: int) -> bytes:
+    """[(key, value)] → on-the-wire MessageSet v0 starting at base_offset."""
+    out = bytearray()
+    for i, (key, value) in enumerate(records):
+        msg = _message_v0(key, value)
+        out += struct.pack(">qi", base_offset + i, len(msg))
+        out += msg
+    return bytes(out)
+
+
+def decode_message_set(data: bytes) -> list[tuple[int, bytes | None, bytes | None]]:
+    """MessageSet v0 → [(offset, key, value)]; verifies each CRC. A
+    trailing partial message (Fetch may truncate at max_bytes, per
+    spec) is dropped."""
+    out = []
+    pos = 0
+    end = len(data)
+    while pos + 12 <= end:
+        offset, size = struct.unpack_from(">qi", data, pos)
+        if pos + 12 + size > end:
+            break  # partial trailing message — spec says discard
+        msg = data[pos + 12 : pos + 12 + size]
+        (crc,) = struct.unpack_from(">I", msg, 0)
+        if zlib.crc32(msg[4:]) & 0xFFFFFFFF != crc:
+            raise ValueError(f"kafka message CRC mismatch at offset {offset}")
+        magic = msg[4]
+        if magic != 0:
+            raise ValueError(f"unsupported message magic {magic}")
+        key, p = _r_bytes(msg, 6)
+        value, _ = _r_bytes(msg, p)
+        out.append((offset, key, value))
+        pos += 12 + size
+    return out
+
+
+# ---------------------------------------------------------------------------
+# broker
+# ---------------------------------------------------------------------------
+
+
+class MiniKafkaBroker:
+    """Single-node Kafka broker speaking protocol v0 over TCP.
+
+    Storage is an in-process dict {(topic, partition): [message bytes
+    entries]}; the broker thread owns it under a lock. Topics are
+    auto-created on first Produce/Metadata with `num_partitions`
+    partitions (the dev-cluster default behavior)."""
+
+    def __init__(self, host: str = "127.0.0.1", num_partitions: int = 4) -> None:
+        self.host = host
+        self.num_partitions = num_partitions
+        self._logs: dict[tuple[str, int], list[bytes]] = {}
+        self._topics: set[str] = set()
+        self._lock = threading.Lock()
+        self._srv = socket.create_server((host, 0))
+        self.port = self._srv.getsockname()[1]
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._accept_loop, daemon=True)
+        self._thread.start()
+
+    # -- lifecycle
+
+    def close(self) -> None:
+        self._stop.set()
+        try:
+            self._srv.close()
+        except OSError:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    @property
+    def bootstrap(self) -> str:
+        return f"{self.host}:{self.port}"
+
+    # -- server loop
+
+    def _accept_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._srv.accept()
+            except OSError:
+                return
+            t = threading.Thread(target=self._serve_conn, args=(conn,), daemon=True)
+            t.start()
+
+    def _serve_conn(self, conn: socket.socket) -> None:
+        try:
+            while True:
+                hdr = _recv_exact(conn, 4)
+                if hdr is None:
+                    return
+                (size,) = struct.unpack(">i", hdr)
+                req = _recv_exact(conn, size)
+                if req is None:
+                    return
+                resp = self._handle(req)
+                conn.sendall(struct.pack(">i", len(resp)) + resp)
+        except OSError:
+            pass
+        finally:
+            conn.close()
+
+    # -- request dispatch
+
+    def _handle(self, req: bytes) -> bytes:
+        api_key, api_version, corr = struct.unpack_from(">hhi", req, 0)
+        _client, pos = _r_str(req, 8)
+        body = bytearray(struct.pack(">i", corr))  # response header v0
+        if api_key == API_VERSIONS:
+            body += self._api_versions()
+        elif api_key == API_METADATA:
+            body += self._metadata(req, pos)
+        elif api_key == API_PRODUCE:
+            body += self._produce(req, pos)
+        elif api_key == API_FETCH:
+            body += self._fetch(req, pos)
+        elif api_key == API_LIST_OFFSETS:
+            body += self._list_offsets(req, pos)
+        else:
+            raise ValueError(f"unsupported api_key {api_key} v{api_version}")
+        return bytes(body)
+
+    def _api_versions(self) -> bytes:
+        out = bytearray(struct.pack(">h", _ERR_NONE))
+        apis = [
+            (API_PRODUCE, 0, 0),
+            (API_FETCH, 0, 0),
+            (API_LIST_OFFSETS, 0, 0),
+            (API_METADATA, 0, 0),
+            (API_VERSIONS, 0, 0),
+        ]
+        out += struct.pack(">i", len(apis))
+        for k, lo, hi in apis:
+            out += struct.pack(">hhh", k, lo, hi)
+        return bytes(out)
+
+    def _metadata(self, req: bytes, pos: int) -> bytes:
+        (n,) = struct.unpack_from(">i", req, pos)
+        pos += 4
+        names = []
+        for _ in range(max(n, 0)):
+            t, pos = _r_str(req, pos)
+            names.append(t)
+        with self._lock:
+            if n <= 0:
+                names = sorted(self._topics)
+            else:
+                # Metadata for a named topic auto-creates it (the
+                # auto.create.topics.enable dev default)
+                for t in names:
+                    self._topics.add(t)
+            out = bytearray()
+            out += struct.pack(">i", 1)  # brokers
+            out += struct.pack(">i", 0)  # node_id
+            _w_str(out, self.host)
+            out += struct.pack(">i", self.port)
+            out += struct.pack(">i", len(names))
+            for t in names:
+                out += struct.pack(">h", _ERR_NONE)
+                _w_str(out, t)
+                out += struct.pack(">i", self.num_partitions)
+                for p in range(self.num_partitions):
+                    # err, partition_id, leader, replicas[], isr[]
+                    out += struct.pack(">hii", _ERR_NONE, p, 0)
+                    out += struct.pack(">ii", 1, 0)  # replicas = [0]
+                    out += struct.pack(">ii", 1, 0)  # isr = [0]
+        return bytes(out)
+
+    def _produce(self, req: bytes, pos: int) -> bytes:
+        _acks, _timeout = struct.unpack_from(">hi", req, pos)
+        pos += 6
+        (n_topics,) = struct.unpack_from(">i", req, pos)
+        pos += 4
+        out = bytearray(struct.pack(">i", n_topics))
+        for _ in range(n_topics):
+            topic, pos = _r_str(req, pos)
+            (n_parts,) = struct.unpack_from(">i", req, pos)
+            pos += 4
+            _w_str(out, topic)
+            out += struct.pack(">i", n_parts)
+            for _ in range(n_parts):
+                (part,) = struct.unpack_from(">i", req, pos)
+                pos += 4
+                mset, pos = _r_bytes(req, pos)
+                records = decode_message_set(mset or b"")
+                with self._lock:
+                    self._topics.add(topic)
+                    log = self._logs.setdefault((topic, part), [])
+                    base = len(log)
+                    for _off, key, value in records:
+                        log.append(_message_v0(key, value))
+                out += struct.pack(">ihq", part, _ERR_NONE, base)
+        return bytes(out)
+
+    def _fetch(self, req: bytes, pos: int) -> bytes:
+        _replica, _max_wait, _min_bytes = struct.unpack_from(">iii", req, pos)
+        pos += 12
+        (n_topics,) = struct.unpack_from(">i", req, pos)
+        pos += 4
+        out = bytearray(struct.pack(">i", n_topics))
+        for _ in range(n_topics):
+            topic, pos = _r_str(req, pos)
+            (n_parts,) = struct.unpack_from(">i", req, pos)
+            pos += 4
+            _w_str(out, topic)
+            out += struct.pack(">i", n_parts)
+            for _ in range(n_parts):
+                part, fetch_off, max_bytes = struct.unpack_from(">iqi", req, pos)
+                pos += 16
+                with self._lock:
+                    log = self._logs.get((topic, part), [])
+                    hwm = len(log)
+                    err = _ERR_NONE
+                    payload = bytearray()
+                    if fetch_off > hwm:
+                        err = _ERR_OFFSET_OUT_OF_RANGE
+                    else:
+                        size = 0
+                        for off in range(fetch_off, hwm):
+                            msg = log[off]
+                            entry_len = 12 + len(msg)
+                            if size + entry_len > max_bytes and size > 0:
+                                break
+                            payload += struct.pack(">qi", off, len(msg)) + msg
+                            size += entry_len
+                out += struct.pack(">ihq", part, err, hwm)
+                _w_bytes(out, bytes(payload))
+        return bytes(out)
+
+    def _list_offsets(self, req: bytes, pos: int) -> bytes:
+        (_replica,) = struct.unpack_from(">i", req, pos)
+        pos += 4
+        (n_topics,) = struct.unpack_from(">i", req, pos)
+        pos += 4
+        out = bytearray(struct.pack(">i", n_topics))
+        for _ in range(n_topics):
+            topic, pos = _r_str(req, pos)
+            (n_parts,) = struct.unpack_from(">i", req, pos)
+            pos += 4
+            _w_str(out, topic)
+            out += struct.pack(">i", n_parts)
+            for _ in range(n_parts):
+                part, ts, _max_n = struct.unpack_from(">iqi", req, pos)
+                pos += 16
+                with self._lock:
+                    hwm = len(self._logs.get((topic, part), []))
+                off = 0 if ts == -2 else hwm  # -2 earliest, -1 latest
+                out += struct.pack(">ih", part, _ERR_NONE)
+                out += struct.pack(">i", 1)
+                out += struct.pack(">q", off)
+        return bytes(out)
+
+
+def _recv_exact(conn: socket.socket, n: int) -> bytes | None:
+    buf = b""
+    while len(buf) < n:
+        chunk = conn.recv(n - len(buf))
+        if not chunk:
+            return None
+        buf += chunk
+    return buf
+
+
+# ---------------------------------------------------------------------------
+# client
+# ---------------------------------------------------------------------------
+
+
+class KafkaWireClient:
+    """Minimal Kafka protocol-v0 client (one TCP connection)."""
+
+    def __init__(self, bootstrap: str, client_id: str = "arcon") -> None:
+        host, port = bootstrap.rsplit(":", 1)
+        self._sock = socket.create_connection((host, int(port)))
+        self._client_id = client_id
+        self._corr = 0
+
+    def close(self) -> None:
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def _call(self, api_key: int, body: bytes) -> bytes:
+        self._corr += 1
+        corr = self._corr
+        req = bytearray(struct.pack(">hhi", api_key, 0, corr))
+        _w_str(req, self._client_id)
+        req += body
+        self._sock.sendall(struct.pack(">i", len(req)) + bytes(req))
+        (size,) = struct.unpack(">i", _recv_exact(self._sock, 4))
+        resp = _recv_exact(self._sock, size)
+        (got_corr,) = struct.unpack_from(">i", resp, 0)
+        if got_corr != corr:
+            raise ValueError(f"correlation mismatch: sent {corr} got {got_corr}")
+        return resp[4:]
+
+    def api_versions(self) -> dict[int, tuple[int, int]]:
+        resp = self._call(API_VERSIONS, b"")
+        err, n = struct.unpack_from(">hi", resp, 0)
+        if err:
+            raise ValueError(f"ApiVersions error {err}")
+        out = {}
+        pos = 6
+        for _ in range(n):
+            k, lo, hi = struct.unpack_from(">hhh", resp, pos)
+            pos += 6
+            out[k] = (lo, hi)
+        return out
+
+    def metadata(self, topics: list[str]) -> dict:
+        body = bytearray(struct.pack(">i", len(topics)))
+        for t in topics:
+            _w_str(body, t)
+        resp = self._call(API_METADATA, bytes(body))
+        pos = 0
+        (n_brokers,) = struct.unpack_from(">i", resp, pos)
+        pos += 4
+        brokers = []
+        for _ in range(n_brokers):
+            (node,) = struct.unpack_from(">i", resp, pos)
+            pos += 4
+            host, pos = _r_str(resp, pos)
+            (port,) = struct.unpack_from(">i", resp, pos)
+            pos += 4
+            brokers.append((node, host, port))
+        (n_topics,) = struct.unpack_from(">i", resp, pos)
+        pos += 4
+        topics_meta = {}
+        for _ in range(n_topics):
+            (terr,) = struct.unpack_from(">h", resp, pos)
+            pos += 2
+            name, pos = _r_str(resp, pos)
+            (n_parts,) = struct.unpack_from(">i", resp, pos)
+            pos += 4
+            parts = []
+            for _ in range(n_parts):
+                perr, part, leader = struct.unpack_from(">hii", resp, pos)
+                pos += 10
+                (n_rep,) = struct.unpack_from(">i", resp, pos)
+                pos += 4 + 4 * n_rep  # skip replica ids
+                (n_isr,) = struct.unpack_from(">i", resp, pos)
+                pos += 4 + 4 * n_isr  # skip isr ids
+                parts.append((perr, part, leader))
+            topics_meta[name] = (terr, parts)
+        return {"brokers": brokers, "topics": topics_meta}
+
+    def produce(self, topic: str, partition: int, records) -> int:
+        """Produce [(key, value)] to one partition; returns base_offset."""
+        mset = encode_message_set(records, 0)
+        body = bytearray(struct.pack(">hi", 1, 10_000))  # acks=1
+        body += struct.pack(">i", 1)
+        _w_str(body, topic)
+        body += struct.pack(">i", 1)
+        body += struct.pack(">i", partition)
+        _w_bytes(body, mset)
+        resp = self._call(API_PRODUCE, bytes(body))
+        pos = 4  # topic array count
+        _name, pos = _r_str(resp, pos)
+        pos += 4  # partition array count
+        part, err, base = struct.unpack_from(">ihq", resp, pos)
+        if err:
+            raise ValueError(f"Produce error {err} on {topic}/{part}")
+        return base
+
+    def fetch(
+        self, topic: str, partition: int, offset: int, max_bytes: int = 1 << 20
+    ) -> tuple[int, list[tuple[int, bytes | None, bytes | None]]]:
+        """Fetch from one partition; returns (high_watermark, records)."""
+        body = bytearray(struct.pack(">iii", -1, 0, 0))
+        body += struct.pack(">i", 1)
+        _w_str(body, topic)
+        body += struct.pack(">i", 1)
+        body += struct.pack(">iqi", partition, offset, max_bytes)
+        resp = self._call(API_FETCH, bytes(body))
+        pos = 4
+        _name, pos = _r_str(resp, pos)
+        pos += 4
+        part, err, hwm = struct.unpack_from(">ihq", resp, pos)
+        pos += 14
+        mset, pos = _r_bytes(resp, pos)
+        if err:
+            raise ValueError(f"Fetch error {err} on {topic}/{part}@{offset}")
+        return hwm, decode_message_set(mset or b"")
+
+    def list_offsets(self, topic: str, partition: int, earliest: bool = False) -> int:
+        body = bytearray(struct.pack(">i", -1))
+        body += struct.pack(">i", 1)
+        _w_str(body, topic)
+        body += struct.pack(">i", 1)
+        body += struct.pack(">iqi", partition, -2 if earliest else -1, 1)
+        resp = self._call(API_LIST_OFFSETS, bytes(body))
+        pos = 4
+        _name, pos = _r_str(resp, pos)
+        pos += 4
+        part, err = struct.unpack_from(">ih", resp, pos)
+        pos += 6
+        (n_off,) = struct.unpack_from(">i", resp, pos)
+        pos += 4
+        if err:
+            raise ValueError(f"ListOffsets error {err} on {topic}/{part}")
+        (off,) = struct.unpack_from(">q", resp, pos)
+        return off
+
+
+# ---------------------------------------------------------------------------
+# Spark DataSource (batch + streaming) over the wire protocol
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+KAFKA_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long,"
+    " timestamp timestamp"
+)
+
+
+class _WireRange(InputPartition):
+    def __init__(self, partition: int, start: int, end: int) -> None:
+        self.partition = partition
+        self.start = start
+        self.end = end
+
+
+def _rows_for_range(bootstrap: str, topic: str, rng: _WireRange):
+    import datetime
+
+    epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+    with KafkaWireClient(bootstrap) as cli:
+        off = rng.start
+        while off < rng.end:
+            _hwm, records = cli.fetch(topic, rng.partition, off)
+            if not records:
+                break
+            for roff, key, value in records:
+                if roff >= rng.end:
+                    return
+                # v0 messages carry no timestamp; expose the epoch so the
+                # column shape matches Spark's Kafka source
+                yield (key, value, topic, rng.partition, roff, epoch)
+                off = roff + 1
+
+
+class _WireBatchReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        self.bootstrap = options["bootstrap"]
+        self.topic = options["topic"]
+
+    def partitions(self):
+        with KafkaWireClient(self.bootstrap) as cli:
+            md = cli.metadata([self.topic])
+            parts = [p for _e, p, _l in md["topics"][self.topic][1]]
+            return [
+                _WireRange(p, 0, cli.list_offsets(self.topic, p)) for p in parts
+            ]
+
+    def read(self, partition):
+        # runs on an EXECUTOR: opens its own TCP connection to the broker
+        yield from _rows_for_range(self.bootstrap, self.topic, partition)
+
+
+class _WireStreamReader(DataSourceStreamReader):
+    """Offset contract per kafka.rs:130-137/171-175: offsets
+    {partition: next_to_read} live in Spark's checkpoint; restart
+    resumes from the last committed epoch's offsets."""
+
+    def __init__(self, options) -> None:
+        self.bootstrap = options["bootstrap"]
+        self.topic = options["topic"]
+        self.max_per_trigger = int(options.get("maxrecordspertrigger", 0) or 0)
+
+    def _latest(self) -> dict[str, int]:
+        with KafkaWireClient(self.bootstrap) as cli:
+            md = cli.metadata([self.topic])
+            parts = [p for _e, p, _l in md["topics"][self.topic][1]]
+            return {str(p): cli.list_offsets(self.topic, p) for p in parts}
+
+    def initialOffset(self) -> dict:
+        return {p: 0 for p in self._latest()}
+
+    def latestOffset(self) -> dict:
+        return self._latest()
+
+    def partitions(self, start: dict, end: dict):
+        out = []
+        budget = self.max_per_trigger
+        for p, e in sorted(end.items()):
+            s = start.get(p, 0)
+            if budget and e - s > budget:
+                e = s + budget  # admission control, as in kafka_log
+            if e > s:
+                out.append(_WireRange(int(p), s, e))
+        return out
+
+    def read(self, partition):
+        yield from _rows_for_range(self.bootstrap, self.topic, partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # broker is not consumer-group-aware at v0; Spark owns offsets
+
+
+class KafkaWireDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "arcon_kafka_wire"
+
+    def schema(self) -> str:
+        return KAFKA_SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return _WireBatchReader(self.options)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return _WireStreamReader(self.options)
+
+
+def register_kafka_wire_source(spark) -> None:
+    spark.dataSource.register(KafkaWireDataSource)
+
+
+def produce_dataframe(df, bootstrap: str, topic: str, num_partitions: int) -> int:
+    """Executor-side wire production: each task opens a TCP connection
+    and Produces its partition's records (the librdkafka sharding
+    model). df columns: key binary, value binary, partition int."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    def _produce(batches):
+        import pandas as pd
+
+        cli = None
+        n = 0
+        try:
+            for pdf in batches:
+                by_part: dict[int, list] = {}
+                for part, key, value in zip(pdf["partition"], pdf["key"], pdf["value"]):
+                    by_part.setdefault(int(part), []).append(
+                        (bytes(key) if key is not None else None,
+                         bytes(value) if value is not None else None)
+                    )
+                if by_part and cli is None:
+                    cli = KafkaWireClient(bootstrap)
+                for part, recs in sorted(by_part.items()):
+                    cli.produce(topic, part, recs)
+                    n += len(recs)
+        finally:
+            if cli is not None:
+                cli.close()
+        yield pd.DataFrame({"n": [n]})
+
+    counts = (
+        df.repartition(num_partitions, "partition")
+        .mapInPandas(_produce, "n long")
+        .collect()
+    )
+    return sum(r["n"] for r in counts)
+
+
+# ---------------------------------------------------------------------------
+# registry query: events → protobuf values → TCP Produce (executors) →
+# wire-protocol stream read with checkpointed offsets → decode →
+# aggregate, vs an oracle on the raw table. This is the reference's
+# KafkaSource+ProtoSchema composition (kafka.rs:29-189 via schema.rs)
+# executed against a REAL broker socket — the full wire path the
+# jar-gated format("kafka") cannot run in this container.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from arcon_spark.plans.registry import register  # noqa: E402
+from arcon_spark.scratch import scratch_dir  # noqa: E402
+
+_KW_PARTS = 4
+
+
+@register(
+    "stream_kafka_real_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(user_id) AS BIGINT) AS sum_user,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "kafka", "wire", "source", "offsets", "survey2.1"),
+)
+def stream_kafka_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka wire-protocol ingest end to end: a broker thread serves
+    the public Kafka protocol on a real TCP socket; executor tasks
+    protobuf-encode the events table and Produce it (acks=1, CRC'd
+    MessageSet v0); a streaming read over format("arcon_kafka_wire")
+    consumes it back with maxRecordsPerTrigger admission control across
+    multiple micro-batches, offsets checkpointed by Spark exactly as
+    the reference persists consumer offsets in state (kafka.rs:130-137,
+    replay :171-175); the payloads are proto-decoded and aggregated per
+    type. The oracle aggregates the raw parquet: a hash-match proves
+    encode → TCP produce → broker log → offset-paced TCP fetch →
+    CRC-checked decode loses nothing and duplicates nothing."""
+    from arcon_spark.io import load_table
+    from arcon_spark.proto import (
+        encode_message,
+        message_from_spark_schema,
+        proto_decode,
+    )
+
+    broker = MiniKafkaBroker(num_partitions=_KW_PARTS)
+    try:
+        register_kafka_wire_source(spark)
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .select(
+                "event_id",
+                "user_id",
+                "event_type",
+                "value",
+                F.expr("unix_micros(ts)").alias("ts_us"),
+            )
+            .withColumn("part", F.pmod("user_id", F.lit(_KW_PARTS)).cast("int"))
+        )
+        msg = message_from_spark_schema("Event", ev.drop("part").schema)
+        bootstrap = broker.bootstrap
+
+        def encode(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                vals = [
+                    encode_message(
+                        msg,
+                        {
+                            "event_id": int(r.event_id),
+                            "user_id": int(r.user_id),
+                            "event_type": r.event_type,
+                            "value": float(r.value),
+                            "ts_us": int(r.ts_us),
+                        },
+                    )
+                    for r in pdf.itertuples(index=False)
+                ]
+                yield pd.DataFrame(
+                    {
+                        "key": [str(u).encode() for u in pdf["user_id"]],
+                        "value": vals,
+                        "partition": pdf["part"].astype("int32"),
+                    }
+                )
+
+        payload = ev.mapInPandas(encode, "key binary, value binary, partition int")
+        produce_dataframe(payload, bootstrap, "events", _KW_PARTS)
+
+        out_dir = scratch_dir("arcon_kw_out_") + "/rows"
+        ck = scratch_dir("arcon_kw_ck_")
+        stream = (
+            spark.readStream.format("arcon_kafka_wire")
+            .option("bootstrap", bootstrap)
+            .option("topic", "events")
+            .option("maxRecordsPerTrigger", 1000)
+            .load()
+            .select("value")
+        )
+
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        broker.close()
+
+    raw = spark.read.parquet(out_dir)
+    schema_src = (
+        "event_id long, user_id long, event_type string, value double, ts_us long"
+    )
+    from pyspark.sql.types import _parse_datatype_string
+
+    dmsg = message_from_spark_schema("Event", _parse_datatype_string(schema_src))
+    dec = proto_decode(raw, dmsg, "value", schema_src)
+    return dec.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("user_id").cast("long").alias("sum_user"),
+        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("cents"),
+    )

@@ -1,0 +1,146 @@
+"""Kafka wire-protocol broker + client + Spark source tests
+(arcon_spark/sources/kafka_wire.py): golden framing bytes against the
+public protocol guide, CRC enforcement, produce/fetch/list-offsets
+over a real TCP socket, parallel batch read with one task per
+partition, and checkpointed offset replay across restart (reference
+kafka.rs:130-137,171-175) — all through the genuine network path."""
+
+from __future__ import annotations
+
+import struct
+import tempfile
+import zlib
+
+import pytest
+
+from arcon_spark.sources.kafka_wire import (
+    KafkaWireClient,
+    MiniKafkaBroker,
+    decode_message_set,
+    encode_message_set,
+    register_kafka_wire_source,
+)
+
+
+def test_message_set_golden_bytes():
+    """MessageSet v0 layout per the protocol guide: offset int64,
+    size int32, crc uint32 over magic|attributes|key|value, magic=0."""
+    mset = encode_message_set([(b"k", b"vv")], base_offset=5)
+    # offset 5, then size
+    assert mset[:8] == struct.pack(">q", 5)
+    (size,) = struct.unpack_from(">i", mset, 8)
+    msg = mset[12 : 12 + size]
+    assert len(mset) == 12 + size
+    (crc,) = struct.unpack_from(">I", msg, 0)
+    assert crc == zlib.crc32(msg[4:]) & 0xFFFFFFFF
+    assert msg[4] == 0 and msg[5] == 0  # magic, attributes
+    # key: int32 len 1, 'k'; value: int32 len 2, 'vv'
+    assert msg[6:] == struct.pack(">i", 1) + b"k" + struct.pack(">i", 2) + b"vv"
+    assert decode_message_set(mset) == [(5, b"k", b"vv")]
+
+
+def test_message_set_null_key_and_crc_enforcement():
+    mset = encode_message_set([(None, b"x")], base_offset=0)
+    assert decode_message_set(mset) == [(0, None, b"x")]
+    corrupted = mset[:-1] + bytes([mset[-1] ^ 0xFF])
+    with pytest.raises(ValueError, match="CRC"):
+        decode_message_set(corrupted)
+    # partial trailing message (max_bytes truncation) is dropped, per spec
+    assert decode_message_set(mset[:-2] ) == []
+
+
+def test_broker_roundtrip_over_tcp():
+    with MiniKafkaBroker(num_partitions=2) as b, KafkaWireClient(b.bootstrap) as c:
+        vers = c.api_versions()
+        assert set(vers) == {0, 1, 2, 3, 18}
+        md = c.metadata(["t"])
+        assert md["brokers"][0][1:] == ("127.0.0.1", b.port)
+        assert [p for _e, p, _l in md["topics"]["t"][1]] == [0, 1]
+        assert c.produce("t", 0, [(b"a", b"1"), (b"b", b"2")]) == 0
+        assert c.produce("t", 0, [(b"c", b"3")]) == 2  # dense base offsets
+        assert c.list_offsets("t", 0) == 3
+        assert c.list_offsets("t", 0, earliest=True) == 0
+        hwm, recs = c.fetch("t", 0, 1)
+        assert hwm == 3
+        assert [(o, k, v) for o, k, v in recs] == [(1, b"b", b"2"), (2, b"c", b"3")]
+        # fetch past the high watermark is an offset-out-of-range error
+        with pytest.raises(ValueError, match="Fetch error 1"):
+            c.fetch("t", 0, 9)
+
+
+def test_fetch_respects_max_bytes():
+    """Fetch truncates at max_bytes but always returns at least one
+    message (so a consumer can always make progress), per spec."""
+    with MiniKafkaBroker(num_partitions=1) as b, KafkaWireClient(b.bootstrap) as c:
+        c.produce("t", 0, [(None, bytes([i]) * 100) for i in range(10)])
+        hwm, recs = c.fetch("t", 0, 0, max_bytes=300)
+        assert hwm == 10
+        assert 1 <= len(recs) < 10
+        # the consumer loop pages through the rest
+        got = list(recs)
+        off = recs[-1][0] + 1
+        while off < hwm:
+            _h, more = c.fetch("t", 0, off, max_bytes=300)
+            got += more
+            off = more[-1][0] + 1
+        assert [o for o, _k, _v in got] == list(range(10))
+
+
+def test_batch_read_parallel_partitions(spark):
+    with MiniKafkaBroker(num_partitions=3) as b:
+        with KafkaWireClient(b.bootstrap) as c:
+            for i in range(60):
+                c.produce("t", i % 3, [(f"k{i}".encode(), f"v{i}".encode())])
+        register_kafka_wire_source(spark)
+        df = (
+            spark.read.format("arcon_kafka_wire")
+            .option("bootstrap", b.bootstrap)
+            .option("topic", "t")
+            .load()
+        )
+        assert df.rdd.getNumPartitions() == 3  # one task per broker partition
+        got = df.select("partition", "offset", "key", "value").collect()
+        assert len({(r.partition, r.offset) for r in got}) == 60
+        row = next(r for r in got if bytes(r.key) == b"k13")
+        assert bytes(row.value) == b"v13" and row.partition == 1
+
+
+def test_stream_restart_resumes_from_checkpointed_offsets(spark):
+    """kafka.rs:171-175: run 1 drains the topic and checkpoints
+    offsets; new records arrive; run 2 with the SAME checkpoint
+    delivers exactly the new records over the wire."""
+    out = tempfile.mkdtemp(prefix="kwire_out_") + "/rows"
+    ck = tempfile.mkdtemp(prefix="kwire_ck_")
+    with MiniKafkaBroker(num_partitions=2) as b:
+        register_kafka_wire_source(spark)
+
+        def fill(n, start=0):
+            with KafkaWireClient(b.bootstrap) as c:
+                for i in range(start, start + n):
+                    c.produce("t", i % 2, [(f"k{i}".encode(), f"v{i}".encode())])
+
+        def run_once():
+            q = (
+                spark.readStream.format("arcon_kafka_wire")
+                .option("bootstrap", b.bootstrap)
+                .option("topic", "t")
+                .load()
+                .select("partition", "offset", "key")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        fill(40)
+        run_once()
+        assert spark.read.parquet(out).count() == 40
+
+        fill(15, start=40)
+        run_once()
+        rows = spark.read.parquet(out).collect()
+        assert len(rows) == 55  # nothing re-delivered, nothing lost
+        assert len({(r.partition, r.offset) for r in rows}) == 55
+        assert {bytes(r.key).decode() for r in rows} == {f"k{i}" for i in range(55)}
