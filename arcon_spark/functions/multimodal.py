@@ -812,3 +812,75 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         rt, "doc_id long, sample_rate long, n_samples long, duration_ms long, digest string"
     )
+
+
+_JPEG_BW = 16  # blocks per row -> width 128 px, one 8x8 block per byte
+
+
+@register(
+    "multimodal_jpeg_roundtrip",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_JPEG_BW * 8} AS INTEGER) AS width,
+           CAST(8 * greatest(1, (octet_length(encode(text)) + {_JPEG_BW - 1})
+                                // {_JPEG_BW}) AS INTEGER) AS height,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest
+    FROM documents
+    """,
+    tags=("multimodal", "codec", "jpeg"),
+)
+def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG round trip (baseline sequential DCT, ITU-T T.81 —
+    functions/codecs.py, huffman entropy coding + IDCT from the spec,
+    JVM-ImageIO cross-validated in tests/test_codecs.py): each
+    document byte becomes one CONSTANT 8x8 block. A constant block has
+    only a DC coefficient, and with the flat quantizer 8 the quantized
+    DC is exactly v-128, so the lossy format becomes exactly invertible
+    by construction — decode recovers every byte bit-for-bit and the
+    md5 must equal md5(text), while the entropy coder, DC prediction,
+    byte stuffing, and IDCT all execute for real. Geometry comes from
+    the decoded SOF0 header, not the input. One Arrow-batched
+    mapInPandas stage, no shuffle before the final projection.
+    Closes the round-1 decode_image_stub JPEG gap (reference carries
+    opaque bytes only: proto_derive_test.rs Advanced.bytes)."""
+    import hashlib
+
+    import numpy as np
+
+    from arcon_spark.functions.codecs import jpeg_decode, jpeg_encode_gray
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: dict[str, list] = {
+            "doc_id": [], "width": [], "height": [], "n_bytes": [], "digest": []
+        }
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                n = len(data)
+                brows = max(1, -(-n // _JPEG_BW))
+                vals = np.zeros(brows * _JPEG_BW, dtype=np.uint8)
+                vals[:n] = np.frombuffer(data, dtype=np.uint8)
+                img = np.repeat(
+                    np.repeat(vals.reshape(brows, _JPEG_BW), 8, axis=0), 8, axis=1
+                )
+                jp = jpeg_encode_gray(
+                    img.tobytes(), _JPEG_BW * 8, brows * 8
+                )
+                dec = jpeg_decode(jp)
+                out = np.frombuffer(dec["pixels"], dtype=np.uint8).reshape(
+                    dec["height"], dec["width"]
+                )
+                recovered = out[::8, ::8].reshape(-1)[:n].tobytes()
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(dec["width"])
+                rows["height"].append(dec["height"])
+                rows["n_bytes"].append(n)
+                rows["digest"].append(hashlib.md5(recovered).hexdigest())
+        yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        rt, "doc_id long, width int, height int, n_bytes long, digest string"
+    )
