@@ -605,23 +605,48 @@ class _WireStreamReader(DataSourceStreamReader):
             return {str(p): cli.list_offsets(self.topic, p) for p in parts}
 
     def initialOffset(self) -> dict:
-        return {p: 0 for p in self._latest()}
+        first = {p: 0 for p in self._latest()}
+        # seed the admission-control base so even the first batch is
+        # capped on a fresh start (restart leaves _base unset → first
+        # cycle uncapped, so progress never stalls behind the checkpoint)
+        self._base = dict(first)
+        return first
 
     def latestOffset(self) -> dict:
-        return self._latest()
+        cur = self._latest()
+        if self.max_per_trigger <= 0:
+            return cur
+        # Admission control MUST happen here, not in partitions():
+        # whatever this returns is what Spark commits to the checkpoint
+        # as the batch end. Capping later (in partitions()) would plan a
+        # shorter read than the committed end — under availableNow the
+        # query then believes it is caught up and the clipped records
+        # are skipped forever (the round-3 data-loss bug). The cap base
+        # is the END of the previously PLANNED batch, updated in
+        # partitions() — not here — because the planner may call
+        # latestOffset several times per cycle and the answer must be
+        # idempotent within one cycle (same contract as kafka_log).
+        base = getattr(self, "_base", None)
+        if base is None:
+            return cur
+        return {
+            p: min(cur.get(p, 0), base.get(p, 0) + self.max_per_trigger)
+            for p in cur
+        }
 
     def partitions(self, start: dict, end: dict):
-        out = []
-        budget = self.max_per_trigger
-        for p, e in sorted(end.items()):
-            s = start.get(p, 0)
-            if budget and e - s > budget:
-                e = s + budget  # admission control, as in kafka_log
-            if e > s:
-                out.append(_WireRange(int(p), s, e))
-        return out
+        # pure transcription of (start, end) — the committed range IS
+        # the planned range; pacing already happened in latestOffset()
+        self._base = dict(end)
+        return [
+            _WireRange(int(p), start.get(p, 0), e)
+            for p, e in sorted(end.items())
+            if e > start.get(p, 0)
+        ] or [_WireRange(-1, 0, 0)]
 
     def read(self, partition):
+        if partition.partition < 0:
+            return
         yield from _rows_for_range(self.bootstrap, self.topic, partition)
 
     def commit(self, end: dict) -> None:

@@ -144,3 +144,71 @@ def test_stream_restart_resumes_from_checkpointed_offsets(spark):
         assert len(rows) == 55  # nothing re-delivered, nothing lost
         assert len({(r.partition, r.offset) for r in rows}) == 55
         assert {bytes(r.key).decode() for r in rows} == {f"k{i}" for i in range(55)}
+
+
+def test_paced_stream_delivers_all_records(spark):
+    """Round-3 regression: with maxRecordsPerTrigger set and far more
+    records than one batch's budget, the paced stream must still
+    deliver EVERY record across multiple capped micro-batches. The old
+    reader capped the planned range in partitions() AFTER latestOffset
+    had already committed the full end to the checkpoint, so clipped
+    records were skipped forever (60% loss at sf0.01): here, batch 0
+    would commit end=350 while reading only cap x parts rows, and the
+    remaining 250+ would never arrive. The cap now lives in
+    latestOffset(), as in kafka_log.py:229-252, so the committed end
+    IS the capped end and the next batch resumes from it (reference
+    contract: kafka.rs:130-137,171-175). Pacing engages from the
+    second planning cycle (first cycle is uncapped by design, so
+    restarts can never stall), so the topic starts empty and records
+    arrive while the query runs."""
+    import time
+
+    out = tempfile.mkdtemp(prefix="kwire_paced_out_") + "/rows"
+    ck = tempfile.mkdtemp(prefix="kwire_paced_ck_")
+    cap, parts, total = 50, 2, 350  # >= 3 x cap x partitions
+    with MiniKafkaBroker(num_partitions=parts) as b:
+        register_kafka_wire_source(spark)
+        q = (
+            spark.readStream.format("arcon_kafka_wire")
+            .option("bootstrap", b.bootstrap)
+            .option("topic", "t")
+            .option("maxRecordsPerTrigger", str(cap))
+            .load()
+            .select("partition", "offset", "key")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        try:
+            # let batch 0 (empty topic) plan and seed the pacing base
+            deadline = time.monotonic() + 60
+            while not q.recentProgress and time.monotonic() < deadline:
+                time.sleep(0.2)
+            with KafkaWireClient(b.bootstrap) as c:
+                for i in range(total):
+                    c.produce(
+                        "t", i % parts, [(f"k{i}".encode(), f"v{i}".encode())]
+                    )
+
+            def delivered() -> int:
+                try:
+                    return spark.read.parquet(out).count()
+                except Exception:
+                    return 0
+
+            while delivered() < total and time.monotonic() < deadline:
+                time.sleep(0.3)
+        finally:
+            q.stop()
+        rows = spark.read.parquet(out).collect()
+        assert len(rows) == total  # every record delivered, none skipped
+        assert len({(r.partition, r.offset) for r in rows}) == total
+        assert {bytes(r.key).decode() for r in rows} == {
+            f"k{i}" for i in range(total)
+        }
+        # pacing actually happened: several micro-batches, each <= cap/part
+        data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        assert len(data_batches) >= 3
+        assert max(p["numInputRows"] for p in data_batches) <= cap * parts
