@@ -142,7 +142,8 @@ from arcon_spark.plans.registry import register  # noqa: E402
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(vec_id) AS BIGINT) AS sum_id,
            CAST(SUM(CAST(round(CAST(embedding[1] AS DOUBLE) * 10000000.0) AS BIGINT))
-             AS BIGINT) AS c0_units
+             AS BIGINT) AS c0_units,
+           CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total_rows
     FROM embeddings
     GROUP BY 1
     """,
@@ -162,7 +163,9 @@ def arrow_ipc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = scratch_dir("arcon_ipc_")
     to_arrow_ipc(src, path)
     back = from_arrow_ipc(spark, path)
-    return back.groupBy(F.pmod("vec_id", F.lit(10)).alias("grp")).agg(
+    from pyspark.sql.window import Window
+
+    agg = back.groupBy(F.pmod("vec_id", F.lit(10)).alias("grp")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("vec_id").cast("long").alias("sum_id"),
         F.sum(
@@ -170,4 +173,8 @@ def arrow_ipc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cast(round(cast(embedding[0] as double) * 10000000.0) as bigint)"
             )
         ).alias("c0_units"),
+    )
+    # global cardinality in the value: record loss flips every hash
+    return agg.withColumn(
+        "total_rows", F.sum("n").over(Window.partitionBy())
     )

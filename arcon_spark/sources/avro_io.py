@@ -396,7 +396,8 @@ def _register_roundtrip_query() -> None:
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(user_id) AS BIGINT) AS sum_user,
                CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
-               CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us
+               CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us,
+               CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total_rows
         FROM {EVENTS_NORM}
         GROUP BY event_type
         """,
@@ -421,11 +422,17 @@ def _register_roundtrip_query() -> None:
         out = scratch_dir("arcon_avro_") + "/events"
         to_avro(ev, out)
         dec = from_avro(spark, out)
-        return dec.groupBy("event_type").agg(
+        from pyspark.sql.window import Window
+
+        agg = dec.groupBy("event_type").agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum("user_id").cast("long").alias("sum_user"),
             F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("cents"),
             F.max("ts_us").alias("max_ts_us"),
+        )
+        # global cardinality in the value: record loss flips every hash
+        return agg.withColumn(
+            "total_rows", F.sum("n").over(Window.partitionBy())
         )
 
 

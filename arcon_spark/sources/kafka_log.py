@@ -489,7 +489,8 @@ def _produce_events_topic(spark: SparkSession, sf_dir: str) -> str:
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(user_id) AS BIGINT) AS sum_user,
-           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total_rows
     FROM events
     GROUP BY event_type
     """,
@@ -542,8 +543,16 @@ def stream_kafka_log_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     msg = message_from_spark_schema("Event", _parse_datatype_string(schema_src))
     dec = proto_decode(raw, msg, "value", schema_src)
-    return dec.groupBy("event_type").agg(
+    from pyspark.sql.window import Window
+
+    agg = dec.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("user_id").cast("long").alias("sum_user"),
         F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("cents"),
+    )
+    # global cardinality as part of the VALUE: any record loss in the
+    # source path flips every row's hash, even when the per-group
+    # aggregate happens to keep rows_match true (round-3 lesson)
+    return agg.withColumn(
+        "total_rows", F.sum("n").over(Window.partitionBy())
     )

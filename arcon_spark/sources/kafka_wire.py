@@ -733,7 +733,8 @@ _KW_PARTS = 4
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(user_id) AS BIGINT) AS sum_user,
-           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total_rows
     FROM events
     GROUP BY event_type
     """,
@@ -835,8 +836,17 @@ def stream_kafka_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dmsg = message_from_spark_schema("Event", _parse_datatype_string(schema_src))
     dec = proto_decode(raw, dmsg, "value", schema_src)
-    return dec.groupBy("event_type").agg(
+    from pyspark.sql.window import Window
+
+    agg = dec.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("user_id").cast("long").alias("sum_user"),
         F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("cents"),
+    )
+    # global cardinality as part of the VALUE: the round-3 pacing bug
+    # dropped 60% of records while rows_match stayed true (5 groups);
+    # with total_rows in every row, any loss flips the hash AND is
+    # visible as a first-class column
+    return agg.withColumn(
+        "total_rows", F.sum("n").over(Window.partitionBy())
     )
