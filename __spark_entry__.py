@@ -39,86 +39,78 @@ def entry(spark: SparkSession) -> DataFrame:
 # everything else follows in registration order. Names not in the
 # registry are ignored (robust to renames).
 _SAMPLE_FIRST = [
-    # the 5 rows red in CORRECTNESS_r02 (HUGEINT oracle typing, fixed
-    # this round) lead so the driver re-proves them green
+    # the one red row of CORRECTNESS_r03 (wire-reader pacing data
+    # loss, fixed this round: cap moved into latestOffset) leads so
+    # the driver re-proves it green — its oracle now also carries a
+    # global total_rows column, so any loss flips the hash
+    "stream_kafka_real_roundtrip",
+    # round 4: broker-side offset lane (OffsetCommit/OffsetFetch v0)
+    # + two-group fan-out over one wire topic, both exactly-once
+    "stream_kafka_two_readers",
+    # never-driver-checked (r1-r3): windows + typed state
+    "arrow_window_zscore",
+    "arrow_window_zscore_pandas",
+    "arrow_window_zscore_arrow",
+    "count_window_agg",
+    "session_window_dynamic_gap",
+    "windowed_distinct_users_bitmap",
+    "cumulative_distinct_users",
+    "stateful_first_value",
+    "stateful_distinct_firsts",
+    "vec_state_collect",
+    "map_state_topvalue",
+    "cogroup_activity_order_merge",
+    # never-checked: temporal / as-of / range joins
+    "asof_join_purchase_view",
+    "asof_join_forward",
+    "asof_join_nearest",
+    "range_join_close_events",
+    "bitemporal_asof",
+    "fifo_pairing_events",
+    # never-checked: table maintenance / CDC / IVM
+    "scd2_user_type_history",
+    "cdc_merge_customer",
+    "merge_upsert_user_stats",
+    "ivm_incremental_agg",
+    "ivm_retractable_agg",
+    "snapshot_diff_user_stats",
+    "golden_record_customers",
+    "zorder_events_layout",
+    "hilbert_events_layout",
+    "dq_expectations_orders",
+    # never-checked: stream-stream joins + streaming state shapes
+    "stream_stream_range_join",
+    "stream_static_enrich",
+    "stream_stream_left_outer_join",
+    "stream_stream_left_semi_join",
+    "stream_stream_full_outer_join",
+    "stream_stream_right_outer_join",
+    "stream_temporal_dim_join",
+    "stream_cdc_upsert",
+    "stream_scd2_history",
+    "stream_session_window_dynamic_gap",
+    "stream_dedup_within_watermark",
+    "stream_sliding_window_agg",
+    "stream_running_counts_update_mode",
+    # never-checked: analytics / SQL shapes
+    "funnel_conversion",
+    "retention_cohorts",
+    "cep_purchase_error_pattern",
+    "rolling_median_value",
+    "sql_recursive_reach",
+    "sql_pipe_syntax",
+    "tpch_q11ish",
+    "tpch_q16ish",
+    "tpch_q20ish",
+    "exact_median_selection",
+    "mode_event_type_per_user",
+    # never-checked: codec roundtrip proven in r3 parity only
+    "multimodal_jpeg_roundtrip",
+    # high-value re-checks stay close behind the 50-prefix
     "stream_kafka_log_roundtrip",
     "source_protobuf_roundtrip",
     "source_avro_roundtrip",
     "arrow_ipc_roundtrip",
-    "cms_token_counts",
-    # round 3: the Kafka wire protocol executed for real (from-spec
-    # TCP broker + client + DataSource; closes VERDICT r2 item 4)
-    "stream_kafka_real_roundtrip",
-    # never-driver-checked queries whose oracles carried the same
-    # latent HUGEINT bug — fixed this round, so sampling them both
-    # proves the fix and covers new ground
-    "interval_coverage_users",
-    "cusum_changepoint_hourly",
-    "survival_risk_table",
-    "ohlc_hourly_value",
-    "time_weighted_avg_user",
-    "dedup_substring_spans",
-    "pq_encode_embeddings",
-    "ann_pq_adc_topk",
-    "ann_ivf_pq_topk",
-    "mmr_diversified_topk",
-    "corpus_pack_bins",
-    "bpe_pair_merge_stats",
-    "boilerplate_passages",
-    "text_trigram_simpson",
-    "bpe_apply_merges",
-    "tokenizer_fertility",
-    "heavy_hitters_shard_union",
-    "text_keywords_rake",
-    "text_search_and_rank",
-    "multimodal_image_ahash_groups",
-    "stream_interval_coverage",
-    "stream_time_weighted_avg",
-    "histogram_event_values",
-    # TPC-H shape catalog beyond q1/q3 (never driver-checked)
-    "tpch_q2ish",
-    "tpch_q4ish",
-    "tpch_q6",
-    "tpch_q7ish",
-    "tpch_q8ish",
-    "tpch_q9ish",
-    "tpch_q10ish",
-    "tpch_q12ish",
-    "tpch_q14ish",
-    "tpch_q15ish",
-    "tpch_q17ish",
-    "tpch_q18ish",
-    "tpch_q19ish",
-    "tpch_q21ish",
-    "tpch_q22ish",
-    # graph suite (never driver-checked; pagerank/PPR also newly
-    # lineage-checkpointed)
-    "pagerank_trade_network",
-    "ppr_from_seed",
-    "graph_triangle_count",
-    "graph_bfs_distances",
-    "graph_shortest_path_weighted",
-    "graph_kcore",
-    "graph_link_prediction",
-    "graph_modularity",
-    "graph_label_propagation",
-    # curation suite (never driver-checked)
-    "pii_redact_stats",
-    "gopher_quality_flags",
-    "decontam_ngram_overlap",
-    "bloom_split_probe",
-    "k_anonymity_audit",
-    "split_contamination_check",
-    "domain_mixture_weights",
-    # round-2 surfaces stay close behind the 50-prefix for rotation
-    "stream_first_seen_tws",
-    "stream_type_counts_tws",
-    "stream_absence_emit_tws",
-    "multimodal_png_roundtrip",
-    "multimodal_wav_roundtrip",
-    "dedup_exact",
-    "dedup_minhash_lsh_pairs",
-    "dedup_embedding_cosine",
     "tpch_q1",
 ]
 

@@ -57,6 +57,8 @@ API_PRODUCE = 0
 API_FETCH = 1
 API_LIST_OFFSETS = 2
 API_METADATA = 3
+API_OFFSET_COMMIT = 8
+API_OFFSET_FETCH = 9
 API_VERSIONS = 18
 
 _ERR_NONE = 0
@@ -164,7 +166,11 @@ class MiniKafkaBroker:
         self.num_partitions = num_partitions
         self._logs: dict[tuple[str, int], list[bytes]] = {}
         self._topics: set[str] = set()
+        self._offsets: dict[tuple[str, str, int], int] = {}  # (group, topic, part)
         self._lock = threading.Lock()
+        # long-poll Fetch waiters park on this condition; Produce
+        # notifies it so a max_wait/min_bytes fetch wakes on new data
+        self._data_cond = threading.Condition(self._lock)
         self._srv = socket.create_server((host, 0))
         self.port = self._srv.getsockname()[1]
         self._stop = threading.Event()
@@ -175,6 +181,8 @@ class MiniKafkaBroker:
 
     def close(self) -> None:
         self._stop.set()
+        with self._lock:
+            self._data_cond.notify_all()  # release parked long-polls
         try:
             self._srv.close()
         except OSError:
@@ -234,6 +242,10 @@ class MiniKafkaBroker:
             body += self._fetch(req, pos)
         elif api_key == API_LIST_OFFSETS:
             body += self._list_offsets(req, pos)
+        elif api_key == API_OFFSET_COMMIT:
+            body += self._offset_commit(req, pos)
+        elif api_key == API_OFFSET_FETCH:
+            body += self._offset_fetch(req, pos)
         else:
             raise ValueError(f"unsupported api_key {api_key} v{api_version}")
         return bytes(body)
@@ -245,6 +257,8 @@ class MiniKafkaBroker:
             (API_FETCH, 0, 0),
             (API_LIST_OFFSETS, 0, 0),
             (API_METADATA, 0, 0),
+            (API_OFFSET_COMMIT, 0, 0),
+            (API_OFFSET_FETCH, 0, 0),
             (API_VERSIONS, 0, 0),
         ]
         out += struct.pack(">i", len(apis))
@@ -307,25 +321,59 @@ class MiniKafkaBroker:
                     base = len(log)
                     for _off, key, value in records:
                         log.append(_message_v0(key, value))
+                    self._data_cond.notify_all()  # wake long-poll fetchers
                 out += struct.pack(">ihq", part, _ERR_NONE, base)
         return bytes(out)
 
     def _fetch(self, req: bytes, pos: int) -> bytes:
-        _replica, _max_wait, _min_bytes = struct.unpack_from(">iii", req, pos)
+        _replica, max_wait, min_bytes = struct.unpack_from(">iii", req, pos)
         pos += 12
         (n_topics,) = struct.unpack_from(">i", req, pos)
         pos += 4
-        out = bytearray(struct.pack(">i", n_topics))
+        wants = []  # [(topic, [(part, fetch_off, max_bytes)])]
         for _ in range(n_topics):
             topic, pos = _r_str(req, pos)
             (n_parts,) = struct.unpack_from(">i", req, pos)
             pos += 4
-            _w_str(out, topic)
-            out += struct.pack(">i", n_parts)
+            parts = []
             for _ in range(n_parts):
                 part, fetch_off, max_bytes = struct.unpack_from(">iqi", req, pos)
                 pos += 16
-                with self._lock:
+                parts.append((part, fetch_off, max_bytes))
+            wants.append((topic, parts))
+
+        def _available_bytes() -> int:
+            # called under self._lock
+            total = 0
+            for topic, parts in wants:
+                for part, fetch_off, _mb in parts:
+                    log = self._logs.get((topic, part), [])
+                    for off in range(fetch_off, len(log)):
+                        total += 12 + len(log[off])
+            return total
+
+        with self._lock:
+            # long poll, per spec: the broker holds the request up to
+            # max_wait ms until at least min_bytes of data is
+            # available across the requested partitions; Produce
+            # notifies the condition, close() wakes everyone
+            if max_wait > 0 and min_bytes > 0:
+                import time
+
+                deadline = time.monotonic() + max_wait / 1000.0
+                while (
+                    _available_bytes() < min_bytes
+                    and not self._stop.is_set()
+                ):
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._data_cond.wait(remaining)
+            out = bytearray(struct.pack(">i", len(wants)))
+            for topic, parts in wants:
+                _w_str(out, topic)
+                out += struct.pack(">i", len(parts))
+                for part, fetch_off, max_bytes in parts:
                     log = self._logs.get((topic, part), [])
                     hwm = len(log)
                     err = _ERR_NONE
@@ -341,8 +389,55 @@ class MiniKafkaBroker:
                                 break
                             payload += struct.pack(">qi", off, len(msg)) + msg
                             size += entry_len
-                out += struct.pack(">ihq", part, err, hwm)
-                _w_bytes(out, bytes(payload))
+                    out += struct.pack(">ihq", part, err, hwm)
+                    _w_bytes(out, bytes(payload))
+        return bytes(out)
+
+    def _offset_commit(self, req: bytes, pos: int) -> bytes:
+        """OffsetCommit v0: persist {(group, topic, partition): offset}
+        broker-side — the offset lane the reference keeps in operator
+        state (kafka.rs:130-137), here in its broker-stored form."""
+        group, pos = _r_str(req, pos)
+        (n_topics,) = struct.unpack_from(">i", req, pos)
+        pos += 4
+        out = bytearray(struct.pack(">i", n_topics))
+        for _ in range(n_topics):
+            topic, pos = _r_str(req, pos)
+            (n_parts,) = struct.unpack_from(">i", req, pos)
+            pos += 4
+            _w_str(out, topic)
+            out += struct.pack(">i", n_parts)
+            for _ in range(n_parts):
+                (part, off) = struct.unpack_from(">iq", req, pos)
+                pos += 12
+                _meta, pos = _r_str(req, pos)
+                with self._lock:
+                    self._offsets[(group or "", topic, part)] = off
+                out += struct.pack(">ih", part, _ERR_NONE)
+        return bytes(out)
+
+    def _offset_fetch(self, req: bytes, pos: int) -> bytes:
+        """OffsetFetch v0: read back committed group offsets; an
+        uncommitted partition reports offset -1 (no metadata), per
+        spec."""
+        group, pos = _r_str(req, pos)
+        (n_topics,) = struct.unpack_from(">i", req, pos)
+        pos += 4
+        out = bytearray(struct.pack(">i", n_topics))
+        for _ in range(n_topics):
+            topic, pos = _r_str(req, pos)
+            (n_parts,) = struct.unpack_from(">i", req, pos)
+            pos += 4
+            _w_str(out, topic)
+            out += struct.pack(">i", n_parts)
+            for _ in range(n_parts):
+                (part,) = struct.unpack_from(">i", req, pos)
+                pos += 4
+                with self._lock:
+                    off = self._offsets.get((group or "", topic, part), -1)
+                out += struct.pack(">iq", part, off)
+                _w_str(out, None if off == -1 else "")
+                out += struct.pack(">h", _ERR_NONE)
         return bytes(out)
 
     def _list_offsets(self, req: bytes, pos: int) -> bytes:
@@ -488,10 +583,19 @@ class KafkaWireClient:
         return base
 
     def fetch(
-        self, topic: str, partition: int, offset: int, max_bytes: int = 1 << 20
+        self,
+        topic: str,
+        partition: int,
+        offset: int,
+        max_bytes: int = 1 << 20,
+        max_wait_ms: int = 0,
+        min_bytes: int = 0,
     ) -> tuple[int, list[tuple[int, bytes | None, bytes | None]]]:
-        """Fetch from one partition; returns (high_watermark, records)."""
-        body = bytearray(struct.pack(">iii", -1, 0, 0))
+        """Fetch from one partition; returns (high_watermark, records).
+        With max_wait_ms/min_bytes set the broker long-polls: the
+        response is held until min_bytes of data is available or the
+        wait elapses (consumer poll timeout semantics)."""
+        body = bytearray(struct.pack(">iii", -1, max_wait_ms, min_bytes))
         body += struct.pack(">i", 1)
         _w_str(body, topic)
         body += struct.pack(">i", 1)
@@ -525,6 +629,55 @@ class KafkaWireClient:
             raise ValueError(f"ListOffsets error {err} on {topic}/{part}")
         (off,) = struct.unpack_from(">q", resp, pos)
         return off
+
+    def offset_commit(self, group: str, topic: str, offsets: dict[int, int]) -> None:
+        """OffsetCommit v0: {partition: next_offset} for a group."""
+        body = bytearray()
+        _w_str(body, group)
+        body += struct.pack(">i", 1)
+        _w_str(body, topic)
+        body += struct.pack(">i", len(offsets))
+        for part, off in sorted(offsets.items()):
+            body += struct.pack(">iq", part, off)
+            _w_str(body, None)  # metadata
+        resp = self._call(API_OFFSET_COMMIT, bytes(body))
+        pos = 4
+        _name, pos = _r_str(resp, pos)
+        (n_parts,) = struct.unpack_from(">i", resp, pos)
+        pos += 4
+        for _ in range(n_parts):
+            part, err = struct.unpack_from(">ih", resp, pos)
+            pos += 6
+            if err:
+                raise ValueError(f"OffsetCommit error {err} on {topic}/{part}")
+
+    def offset_fetch(self, group: str, topic: str, partitions: list[int]) -> dict[int, int]:
+        """OffsetFetch v0: committed {partition: offset}; uncommitted
+        partitions come back as -1 and are omitted from the result."""
+        body = bytearray()
+        _w_str(body, group)
+        body += struct.pack(">i", 1)
+        _w_str(body, topic)
+        body += struct.pack(">i", len(partitions))
+        for part in partitions:
+            body += struct.pack(">i", part)
+        resp = self._call(API_OFFSET_FETCH, bytes(body))
+        pos = 4
+        _name, pos = _r_str(resp, pos)
+        (n_parts,) = struct.unpack_from(">i", resp, pos)
+        pos += 4
+        out: dict[int, int] = {}
+        for _ in range(n_parts):
+            part, off = struct.unpack_from(">iq", resp, pos)
+            pos += 12
+            _meta, pos = _r_str(resp, pos)
+            (err,) = struct.unpack_from(">h", resp, pos)
+            pos += 2
+            if err:
+                raise ValueError(f"OffsetFetch error {err} on {topic}/{part}")
+            if off >= 0:
+                out[part] = off
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -597,6 +750,11 @@ class _WireStreamReader(DataSourceStreamReader):
         self.bootstrap = options["bootstrap"]
         self.topic = options["topic"]
         self.max_per_trigger = int(options.get("maxrecordspertrigger", 0) or 0)
+        # optional consumer group: fresh starts seed from the BROKER's
+        # committed offsets (OffsetFetch) and commit() mirrors progress
+        # back (OffsetCommit) — the broker-stored form of the offset
+        # lane the reference keeps in operator state (kafka.rs:130-137)
+        self.group = options.get("group") or None
 
     def _latest(self) -> dict[str, int]:
         with KafkaWireClient(self.bootstrap) as cli:
@@ -606,6 +764,13 @@ class _WireStreamReader(DataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         first = {p: 0 for p in self._latest()}
+        if self.group:
+            with KafkaWireClient(self.bootstrap) as cli:
+                committed = cli.offset_fetch(
+                    self.group, self.topic, [int(p) for p in first]
+                )
+            for part, off in committed.items():
+                first[str(part)] = off
         # seed the admission-control base so even the first batch is
         # capped on a fresh start (restart leaves _base unset → first
         # cycle uncapped, so progress never stalls behind the checkpoint)
@@ -650,7 +815,14 @@ class _WireStreamReader(DataSourceStreamReader):
         yield from _rows_for_range(self.bootstrap, self.topic, partition)
 
     def commit(self, end: dict) -> None:
-        pass  # broker is not consumer-group-aware at v0; Spark owns offsets
+        # Spark's checkpoint remains the source of truth; with a group
+        # configured the progress is ALSO committed broker-side so an
+        # external consumer (or a fresh checkpoint) can resume from it
+        if self.group:
+            with KafkaWireClient(self.bootstrap) as cli:
+                cli.offset_commit(
+                    self.group, self.topic, {int(p): o for p, o in end.items()}
+                )
 
 
 class KafkaWireDataSource(DataSource):
@@ -850,3 +1022,154 @@ def stream_kafka_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.withColumn(
         "total_rows", F.sum("n").over(Window.partitionBy())
     )
+
+
+@register(
+    "stream_kafka_two_readers",
+    oracle="""
+    SELECT 'a' AS reader, event_type AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(user_id) AS BIGINT) AS sum_val,
+           CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total_rows
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'b' AS reader, CAST(user_id % 10 AS VARCHAR) AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_val,
+           CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total_rows
+    FROM events GROUP BY user_id % 10
+    """,
+    tags=("streaming", "kafka", "wire", "offsets", "fanout", "survey2.1"),
+)
+def stream_kafka_two_readers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two independent consumers over ONE wire topic, each exactly-once,
+    with the BROKER-side offset lane (OffsetCommit/OffsetFetch v0)
+    proving cross-checkpoint resume — the broker-stored form of the
+    offset state the reference keeps per consumer in operator state
+    (kafka.rs:130-137, replay :171-175).
+
+    Reader A consumes in TWO stages with DIFFERENT (fresh) Spark
+    checkpoints but the same group: stage 1 drains tranche 1 (even
+    event_id), then its progress is committed broker-side from the
+    durably-written output (offsets derived from the sink, exactly the
+    reference's commit-on-epoch-completion contract); tranche 2 (odd
+    event_id) is produced; stage 2 starts with NO checkpoint and seeds
+    its initial offsets from OffsetFetch — it must read exactly
+    tranche 2, no re-delivery, no loss. Reader B consumes the whole
+    topic under its own group in one pass, proving group isolation
+    (A's commits don't leak into B). The oracle aggregates the raw
+    events table twice, so a hash-match proves BOTH readers saw every
+    record exactly once — total_rows per reader makes any loss or
+    double-read flip every row's hash."""
+    from arcon_spark.io import load_table
+
+    broker = MiniKafkaBroker(num_partitions=_KW_PARTS)
+    try:
+        register_kafka_wire_source(spark)
+        bootstrap = broker.bootstrap
+        topic = "events"
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type"
+        )
+        payload = ev.select(
+            F.encode(F.col("user_id").cast("string"), "utf-8").alias("key"),
+            F.encode(
+                F.concat_ws(",", "event_id", "user_id", "event_type"), "utf-8"
+            ).alias("value"),
+            F.pmod("user_id", F.lit(_KW_PARTS)).cast("int").alias("partition"),
+            "event_id",
+        )
+
+        def drain(group: str, out_dir: str) -> None:
+            # foreachBatch append, NOT format("parquet"): each stage
+            # runs under a FRESH checkpoint, and the file sink's
+            # _spark_metadata log would treat stage 2's batch 0 as
+            # already committed (and hide stage-2 files from readers)
+            ck = scratch_dir("arcon_kw2_ck_")
+
+            def sink(batch_df, _bid):
+                batch_df.write.mode("append").parquet(out_dir)
+
+            q = (
+                spark.readStream.format("arcon_kafka_wire")
+                .option("bootstrap", bootstrap)
+                .option("topic", topic)
+                .option("group", group)
+                .load()
+                .select("partition", "offset", "value")
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        def commit_from_output(group: str, out_dir: str) -> None:
+            # commit next-to-read per partition, derived from what the
+            # sink durably wrote — the application-side commit point
+            # (kafka.rs:130-137: offsets persist on epoch completion)
+            done = (
+                spark.read.parquet(out_dir)
+                .groupBy("partition")
+                .agg(F.max("offset").alias("mx"))
+                .collect()
+            )
+            with KafkaWireClient(bootstrap) as cli:
+                cli.offset_commit(
+                    group, topic, {int(r["partition"]): int(r["mx"]) + 1 for r in done}
+                )
+
+        out_a = scratch_dir("arcon_kw2_a_") + "/rows"
+        out_b = scratch_dir("arcon_kw2_b_") + "/rows"
+
+        produce_dataframe(
+            payload.filter(F.col("event_id") % 2 == 0).drop("event_id"),
+            bootstrap, topic, _KW_PARTS,
+        )
+        drain("grp-a", out_a)          # stage 1: tranche 1 only
+        commit_from_output("grp-a", out_a)
+        produce_dataframe(
+            payload.filter(F.col("event_id") % 2 == 1).drop("event_id"),
+            bootstrap, topic, _KW_PARTS,
+        )
+        drain("grp-a", out_a)          # stage 2: fresh ck, broker seeds offsets
+        drain("grp-b", out_b)          # independent group: sees everything
+    finally:
+        broker.close()
+
+    def decoded(path: str) -> DataFrame:
+        parts = F.split(F.decode(F.col("value"), "utf-8"), ",")
+        return spark.read.parquet(path).select(
+            parts.getItem(0).cast("long").alias("event_id"),
+            parts.getItem(1).cast("long").alias("user_id"),
+            parts.getItem(2).alias("event_type"),
+        )
+
+    from pyspark.sql.window import Window
+
+    a = (
+        decoded(out_a)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("user_id").cast("long").alias("sum_val"),
+        )
+        .select(
+            F.lit("a").alias("reader"),
+            F.col("event_type").alias("grp"),
+            "n",
+            "sum_val",
+        )
+        .withColumn("total_rows", F.sum("n").over(Window.partitionBy()))
+    )
+    b = (
+        decoded(out_b)
+        .groupBy(F.pmod("user_id", F.lit(10)).cast("string").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("event_id").cast("long").alias("sum_val"),
+        )
+        .select(F.lit("b").alias("reader"), "grp", "n", "sum_val")
+        .withColumn("total_rows", F.sum("n").over(Window.partitionBy()))
+    )
+    return a.unionByName(b)

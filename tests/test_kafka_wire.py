@@ -52,7 +52,7 @@ def test_message_set_null_key_and_crc_enforcement():
 def test_broker_roundtrip_over_tcp():
     with MiniKafkaBroker(num_partitions=2) as b, KafkaWireClient(b.bootstrap) as c:
         vers = c.api_versions()
-        assert set(vers) == {0, 1, 2, 3, 18}
+        assert set(vers) == {0, 1, 2, 3, 8, 9, 18}
         md = c.metadata(["t"])
         assert md["brokers"][0][1:] == ("127.0.0.1", b.port)
         assert [p for _e, p, _l in md["topics"]["t"][1]] == [0, 1]
@@ -212,3 +212,86 @@ def test_paced_stream_delivers_all_records(spark):
         data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
         assert len(data_batches) >= 3
         assert max(p["numInputRows"] for p in data_batches) <= cap * parts
+
+
+def test_fetch_long_poll_waits_for_produce():
+    """Fetch with max_wait/min_bytes long-polls: the broker holds the
+    response until data arrives (woken by Produce) or the wait
+    elapses — consumer poll semantics from the protocol guide."""
+    import threading
+    import time
+
+    with MiniKafkaBroker(num_partitions=1) as b:
+        with KafkaWireClient(b.bootstrap) as c:
+            c.metadata(["t"])  # auto-create so fetch@0 is in-range
+        t0 = time.monotonic()
+        with KafkaWireClient(b.bootstrap) as c:
+            _hwm, recs = c.fetch("t", 0, 0, max_wait_ms=400, min_bytes=1)
+        waited = time.monotonic() - t0
+        assert recs == [] and waited >= 0.35  # empty topic: full wait
+
+        def produce_later():
+            time.sleep(0.25)
+            with KafkaWireClient(b.bootstrap) as p:
+                p.produce("t", 0, [(None, b"wake")])
+
+        threading.Thread(target=produce_later, daemon=True).start()
+        t0 = time.monotonic()
+        with KafkaWireClient(b.bootstrap) as c:
+            hwm, recs = c.fetch("t", 0, 0, max_wait_ms=5000, min_bytes=1)
+        waited = time.monotonic() - t0
+        assert [(o, v) for o, _k, v in recs] == [(0, b"wake")]
+        assert hwm == 1
+        assert waited < 4.0  # woke on produce, did not sleep out the wait
+
+
+def test_offset_commit_fetch_roundtrip():
+    """OffsetCommit/OffsetFetch v0: per-group offset storage; missing
+    commits come back as -1 (omitted), groups are isolated."""
+    with MiniKafkaBroker(num_partitions=2) as b, KafkaWireClient(b.bootstrap) as c:
+        assert set(c.api_versions()) == {0, 1, 2, 3, 8, 9, 18}
+        assert c.offset_fetch("g1", "t", [0, 1]) == {}
+        c.offset_commit("g1", "t", {0: 17, 1: 3})
+        assert c.offset_fetch("g1", "t", [0, 1]) == {0: 17, 1: 3}
+        c.offset_commit("g1", "t", {0: 42})  # overwrite one partition
+        assert c.offset_fetch("g1", "t", [0, 1]) == {0: 42, 1: 3}
+        assert c.offset_fetch("g2", "t", [0, 1]) == {}  # group isolation
+        c.offset_commit("g2", "t", {1: 9})
+        assert c.offset_fetch("g2", "t", [0, 1]) == {1: 9}
+        assert c.offset_fetch("g1", "t", [0, 1]) == {0: 42, 1: 3}
+
+
+def test_stream_reader_group_seeds_from_broker_offsets(spark):
+    """A stream with a group option and NO checkpoint resumes from the
+    broker-committed offsets (OffsetFetch), mirroring kafka.rs
+    restart-from-state; a second group still reads from 0."""
+    import tempfile
+
+    with MiniKafkaBroker(num_partitions=1) as b:
+        register_kafka_wire_source(spark)
+        with KafkaWireClient(b.bootstrap) as c:
+            for i in range(10):
+                c.produce("t", 0, [(None, f"v{i}".encode())])
+            c.offset_commit("grp", "t", {0: 6})
+
+        def run(group):
+            out = tempfile.mkdtemp(prefix="kwire_grp_") + "/rows"
+            ck = tempfile.mkdtemp(prefix="kwire_grp_ck_")
+            q = (
+                spark.readStream.format("arcon_kafka_wire")
+                .option("bootstrap", b.bootstrap)
+                .option("topic", "t")
+                .option("group", group)
+                .load()
+                .select("offset")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return sorted(r.offset for r in spark.read.parquet(out).collect())
+
+        assert run("grp") == [6, 7, 8, 9]  # resumed from broker commit
+        assert run("other") == list(range(10))  # fresh group: from 0
