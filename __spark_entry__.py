@@ -104,8 +104,11 @@ _SAMPLE_FIRST = [
     "tpch_q20ish",
     "exact_median_selection",
     "mode_event_type_per_user",
-    # never-checked: codec roundtrip proven in r3 parity only
+    # never-checked: codec roundtrips (jpeg proven in r3 parity only;
+    # h264 I_PCM is new this round — the last decode stub closed)
     "multimodal_jpeg_roundtrip",
+    "multimodal_h264_roundtrip",
+    "multimodal_video_dedup",
     # high-value re-checks stay close behind the 50-prefix
     "stream_kafka_log_roundtrip",
     "source_protobuf_roundtrip",

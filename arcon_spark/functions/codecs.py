@@ -640,3 +640,314 @@ def _read_symbol(br: "_BitReader", table: dict[tuple[int, int], int]) -> int:
         if sym is not None:
             return sym
     raise ValueError("invalid huffman code in entropy stream")
+
+
+# ---------------------------------------------------------------------------
+# H.264 / AVC baseline, I_PCM-only subset (ITU-T Rec. H.264 / ISO 14496-10)
+#
+# A REAL Annex-B bitstream, from the public spec: start-code framing,
+# emulation-prevention three-byte insertion/removal (7.3.1/7.4.1.1),
+# Exp-Golomb ue(v)/se(v) coding (9.1), baseline SPS/PPS syntax
+# (7.3.2.1/7.3.2.2), IDR slice headers (7.3.3), and macroblock_layer
+# with mb_type = I_PCM (7.3.5: pcm_alignment_zero_bit + raw
+# pcm_sample_luma/chroma). I_PCM carries samples uncompressed, so the
+# stream is exactly invertible — the same trick as the constant-block
+# JPEG above: a conformant-subset bitstream whose entropy/framing
+# machinery all executes for real, decodable by any AVC decoder.
+# The reference carries video bytes only as opaque Vec<u8>
+# (proto_derive_test.rs Advanced.bytes); this closes the last codec
+# stub (decode_image_stub's video half) with a genuine format.
+# ---------------------------------------------------------------------------
+
+_NAL_SPS = 7
+_NAL_PPS = 8
+_NAL_IDR = 5
+
+
+def _ep_insert(rbsp: bytes) -> bytes:
+    """RBSP → NAL payload: insert emulation_prevention_three_byte so
+    no 0x000000..0x000003 sequence survives (7.4.1.1). The inserted
+    0x03 breaks the zero run, so scanning resumes at the byte that
+    triggered the insertion (it may begin a new pair)."""
+    out = bytearray()
+    i, n = 0, len(rbsp)
+    while True:
+        j = rbsp.find(b"\x00\x00", i)
+        if j == -1 or j + 2 >= n:
+            out += rbsp[i:]
+            return bytes(out)
+        if rbsp[j + 2] <= 3:
+            out += rbsp[i : j + 2]
+            out.append(3)
+            i = j + 2
+        else:
+            out += rbsp[i : j + 3]
+            i = j + 3
+
+
+def _ep_strip(nal: bytes) -> bytes:
+    """NAL payload → RBSP: drop the 0x03 of every 0x000003 run."""
+    out = bytearray()
+    i = 0
+    while True:
+        j = nal.find(b"\x00\x00\x03", i)
+        if j == -1:
+            out += nal[i:]
+            return bytes(out)
+        out += nal[i : j + 2]
+        i = j + 3
+
+
+class _H264BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def u(self, v: int, n: int) -> None:
+        for k in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((v >> k) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.buf.append(self.acc)
+                self.acc = 0
+                self.nbits = 0
+
+    def ue(self, v: int) -> None:
+        k = v + 1
+        n = k.bit_length() - 1
+        self.u(0, n)
+        self.u(k, n + 1)
+
+    def se(self, v: int) -> None:
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def align_zero(self) -> None:
+        while self.nbits:
+            self.u(0, 1)
+
+    def raw(self, data: bytes) -> None:
+        assert self.nbits == 0, "raw bytes must be byte-aligned"
+        self.buf += data
+
+    def trailing(self) -> bytes:
+        self.u(1, 1)  # rbsp_stop_one_bit
+        self.align_zero()
+        return bytes(self.buf)
+
+
+class _H264BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0  # bit position
+
+    def u(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.data[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("malformed exp-golomb code")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+    def align(self) -> None:
+        while self.pos & 7:
+            if self.u(1) != 0:
+                raise ValueError("nonzero pcm_alignment_zero_bit")
+
+    def raw(self, n: int) -> bytes:
+        assert self.pos & 7 == 0
+        start = self.pos >> 3
+        self.pos += 8 * n
+        return self.data[start : start + n]
+
+
+def _nal(nal_type: int, rbsp: bytes, ref_idc: int = 3) -> bytes:
+    return b"\x00\x00\x00\x01" + bytes([(ref_idc << 5) | nal_type]) + _ep_insert(rbsp)
+
+
+def h264_encode_ipcm(frames: list, width: int, height: int) -> bytes:
+    """Encode luma frames (each `width*height` bytes, raster order) as
+    a baseline Annex-B stream of IDR pictures made entirely of I_PCM
+    macroblocks (chroma planes fixed mid-gray 0x80, 4:2:0). Dimensions
+    must be multiples of 16."""
+    if width % 16 or height % 16:
+        raise ValueError("H.264 dimensions must be multiples of 16")
+    w_mbs, h_mbs = width // 16, height // 16
+
+    sps = _H264BitWriter()
+    sps.u(66, 8)  # profile_idc: baseline
+    sps.u(0, 8)  # constraint flags + reserved_zero_2bits
+    sps.u(30, 8)  # level_idc 3.0
+    sps.ue(0)  # seq_parameter_set_id
+    sps.ue(0)  # log2_max_frame_num_minus4 -> MaxFrameNum 16
+    sps.ue(2)  # pic_order_cnt_type 2 (no further POC syntax)
+    sps.ue(0)  # max_num_ref_frames
+    sps.u(0, 1)  # gaps_in_frame_num_value_allowed_flag
+    sps.ue(w_mbs - 1)  # pic_width_in_mbs_minus1
+    sps.ue(h_mbs - 1)  # pic_height_in_map_units_minus1
+    sps.u(1, 1)  # frame_mbs_only_flag
+    sps.u(1, 1)  # direct_8x8_inference_flag
+    sps.u(0, 1)  # frame_cropping_flag
+    sps.u(0, 1)  # vui_parameters_present_flag
+    out = bytearray(_nal(_NAL_SPS, sps.trailing()))
+
+    pps = _H264BitWriter()
+    pps.ue(0)  # pic_parameter_set_id
+    pps.ue(0)  # seq_parameter_set_id
+    pps.u(0, 1)  # entropy_coding_mode_flag: CAVLC
+    pps.u(0, 1)  # bottom_field_pic_order_in_frame_present_flag
+    pps.ue(0)  # num_slice_groups_minus1
+    pps.ue(0)  # num_ref_idx_l0_default_active_minus1
+    pps.ue(0)  # num_ref_idx_l1_default_active_minus1
+    pps.u(0, 1)  # weighted_pred_flag
+    pps.u(0, 2)  # weighted_bipred_idc
+    pps.se(0)  # pic_init_qp_minus26
+    pps.se(0)  # pic_init_qs_minus26
+    pps.se(0)  # chroma_qp_index_offset
+    pps.u(0, 1)  # deblocking_filter_control_present_flag
+    pps.u(0, 1)  # constrained_intra_pred_flag
+    pps.u(0, 1)  # redundant_pic_cnt_present_flag
+    out += _nal(_NAL_PPS, pps.trailing())
+
+    chroma = b"\x80" * 64  # one 8x8 plane per component, mid-gray
+    for idx, luma in enumerate(frames):
+        if len(luma) != width * height:
+            raise ValueError("frame size must be width*height luma bytes")
+        sl = _H264BitWriter()
+        sl.ue(0)  # first_mb_in_slice
+        sl.ue(7)  # slice_type: I (all slices in picture)
+        sl.ue(0)  # pic_parameter_set_id
+        sl.u(0, 4)  # frame_num (log2_max_frame_num = 4)
+        sl.ue(idx & 1)  # idr_pic_id (consecutive IDRs must alternate)
+        # dec_ref_pic_marking (IDR, nal_ref_idc != 0):
+        sl.u(0, 1)  # no_output_of_prior_pics_flag
+        sl.u(0, 1)  # long_term_reference_flag
+        sl.se(0)  # slice_qp_delta
+        for mby in range(h_mbs):
+            for mbx in range(w_mbs):
+                sl.ue(25)  # mb_type: I_PCM
+                sl.align_zero()  # pcm_alignment_zero_bit*
+                rows = [
+                    luma[
+                        (mby * 16 + r) * width
+                        + mbx * 16 : (mby * 16 + r) * width
+                        + mbx * 16
+                        + 16
+                    ]
+                    for r in range(16)
+                ]
+                sl.raw(b"".join(rows))  # pcm_sample_luma
+                sl.raw(chroma)  # pcm_sample_chroma Cb
+                sl.raw(chroma)  # pcm_sample_chroma Cr
+        out += _nal(_NAL_IDR, sl.trailing())
+    return bytes(out)
+
+
+def h264_decode_ipcm(data: bytes) -> dict:
+    """Decode an Annex-B baseline stream whose pictures are all-I_PCM
+    IDR frames (the subset h264_encode_ipcm emits): returns
+    {"width", "height", "frames": [luma bytes per picture]}. Validates
+    start codes, strips emulation prevention, and parses SPS/PPS/slice
+    syntax for real — a stream with inter macroblocks or residual
+    coding raises rather than guessing."""
+    # split on start codes (3- or 4-byte, per B.1.1)
+    nals = []
+    i = 0
+    n = len(data)
+    while i < n:
+        j = data.find(b"\x00\x00\x01", i)
+        if j == -1:
+            break
+        start = j + 3
+        k = data.find(b"\x00\x00\x01", start)
+        end = k if k != -1 else n
+        # trailing zero bytes are start-code prefix / trailing_zero_8bits
+        # padding, never payload: rbsp_trailing_bits ends every RBSP on
+        # a nonzero byte
+        while end > start and data[end - 1] == 0:
+            end -= 1
+        nals.append(data[start:end])
+        i = end if k != -1 else n
+    if not nals:
+        raise ValueError("no NAL units found")
+
+    width = height = None
+    w_mbs = h_mbs = 0
+    frames = []
+    for nal in nals:
+        if not nal:
+            continue
+        if nal[0] & 0x80:
+            raise ValueError("forbidden_zero_bit set")
+        nal_type = nal[0] & 0x1F
+        br = _H264BitReader(_ep_strip(nal[1:]))
+        if nal_type == _NAL_SPS:
+            profile = br.u(8)
+            br.u(8)  # constraint flags
+            br.u(8)  # level_idc
+            br.ue()  # seq_parameter_set_id
+            if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+                raise ValueError("high-profile SPS not supported in I_PCM subset")
+            log2_mfn = br.ue() + 4
+            poc_type = br.ue()
+            if poc_type == 0:
+                br.ue()
+            elif poc_type == 1:
+                raise ValueError("pic_order_cnt_type 1 not supported")
+            br.ue()  # max_num_ref_frames
+            br.u(1)
+            w_mbs = br.ue() + 1
+            h_mbs = br.ue() + 1
+            if br.u(1) != 1:
+                raise ValueError("interlaced (frame_mbs_only_flag=0) unsupported")
+            width, height = w_mbs * 16, h_mbs * 16
+            log2_mfn_active = log2_mfn
+        elif nal_type == _NAL_PPS:
+            br.ue()
+            br.ue()
+            if br.u(1) != 0:
+                raise ValueError("CABAC streams not supported in I_PCM subset")
+        elif nal_type == _NAL_IDR:
+            if width is None:
+                raise ValueError("slice before SPS")
+            if br.ue() != 0:
+                raise ValueError("multi-slice pictures not supported")
+            st = br.ue()
+            if st % 5 != 2:  # 2/7 = I slice
+                raise ValueError("non-I slice in I_PCM subset")
+            br.ue()  # pic_parameter_set_id
+            br.u(log2_mfn_active)  # frame_num
+            br.ue()  # idr_pic_id
+            br.u(1)  # no_output_of_prior_pics_flag
+            br.u(1)  # long_term_reference_flag
+            br.se()  # slice_qp_delta
+            luma = bytearray(width * height)
+            for mb in range(w_mbs * h_mbs):
+                mb_type = br.ue()
+                if mb_type != 25:
+                    raise ValueError(
+                        f"mb_type {mb_type}: only I_PCM (25) decodable here"
+                    )
+                br.align()
+                mbx, mby = mb % w_mbs, mb // w_mbs
+                block = br.raw(256)
+                for r in range(16):
+                    off = (mby * 16 + r) * width + mbx * 16
+                    luma[off : off + 16] = block[r * 16 : (r + 1) * 16]
+                br.raw(128)  # chroma, discarded (fixed mid-gray)
+            frames.append(bytes(luma))
+    if width is None:
+        raise ValueError("stream has no SPS")
+    return {"width": width, "height": height, "frames": frames}

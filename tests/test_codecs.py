@@ -104,3 +104,80 @@ def test_wav_rejects_non_pcm():
     struct.pack_into("<H", wav, fmt_off, 3)  # IEEE float format code
     with pytest.raises(ValueError, match="PCM"):
         wav_parse(bytes(wav))
+
+
+# ---------------------------------------------------------------- H.264 I_PCM
+
+
+def test_h264_emulation_prevention_exact():
+    """7.4.1.1: zero runs get a 0x03 break wherever 00 00 would be
+    followed by 00..03; stripping inverts exactly, including the
+    pathological all-zeros run where insertions cascade."""
+    from arcon_spark.functions.codecs import _ep_insert, _ep_strip
+
+    assert _ep_insert(b"\x00\x00\x00") == b"\x00\x00\x03\x00"
+    assert _ep_insert(b"\x00\x00\x01") == b"\x00\x00\x03\x01"
+    assert _ep_insert(b"\x00\x00\x03") == b"\x00\x00\x03\x03"
+    assert _ep_insert(b"\x00\x00\x04") == b"\x00\x00\x04"  # no trigger
+    five = b"\x00" * 5 + b"\xff"
+    ins = _ep_insert(five)
+    assert ins == b"\x00\x00\x03\x00\x00\x03\x00\xff"
+    assert b"\x00\x00\x00" not in ins and b"\x00\x00\x01" not in ins
+    assert _ep_strip(ins) == five
+    import os
+    for _ in range(50):
+        blob = bytes(b % 5 for b in os.urandom(200))  # zero-heavy
+        out = _ep_insert(blob)
+        for bad in (b"\x00\x00\x00", b"\x00\x00\x01", b"\x00\x00\x02"):
+            assert bad not in out
+        assert _ep_strip(out) == blob
+
+
+def test_h264_golden_structure():
+    """Annex-B framing: 4-byte start codes, SPS(7)/PPS(8)/IDR(5) NAL
+    types in order, baseline profile_idc 66 as the first SPS byte."""
+    from arcon_spark.functions.codecs import h264_encode_ipcm
+
+    s = h264_encode_ipcm([bytes(256)], 16, 16)
+    assert s.startswith(b"\x00\x00\x00\x01")
+    nal_types = []
+    i = 0
+    while True:
+        j = s.find(b"\x00\x00\x00\x01", i)
+        if j == -1:
+            break
+        nal_types.append(s[j + 4] & 0x1F)
+        i = j + 4
+    assert nal_types == [7, 8, 5]
+    sps_at = s.find(b"\x00\x00\x00\x01") + 5
+    assert s[sps_at] == 66  # profile_idc baseline
+
+
+def test_h264_ipcm_roundtrip_multiframe_multimb():
+    import os
+
+    from arcon_spark.functions.codecs import h264_decode_ipcm, h264_encode_ipcm
+
+    frames = [os.urandom(48 * 32) for _ in range(4)] + [b"\x00" * (48 * 32)]
+    dec = h264_decode_ipcm(h264_encode_ipcm(frames, 48, 32))
+    assert (dec["width"], dec["height"]) == (48, 32)
+    assert dec["frames"] == frames
+
+
+def test_h264_rejects_out_of_subset_streams():
+    import pytest
+
+    from arcon_spark.functions.codecs import h264_decode_ipcm, h264_encode_ipcm
+
+    with pytest.raises(ValueError, match="multiples of 16"):
+        h264_encode_ipcm([b""], 20, 16)
+    with pytest.raises(ValueError, match="no NAL"):
+        h264_decode_ipcm(b"\xde\xad\xbe\xef")
+    s = bytearray(h264_encode_ipcm([bytes(256)], 16, 16))
+    # flip the slice's mb_type ue(25) prefix into a tiny value -> not I_PCM
+    idr = s.find(b"\x00\x00\x00\x01\x65")
+    # slice header for this stream is fixed-width; corrupt a byte in the
+    # mb_type region and expect a typed error, not silence
+    s[idr + 8] ^= 0xFF
+    with pytest.raises(ValueError):
+        h264_decode_ipcm(bytes(s))
