@@ -157,7 +157,7 @@ def main() -> None:
     # N passes measures steady-state plan cost instead of scheduler
     # luck; repeats are recorded in the output for transparency.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
-    timings: dict[str, float] = {}
+    passes: dict[str, list[float]] = {name: [] for name in HEADLINE}
     t_all = time.time()
     for _ in range(repeats):
         for name in HEADLINE:
@@ -167,9 +167,14 @@ def main() -> None:
             fn = qmap[name]
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            elapsed = round(time.time() - t0, 3)
-            if name not in timings or elapsed < timings[name]:
-                timings[name] = elapsed
+            passes[name].append(round(time.time() - t0, 3))
+    timings = {name: min(ts) for name, ts in passes.items()}
+
+    def _median(ts: list[float]) -> float:
+        s = sorted(ts)
+        m = len(s) // 2
+        return round(s[m] if len(s) % 2 else (s[m - 1] + s[m]) * 0.5, 3)
+
     total = round(sum(timings.values()), 3)
     wall = round(time.time() - t_all, 3)
 
@@ -179,6 +184,10 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": timings,
+            # per-query medians across the same passes: the
+            # round-over-round comparison column (MEASURE.md), robust
+            # to this host's up-to-10x single-entry timing noise
+            "medians": {name: _median(ts) for name, ts in passes.items()},
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "repeats": repeats,
             "wall_sec": wall,
