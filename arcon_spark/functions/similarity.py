@@ -690,8 +690,16 @@ def _km_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("cid", "idx")
             .agg(F.expr("CAST(sum(qv) div count(1) AS BIGINT)").alias("cv"))
         )
+    # the assignment is a tiny (vec_id, cluster) frame but its lineage
+    # carries the whole unrolled Lloyd's chain — every downstream
+    # reference (semdedup joins it TWICE) would re-run all iterations
+    # and re-scan embeddings per reference. Cut the lineage while q is
+    # still cached, then release the cache.
+    out = assign.select(
+        "vec_id", F.col("cid").cast("long").alias("cluster")
+    ).localCheckpoint(eager=True)
     q.unpersist()
-    return assign.select("vec_id", F.col("cid").cast("long").alias("cluster"))
+    return out
 
 
 # ---------------------------------------------------------------------------
