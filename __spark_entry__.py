@@ -45,8 +45,11 @@ _SAMPLE_FIRST = [
     # global total_rows column, so any loss flips the hash
     "stream_kafka_real_roundtrip",
     # round 4: broker-side offset lane (OffsetCommit/OffsetFetch v0)
-    # + two-group fan-out over one wire topic, both exactly-once
+    # + two-group fan-out over one wire topic, both exactly-once; and
+    # the transactional sink (begin/commit markers + read-committed)
+    # proven under an injected mid-epoch crash
     "stream_kafka_two_readers",
+    "stream_kafka_txn_sink_roundtrip",
     # never-driver-checked (r1-r3): windows + typed state
     "arrow_window_zscore",
     "arrow_window_zscore_pandas",

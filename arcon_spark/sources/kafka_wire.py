@@ -1173,3 +1173,266 @@ def stream_kafka_two_readers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("total_rows", F.sum("n").over(Window.partitionBy()))
     )
     return a.unionByName(b)
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once produce over the wire: transactional begin/commit markers
+# in a control topic + a read-committed consumer — the model Kafka's own
+# transactions use (control records delimiting aborted ranges), applied
+# to the append-only v0 log where rollback-by-truncation (the kafka_log
+# sink's file-side trick) is impossible. Mirrors the reference's
+# epoch-committed sink contract (kafka.rs sink + epoch barriers).
+# ---------------------------------------------------------------------------
+
+
+def _txn_topic(topic: str) -> str:
+    return f"__txn_{topic}"
+
+
+def _fetch_all(cli: KafkaWireClient, topic: str, partition: int):
+    """Page through a partition from 0 to the high watermark."""
+    out = []
+    off = 0
+    hwm = cli.list_offsets(topic, partition)
+    while off < hwm:
+        _h, recs = cli.fetch(topic, partition, off)
+        if not recs:
+            break
+        out.extend(recs)
+        off = recs[-1][0] + 1
+    return out
+
+
+def _read_markers(cli: KafkaWireClient, topic: str):
+    """Parse the control topic → list of ("B", epoch, bases) / ("C",
+    epoch, None) in log order."""
+    import json as _json
+
+    cli.metadata([_txn_topic(topic)])  # auto-create on first contact
+    markers = []
+    for _off, _key, value in _fetch_all(cli, _txn_topic(topic), 0):
+        kind, rest = value.split(b":", 1)
+        if kind == b"B":
+            epoch_s, bases_s = rest.split(b":", 1)
+            markers.append(
+                ("B", int(epoch_s), {int(k): int(v) for k, v in _json.loads(bases_s).items()})
+            )
+        else:
+            markers.append(("C", int(rest), None))
+    return markers
+
+
+def committed_intervals(markers, hwm: dict[int, int]) -> dict[int, list[tuple[int, int]]]:
+    """Per-partition [lo, hi) offset ranges holding exactly-once data.
+
+    Each begin marker claims, per partition, the offsets from its
+    recorded pre-produce base up to the NEXT begin's base (or the
+    current high watermark for the last claim). A claim is committed
+    iff its epoch has a commit marker AND it is the LAST begin for
+    that epoch — a crash between produce and commit leaves an earlier
+    begin for the same epoch whose half-written range must stay
+    aborted even after the retry's commit lands."""
+    begins = [(i, e, b) for i, (k, e, b) in enumerate(markers) if k == "B"]
+    committed_epochs = {e for k, e, _ in markers if k == "C"}
+    last_begin_for_epoch = {e: i for i, e, _ in begins}
+    out: dict[int, list[tuple[int, int]]] = {p: [] for p in hwm}
+    for pos, (i, e, bases) in enumerate(begins):
+        nxt = begins[pos + 1][2] if pos + 1 < len(begins) else {
+            p: hwm.get(p, 0) for p in bases
+        }
+        if e in committed_epochs and last_begin_for_epoch[e] == i:
+            for p, lo in bases.items():
+                hi = nxt.get(p, hwm.get(p, 0))
+                if hi > lo:
+                    out.setdefault(p, []).append((lo, hi))
+    return out
+
+
+def append_stream_to_kafka_wire(
+    batch_df,
+    batch_id: int,
+    bootstrap: str,
+    topic: str,
+    num_partitions: int,
+    fail_before_commit=None,
+) -> None:
+    """foreachBatch body: exactly-once produce of (key, value,
+    partition) rows over the wire protocol. A begin marker recording
+    each partition's pre-produce end offset lands in the control topic
+    first; the rows are produced executor-side; a commit marker seals
+    the epoch. Redelivery after a successful commit is a no-op; a
+    crash between produce and commit leaves an uncommitted claim that
+    read_committed_wire excludes, and the retry re-begins from fresh
+    bases — each record is observed exactly once by read-committed
+    consumers under arbitrary crash points (the reference's
+    epoch-committed sink contract, kafka.rs + epoch barriers)."""
+    import json as _json
+
+    with KafkaWireClient(bootstrap) as cli:
+        markers = _read_markers(cli, topic)
+        if any(k == "C" and e == batch_id for k, e, _ in markers):
+            return  # already delivered in full
+        cli.metadata([topic])
+        bases = {p: cli.list_offsets(topic, p) for p in range(num_partitions)}
+        payload = _json.dumps({str(p): o for p, o in bases.items()}).encode()
+        cli.produce(
+            _txn_topic(topic), 0, [(None, b"B:%d:%s" % (batch_id, payload))]
+        )
+    produce_dataframe(batch_df, bootstrap, topic, num_partitions)
+    if fail_before_commit is not None and fail_before_commit(batch_id):
+        # deterministic fault injection for crash-recovery proofs: die
+        # in the produce->commit window, leaving an uncommitted claim
+        raise RuntimeError(f"injected crash before commit of epoch {batch_id}")
+    with KafkaWireClient(bootstrap) as cli:
+        cli.produce(_txn_topic(topic), 0, [(None, b"C:%d" % batch_id)])
+
+
+def read_committed_wire(spark, bootstrap: str, topic: str) -> "DataFrame":
+    """Batch-read a wire topic with read-committed isolation: records
+    inside aborted (begun-but-never-committed, or superseded-retry)
+    claims are excluded via a broadcast interval join against the
+    control-topic markers."""
+    from pyspark.sql import functions as F
+
+    with KafkaWireClient(bootstrap) as cli:
+        md = cli.metadata([topic])
+        parts = [p for _e, p, _l in md["topics"][topic][1]]
+        hwm = {p: cli.list_offsets(topic, p) for p in parts}
+        intervals = committed_intervals(_read_markers(cli, topic), hwm)
+    rows = [
+        (p, lo, hi) for p, ivs in intervals.items() for lo, hi in ivs
+    ]
+    register_kafka_wire_source(spark)
+    data = (
+        spark.read.format("arcon_kafka_wire")
+        .option("bootstrap", bootstrap)
+        .option("topic", topic)
+        .load()
+    )
+    if not rows:
+        return data.filter(F.lit(False))
+    ivs = spark.createDataFrame(rows, "partition int, lo long, hi long")
+    return (
+        data.join(F.broadcast(ivs), "partition")
+        .filter((F.col("offset") >= F.col("lo")) & (F.col("offset") < F.col("hi")))
+        .drop("lo", "hi")
+    )
+
+
+@register(
+    "stream_kafka_txn_sink_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(user_id) AS BIGINT) AS sum_user,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event,
+           CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total_rows
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "kafka", "wire", "sink", "exactly_once", "survey2.5"),
+)
+def stream_kafka_txn_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once STREAM → wire-broker produce under a mid-epoch
+    crash: events stream through the transactional sink
+    (append_stream_to_kafka_wire — begin marker with pre-produce base
+    offsets, executor-side produce, commit marker), with a
+    deterministically injected crash in epoch 1's produce→commit
+    window. The restarted query redelivers the epoch, re-begins from
+    fresh bases, and commits; the aborted first attempt stays on the
+    append-only log (no truncation possible on a broker — this is
+    Kafka's own transactional-marker model, vs the kafka_log sink's
+    file-side rollback). The result aggregates a READ-COMMITTED batch
+    read (read_committed_wire: broadcast interval join against the
+    control-topic claims) — matching the raw-table oracle, with
+    total_rows in every row, proves each record was observed exactly
+    once despite duplicates physically present on the log (reference
+    contract: epoch-committed sink, kafka.rs + epoch barriers)."""
+    from arcon_spark.io import load_table
+    from arcon_spark.streaming.tape import write_segments
+
+    parts = _KW_PARTS
+    topic = "events"
+    broker = MiniKafkaBroker(num_partitions=parts)
+    try:
+        bootstrap = broker.bootstrap
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "event_id", "event_type"
+        )
+        # two segments -> two epochs; epoch 1 crashes once mid-window
+        root = write_segments(
+            [
+                ev.filter(F.col("event_id") % 2 == 0),
+                ev.filter(F.col("event_id") % 2 == 1),
+            ]
+        )
+        ck = scratch_dir("arcon_kwtxn_ck_")
+        armed = {"live": True}
+
+        def fail_once(epoch: int) -> bool:
+            if epoch == 1 and armed.get("live"):
+                armed["live"] = False
+                return True
+            return False
+
+        def sink(batch_df, batch_id):
+            payload = batch_df.select(
+                F.encode(F.col("user_id").cast("string"), "utf-8").alias("key"),
+                F.encode(
+                    F.concat_ws(",", "event_id", "user_id", "event_type"), "utf-8"
+                ).alias("value"),
+                F.pmod("user_id", F.lit(parts)).cast("int").alias("partition"),
+            )
+            append_stream_to_kafka_wire(
+                payload, batch_id, bootstrap, topic, parts,
+                fail_before_commit=fail_once,
+            )
+
+        def run() -> Exception | None:
+            q = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(root)
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination()
+                return None
+            except Exception as exc:
+                return exc
+
+        first = run()
+        if first is None:  # pragma: no cover - the injection guarantees a crash
+            raise RuntimeError("expected the injected epoch-1 crash")
+        second = run()
+        if second is not None:
+            raise second
+
+        # stage the committed read to parquet while the broker lives;
+        # the returned frame must not depend on the closed socket
+        out_dir = scratch_dir("arcon_kwtxn_out_") + "/rows"
+        read_committed_wire(spark, bootstrap, topic).select("value").write.parquet(
+            out_dir
+        )
+    finally:
+        broker.close()
+
+    csv = F.split(F.decode(F.col("value"), "utf-8"), ",")
+    dec = spark.read.parquet(out_dir).select(
+        csv.getItem(0).cast("long").alias("event_id"),
+        csv.getItem(1).cast("long").alias("user_id"),
+        csv.getItem(2).alias("event_type"),
+    )
+    from pyspark.sql.window import Window
+
+    agg = dec.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("user_id").cast("long").alias("sum_user"),
+        F.sum("event_id").cast("long").alias("sum_event"),
+    )
+    return agg.withColumn(
+        "total_rows", F.sum("n").over(Window.partitionBy())
+    )
