@@ -345,3 +345,54 @@ def test_hilbert_key_is_injective_on_random_sample(spark):
         assert len(set(keys)) == len(pts)
 
     check()
+
+
+def test_h264_emulation_prevention_is_inverse_and_safe():
+    """EP insertion never leaves a forbidden 00 00 0x (x<=3) triple and
+    stripping is its exact inverse, for arbitrary zero-heavy payloads
+    (the cascade case that broke the naive single-pass regex)."""
+    from arcon_spark.functions.codecs import _ep_insert, _ep_strip
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(min_size=0, max_size=300).map(
+        # bias hard toward 0x00-0x03 so zero runs and cascades dominate
+        lambda b: bytes(x % 5 if x < 200 else x for x in b)
+    ))
+    def check(rbsp):
+        nal = _ep_insert(rbsp)
+        # spec constraint: within the NAL, no 00 00 pair may be
+        # followed by a byte < 3 (a 3 there IS the emulation byte)
+        i = 0
+        while True:
+            i = nal.find(b"\x00\x00", i)
+            if i == -1 or i + 2 >= len(nal):
+                break
+            assert nal[i + 2] >= 3, (rbsp.hex(), nal.hex(), i)
+            i += 1
+        assert _ep_strip(nal) == rbsp
+
+    check()
+
+
+def test_h264_ipcm_roundtrip_property():
+    """encode∘decode = identity for arbitrary frame contents and
+    macroblock geometries — the I_PCM subset is exactly invertible."""
+    import os as _os
+
+    from arcon_spark.functions.codecs import h264_decode_ipcm, h264_encode_ipcm
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=3),  # width in MBs
+        st.integers(min_value=1, max_value=3),  # height in MBs
+        st.integers(min_value=1, max_value=4),  # frames
+        st.randoms(use_true_random=False),
+    )
+    def check(wm, hm, nf, rnd):
+        w, h = wm * 16, hm * 16
+        frames = [bytes(rnd.randrange(256) for _ in range(w * h)) for _ in range(nf)]
+        dec = h264_decode_ipcm(h264_encode_ipcm(frames, w, h))
+        assert (dec["width"], dec["height"]) == (w, h)
+        assert dec["frames"] == frames
+
+    check()
