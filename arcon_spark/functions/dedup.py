@@ -1152,28 +1152,35 @@ def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 'val'
                   ELSE 'train' END AS split
       FROM documents
+    ),
+    per_digest AS (
+      SELECT content_digest, COUNT(DISTINCT split) AS nsp
+      FROM tagged GROUP BY content_digest
     )
-    SELECT content_digest,
-           CAST(COUNT(CASE WHEN split = 'train' THEN 1 END) AS BIGINT) AS n_train,
-           CAST(COUNT(CASE WHEN split <> 'train' THEN 1 END) AS BIGINT) AS n_eval,
-           MIN(CASE WHEN split = 'train' THEN doc_id END) AS train_example_id,
-           MIN(CASE WHEN split <> 'train' THEN doc_id END) AS eval_example_id
-    FROM tagged
-    GROUP BY content_digest
-    HAVING COUNT(CASE WHEN split = 'train' THEN 1 END) > 0
-       AND COUNT(CASE WHEN split <> 'train' THEN 1 END) > 0
+    SELECT t.split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT t.content_digest) AS BIGINT) AS n_distinct_digests,
+           CAST(COUNT(CASE WHEN d.nsp > 1 THEN 1 END) AS BIGINT)
+             AS n_contaminated_docs,
+           MIN(CASE WHEN d.nsp > 1 THEN t.doc_id END) AS example_doc_id
+    FROM tagged t JOIN per_digest d ON d.content_digest = t.content_digest
+    GROUP BY t.split
     """,
     tags=("dedup", "contamination", "split", "pipeline"),
 )
 def split_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/eval contamination audit: documents whose normalized
-    content digest appears in BOTH the train split and a holdout split
-    (val/test) under the same deterministic hash-split rule as
-    stratified_split — the leakage check every training-corpus build
-    runs before shipping a dataset. One scan, one partial-aggregating
-    shuffle on the digest; conditional-count HAVING keeps only
-    contaminated content. Example doc_ids (min per side) make each hit
-    actionable without a second pass."""
+    """Train/eval contamination audit: the release-gate leakage check
+    every training-corpus build runs before shipping a dataset, as a
+    per-split summary so the result is NEVER degenerate — a clean
+    corpus still yields three fully-populated audit rows (docs,
+    distinct digests, zero contaminated) instead of an empty frame
+    whose value-hash proves nothing (the 0-rows-trivially-pass trap).
+    A document counts as contaminated when its whitespace-normalized
+    content digest appears in more than one split of the same
+    deterministic hash-split rule as stratified_split; the min
+    contaminated doc_id per split makes hits actionable. Two
+    digest-keyed aggregations and one digest-keyed join — the second
+    shuffle reuses the first's partitioning."""
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     digest = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
     h = F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 2)
@@ -1181,16 +1188,23 @@ def split_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = docs.select(
         "doc_id", digest.alias("content_digest"), split.alias("split")
     )
-    is_train = F.col("split") == "train"
+    per_digest = tagged.groupBy("content_digest").agg(
+        F.countDistinct("split").alias("nsp")
+    )
+    contaminated = F.col("nsp") > 1
     return (
-        tagged.groupBy("content_digest")
+        tagged.join(per_digest, "content_digest")
+        .groupBy("split")
         .agg(
-            F.count(F.when(is_train, 1)).cast("long").alias("n_train"),
-            F.count(F.when(~is_train, 1)).cast("long").alias("n_eval"),
-            F.min(F.when(is_train, F.col("doc_id"))).alias("train_example_id"),
-            F.min(F.when(~is_train, F.col("doc_id"))).alias("eval_example_id"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("content_digest").cast("long").alias(
+                "n_distinct_digests"
+            ),
+            F.count(F.when(contaminated, 1)).cast("long").alias(
+                "n_contaminated_docs"
+            ),
+            F.min(F.when(contaminated, F.col("doc_id"))).alias("example_doc_id"),
         )
-        .filter((F.col("n_train") > 0) & (F.col("n_eval") > 0))
     )
 
 
