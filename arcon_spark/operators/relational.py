@@ -1409,7 +1409,7 @@ SELECT n_name,
          AS total_acctbal
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name
-HAVING COUNT(*) > 1
+HAVING SUM(CAST(round(s_acctbal * 100) AS BIGINT)) <> 0
 """
 
 

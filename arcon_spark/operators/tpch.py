@@ -212,13 +212,17 @@ def tpch_q9ish(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q11ish",
     oracle=f"""
-    WITH shipped AS (
+    WITH pick AS (
+      SELECT MIN(n_name) AS nm
+      FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    ),
+    shipped AS (
       SELECT l_partkey, l_quantity * p_retailprice AS v
       FROM lineitem
         JOIN supplier ON s_suppkey = l_suppkey
         JOIN nation   ON n_nationkey = s_nationkey
         JOIN part     ON p_partkey = l_partkey
-      WHERE n_name = 'NATION_7'
+      WHERE n_name = (SELECT nm FROM pick)
     )
     SELECT l_partkey AS p_partkey, {sql_msum('v', 2)} AS part_value
     FROM shipped
@@ -236,12 +240,21 @@ def tpch_q11ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-part aggregate — both sides reuse ONE shuffled base frame
     (cached logical subtree), so the fact table is read and filtered
     once. Threshold and part values are the identical exact-integer
-    expression in both engines, making the > comparison deterministic."""
+    expression in both engines, making the > comparison deterministic.
+    The nation is picked data-dependently (min n_name that actually
+    has suppliers — a second scalar subquery, Q11's flavor) so the
+    result stays non-degenerate at every scale factor: a constant
+    nation is empty at sf0.001's 10-supplier population and a 0-row
+    result is a trivially-passing value hash."""
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation_all = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    picked = (
+        supp.join(F.broadcast(nation_all), supp.s_nationkey == nation_all.n_nationkey)
+        .agg(F.min("n_name").alias("nm"))
+    )
     nation = (
-        load_table(spark, sf_dir, "nation")
-        .filter(F.col("n_name") == "NATION_7")
+        nation_all.join(F.broadcast(picked), F.col("n_name") == F.col("nm"))
         .select("n_nationkey")
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
