@@ -50,6 +50,13 @@ _SAMPLE_FIRST = [
     # proven under an injected mid-epoch crash
     "stream_kafka_two_readers",
     "stream_kafka_txn_sink_roundtrip",
+    # round-4-changed queries: real-decode video dedup + H.264
+    # roundtrip (new codec), data-dependent q11 nation pick,
+    # non-degenerate contamination audit
+    "multimodal_h264_roundtrip",
+    "multimodal_video_dedup",
+    "tpch_q11ish",
+    "split_contamination_check",
     # never-driver-checked (r1-r3): windows + typed state
     "arrow_window_zscore",
     "arrow_window_zscore_pandas",
@@ -102,16 +109,12 @@ _SAMPLE_FIRST = [
     "rolling_median_value",
     "sql_recursive_reach",
     "sql_pipe_syntax",
-    "tpch_q11ish",
     "tpch_q16ish",
     "tpch_q20ish",
     "exact_median_selection",
     "mode_event_type_per_user",
-    # never-checked: codec roundtrips (jpeg proven in r3 parity only;
-    # h264 I_PCM is new this round — the last decode stub closed)
+    # never-checked: codec roundtrip proven in r3 parity only
     "multimodal_jpeg_roundtrip",
-    "multimodal_h264_roundtrip",
-    "multimodal_video_dedup",
     # high-value re-checks stay close behind the 50-prefix
     "stream_kafka_log_roundtrip",
     "source_protobuf_roundtrip",
