@@ -5,7 +5,17 @@ given scale factor, then compares row count, sorted column names, and
 order-insensitive values (exact equality; floats reported with the
 max absolute delta when they mismatch so near-misses are visible).
 
-Usage: python tools/check_parity.py [sf_dir] [query ...]
+Usage: python tools/check_parity.py [--jobs N] [sf_dir] [query ...]
+
+--jobs N (default 1) runs BATCH queries through a thread pool of N
+workers sharing the SparkSession (Spark schedules concurrent jobs
+fine; each worker gets its own DuckDB cursor). Streaming queries
+(`stream_*`) always run serially after the batch set — they mutate
+session-level conf (shuffle partitions, state-store provider) and
+drive their own micro-batch lifecycles, which must not interleave.
+Parallel mode also skips the per-query clearCache (cache hygiene
+traded for wall time); the serial default exactly matches the
+driver's behavior.
 """
 
 from __future__ import annotations
@@ -38,9 +48,66 @@ def _norm_rows(cols, rows):
     return sorted(cols), sorted(out, key=repr)
 
 
+def _check_one(spark, cursor, spec, sf_dir: str, clear_cache: bool):
+    """Run one query + oracle; returns (category, message) where
+    category is 'pass' | 'fail' | 'rows'."""
+    name = spec.name
+    if clear_cache:
+        spark.catalog.clearCache()  # no cross-query cached-block buildup
+    t0 = time.time()
+    try:
+        sdf = spec.fn(spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+    except Exception as e:
+        return "fail", f"FAIL  {name}: spark error: {e}"
+    if spec.oracle is None:
+        return (
+            "rows",
+            f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]",
+        )
+    try:
+        rel = cursor.sql(spec.oracle)
+        dcols = [d[0] for d in rel.description]
+        drows = rel.fetchall()
+    except Exception as e:
+        return "fail", f"FAIL  {name}: duckdb error: {str(e)[:200]}"
+    sc, sr = _norm_rows(scols, srows)
+    dc, dr = _norm_rows(dcols, drows)
+    if sc != dc:
+        return "fail", f"FAIL  {name}: schema mismatch spark={sc} duckdb={dc}"
+    if len(sr) != len(dr):
+        return "fail", f"FAIL  {name}: rowcount spark={len(sr)} duckdb={len(dr)}"
+    if sr == dr:
+        return "pass", f"OK    {name}: {len(sr)} rows [{time.time()-t0:.1f}s]"
+    # diagnose float near-misses
+    max_delta = 0.0
+    n_diff = 0
+    first = ""
+    for a, b in zip(sr, dr):
+        if a != b:
+            if not first:
+                first = f"\n      spark : {a}\n      duckdb: {b}"
+            n_diff += 1
+            for x, y in zip(a, b):
+                if isinstance(x, float) and isinstance(y, float):
+                    max_delta = max(max_delta, abs(x - y))
+    return (
+        "fail",
+        f"FAIL  {name}: {n_diff}/{len(sr)} differing rows,"
+        f" max float delta {max_delta:.3e}{first}",
+    )
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    jobs = 1
+    if "--jobs" in args:
+        i = args.index("--jobs")
+        jobs = max(1, int(args[i + 1]))
+        args = args[:i] + args[i + 2 :]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     from arcon_spark.plans.registry import REGISTRY, queries
 
@@ -50,67 +117,42 @@ def main() -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    n_pass = n_fail = n_rows_only = 0
-    for name, fn in sorted(qmap.items()):
-        if only and name not in only:
-            continue
-        spark.catalog.clearCache()  # no cross-query cached-block accumulation
-        spec = REGISTRY[name]
-        t0 = time.time()
-        try:
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-        except Exception as e:
-            print(f"FAIL  {name}: spark error: {e}")
-            n_fail += 1
-            continue
-        if spec.oracle is None:
-            print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
-            n_rows_only += 1
-            continue
-        try:
-            rel = con.sql(spec.oracle)
-            dcols = [d[0] for d in rel.description]
-            drows = rel.fetchall()
-        except Exception as e:
-            print(f"FAIL  {name}: duckdb error: {str(e)[:200]}")
-            n_fail += 1
-            continue
-        sc, sr = _norm_rows(scols, srows)
-        dc, dr = _norm_rows(dcols, drows)
-        if sc != dc:
-            print(f"FAIL  {name}: schema mismatch spark={sc} duckdb={dc}")
-            n_fail += 1
-            continue
-        if len(sr) != len(dr):
-            print(f"FAIL  {name}: rowcount spark={len(sr)} duckdb={len(dr)}")
-            n_fail += 1
-            continue
-        if sr == dr:
-            print(f"OK    {name}: {len(sr)} rows [{time.time()-t0:.1f}s]")
-            n_pass += 1
-            continue
-        # diagnose float near-misses
-        max_delta = 0.0
-        n_diff = 0
-        for a, b in zip(sr, dr):
-            if a != b:
-                n_diff += 1
-                for x, y in zip(a, b):
-                    if isinstance(x, float) and isinstance(y, float):
-                        max_delta = max(max_delta, abs(x - y))
-        print(
-            f"FAIL  {name}: {n_diff}/{len(sr)} differing rows, max float delta {max_delta:.3e}"
-        )
-        for a, b in zip(sr, dr):
-            if a != b:
-                print(f"      spark : {a}\n      duckdb: {b}")
-                break
-        n_fail += 1
+    names = [n for n in sorted(qmap) if not only or n in only]
+    batch = [n for n in names if not n.startswith("stream_")]
+    streaming = [n for n in names if n.startswith("stream_")]
 
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
-    return 1 if n_fail else 0
+    counts = {"pass": 0, "fail": 0, "rows": 0}
+
+    def record(cat: str, msg: str) -> None:
+        counts[cat] += 1
+        print(msg, flush=True)
+
+    if jobs > 1 and len(batch) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def worker(name):
+            # one DuckDB cursor per task: cursors share the views but
+            # are individually thread-safe; Spark schedules the
+            # concurrent jobs itself
+            return _check_one(
+                spark, con.cursor(), REGISTRY[name], sf_dir, clear_cache=False
+            )
+
+        with ThreadPoolExecutor(max_workers=jobs) as pool:
+            for cat, msg in pool.map(worker, batch):
+                record(cat, msg)
+        spark.catalog.clearCache()
+    else:
+        for name in batch:
+            cat, msg = _check_one(spark, con, REGISTRY[name], sf_dir, True)
+            record(cat, msg)
+
+    for name in streaming:  # always serial: conf-mutating lifecycles
+        cat, msg = _check_one(spark, con, REGISTRY[name], sf_dir, True)
+        record(cat, msg)
+
+    print(f"\n{counts['pass']} pass, {counts['fail']} fail, {counts['rows']} rows-only")
+    return 1 if counts["fail"] else 0
 
 
 if __name__ == "__main__":
