@@ -50,6 +50,9 @@ _SAMPLE_FIRST = [
     # proven under an injected mid-epoch crash
     "stream_kafka_two_readers",
     "stream_kafka_txn_sink_roundtrip",
+    # source->operator->sink composed, both sides exactly-once, crash
+    # injected mid-pipeline every run (the reference's full dataflow)
+    "stream_kafka_end_to_end",
     # round-4-changed queries: real-decode video dedup + H.264
     # roundtrip (new codec), data-dependent q11 nation pick,
     # non-degenerate contamination audit

@@ -1436,3 +1436,132 @@ def stream_kafka_txn_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     return agg.withColumn(
         "total_rows", F.sum("n").over(Window.partitionBy())
     )
+
+
+@register(
+    "stream_kafka_end_to_end",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(user_id) AS BIGINT) AS sum_user,
+           CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total_rows
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "kafka", "wire", "exactly_once", "pipeline", "survey2.7"),
+)
+def stream_kafka_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full pipeline shape, end to end over real
+    sockets: Kafka source → operator → Kafka sink with epoch-committed
+    exactly-once on BOTH sides (kafka.rs source offsets in state +
+    sink-on-epoch; epoch barriers §2.7). Events are produced to topic
+    A; a paced stream (maxRecordsPerTrigger) reads A with
+    Spark-checkpointed offsets, transforms each record (the operator
+    stage), and transactionally produces to topic B — with an injected
+    crash in one epoch's produce→commit window. The restart redelivers
+    the epoch FROM THE CHECKPOINTED SOURCE OFFSETS and re-produces
+    under a fresh begin marker; the aborted claim stays physically on
+    topic B. The result aggregates a READ-COMMITTED read of topic B
+    against the raw-table oracle: a hash-match (with total_rows in
+    every row) proves the composition loses nothing (source-side r3
+    bug class), duplicates nothing (sink-side isolation), exactly
+    once, across a crash."""
+    from arcon_spark.io import load_table
+
+    parts = _KW_PARTS
+    broker = MiniKafkaBroker(num_partitions=parts)
+    try:
+        bootstrap = broker.bootstrap
+        register_kafka_wire_source(spark)
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "event_id", "event_type"
+        )
+        payload = ev.select(
+            F.encode(F.col("user_id").cast("string"), "utf-8").alias("key"),
+            F.encode(
+                F.concat_ws(",", "event_id", "user_id", "event_type"), "utf-8"
+            ).alias("value"),
+            F.pmod("user_id", F.lit(parts)).cast("int").alias("partition"),
+        )
+        produce_dataframe(payload, bootstrap, "in", parts)
+
+        ck = scratch_dir("arcon_kwe2e_ck_")
+        armed = {"live": True}
+
+        def fail_once(epoch: int) -> bool:
+            if armed.get("live"):
+                armed["live"] = False
+                return True
+            return False
+
+        def operator_and_sink(batch_df, batch_id):
+            # the operator stage: uppercase the event_type inside the
+            # CSV payload (a real record transform, reversed below so
+            # the oracle stays on the raw table)
+            csv = F.split(F.decode(F.col("value"), "utf-8"), ",")
+            out = batch_df.select(
+                "key",
+                F.encode(
+                    F.concat_ws(
+                        ",",
+                        csv.getItem(0),
+                        csv.getItem(1),
+                        F.upper(csv.getItem(2)),
+                    ),
+                    "utf-8",
+                ).alias("value"),
+                "partition",
+            )
+            append_stream_to_kafka_wire(
+                out, batch_id, bootstrap, "out", parts,
+                fail_before_commit=fail_once,
+            )
+
+        def run() -> Exception | None:
+            q = (
+                spark.readStream.format("arcon_kafka_wire")
+                .option("bootstrap", bootstrap)
+                .option("topic", "in")
+                .option("maxRecordsPerTrigger", 4000)
+                .load()
+                .select("key", "value", "partition")
+                .writeStream.foreachBatch(operator_and_sink)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination()
+                return None
+            except Exception as exc:
+                return exc
+
+        first = run()  # ALWAYS crashes: the first epoch dies in its
+        # produce->commit window, after the aborted rows hit topic B
+        if first is None:  # pragma: no cover - injection guarantees it
+            raise RuntimeError("expected the injected mid-pipeline crash")
+        second = run()  # redelivery from the checkpointed source offsets
+        if second is not None:
+            raise second
+
+        out_dir = scratch_dir("arcon_kwe2e_out_") + "/rows"
+        read_committed_wire(spark, bootstrap, "out").select("value").write.parquet(
+            out_dir
+        )
+    finally:
+        broker.close()
+
+    csv = F.split(F.decode(F.col("value"), "utf-8"), ",")
+    dec = spark.read.parquet(out_dir).select(
+        csv.getItem(1).cast("long").alias("user_id"),
+        F.lower(csv.getItem(2)).alias("event_type"),  # undo the operator
+    )
+    from pyspark.sql.window import Window
+
+    agg = dec.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("user_id").cast("long").alias("sum_user"),
+    )
+    return agg.withColumn(
+        "total_rows", F.sum("n").over(Window.partitionBy())
+    )
