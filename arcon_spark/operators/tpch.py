@@ -212,17 +212,12 @@ def tpch_q9ish(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q11ish",
     oracle=f"""
-    WITH pick AS (
-      SELECT MIN(n_name) AS nm
-      FROM supplier JOIN nation ON n_nationkey = s_nationkey
-    ),
-    shipped AS (
+    WITH shipped AS (
       SELECT l_partkey, l_quantity * p_retailprice AS v
       FROM lineitem
         JOIN supplier ON s_suppkey = l_suppkey
-        JOIN nation   ON n_nationkey = s_nationkey
         JOIN part     ON p_partkey = l_partkey
-      WHERE n_name = (SELECT nm FROM pick)
+      WHERE s_nationkey = (SELECT MIN(s_nationkey) FROM supplier)
     )
     SELECT l_partkey AS p_partkey, {sql_msum('v', 2)} AS part_value
     FROM shipped
@@ -241,26 +236,22 @@ def tpch_q11ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cached logical subtree), so the fact table is read and filtered
     once. Threshold and part values are the identical exact-integer
     expression in both engines, making the > comparison deterministic.
-    The nation is picked data-dependently (min n_name that actually
-    has suppliers — a second scalar subquery, Q11's flavor) so the
-    result stays non-degenerate at every scale factor: a constant
+    The nation is picked data-dependently (min s_nationkey among
+    suppliers — a second scalar subquery, Q11's flavor; numeric MIN so
+    the pick stays a hash aggregate, not a MIN(string) SortAggregate)
+    so the result is non-degenerate at every scale factor: a constant
     nation is empty at sf0.001's 10-supplier population and a 0-row
     result is a trivially-passing value hash."""
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    nation_all = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    picked = (
-        supp.join(F.broadcast(nation_all), supp.s_nationkey == nation_all.n_nationkey)
-        .agg(F.min("n_name").alias("nm"))
-    )
-    nation = (
-        nation_all.join(F.broadcast(picked), F.col("n_name") == F.col("nm"))
-        .select("n_nationkey")
+    picked = supp.agg(F.min("s_nationkey").alias("nk"))
+    supp_pick = (
+        supp.join(F.broadcast(picked), supp.s_nationkey == F.col("nk"))
+        .select("s_suppkey")
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
     shipped = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        li.join(F.broadcast(supp_pick), li.l_suppkey == supp_pick.s_suppkey)
         .join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select("l_partkey", (F.col("l_quantity") * F.col("p_retailprice")).alias("v"))
     )
