@@ -60,6 +60,13 @@ _SAMPLE_FIRST = [
     "multimodal_video_dedup",
     "tpch_q11ish",
     "split_contamination_check",
+    # round-4 new: CCNet-style LM perplexity scoring, DSIR hashed
+    # n-gram importance weights, hashed-bucket NB classifier, and the
+    # JL random-projection audit (micronat-quantized exact sums)
+    "text_lm_perplexity",
+    "dsir_importance_weights",
+    "nb_lang_classifier",
+    "rp_jl_projection_audit",
     # never-driver-checked (r1-r3): windows + typed state
     "arrow_window_zscore",
     "arrow_window_zscore_pandas",

@@ -1648,3 +1648,122 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_dims"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection + distance-preservation audit
+# ---------------------------------------------------------------------------
+
+_RP_K = 16  # projected dimensions
+_RP_D = 64  # input embedding dimensions
+
+
+def _rp_sign_spark(i: str, j: str) -> str:
+    """±1 sign from md5 parity of (dim, out-dim) — the Achlioptas-style
+    deterministic sign matrix, derivable identically in any engine."""
+    return (
+        f"((cast(conv(substring(md5(concat('rp:', cast({i} as string), ':',"
+        f" cast({j} as string))), 1, 8), 16, 10) as bigint) % 2) * 2 - 1)"
+    )
+
+
+def _rp_sign_sql(i: str, j: str) -> str:
+    return (
+        f"((CAST('0x' || substring(md5('rp:' || CAST({i} AS VARCHAR) || ':'"
+        f" || CAST({j} AS VARCHAR)), 1, 8) AS BIGINT) % 2) * 2 - 1)"
+    )
+
+
+@register(
+    "rp_jl_projection_audit",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    p AS (
+      SELECT vec_id, qv,
+             list_transform(generate_series(0, {_RP_K - 1}), j ->
+               CAST(list_sum(list_transform(generate_series(1, {_RP_D}), i ->
+                 {_rp_sign_sql('i', 'j')} * qv[CAST(i AS INT)]
+               )) AS BIGINT)
+             ) AS pv
+      FROM q
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(list_sum(list_transform(generate_series(1, {_RP_D}), i ->
+             (a.qv[CAST(i AS INT)] - b.qv[CAST(i AS INT)])
+             * (a.qv[CAST(i AS INT)] - b.qv[CAST(i AS INT)]))) AS BIGINT) AS orig_l2q,
+           CAST(list_sum(list_transform(generate_series(1, {_RP_K}), j ->
+             (a.pv[CAST(j AS INT)] - b.pv[CAST(j AS INT)])
+             * (a.pv[CAST(j AS INT)] - b.pv[CAST(j AS INT)]))) AS BIGINT) AS proj_l2q,
+           round(CAST(CAST(list_sum(list_transform(generate_series(1, {_RP_K}), j ->
+             (a.pv[CAST(j AS INT)] - b.pv[CAST(j AS INT)])
+             * (a.pv[CAST(j AS INT)] - b.pv[CAST(j AS INT)]))) AS BIGINT) AS DOUBLE)
+             / ({_RP_K}.0 * CAST(list_sum(list_transform(generate_series(1, {_RP_D}), i ->
+             (a.qv[CAST(i AS INT)] - b.qv[CAST(i AS INT)])
+             * (a.qv[CAST(i AS INT)] - b.qv[CAST(i AS INT)]))) AS DOUBLE)), 6)
+             AS jl_ratio
+    FROM p a JOIN p b ON b.vec_id = a.vec_id + 1
+    """,
+    tags=("similarity", "projection", "jl", "pipeline"),
+)
+def rp_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (64 → 16 dims) with a
+    distance-preservation audit — the dimensionality-reduction step a
+    100 TB embedding pipeline applies before LSH/clustering so that
+    downstream index state shrinks 4× while pairwise geometry survives
+    (E[‖Pa−Pb‖²] = k·‖a−b‖² for a ±1 sign matrix).
+
+    The sign matrix is DERIVED, not stored: s(i,j) = ±1 from md5
+    parity of (dim i, out-dim j) — both engines regenerate it
+    bit-identically, the distributed analogue of seeding one RNG.
+    Embedding floats quantize to exact micro-unit BIGINTs first, so
+    projections, squared distances, and their sums are exact integer
+    arithmetic in-row (zero shuffles for the projection itself); the
+    only double op is the final correctly-rounded ratio. The audit
+    joins consecutive vec_ids (a deterministic pair sample) and
+    reports per-pair original vs projected squared distance and the
+    JL ratio, which concentrates around 1.
+
+    Scale shape: projection is a single codegen projection over the
+    scan — no shuffle, no Python, no model state (the sign matrix is
+    an expression); at production dims, precompute the d×k sign matrix
+    once and broadcast it instead of re-hashing per row. The pair
+    audit is one self-join on a monotonic key (sort-merge-free under
+    bucketing on vec_id)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, v -> cast(round(cast(v as double) * 1000000.0D) as bigint))"
+        ).alias("qv"),
+    )
+    p = q.select(
+        "vec_id",
+        "qv",
+        F.expr(
+            f"transform(sequence(0, {_RP_K - 1}), j ->"
+            f" aggregate(sequence(1, {_RP_D}), cast(0 as bigint),"
+            f" (acc, i) -> acc + {_rp_sign_spark('i', 'j')} * element_at(qv, i)))"
+        ).alias("pv"),
+    )
+    a = p.alias("a")
+    b = p.alias("b")
+    l2 = (
+        "aggregate(zip_with({x}, {y}, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    orig = F.expr(l2.format(x="a.qv", y="b.qv"))
+    proj = F.expr(l2.format(x="a.pv", y="b.pv"))
+    return a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        orig.alias("orig_l2q"),
+        proj.alias("proj_l2q"),
+        F.round(
+            proj.cast("double") / (F.lit(float(_RP_K)) * orig.cast("double")), 6
+        ).alias("jl_ratio"),
+    )

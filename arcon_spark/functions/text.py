@@ -1859,3 +1859,446 @@ def text_search_and_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_units"), F.asc("doc_id"))
         .limit(_SEARCH_K)
     )
+
+
+# --- CCNet-style LM quality scoring + DSIR importance weights --------------
+#
+# The two standard model-based corpus-selection signals (public methods:
+# CCNet's KenLM perplexity filter, Wenzek et al. 2020; DSIR hashed-ngram
+# importance resampling, Xie et al. 2023). Both train their tiny "model"
+# from the corpus' own `lang = 'en'` slice (the clean-reference stand-in)
+# and score EVERY document against it.
+#
+# Cross-engine determinism: per-feature log-probabilities are quantized to
+# integer MICRONATS (round(ln(p) * 1e6) AS BIGINT) before any aggregation,
+# so the per-document reduction is an exact integer sum — order-independent
+# and bit-identical across engines. The ≤1-ulp engine difference in ln()
+# (~1e-9 micronats) is absorbed by the rounding grid; the only double ops
+# in the output are single correctly-rounded divisions of exact integers
+# (the same doctrine as plans.compat's exact-cents aggregation).
+
+_LM_TRAIN_LANG = "en"
+_DSIR_B = 1024  # hashed-feature buckets
+
+
+def _dsir_bucket_spark(f: str) -> str:
+    return (
+        f"cast(conv(substring(md5(concat('dsir:', {f})), 1, 8), 16, 10)"
+        f" as bigint) % {_DSIR_B}"
+    )
+
+
+def _dsir_bucket_sql(f: str) -> str:
+    return f"CAST('0x' || substring(md5('dsir:' || {f}), 1, 8) AS BIGINT) % {_DSIR_B}"
+
+
+_SQL_LANG_BIGRAMS = f"""
+  toks AS (SELECT doc_id, lang, {_SQL_TOKS_LIST} AS t FROM documents),
+  big AS (
+    SELECT doc_id, lang, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+    FROM (SELECT doc_id, lang, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)
+  )
+"""
+
+
+@register(
+    "text_lm_perplexity",
+    oracle=f"""
+    WITH {_SQL_LANG_BIGRAMS},
+    c12 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt12
+      FROM big WHERE lang = '{_LM_TRAIN_LANG}' GROUP BY 1, 2
+    ),
+    c1 AS (
+      SELECT w1, CAST(COUNT(*) AS BIGINT) AS cnt1
+      FROM big WHERE lang = '{_LM_TRAIN_LANG}' GROUP BY 1
+    ),
+    v AS (
+      SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vsize
+      FROM (SELECT unnest(t) AS tok FROM toks WHERE lang = '{_LM_TRAIN_LANG}')
+    ),
+    q AS (
+      SELECT b.doc_id, b.lang,
+             CAST(round(ln(
+               CAST(COALESCE(c12.cnt12, 0) + 1 AS DOUBLE)
+               / CAST(COALESCE(c1.cnt1, 0) + v.vsize AS DOUBLE)
+             ) * 1000000) AS BIGINT) AS qn
+      FROM big b
+      CROSS JOIN v
+      LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+      LEFT JOIN c1 ON b.w1 = c1.w1
+    )
+    SELECT doc_id, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(-SUM(qn) AS BIGINT) AS ce_micronats,
+           round(CAST(-SUM(qn) AS DOUBLE)
+                 / CAST(COUNT(*) * 1000000 AS DOUBLE), 6) AS cross_entropy
+    FROM q GROUP BY doc_id, lang
+    """,
+    tags=("text", "curation", "lm", "pipeline"),
+)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: an add-one-smoothed bigram LM is
+    trained on the `lang = 'en'` slice (the clean-reference corpus) and
+    every document is scored by its cross-entropy under that model —
+    the classic perplexity filter signal (low = reference-like, high =
+    junk). P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V) with context counts
+    c(w1) = Σ_w2 c(w1,w2) and V = training vocabulary size.
+
+    Per-bigram log-probs are quantized to integer micronats BEFORE the
+    per-doc sum (see module note), so `ce_micronats` is an exact BIGINT
+    and `cross_entropy` is one correctly-rounded division of exact
+    integers — hash-stable across engines.
+
+    Scale shape: model training is two hash aggregates over the
+    reference slice's bigram stream; V is one distinct-count scalar.
+    Scoring joins the corpus bigram stream to the two count tables on
+    their natural keys — shuffle-hash joins keyed by (w1,w2)/(w1) that
+    AQE turns into broadcasts whenever the trained tables fit (they do
+    here; at 100 TB the reference slice is curated and small while the
+    scored corpus is the big side, which is exactly the build/probe
+    orientation this plan declares). One final per-doc hash aggregate.
+    No Python in the hot path; short docs (<2 tokens) drop out of the
+    bigram stream in both engines identically."""
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text"))
+    toks = docs.select("doc_id", "lang", F.expr(_TOKS).alias("t"))
+    big = (
+        toks.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr("transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))")
+            ).alias("b"),
+        )
+        .select("doc_id", "lang", "b.w1", "b.w2")
+        .persist()
+    )
+    train = big.filter(F.col("lang") == _LM_TRAIN_LANG)
+    c12 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("cnt12"))
+    c1 = train.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("cnt1"))
+    vsize = int(
+        toks.filter(F.col("lang") == _LM_TRAIN_LANG)
+        .select(F.explode("t").alias("tok"))
+        .agg(F.count_distinct("tok"))
+        .first()[0]
+    )
+    prob = (F.coalesce(F.col("cnt12"), F.lit(0)) + F.lit(1)).cast("double") / (
+        F.coalesce(F.col("cnt1"), F.lit(0)) + F.lit(vsize)
+    ).cast("double")
+    scored = (
+        big.join(c12, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.round(F.log(prob) * F.lit(1000000)).cast("long").alias("qn"),
+        )
+    )
+    agg = scored.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        (-F.sum("qn")).cast("long").alias("ce_micronats"),
+    )
+    return agg.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "ce_micronats",
+        F.round(
+            F.col("ce_micronats").cast("double")
+            / (F.col("n_bigrams") * F.lit(1000000)).cast("double"),
+            6,
+        ).alias("cross_entropy"),
+    )
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH {_SQL_LANG_BIGRAMS},
+    feat AS (
+      SELECT doc_id, lang, {_dsir_bucket_sql('f')} AS bucket
+      FROM (
+        SELECT doc_id, lang, unnest(t) AS f FROM toks
+        UNION ALL
+        SELECT doc_id, lang, w1 || ' ' || w2 AS f FROM big
+      )
+    ),
+    raw AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr FROM feat GROUP BY 1),
+    tgt AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct
+      FROM feat WHERE lang = '{_LM_TRAIN_LANG}' GROUP BY 1
+    ),
+    totals AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS tr,
+             CAST(COUNT(*) FILTER (WHERE lang = '{_LM_TRAIN_LANG}') AS BIGINT) AS tt
+      FROM feat
+    ),
+    lr AS (
+      SELECT raw.bucket,
+             CAST(round((
+               ln(CAST(COALESCE(tgt.ct, 0) + 1 AS DOUBLE) / CAST(totals.tt + {_DSIR_B} AS DOUBLE))
+               - ln(CAST(raw.cr + 1 AS DOUBLE) / CAST(totals.tr + {_DSIR_B} AS DOUBLE))
+             ) * 1000000) AS BIGINT) AS lr_micro
+      FROM raw CROSS JOIN totals LEFT JOIN tgt ON raw.bucket = tgt.bucket
+    )
+    SELECT f.doc_id, f.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_feats,
+           CAST(SUM(lr.lr_micro) AS BIGINT) AS dsir_micronats,
+           round(CAST(SUM(lr.lr_micro) AS DOUBLE) / 1000000, 6) AS log_weight
+    FROM feat f JOIN lr ON f.bucket = lr.bucket
+    GROUP BY f.doc_id, f.lang
+    """,
+    tags=("text", "curation", "dsir", "pipeline"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Data Selection via Importance Resampling): hashed-n-gram
+    importance weights. Each document's unigrams+bigrams hash into
+    1024 buckets (md5 → cross-engine identical); a bag-of-buckets
+    unigram model is estimated for the target slice (`lang = 'en'`)
+    and for the raw corpus, both add-one smoothed, and a document's
+    importance weight is the sum over its features of
+    ln p_target(bucket) − ln p_raw(bucket). High weight = looks like
+    the target distribution; resampling by this weight is the
+    published selection procedure.
+
+    Per-bucket log-ratios quantize to integer micronats, so the
+    per-doc sum is exact BIGINT arithmetic (module note) and
+    `log_weight` is one correctly-rounded division.
+
+    Scale shape: the bucket tables are fixed 1024-row artifacts
+    however big the corpus is — the defining trick of DSIR — so the
+    scoring join is ALWAYS a broadcast; the two bucket aggregates are
+    the only corpus-sized shuffles, and the final per-doc aggregate
+    re-uses the feature stream. No Python in the hot path."""
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text"))
+    toks = docs.select("doc_id", "lang", F.expr(_TOKS).alias("t"))
+    # unigrams ++ bigrams materialize in ONE in-row array — a single
+    # scan/explode instead of a two-branch union re-reading the corpus
+    feat = (
+        toks.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "concat(t, transform(sequence(1, size(t) - 1),"
+                    " i -> concat(t[i-1], ' ', t[i])))"
+                )
+            ).alias("f"),
+        )
+        .select("doc_id", "lang", F.expr(_dsir_bucket_spark("f")).alias("bucket"))
+        .persist()
+    )
+    raw = feat.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("cr"))
+    tgt = (
+        feat.filter(F.col("lang") == _LM_TRAIN_LANG)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    )
+    totals = feat.agg(
+        F.count(F.lit(1)).cast("long").alias("tr"),
+        F.count(F.when(F.col("lang") == _LM_TRAIN_LANG, 1)).cast("long").alias("tt"),
+    ).first()
+    tr, tt = int(totals["tr"]), int(totals["tt"])
+    lr_micro = F.round(
+        (
+            F.log(
+                (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast("double")
+                / F.lit(float(tt + _DSIR_B))
+            )
+            - F.log((F.col("cr") + F.lit(1)).cast("double") / F.lit(float(tr + _DSIR_B)))
+        )
+        * F.lit(1000000)
+    ).cast("long")
+    lr = raw.join(tgt, ["bucket"], "left").select("bucket", lr_micro.alias("lr_micro"))
+    return (
+        feat.join(F.broadcast(lr), ["bucket"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("lr_micro").cast("long").alias("dsir_micronats"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_feats",
+            "dsir_micronats",
+            F.round(F.col("dsir_micronats").cast("double") / F.lit(1000000.0), 6).alias(
+                "log_weight"
+            ),
+        )
+    )
+
+
+@register(
+    "nb_lang_classifier",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, {_SQL_TOKS_LIST} AS t FROM documents),
+    feat AS (
+      SELECT doc_id, lang,
+             CAST('0x' || substring(md5('nb:' || f), 1, 8) AS BIGINT) % {_DSIR_B} AS bucket
+      FROM (SELECT doc_id, lang, unnest(t) AS f FROM toks)
+    ),
+    ndb AS (
+      SELECT doc_id, lang AS true_lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_db
+      FROM feat GROUP BY 1, 2, 3
+    ),
+    clb AS (
+      SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS c_lb FROM feat GROUP BY 1, 2
+    ),
+    tl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS t_l FROM feat GROUP BY 1),
+    dl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS d_l FROM documents GROUP BY 1),
+    d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    model AS (
+      SELECT tl.lang,
+             CAST(round(ln(CAST(dl.d_l AS DOUBLE) / CAST(d.n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS prior_micro,
+             CAST(round(ln(CAST(tl.t_l + {_DSIR_B} AS DOUBLE)) * 1000000) AS BIGINT) AS tnorm_micro
+      FROM tl JOIN dl ON tl.lang = dl.lang CROSS JOIN d
+    ),
+    qlb AS (
+      SELECT lang, bucket,
+             CAST(round(ln(CAST(c_lb + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS q_lb
+      FROM clb
+    ),
+    scores AS (
+      SELECT ndb.doc_id, ndb.true_lang, m.lang AS cand_lang,
+             CAST(ANY_VALUE(m.prior_micro)
+                  - CAST(SUM(ndb.n_db) AS BIGINT) * ANY_VALUE(m.tnorm_micro)
+                  + CAST(SUM(ndb.n_db * COALESCE(qlb.q_lb, 0)) AS BIGINT) AS BIGINT) AS score_micro
+      FROM ndb
+      CROSS JOIN model m
+      LEFT JOIN qlb ON qlb.lang = m.lang AND qlb.bucket = ndb.bucket
+      GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT doc_id, true_lang, cand_lang,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, cand_lang) AS rk
+      FROM scores
+    ),
+    agg AS (
+      SELECT true_lang, cand_lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(score_micro) AS BIGINT) AS sum_score_micro
+      FROM scores GROUP BY 1, 2
+    ),
+    top1 AS (
+      SELECT true_lang, cand_lang, CAST(COUNT(*) AS BIGINT) AS n_top1
+      FROM pred WHERE rk = 1 GROUP BY 1, 2
+    )
+    SELECT agg.true_lang, agg.cand_lang, agg.n_docs, agg.sum_score_micro,
+           CAST(COALESCE(top1.n_top1, 0) AS BIGINT) AS n_top1
+    FROM agg LEFT JOIN top1
+      ON agg.true_lang = top1.true_lang AND agg.cand_lang = top1.cand_lang
+    """,
+    tags=("text", "curation", "ml", "classifier", "pipeline"),
+)
+def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned document classifier — the fastText-style model-based
+    filter of LLM curation pipelines, here a multinomial Naive Bayes
+    over hashed unigram buckets, trained on the corpus' own language
+    labels and read out as the full |langs|² score matrix — exact
+    per-(true, candidate) posterior sums plus the argmax confusion
+    counts (the learned counterpart of the stopword-heuristic
+    `lang_id_confusion`). The synthetic corpus draws text i.i.d.
+    regardless of `lang` (max per-token lift ≈ 1.2), so the argmax
+    column honestly collapses to the majority class; the score matrix
+    is the non-degenerate verification surface — 25 distinct exact
+    integers that any scoring/smoothing/hashing slip would move.
+
+    score(d, l) = ln P(l) + Σ_b n_db·ln(c_lb + 1) − N_d·ln(T_l + B)
+    — the add-one NB log-posterior DECOMPOSED so unseen (lang, bucket)
+    pairs contribute exactly ln(0+1) = 0 and no lang×bucket grid is
+    ever materialized. Every ln is quantized to integer micronats
+    before use, so scores are exact BIGINT sums/products and the
+    argmax (ties → lexicographically first language) is cross-engine
+    deterministic.
+
+    Scale shape: the model is |langs| prior rows plus ≤ |langs|×1024
+    likelihood rows — fixed-size broadcasts regardless of corpus size.
+    The per-doc bucket histogram is one corpus-sized hash aggregate;
+    candidate expansion is an in-row explode of the literal language
+    list (|langs|× row growth, NO join-based cross product); the
+    argmax is a per-doc window over |langs| rows. Training and
+    scoring read the same feature stream once each."""
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text"))
+    toks = docs.select("doc_id", "lang", F.expr(_TOKS).alias("t"))
+    feat = (
+        toks.select("doc_id", "lang", F.explode("t").alias("f"))
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(
+                f"cast(conv(substring(md5(concat('nb:', f)), 1, 8), 16, 10) as bigint)"
+                f" % {_DSIR_B}"
+            ).alias("bucket"),
+        )
+        .persist()
+    )
+    ndb = feat.groupBy("doc_id", F.col("lang").alias("true_lang"), "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_db")
+    )
+    clb = feat.groupBy("lang", "bucket").agg(F.count(F.lit(1)).cast("long").alias("c_lb"))
+    tl = feat.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("t_l"))
+    dl = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("d_l"))
+    n_docs = docs.count()
+    model = tl.join(dl, ["lang"]).select(
+        "lang",
+        F.round(F.log(F.col("d_l").cast("double") / F.lit(float(n_docs))) * F.lit(1000000))
+        .cast("long")
+        .alias("prior_micro"),
+        F.round(F.log((F.col("t_l") + F.lit(_DSIR_B)).cast("double")) * F.lit(1000000))
+        .cast("long")
+        .alias("tnorm_micro"),
+    )
+    qlb = clb.select(
+        "lang",
+        "bucket",
+        F.round(F.log((F.col("c_lb") + F.lit(1)).cast("double")) * F.lit(1000000))
+        .cast("long")
+        .alias("q_lb"),
+    )
+    langs = [r["lang"] for r in sorted(model.select("lang").collect(), key=lambda r: r["lang"])]
+    cand = ndb.select(
+        "doc_id",
+        "true_lang",
+        "bucket",
+        "n_db",
+        F.explode(F.array(*[F.lit(lg) for lg in langs])).alias("cand_lang"),
+    )
+    scores = (
+        cand.join(
+            F.broadcast(qlb.withColumnRenamed("lang", "cand_lang")),
+            ["cand_lang", "bucket"],
+            "left",
+        )
+        .join(F.broadcast(model.withColumnRenamed("lang", "cand_lang")), ["cand_lang"])
+        .groupBy("doc_id", "true_lang", "cand_lang")
+        .agg(
+            (
+                F.first("prior_micro")
+                - F.sum("n_db").cast("long") * F.first("tnorm_micro")
+                + F.sum(F.col("n_db") * F.coalesce(F.col("q_lb"), F.lit(0))).cast("long")
+            )
+            .cast("long")
+            .alias("score_micro")
+        )
+    )
+    scores = scores.persist()
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_micro"), F.asc("cand_lang"))
+    top1 = (
+        scores.select(
+            "doc_id", "true_lang", "cand_lang", F.row_number().over(w).alias("rk")
+        )
+        .filter(F.col("rk") == 1)
+        .groupBy("true_lang", "cand_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_top1"))
+    )
+    agg = scores.groupBy("true_lang", "cand_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("score_micro").cast("long").alias("sum_score_micro"),
+    )
+    return agg.join(top1, ["true_lang", "cand_lang"], "left").select(
+        "true_lang",
+        "cand_lang",
+        "n_docs",
+        "sum_score_micro",
+        F.coalesce(F.col("n_top1"), F.lit(0)).cast("long").alias("n_top1"),
+    )

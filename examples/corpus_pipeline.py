@@ -4,6 +4,9 @@ reference showcase: chain the LLM-data operators into the shape a
 
     documents
       → quality filter        (JVM signals: length/punct/stopword)
+      → model-based filter    (CCNet bigram-LM cross-entropy +
+                               DSIR importance weight, both trained
+                               on the corpus' reference slice)
       → exact dedup           (md5 digest, keep canonical doc)
       → near-dup removal      (MinHash+LSH candidate pairs →
                                connected clusters → keep cluster min)
@@ -32,7 +35,12 @@ from pyspark.sql import functions as F
 
 from arcon_spark import get_spark
 from arcon_spark.functions.dedup import dedup_exact, dedup_connected_clusters
-from arcon_spark.functions.text import text_quality_score, text_token_count
+from arcon_spark.functions.text import (
+    dsir_importance_weights,
+    text_lm_perplexity,
+    text_quality_score,
+    text_token_count,
+)
 from arcon_spark.io import load_table
 
 
@@ -50,6 +58,20 @@ def main() -> None:
         docs.join(quality, "doc_id")
         .filter((F.col("n_tokens") >= 32) & (F.col("punct_ratio") <= 0.2))
         .drop("n_tokens", "punct_ratio")
+    )
+
+    # 1b. model-based filter: drop the worst tail by reference-LM
+    #     cross-entropy, keep documents whose DSIR weight says they
+    #     resemble the target distribution (both models are trained
+    #     inside the operators from the corpus' own 'en' slice)
+    ppl = text_lm_perplexity(spark, sf_dir).select("doc_id", "cross_entropy")
+    dsir = dsir_importance_weights(spark, sf_dir).select("doc_id", "log_weight")
+    ce_cap = ppl.approxQuantile("cross_entropy", [0.95], 0.001)[0]
+    kept = (
+        kept.join(ppl, "doc_id")
+        .join(dsir, "doc_id")
+        .filter(F.col("cross_entropy") <= F.lit(ce_cap))
+        .drop("cross_entropy", "log_weight")
     )
 
     # 2. exact dedup: one survivor per normalized-content digest
