@@ -67,6 +67,14 @@ _SAMPLE_FIRST = [
     "dsir_importance_weights",
     "nb_lang_classifier",
     "rp_jl_projection_audit",
+    # round-4 new: CCNet head/middle/tail publishing split, in-row
+    # zero-shuffle unigram entropy, and the streaming ingest scorer
+    # sharing the batch DSIR model/oracle
+    "ccnet_perplexity_buckets",
+    "text_unigram_entropy",
+    "stream_dsir_scores",
+    "hard_negative_mining",
+    "text_bm25_rank",
     # never-driver-checked (r1-r3): windows + typed state
     "arrow_window_zscore",
     "arrow_window_zscore_pandas",

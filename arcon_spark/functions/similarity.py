@@ -342,6 +342,104 @@ def knn_label_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH nrm AS (
+      SELECT e.vec_id, e.embedding, e.label, {_sql_int_dot('e.embedding', 'e.embedding')} AS n2
+      FROM embeddings e, UNNEST(generate_series(1, len(e.embedding))) AS u(i)
+      GROUP BY e.vec_id, e.embedding, e.label
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, MAX(q.label) AS qlabel,
+             c.vec_id AS candidate_id, MAX(c.label) AS clabel,
+             {_sql_int_dot('q.embedding', 'c.embedding')} AS d,
+             MAX(q.n2) AS qn2, MAX(c.n2) AS cn2
+      FROM nrm q JOIN nrm c
+        ON q.vec_id % {_QUERY_MOD} = 0 AND c.label <> q.label,
+           UNNEST(generate_series(1, len(q.embedding))) AS u(i)
+      GROUP BY 1, 3
+    ),
+    ranked AS (
+      SELECT query_id, qlabel, candidate_id, clabel,
+             CAST(d AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) AS cosine,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY CAST(d AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) DESC,
+                        candidate_id) AS rn
+      FROM pairs
+    )
+    SELECT query_id, CAST(qlabel AS INTEGER) AS qlabel,
+           candidate_id, CAST(clabel AS INTEGER) AS clabel,
+           cosine, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {TOP_K}
+    """,
+    tags=("similarity", "ann", "mining", "pipeline"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-k most-similar candidates whose label DIFFERS from the query's
+    — the near-misses a retrieval/embedding model must learn to push
+    apart (random negatives are trivially far; these are the ones that
+    matter). Same exact-integer cosine machinery as ann_bruteforce_topk
+    with one twist: the batch-local pruning threshold is computed among
+    DIFFERENT-label candidates only (a same-label mask per query column
+    before the partition-select), because a global top-k threshold
+    could prune a negative that same-label near-duplicates outrank.
+
+    Scale shape: one Arrow-batched int64 matmul pass over candidates,
+    query matrix + labels in the closure, ~K·|queries| rows emitted per
+    batch → one narrow per-query WindowGroupLimit. Zero shuffle before
+    the top-k, same as the brute-force path."""
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter((F.col("vec_id") % _QUERY_MOD) == 0)
+        .select("vec_id", "embedding", "label")
+        .collect()
+    )
+    qids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    qlab = np.array([r.label for r in rows], dtype=np.int32)
+    Q = _int_matrix(pd.Series([r.embedding for r in rows]))
+    qn2d = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+    emb = spread(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            C = _int_matrix(pdf["embedding"])
+            cn2d = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+            cos = (C @ Q.T).astype(np.float64) / (cn2d[:, None] * qn2d[None, :])
+            clab = pdf["label"].to_numpy(dtype=np.int32)
+            cids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            nc = cos.shape[0]
+            mask = clab[:, None] != qlab[None, :]
+            cosm = np.where(mask, cos, -np.inf)
+            kk = min(TOP_K, nc)
+            # batch-local per-query threshold among different-label
+            # candidates; >= keeps boundary ties → lossless for the
+            # global top-k trim (-inf when the batch has < k negatives
+            # for a query, which keeps every masked row — still lossless)
+            thr = np.partition(cosm, nc - kk, axis=0)[nc - kk, :]
+            rws, cls = np.nonzero(mask & (cos >= thr[None, :]))
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[cls],
+                    "qlabel": qlab[cls],
+                    "candidate_id": cids[rws],
+                    "clabel": clab[rws],
+                    "cosine": cos[rws, cls],
+                }
+            )
+
+    pairs = emb.mapInPandas(
+        gen, "query_id long, qlabel int, candidate_id long, clabel int, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("candidate_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+    )
+
+
 _IVF_CENTROID_MOD = 37  # vec_id % 37 == 3 → deterministic coarse centroids
 _IVF_NPROBE = 2
 

@@ -1861,6 +1861,108 @@ def text_search_and_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_bm25_rank",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lower(text) AS lt,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    corpus AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM d
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf, MAX(dl) AS dl
+      FROM (SELECT doc_id, dl, unnest(string_split(lt, ' ')) AS token FROM d)
+      WHERE token IN ({", ".join(f"'{t}'" for t in _SEARCH_TERMS)})
+      GROUP BY doc_id, token
+    ),
+    dfreq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(round(ln((CAST((SELECT n FROM corpus) AS DOUBLE) - COUNT(*) + 0.5)
+                           / (COUNT(*) + 0.5)) * 1000000) AS BIGINT) AS idf_micro
+      FROM tf GROUP BY token
+    ),
+    scored AS (
+      SELECT f.doc_id,
+             (f.tf * q.idf_micro * (44 * c.t))
+               // (20 * f.tf * c.t + 6 * c.t + 18 * f.dl * c.n) AS s
+      FROM tf f JOIN dfreq q ON q.token = f.token, corpus c
+    ),
+    hits AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(SUM(s) AS BIGINT) AS score_units
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_terms, score_units FROM hits
+    QUALIFY row_number() OVER (ORDER BY score_units DESC, doc_id) <= {_SEARCH_K}
+    """,
+    tags=("text", "search", "retrieval", "topk", "pipeline"),
+)
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 serving ranker (k1 = 1.2, b = 0.75) — the standard
+    probabilistic relevance score, disjunctive (OR) over the same query
+    terms text_search_and_rank ANDs: any matching doc ranks, repeated
+    terms saturate (tf/(tf+k1·…)) and long documents are penalized by
+    dl/avgdl — the two behaviors plain tf·idf lacks.
+
+    Exactness: with k1 = 6/5, b = 3/4 rational, the per-term score
+    idf·tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) multiplies through by
+    20·T (T = corpus token count, avgdl = T/N) into a pure integer
+    ratio: idf_micro·tf·44T div (20·tf·T + 6T + 18·dl·N) — floor
+    division of exact BIGINTs (both engines truncate toward zero), so
+    per-doc sums are exact. idf is the Robertson form quantized to
+    micronats. Int64 headroom: idf ≤ ln(N)·10⁶, tf ≤ dl, so the
+    numerator stays < 2⁶³ far past this corpus; a 100 TB deployment
+    flips to plain double BM25 (ranking needs no cross-engine hash).
+
+    Plan: dl rides the token explode in-row (no join back to the
+    corpus for length), the term filter is pushed into the explode,
+    df/idf is a |terms|-row broadcast, top-k is TakeOrdered —
+    identical serving shape to the tf-idf executor."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = docs.select(
+        "doc_id",
+        F.lower("text").alias("lt"),
+        F.expr("cast(size(split(lower(text), ' ')) as bigint)").alias("dl"),
+    )
+    c = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("dl").cast("long").alias("t")
+    ).first()
+    n, t = int(c["n"]), int(c["t"])
+    terms = list(_SEARCH_TERMS)
+    tf = (
+        d.select("doc_id", "dl", F.explode(F.split("lt", " ")).alias("token"))
+        .filter(F.col("token").isin(terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"), F.max("dl").alias("dl"))
+    )
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.round(
+            F.log(
+                (F.lit(float(n)) - F.count(F.lit(1)) + F.lit(0.5))
+                / (F.count(F.lit(1)) + F.lit(0.5))
+            )
+            * F.lit(1000000)
+        )
+        .cast("long")
+        .alias("idf_micro"),
+    )
+    s = F.expr(f"(tf * idf_micro * (44 * {t}L)) div (20 * tf * {t}L + 6 * {t}L + 18 * dl * {n}L)")
+    hits = (
+        tf.join(F.broadcast(dfreq), "token")
+        .select("doc_id", s.alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("s").cast("long").alias("score_units"),
+        )
+    )
+    return hits.orderBy(F.desc("score_units"), F.asc("doc_id")).limit(_SEARCH_K)
+
+
 # --- CCNet-style LM quality scoring + DSIR importance weights --------------
 #
 # The two standard model-based corpus-selection signals (public methods:
@@ -1901,9 +2003,10 @@ _SQL_LANG_BIGRAMS = f"""
 """
 
 
-@register(
-    "text_lm_perplexity",
-    oracle=f"""
+# Per-doc LM cross-entropy CTE chain, shared verbatim by the scoring
+# oracle (text_lm_perplexity) and the downstream head/middle/tail
+# publishing split (ccnet_perplexity_buckets).
+_SQL_LM_PERDOC = f"""
     WITH {_SQL_LANG_BIGRAMS},
     c12 AS (
       SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt12
@@ -1927,13 +2030,22 @@ _SQL_LANG_BIGRAMS = f"""
       CROSS JOIN v
       LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
       LEFT JOIN c1 ON b.w1 = c1.w1
+    ),
+    perdoc AS (
+      SELECT doc_id, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(-SUM(qn) AS BIGINT) AS ce_micronats,
+             round(CAST(-SUM(qn) AS DOUBLE)
+                   / CAST(COUNT(*) * 1000000 AS DOUBLE), 6) AS cross_entropy
+      FROM q GROUP BY doc_id, lang
     )
-    SELECT doc_id, lang,
-           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           CAST(-SUM(qn) AS BIGINT) AS ce_micronats,
-           round(CAST(-SUM(qn) AS DOUBLE)
-                 / CAST(COUNT(*) * 1000000 AS DOUBLE), 6) AS cross_entropy
-    FROM q GROUP BY doc_id, lang
+"""
+
+
+@register(
+    "text_lm_perplexity",
+    oracle=f"""{_SQL_LM_PERDOC}
+    SELECT doc_id, lang, n_bigrams, ce_micronats, cross_entropy FROM perdoc
     """,
     tags=("text", "curation", "lm", "pipeline"),
 )
@@ -2012,8 +2124,232 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dsir_importance_weights",
+    "ccnet_perplexity_buckets",
+    oracle=f"""{_SQL_LM_PERDOC},
+    ranked AS (
+      SELECT lang, n_bigrams, ce_micronats, cross_entropy,
+             ntile(3) OVER (PARTITION BY lang
+                            ORDER BY cross_entropy, doc_id) AS tert
+      FROM perdoc
+    )
+    SELECT lang,
+           CASE tert WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+           CAST(SUM(ce_micronats) AS BIGINT) AS ce_total_micronats,
+           MAX(cross_entropy) AS max_cross_entropy
+    FROM ranked GROUP BY 1, 2
+    """,
+    tags=("text", "curation", "lm", "pipeline"),
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's publishing step downstream of the perplexity filter: per
+    language, documents split into head/middle/tail TERTILES by LM
+    cross-entropy (head = most reference-like third) — the bucket a
+    document lands in is what the released corpus actually records.
+    Tertile assignment is ntile(3) ordered by (cross_entropy, doc_id):
+    `cross_entropy` is the hash-stable 6-dp division of exact integers
+    from text_lm_perplexity, and doc_id breaks ties, so bucket
+    membership is cross-engine deterministic. Output is the per-(lang,
+    bucket) audit: doc/bigram counts, exact total cross-entropy in
+    micronats, and the bucket's upper boundary (its max cross-entropy —
+    the published tertile cutoff).
+
+    Scale shape: everything up to per-doc scores is text_lm_perplexity's
+    plan (broadcast-joined count tables, one per-doc aggregate); the
+    tertile split adds ONE window over per-doc rows partitioned by lang
+    (lang cardinality bounds the skew; at 100 TB this is the classic
+    per-language sort CCNet itself shards by), then a tiny final
+    aggregate. No Python anywhere."""
+    perdoc = text_lm_perplexity(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(F.asc("cross_entropy"), F.asc("doc_id"))
+    ranked = perdoc.select(
+        "lang", "n_bigrams", "ce_micronats", "cross_entropy", F.ntile(3).over(w).alias("tert")
+    )
+    bucket = (
+        F.when(F.col("tert") == 1, F.lit("head"))
+        .when(F.col("tert") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return ranked.groupBy("lang", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+        F.sum("ce_micronats").cast("long").alias("ce_total_micronats"),
+        F.max("cross_entropy").alias("max_cross_entropy"),
+    )
+
+
+@register(
+    "text_unigram_entropy",
     oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS_LIST} AS t FROM documents),
+    cnt AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT))
+                  AS BIGINT) AS sum_clnc_micro
+      FROM cnt GROUP BY 1
+    ),
+    em AS (
+      SELECT t.doc_id,
+             CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(p.n_distinct, 0) AS BIGINT) AS n_distinct,
+             CAST(COALESCE(p.sum_clnc_micro, 0) AS BIGINT) AS sum_clnc_micro,
+             CAST(CASE WHEN p.n_tokens IS NULL THEN 0
+                  ELSE CAST(round(ln(CAST(p.n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+                       - (p.sum_clnc_micro // p.n_tokens)
+             END AS BIGINT) AS entropy_micro
+      FROM toks t LEFT JOIN per p USING (doc_id)
+    )
+    SELECT doc_id, n_tokens, n_distinct, sum_clnc_micro, entropy_micro,
+           round(CAST(entropy_micro AS DOUBLE) / 1000000, 6) AS entropy
+    FROM em
+    """,
+    tags=("text", "quality", "entropy", "pipeline"),
+)
+def text_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy — the information-density
+    quality signal (near-zero = degenerate repetition, high = diverse
+    vocabulary; used alongside the Gopher repetition flags to drop
+    machine-generated boilerplate). H = ln N − (Σ_w c_w·ln c_w)/N with
+    every ln quantized to integer micronats first, so `entropy_micro`
+    is exact BIGINT arithmetic (the division is integer `div`, which
+    truncates toward zero identically in both engines).
+
+    Scale shape: ZERO shuffles — the per-token histogram is computed
+    IN-ROW (array_sort → run-length boundaries → fold), so the whole
+    query is scan → project with no explode and nothing on the
+    network: the per-doc twin of a groupBy(doc, token) that would
+    shuffle the entire token stream at 100 TB. The relational oracle
+    computes the same histogram via unnest + GROUP BY, proving the
+    run-length fold equals the aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        docs.select("doc_id", F.expr(f"array_sort({_TOKS})").alias("s"))
+        .select("doc_id", "s", F.expr("size(s)").alias("n"))
+        .select(
+            "doc_id",
+            "n",
+            F.expr(
+                "if(n = 0, array(), filter(sequence(0, n - 1),"
+                " i -> i = n - 1 or s[i] != s[i + 1]))"
+            ).alias("ends"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            F.expr("size(ends)").alias("n_distinct_i"),
+            F.expr(
+                "transform(sequence(0, size(ends) - 1),"
+                " j -> if(j = 0, ends[0] + 1, ends[j] - ends[j - 1]))"
+            ).alias("counts"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            "n_distinct_i",
+            F.expr(
+                "aggregate(counts, cast(0 as bigint), (a, c) ->"
+                " a + cast(c as bigint)"
+                " * cast(round(ln(cast(c as double)) * 1000000) as bigint))"
+            ).alias("sum_clnc_micro"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.col("n_distinct_i").cast("long").alias("n_distinct"),
+            "sum_clnc_micro",
+            F.expr(
+                "cast(if(n = 0, 0,"
+                " cast(round(ln(cast(n as double)) * 1000000) as bigint)"
+                " - (sum_clnc_micro div n)) as bigint)"
+            ).alias("entropy_micro"),
+        )
+        .withColumn(
+            "entropy",
+            F.round(F.col("entropy_micro").cast("double") / F.lit(1000000.0), 6),
+        )
+    )
+
+
+def _dsir_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, bucket) hashed unigram+bigram feature stream —
+    unigrams ++ bigrams materialize in ONE in-row array (a single
+    scan/explode instead of a two-branch union re-reading the corpus).
+    Shared by the batch scorer and the streaming ingest scorer."""
+    toks = docs.select("doc_id", "lang", F.expr(_TOKS).alias("t"))
+    return toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "concat(t, transform(sequence(1, size(t) - 1),"
+                " i -> concat(t[i-1], ' ', t[i])))"
+            )
+        ).alias("f"),
+    ).select("doc_id", "lang", F.expr(_dsir_bucket_spark("f")).alias("bucket"))
+
+
+def _dsir_lr(feat: DataFrame) -> DataFrame:
+    """(bucket, lr_micro): the fixed 1024-row DSIR bucket model —
+    add-one smoothed ln p_target(bucket) − ln p_raw(bucket), quantized
+    to integer micronats. Triggers one action (the totals scalar)."""
+    raw = feat.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("cr"))
+    tgt = (
+        feat.filter(F.col("lang") == _LM_TRAIN_LANG)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    )
+    totals = feat.agg(
+        F.count(F.lit(1)).cast("long").alias("tr"),
+        F.count(F.when(F.col("lang") == _LM_TRAIN_LANG, 1)).cast("long").alias("tt"),
+    ).first()
+    tr, tt = int(totals["tr"]), int(totals["tt"])
+    lr_micro = F.round(
+        (
+            F.log(
+                (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast("double")
+                / F.lit(float(tt + _DSIR_B))
+            )
+            - F.log((F.col("cr") + F.lit(1)).cast("double") / F.lit(float(tr + _DSIR_B)))
+        )
+        * F.lit(1000000)
+    ).cast("long")
+    return raw.join(tgt, ["bucket"], "left").select("bucket", lr_micro.alias("lr_micro"))
+
+
+def _dsir_score(feat: DataFrame, lr: DataFrame) -> DataFrame:
+    """Score a feature stream against the (broadcast) bucket model:
+    per-doc exact BIGINT micronat sum + the rounded log-weight."""
+    return (
+        feat.join(F.broadcast(lr), ["bucket"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("lr_micro").cast("long").alias("dsir_micronats"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_feats",
+            "dsir_micronats",
+            F.round(F.col("dsir_micronats").cast("double") / F.lit(1000000.0), 6).alias(
+                "log_weight"
+            ),
+        )
+    )
+
+
+# DSIR per-doc score SQL — shared verbatim by the batch query and the
+# streaming ingest scorer (which computes the identical result one
+# micro-batch at a time against the same trained model).
+_SQL_DSIR_SCORES = f"""
     WITH {_SQL_LANG_BIGRAMS},
     feat AS (
       SELECT doc_id, lang, {_dsir_bucket_sql('f')} AS bucket
@@ -2047,7 +2383,12 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(SUM(lr.lr_micro) AS DOUBLE) / 1000000, 6) AS log_weight
     FROM feat f JOIN lr ON f.bucket = lr.bucket
     GROUP BY f.doc_id, f.lang
-    """,
+"""
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=_SQL_DSIR_SCORES,
     tags=("text", "curation", "dsir", "pipeline"),
 )
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2071,62 +2412,8 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only corpus-sized shuffles, and the final per-doc aggregate
     re-uses the feature stream. No Python in the hot path."""
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text"))
-    toks = docs.select("doc_id", "lang", F.expr(_TOKS).alias("t"))
-    # unigrams ++ bigrams materialize in ONE in-row array — a single
-    # scan/explode instead of a two-branch union re-reading the corpus
-    feat = (
-        toks.select(
-            "doc_id",
-            "lang",
-            F.explode(
-                F.expr(
-                    "concat(t, transform(sequence(1, size(t) - 1),"
-                    " i -> concat(t[i-1], ' ', t[i])))"
-                )
-            ).alias("f"),
-        )
-        .select("doc_id", "lang", F.expr(_dsir_bucket_spark("f")).alias("bucket"))
-        .persist()
-    )
-    raw = feat.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("cr"))
-    tgt = (
-        feat.filter(F.col("lang") == _LM_TRAIN_LANG)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
-    )
-    totals = feat.agg(
-        F.count(F.lit(1)).cast("long").alias("tr"),
-        F.count(F.when(F.col("lang") == _LM_TRAIN_LANG, 1)).cast("long").alias("tt"),
-    ).first()
-    tr, tt = int(totals["tr"]), int(totals["tt"])
-    lr_micro = F.round(
-        (
-            F.log(
-                (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast("double")
-                / F.lit(float(tt + _DSIR_B))
-            )
-            - F.log((F.col("cr") + F.lit(1)).cast("double") / F.lit(float(tr + _DSIR_B)))
-        )
-        * F.lit(1000000)
-    ).cast("long")
-    lr = raw.join(tgt, ["bucket"], "left").select("bucket", lr_micro.alias("lr_micro"))
-    return (
-        feat.join(F.broadcast(lr), ["bucket"])
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_feats"),
-            F.sum("lr_micro").cast("long").alias("dsir_micronats"),
-        )
-        .select(
-            "doc_id",
-            "lang",
-            "n_feats",
-            "dsir_micronats",
-            F.round(F.col("dsir_micronats").cast("double") / F.lit(1000000.0), 6).alias(
-                "log_weight"
-            ),
-        )
-    )
+    feat = _dsir_features(docs).persist()
+    return _dsir_score(feat, _dsir_lr(feat))
 
 
 @register(

