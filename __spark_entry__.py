@@ -75,6 +75,7 @@ _SAMPLE_FIRST = [
     "stream_dsir_scores",
     "hard_negative_mining",
     "text_bm25_rank",
+    "hybrid_search_rrf",
     # never-driver-checked (r1-r3): windows + typed state
     "arrow_window_zscore",
     "arrow_window_zscore_pandas",

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import math
+
 import numpy as np
 import pandas as pd
 
@@ -437,6 +439,121 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= TOP_K)
+    )
+
+
+_RRF_C = 60  # standard reciprocal-rank-fusion constant
+_RRF_K = 10  # fused result size
+_HYBRID_QVEC = 0  # vec_id of the vector-side query embedding
+
+
+def _hybrid_rrf_oracle() -> str:
+    from arcon_spark.functions.text import _SEARCH_K, _SQL_BM25_HITS
+
+    return f"""
+    WITH {_SQL_BM25_HITS},
+    lrank AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score_units DESC, doc_id) AS r_lex
+      FROM hits QUALIFY r_lex <= {_SEARCH_K}
+    ),
+    vnrm AS (
+      SELECT e.vec_id, e.embedding, {_sql_int_dot('e.embedding', 'e.embedding')} AS n2
+      FROM embeddings e, UNNEST(generate_series(1, len(e.embedding))) AS u(i)
+      GROUP BY e.vec_id, e.embedding
+    ),
+    vpairs AS (
+      SELECT c.vec_id AS doc_id, {_sql_int_dot('q.embedding', 'c.embedding')} AS dd,
+             MAX(q.n2) AS qn2, MAX(c.n2) AS cn2
+      FROM vnrm q JOIN vnrm c
+        ON q.vec_id = {_HYBRID_QVEC} AND c.vec_id <> {_HYBRID_QVEC},
+           UNNEST(generate_series(1, len(q.embedding))) AS u(i)
+      GROUP BY 1
+    ),
+    vrank AS (
+      SELECT doc_id,
+             row_number() OVER (
+               ORDER BY CAST(dd AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) DESC,
+                        doc_id) AS r_vec
+      FROM vpairs QUALIFY r_vec <= {_SEARCH_K}
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             CAST(l.r_lex AS BIGINT) AS r_lex, CAST(v.r_vec AS BIGINT) AS r_vec,
+             CAST(COALESCE(1000000 // ({_RRF_C} + l.r_lex), 0)
+                  + COALESCE(1000000 // ({_RRF_C} + v.r_vec), 0) AS BIGINT) AS rrf_units
+      FROM lrank l FULL OUTER JOIN vrank v ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id, r_lex, r_vec, rrf_units,
+           CAST(row_number() OVER (ORDER BY rrf_units DESC, doc_id) AS BIGINT) AS rn
+    FROM fused QUALIFY rn <= {_RRF_K}
+    """
+
+
+@register(
+    "hybrid_search_rrf",
+    oracle=_hybrid_rrf_oracle(),
+    tags=("similarity", "retrieval", "search", "topk", "pipeline"),
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval serving: the lexical BM25 top-k and an exact
+    integer-cosine vector top-k (query = the vec_id-0 embedding; the
+    corpus aligns doc_id ↔ vec_id 1:1) fused by Reciprocal Rank Fusion
+    — rrf(d) = Σ_lists 1/(60 + rank_d), the standard score-free way
+    every hybrid search stack merges rankers whose scores aren't
+    comparable. Fusion contributions are 10⁶ div (60 + rank) — exact
+    BIGINTs — so the fused ordering is cross-engine deterministic;
+    docs appearing in only one list keep their single contribution
+    (COALESCE 0 on the missing side), which is RRF's defined behavior.
+
+    Scale shape: each ranker ends in a TakeOrdered top-k, so the
+    global-window rank assignment and the full-outer fusion join run
+    on ≤ 2·k rows — driver-scale frames regardless of corpus size.
+    The vector query ships as a 64-element literal (zero joins on the
+    scoring pass); the lexical side is text_bm25_rank's plan."""
+    from arcon_spark.functions.text import _SEARCH_K, text_bm25_rank
+
+    lex = text_bm25_rank(spark, sf_dir)
+    wl = Window.orderBy(F.desc("score_units"), F.asc("doc_id"))
+    lrank = lex.select("doc_id", F.row_number().over(wl).cast("long").alias("r_lex"))
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = emb.filter(F.col("vec_id") == _HYBRID_QVEC).first()["embedding"]
+    qn2 = int((_int_matrix(pd.Series([qvec])) ** 2).sum())  # exact int64 norm²
+    qlit = "array(" + ", ".join(f"{float(x)!r}D" for x in qvec) + ")"
+    dot = F.expr(_INT_DOT.format(a="embedding", b=qlit))
+    scored = (
+        spread(emb)
+        .filter(F.col("vec_id") != _HYBRID_QVEC)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (
+                dot.cast("double")
+                / (
+                    F.sqrt(F.expr(_INT_DOT.format(a="embedding", b="embedding")).cast("double"))
+                    * F.lit(math.sqrt(float(qn2)))  # correctly-rounded, = SQL sqrt
+                )
+            ).alias("cosine"),
+        )
+    )
+    vtop = scored.orderBy(F.desc("cosine"), F.asc("doc_id")).limit(_SEARCH_K)
+    wv = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
+    vrank = vtop.select("doc_id", F.row_number().over(wv).cast("long").alias("r_vec"))
+
+    fused = lrank.join(vrank, ["doc_id"], "full_outer").select(
+        "doc_id",
+        "r_lex",
+        "r_vec",
+        (
+            F.coalesce(F.expr(f"1000000 div ({_RRF_C} + r_lex)"), F.lit(0))
+            + F.coalesce(F.expr(f"1000000 div ({_RRF_C} + r_vec)"), F.lit(0))
+        )
+        .cast("long")
+        .alias("rrf_units"),
+    )
+    wf = Window.orderBy(F.desc("rrf_units"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rn", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rn") <= _RRF_K)
     )
 
 

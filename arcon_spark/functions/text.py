@@ -1861,10 +1861,10 @@ def text_search_and_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_bm25_rank",
-    oracle=f"""
-    WITH d AS (
+# BM25 per-doc hit CTE chain — shared verbatim by the ranking oracle
+# (text_bm25_rank) and the hybrid lexical+vector fusion oracle
+# (similarity.hybrid_search_rrf).
+_SQL_BM25_HITS = f"""d AS (
       SELECT doc_id, lower(text) AS lt,
              CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
       FROM documents
@@ -1894,7 +1894,13 @@ def text_search_and_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
              CAST(SUM(s) AS BIGINT) AS score_units
       FROM scored GROUP BY doc_id
-    )
+    )"""
+
+
+@register(
+    "text_bm25_rank",
+    oracle=f"""
+    WITH {_SQL_BM25_HITS}
     SELECT doc_id, n_terms, score_units FROM hits
     QUALIFY row_number() OVER (ORDER BY score_units DESC, doc_id) <= {_SEARCH_K}
     """,

@@ -34,6 +34,8 @@ from arcon_spark.functions.similarity import (
     ann_ivf_topk,
     ann_lsh_bucketed,
     ann_pq_adc_topk,
+    hard_negative_mining,
+    hybrid_search_rrf,
     matryoshka_recall_audit,
 )
 
@@ -63,6 +65,21 @@ def main() -> None:
     kept = sum(r.n_overlap for r in mrl)
     total = sum(r.k for r in mrl)
     print(f"matryoshka 16/64-dim prefix: overlap@5 = {kept}/{total} = {kept / total:.2f}")
+
+    # serving + training composition on the same corpus: hybrid
+    # lexical+vector fusion, and contrastive hard negatives
+    fused = hybrid_search_rrf(spark, sf_dir).collect()
+    both = sum(1 for r in fused if r.r_lex is not None and r.r_vec is not None)
+    print(
+        f"hybrid RRF top-{len(fused)}: {both} docs ranked by both lists,"
+        f" {len(fused) - both} by one"
+    )
+    neg = hard_negative_mining(spark, sf_dir).collect()
+    print(
+        f"hard negatives: {len(neg)} pairs across"
+        f" {len({r.query_id for r in neg})} queries,"
+        f" hardest cosine {max(r.cosine for r in neg):.3f}"
+    )
     spark.stop()
 
 
