@@ -76,6 +76,8 @@ _SAMPLE_FIRST = [
     "hard_negative_mining",
     "text_bm25_rank",
     "hybrid_search_rrf",
+    "stream_ann_ivf_probe",
+    "ndcg_ranking_audit",
     # never-driver-checked (r1-r3): windows + typed state
     "arrow_window_zscore",
     "arrow_window_zscore_pandas",

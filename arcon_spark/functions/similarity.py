@@ -133,9 +133,9 @@ def _scored_pairs(spark: SparkSession, sf_dir: str, with_label: bool) -> DataFra
     return emb.mapInPandas(gen, out_fields)
 
 
-@register(
-    "ann_bruteforce_topk",
-    oracle=f"""
+# exact brute-force top-k SQL — shared by the registration below and
+# the nDCG ranking-quality audit (which nests it as the truth CTE)
+_BF_ORACLE = f"""
     WITH nrm AS (
       SELECT e.vec_id, e.embedding, {_sql_int_dot('e.embedding', 'e.embedding')} AS n2
       FROM embeddings e, UNNEST(generate_series(1, len(e.embedding))) AS u(i)
@@ -160,7 +160,12 @@ def _scored_pairs(spark: SparkSession, sf_dir: str, with_label: bool) -> DataFra
     )
     SELECT query_id, candidate_id, cosine, CAST(rn AS BIGINT) AS rn
     FROM ranked WHERE rn <= {TOP_K}
-    """,
+    """
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=_BF_ORACLE,
     tags=("similarity", "ann"),
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -725,6 +730,82 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= TOP_K)
+    )
+
+
+# nDCG@k position discounts, quantized once: w_i = round(10^6 / log2(i+1))
+# (half away from zero; all positive). Ideal DCG is the perfect retrieval
+# of the k graded-relevance truth items — a constant per query here since
+# every query has exactly k truth rows.
+_NDCG_W = [
+    int(np.floor(1_000_000 / np.log2(i + 1) + 0.5)) for i in range(1, TOP_K + 1)
+]
+_IDCG_UNITS = sum(
+    ((1 << (TOP_K + 1 - r)) - 1) * _NDCG_W[r - 1] for r in range(1, TOP_K + 1)
+)
+_NDCG_W_SQL = "CASE rn " + " ".join(
+    f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_NDCG_W)
+) + " END"
+
+
+@register(
+    "ndcg_ranking_audit",
+    oracle=f"""
+    WITH bf AS ({_BF_ORACLE}),
+    ivf AS ({_IVF_ORACLE}),
+    rel AS (
+      SELECT query_id, candidate_id, CAST({TOP_K} + 1 - rn AS BIGINT) AS rel
+      FROM bf
+    ),
+    gains AS (
+      SELECT i.query_id,
+             ((CAST(1 AS BIGINT) << CAST(COALESCE(r.rel, 0) AS INTEGER)) - 1)
+               * (CASE i.rn {" ".join(f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_NDCG_W))} END) AS g
+      FROM ivf i LEFT JOIN rel r
+        ON r.query_id = i.query_id AND r.candidate_id = i.candidate_id
+    )
+    SELECT query_id,
+           CAST(SUM(g) AS BIGINT) AS dcg_units,
+           CAST({_IDCG_UNITS} AS BIGINT) AS idcg_units,
+           round(CAST(SUM(g) AS DOUBLE) / {_IDCG_UNITS}, 6) AS ndcg
+    FROM gains GROUP BY query_id
+    """,
+    tags=("similarity", "ann", "evaluation", "ndcg"),
+)
+def ndcg_ranking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation of the IVF index against exact truth:
+    per query, nDCG@k of ann_ivf_topk's list where graded relevance of
+    a candidate is (k+1 − its brute-force rank) and position discounts
+    are the standard 1/log2(i+1) — quantized once to integer units, so
+    DCG is an exact BIGINT sum of (2^rel − 1)·w_i products and nDCG is
+    one correctly-rounded division by the constant ideal. The metric a
+    serving team tracks per index build alongside recall (which
+    matryoshka_recall_audit covers) — recall counts hits, nDCG also
+    charges for putting them in the wrong order.
+
+    Scale shape: both rankings end in per-query top-k (≤ k rows per
+    query), so the relevance join and the per-query aggregate run on
+    k·|queries| rows — evaluation never rescans the corpus beyond what
+    the two rankers already scan."""
+    bf = ann_bruteforce_topk(spark, sf_dir).select(
+        "query_id",
+        "candidate_id",
+        (F.lit(TOP_K + 1) - F.col("rn")).cast("long").alias("rel"),
+    )
+    ivf = ann_ivf_topk(spark, sf_dir)
+    gains = ivf.join(bf, ["query_id", "candidate_id"], "left").select(
+        "query_id",
+        F.expr(
+            f"(shiftleft(cast(1 as bigint), cast(coalesce(rel, 0) as int)) - 1)"
+            f" * ({_NDCG_W_SQL})"
+        ).alias("g"),
+    )
+    return gains.groupBy("query_id").agg(
+        F.sum("g").cast("long").alias("dcg_units"),
+        F.lit(_IDCG_UNITS).cast("long").alias("idcg_units"),
+        F.round(
+            F.sum("g").cast("double") / F.lit(float(_IDCG_UNITS)), 6
+        ).alias("ndcg"),
     )
 
 

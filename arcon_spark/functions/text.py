@@ -1244,7 +1244,8 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.expr(_TOKS).alias("t"))
     big = toks.select(
         F.explode(
-            F.expr("transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))")
+            F.expr("if(size(t) < 2, array(),"
+                " transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2)))")
         ).alias("b")
     ).select("b.w1", "b.w2")
     big = big.persist()
@@ -1437,7 +1438,8 @@ def text_bigram_assoc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = toks.select(
         "doc_id",
         F.explode(
-            F.expr("transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))")
+            F.expr("if(size(t) < 2, array(),"
+                " transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2)))")
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
     big = big.persist()
@@ -2085,7 +2087,8 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "lang",
             F.explode(
-                F.expr("transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))")
+                F.expr("if(size(t) < 2, array(),"
+                " transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2)))")
             ).alias("b"),
         )
         .select("doc_id", "lang", "b.w1", "b.w2")
@@ -2251,9 +2254,13 @@ def text_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n",
             F.expr("size(ends)").alias("n_distinct_i"),
+            # the empty-array guard matters: sequence(0, -1) is the
+            # DESCENDING [0, -1], so an unguarded transform would probe
+            # ends[0] of an empty array (ANSI crash) on empty docs
             F.expr(
-                "transform(sequence(0, size(ends) - 1),"
-                " j -> if(j = 0, ends[0] + 1, ends[j] - ends[j - 1]))"
+                "if(size(ends) = 0, array(),"
+                " transform(sequence(0, size(ends) - 1),"
+                " j -> if(j = 0, ends[0] + 1, ends[j] - ends[j - 1])))"
             ).alias("counts"),
         )
         .select(
@@ -2295,8 +2302,9 @@ def _dsir_features(docs: DataFrame) -> DataFrame:
         "lang",
         F.explode(
             F.expr(
-                "concat(t, transform(sequence(1, size(t) - 1),"
-                " i -> concat(t[i-1], ' ', t[i])))"
+                "concat(t, if(size(t) < 2, array(),"
+                " transform(sequence(1, size(t) - 1),"
+                " i -> concat(t[i-1], ' ', t[i]))))"
             )
         ).alias("f"),
     ).select("doc_id", "lang", F.expr(_dsir_bucket_spark("f")).alias("bucket"))

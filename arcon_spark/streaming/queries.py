@@ -986,6 +986,111 @@ def stream_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(results_dir)
 
 
+def _ivf_probe_oracle() -> str:
+    from arcon_spark.functions.similarity import _IVF_ORACLE
+
+    return _IVF_ORACLE
+
+
+@register(
+    "stream_ann_ivf_probe",
+    oracle=_ivf_probe_oracle(),
+    tags=("streaming", "similarity", "ann", "ivf", "incremental", "pipeline"),
+)
+def stream_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector search at INGEST: the IVF index (deterministic coarse
+    quantizer + cell-labeled corpus) is built ONCE batch-side and
+    materialized as a parquet table; query embeddings then arrive in
+    waves (three micro-batches, split by query_id % 3) and each wave
+    probes its nprobe nearest cells and re-ranks exactly within them
+    as it lands — the online serving lane of ann_ivf_topk, sharing its
+    quantizer, probe table, and scoring expressions, so the union of
+    per-batch outputs must equal the batch query row-for-row (one
+    oracle serves both; per-query top-k is batch-local because each
+    query arrives exactly once).
+
+    Scale shape: per micro-batch, one broadcast of the batch's probe
+    rows against the cell-partitioned index (candidate space bounded
+    by cell occupancy, never O(n·q)), one exact integer re-rank, one
+    per-query WindowGroupLimit — no state store; the index is the same
+    bucketed table a 100 TB vector platform pins behind its query
+    tier."""
+    from arcon_spark.functions.similarity import (
+        _INT_DOT,
+        _QUERY_MOD,
+        TOP_K,
+        _ivf_assignment,
+    )
+
+    assigned, probes = _ivf_assignment(spark, sf_dir)
+    work = scratch_dir("arcon_annstream_")
+    index_dir = os.path.join(work, "ivf_index")
+    results_dir = os.path.join(work, "topk")
+    assigned.write.parquet(index_dir)  # one-time index build
+
+    qemb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter((F.col("vec_id") % _QUERY_MOD) == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    )
+    cached = _SPLIT_TAPE_CACHE.get((sf_dir, "annq3"))
+    if cached is not None and os.path.isdir(cached[0]):
+        root = cached[0]
+    else:
+        root = write_segments(
+            [qemb.filter(F.col("query_id") % 3 == k) for k in range(3)]
+        )
+        _SPLIT_TAPE_CACHE[(sf_dir, "annq3")] = (root, None)
+
+    dot = F.expr(_INT_DOT.format(a="embedding", b="qe"))
+    n2a = F.expr(_INT_DOT.format(a="embedding", b="embedding"))
+    n2q = F.expr(_INT_DOT.format(a="qe", b="qe"))
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        idx = spark.read.parquet(index_dir)
+        cand = (
+            batch_df.join(F.broadcast(probes), "query_id")
+            .join(idx, "cell")
+            .filter(F.col("vec_id") != F.col("query_id"))
+        )
+        scored = cand.select(
+            "query_id",
+            F.col("vec_id").alias("candidate_id"),
+            (
+                dot.cast("double")
+                / (F.sqrt(n2a.cast("double")) * F.sqrt(n2q.cast("double")))
+            ).alias("cosine"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("candidate_id")
+        )
+        (
+            scored.withColumn("rn", F.row_number().over(w).cast("long"))
+            .filter(F.col("rn") <= TOP_K)
+            .write.mode("append")
+            .parquet(results_dir)
+        )
+
+    src = (
+        spark.readStream.schema("query_id long, qe array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+
+    def run():
+        q = (
+            src.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    _with_stream_partitions(spark, run)
+    return spark.read.parquet(results_dir)
+
+
 @register(
     "stream_sliding_window_agg",
     oracle=f"""

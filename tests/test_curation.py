@@ -168,3 +168,64 @@ def test_trigram_simpson_extremes(spark):
     assert out[1]["simpson"] == 1.0 and out[1]["simpson_num"] == 2
     # "abcd": all distinct -> 0; "ab": too short, filtered out
     assert out[2]["simpson"] == 0.0 and 3 not in out
+
+def test_unigram_entropy_handles_degenerate_docs(spark, tmp_path):
+    """The registered query must survive and score the shapes the
+    corpus doesn't exercise — empty docs, whitespace-only, single
+    tokens (sequence(0, -1) counts DOWN in Spark, so an unguarded
+    run-length transform would probe ends[0] of an empty array) — and
+    match a direct per-token-histogram reference on all of them."""
+    import math
+
+    from arcon_spark.functions.text import text_unigram_entropy
+
+    texts = [
+        "",
+        " ",
+        "a",
+        "a a a a",
+        "b a c d",
+        "x y x y x",
+        "the  the   the",  # double spaces → empty tokens dropped
+        "one two two three three three",
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: (r.n_tokens, r.n_distinct, r.sum_clnc_micro, r.entropy_micro)
+        for r in text_unigram_entropy(spark, str(tmp_path)).collect()
+    }
+
+    def half_up(x: float) -> int:
+        return int(math.floor(x + 0.5))  # all quantized lns here are >= 0
+
+    for i, t in enumerate(texts):
+        toks = [w for w in t.lower().split(" ") if w]
+        counts: dict[str, int] = {}
+        for w in toks:
+            counts[w] = counts.get(w, 0) + 1
+        n = len(toks)
+        sum_clnc = sum(c * half_up(math.log(c) * 1_000_000) for c in counts.values())
+        ent = 0 if n == 0 else half_up(math.log(n) * 1_000_000) - sum_clnc // n
+        assert got[i] == (n, len(counts), sum_clnc, ent), (i, t, got[i])
+
+
+def test_lm_and_dsir_features_survive_short_docs(spark, tmp_path):
+    """Bigram feature streams (LM perplexity, DSIR) must not crash on
+    0/1-token documents — sequence(1, 0) counts DOWN, so unguarded
+    transforms index t[1] of a 1-element array under ANSI mode."""
+    from pyspark.sql import functions as F
+
+    from arcon_spark.functions.text import _dsir_features
+
+    df = spark.createDataFrame(
+        [(0, "", "en"), (1, "solo", "en"), (2, "two tokens here", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    feats = _dsir_features(df).groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    got = {r.doc_id: r.n for r in feats.collect()}
+    # doc 0: no tokens → no features; doc 1: one unigram; doc 2: 3 uni + 2 bi
+    assert 0 not in got and got[1] == 1 and got[2] == 5
