@@ -66,19 +66,25 @@ def _int_matrix(series: pd.Series) -> np.ndarray:
     return np.trunc(m + np.copysign(0.5, m)).astype(np.int64)
 
 
-def _query_matrix(spark: SparkSession, sf_dir: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _query_matrix(
+    spark: SparkSession, sf_dir: str, with_label: bool = False
+) -> tuple[np.ndarray, ...]:
     """The query side (vec_id % _QUERY_MOD == 0) is tiny by design —
     collect it to the driver once and ship it inside the UDF closure
-    (the moral broadcast join)."""
+    (the moral broadcast join). Returns (qids, Q, qn2), plus the int32
+    label vector as a fourth element when with_label is set."""
+    cols = ["vec_id", "embedding"] + (["label"] if with_label else [])
     rows = (
         load_table(spark, sf_dir, "embeddings")
         .filter((F.col("vec_id") % _QUERY_MOD) == 0)
-        .select("vec_id", "embedding")
+        .select(*cols)
         .collect()
     )
     qids = np.array([r.vec_id for r in rows], dtype=np.int64)
     Q = _int_matrix(pd.Series([r.embedding for r in rows]))
     qn2 = (Q * Q).sum(axis=1)
+    if with_label:
+        return qids, Q, qn2, np.array([r.label for r in rows], dtype=np.int32)
     return qids, Q, qn2
 
 
@@ -398,16 +404,8 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     query matrix + labels in the closure, ~K·|queries| rows emitted per
     batch → one narrow per-query WindowGroupLimit. Zero shuffle before
     the top-k, same as the brute-force path."""
-    rows = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter((F.col("vec_id") % _QUERY_MOD) == 0)
-        .select("vec_id", "embedding", "label")
-        .collect()
-    )
-    qids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    qlab = np.array([r.label for r in rows], dtype=np.int32)
-    Q = _int_matrix(pd.Series([r.embedding for r in rows]))
-    qn2d = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+    qids, Q, qn2, qlab = _query_matrix(spark, sf_dir, with_label=True)
+    qn2d = np.sqrt(qn2.astype(np.float64))
     emb = spread(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -523,9 +521,17 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     qvec = emb.filter(F.col("vec_id") == _HYBRID_QVEC).first()["embedding"]
-    qn2 = int((_int_matrix(pd.Series([qvec])) ** 2).sum())  # exact int64 norm²
-    qlit = "array(" + ", ".join(f"{float(x)!r}D" for x in qvec) + ")"
-    dot = F.expr(_INT_DOT.format(a="embedding", b=qlit))
+    # quantize the query ONCE driver-side and ship exact int64 units —
+    # the per-row expression then rounds only the candidate component,
+    # not both sides of every product on the full-scan hot path
+    qint = _int_matrix(pd.Series([qvec]))[0]
+    qn2 = int((qint**2).sum())  # exact int64 norm²
+    qlit = "array(" + ", ".join(f"{int(v)}L" for v in qint) + ")"
+    dot = F.expr(
+        f"aggregate(zip_with(embedding, {qlit}, (x, q) ->"
+        f" cast(round(cast(x as double) * {_SCALE}.0) as bigint) * q),"
+        " 0L, (acc, v) -> acc + v)"
+    )
     scored = (
         spread(emb)
         .filter(F.col("vec_id") != _HYBRID_QVEC)
@@ -743,9 +749,14 @@ _NDCG_W = [
 _IDCG_UNITS = sum(
     ((1 << (TOP_K + 1 - r)) - 1) * _NDCG_W[r - 1] for r in range(1, TOP_K + 1)
 )
-_NDCG_W_SQL = "CASE rn " + " ".join(
-    f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_NDCG_W)
-) + " END"
+def _ndcg_case(col: str) -> str:
+    """The position-discount lookup as a CASE over the rank column —
+    ONE generator for both engines so the weight table can't drift."""
+    return (
+        f"CASE {col} "
+        + " ".join(f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_NDCG_W))
+        + " END"
+    )
 
 
 @register(
@@ -760,7 +771,7 @@ _NDCG_W_SQL = "CASE rn " + " ".join(
     gains AS (
       SELECT i.query_id,
              ((CAST(1 AS BIGINT) << CAST(COALESCE(r.rel, 0) AS INTEGER)) - 1)
-               * (CASE i.rn {" ".join(f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_NDCG_W))} END) AS g
+               * ({_ndcg_case("i.rn")}) AS g
       FROM ivf i LEFT JOIN rel r
         ON r.query_id = i.query_id AND r.candidate_id = i.candidate_id
     )
@@ -797,7 +808,7 @@ def ndcg_ranking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         F.expr(
             f"(shiftleft(cast(1 as bigint), cast(coalesce(rel, 0) as int)) - 1)"
-            f" * ({_NDCG_W_SQL})"
+            f" * ({_ndcg_case('rn')})"
         ).alias("g"),
     )
     return gains.groupBy("query_id").agg(

@@ -1882,7 +1882,7 @@ _SQL_BM25_HITS = f"""d AS (
     ),
     dfreq AS (
       SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
-             CAST(round(ln((CAST((SELECT n FROM corpus) AS DOUBLE) - COUNT(*) + 0.5)
+             CAST(round(ln(1 + (CAST((SELECT n FROM corpus) AS DOUBLE) - COUNT(*) + 0.5)
                            / (COUNT(*) + 0.5)) * 1000000) AS BIGINT) AS idf_micro
       FROM tf GROUP BY token
     ),
@@ -1920,8 +1920,12 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     20·T (T = corpus token count, avgdl = T/N) into a pure integer
     ratio: idf_micro·tf·44T div (20·tf·T + 6T + 18·dl·N) — floor
     division of exact BIGINTs (both engines truncate toward zero), so
-    per-doc sums are exact. idf is the Robertson form quantized to
-    micronats. Int64 headroom: idf ≤ ln(N)·10⁶, tf ≤ dl, so the
+    per-doc sums are exact. idf is Lucene's non-negative form
+    ln(1 + (N−df+0.5)/(df+0.5)): the raw Robertson log-odds goes
+    NEGATIVE for any term in more than half the corpus (true of every
+    query term here), which would invert the ranking into
+    anti-relevance — the classic BM25 footgun every production engine
+    patches the same way. Int64 headroom: idf ≤ ln(N)·10⁶, tf ≤ dl, so the
     numerator stays < 2⁶³ far past this corpus; a 100 TB deployment
     flips to plain double BM25 (ranking needs no cross-engine hash).
 
@@ -1950,7 +1954,8 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("df"),
         F.round(
             F.log(
-                (F.lit(float(n)) - F.count(F.lit(1)) + F.lit(0.5))
+                F.lit(1.0)
+                + (F.lit(float(n)) - F.count(F.lit(1)) + F.lit(0.5))
                 / (F.count(F.lit(1)) + F.lit(0.5))
             )
             * F.lit(1000000)

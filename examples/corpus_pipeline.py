@@ -67,10 +67,17 @@ def main() -> None:
     ppl = text_lm_perplexity(spark, sf_dir).select("doc_id", "cross_entropy")
     dsir = dsir_importance_weights(spark, sf_dir).select("doc_id", "log_weight")
     ce_cap = ppl.approxQuantile("cross_entropy", [0.95], 0.001)[0]
+    lw_floor = dsir.approxQuantile("log_weight", [0.05], 0.001)[0]
     kept = (
-        kept.join(ppl, "doc_id")
-        .join(dsir, "doc_id")
-        .filter(F.col("cross_entropy") <= F.lit(ce_cap))
+        # LEFT joins: docs with <2 tokens have no bigram/feature rows —
+        # a missing score is "no evidence", which passes, rather than
+        # silently vanishing from the pipeline via an inner join
+        kept.join(ppl, "doc_id", "left")
+        .join(dsir, "doc_id", "left")
+        .filter(
+            (F.col("cross_entropy").isNull() | (F.col("cross_entropy") <= F.lit(ce_cap)))
+            & (F.col("log_weight").isNull() | (F.col("log_weight") >= F.lit(lw_floor)))
+        )
         .drop("cross_entropy", "log_weight")
     )
 
