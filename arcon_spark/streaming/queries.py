@@ -983,7 +983,10 @@ def stream_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
 
     _with_stream_partitions(spark, run)
-    return spark.read.parquet(results_dir)
+    # per-doc scores are deterministic, so distinct() also absorbs the
+    # duplicate append a retried foreachBatch would leave behind (same
+    # exactly-once insurance as stream_incremental_dedup)
+    return spark.read.parquet(results_dir).distinct()
 
 
 def _ivf_probe_oracle() -> str:
@@ -1088,7 +1091,10 @@ def stream_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
 
     _with_stream_partitions(spark, run)
-    return spark.read.parquet(results_dir)
+    # rows are deterministic per query, so distinct() also absorbs the
+    # duplicate append a retried foreachBatch would leave behind (same
+    # exactly-once insurance as stream_incremental_dedup)
+    return spark.read.parquet(results_dir).distinct()
 
 
 @register(
