@@ -1,0 +1,104 @@
+"""Semantic audit: checks the oracle CANNOT make.
+
+Cross-engine parity proves Spark and DuckDB compute the same thing —
+it cannot prove the thing computed is the intended semantics (round-4
+lesson: text_bm25_rank ranked ANTI-relevant for a whole round with
+parity green, because the raw Robertson IDF goes negative on common
+terms in both engines identically). This tool asserts the model-based
+and ranking operators are DISCRIMINATIVE in the intended direction on
+the synthetic corpus:
+
+- BM25: every top-k doc matches all query terms, scores positive.
+- LM perplexity: the training slice ('en') has the LOWEST mean
+  cross-entropy of all languages.
+- DSIR: the target slice ('en') has the HIGHEST mean log-weight.
+- nDCG: per-query values spread across (0, 1) — not collapsed.
+- Hard negatives: every pair crosses labels (also unit-tested).
+
+Usage: python tools/semantic_audit.py [sf_dir]   (default sf0.01)
+Exit 0 = all assertions hold.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from arcon_spark.session import get_spark
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("semantic_audit")
+
+    from arcon_spark.functions.similarity import (
+        hard_negative_mining,
+        ndcg_ranking_audit,
+    )
+    from arcon_spark.functions.text import (
+        _LM_TRAIN_LANG,
+        _SEARCH_TERMS,
+        dsir_importance_weights,
+        text_bm25_rank,
+        text_lm_perplexity,
+    )
+
+    failures: list[str] = []
+
+    bm = text_bm25_rank(spark, sf_dir).collect()
+    if not all(r.n_terms == len(_SEARCH_TERMS) for r in bm):
+        failures.append(
+            f"bm25: top-k includes docs matching < {len(_SEARCH_TERMS)} terms "
+            f"(n_terms = {sorted({r.n_terms for r in bm})}) — IDF regression?"
+        )
+    if not all(r.score_units > 0 for r in bm):
+        failures.append("bm25: non-positive scores in top-k — IDF went negative")
+    print(f"bm25: {len(bm)} rows, all full-match positive: {not failures}")
+
+    ce = {
+        r.lang: r.m
+        for r in text_lm_perplexity(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.avg("cross_entropy").alias("m"))
+        .collect()
+    }
+    if min(ce, key=ce.get) != _LM_TRAIN_LANG:
+        failures.append(f"lm: training slice not lowest cross-entropy: {ce}")
+    print(f"lm cross-entropy by lang: { {k: round(v, 3) for k, v in ce.items()} }")
+
+    lw = {
+        r.lang: r.m
+        for r in dsir_importance_weights(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.avg("log_weight").alias("m"))
+        .collect()
+    }
+    if max(lw, key=lw.get) != _LM_TRAIN_LANG:
+        failures.append(f"dsir: target slice not highest log-weight: {lw}")
+    print(f"dsir log-weight by lang: { {k: round(v, 3) for k, v in lw.items()} }")
+
+    nd = [r.ndcg for r in ndcg_ranking_audit(spark, sf_dir).collect()]
+    if len(set(nd)) < 3 or not (0.0 <= min(nd) and max(nd) <= 1.0):
+        failures.append(f"ndcg: degenerate spread {sorted(nd)}")
+    print(f"ndcg spread: {min(nd):.3f}..{max(nd):.3f} over {len(nd)} queries")
+
+    hn = hard_negative_mining(spark, sf_dir).collect()
+    if any(r.qlabel == r.clabel for r in hn):
+        failures.append("hard negatives: same-label pair leaked through")
+    print(f"hard negatives: {len(hn)} pairs, all cross-label: "
+          f"{all(r.qlabel != r.clabel for r in hn)}")
+
+    if failures:
+        print("\nSEMANTIC AUDIT FAILURES:")
+        for f_ in failures:
+            print(" -", f_)
+        return 1
+    print("\nsemantic audit: all checks hold")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
