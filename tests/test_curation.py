@@ -229,3 +229,41 @@ def test_lm_and_dsir_features_survive_short_docs(spark, tmp_path):
     got = {r.doc_id: r.n for r in feats.collect()}
     # doc 0: no tokens → no features; doc 1: one unigram; doc 2: 3 uni + 2 bi
     assert 0 not in got and got[1] == 1 and got[2] == 5
+
+
+def test_ranking_operators_discriminate_in_the_intended_direction(spark, sf_dir):
+    """Parity proves both engines agree, not that the agreed formula is
+    right (an inverted-IDF BM25 once shipped parity-green). Lock the
+    direction: BM25's top-k all match every query term with positive
+    scores, and the LM/DSIR models favor the slice they trained on."""
+    from pyspark.sql import functions as F
+
+    from arcon_spark.functions.text import (
+        _LM_TRAIN_LANG,
+        _SEARCH_TERMS,
+        dsir_importance_weights,
+        text_bm25_rank,
+        text_lm_perplexity,
+    )
+
+    bm = text_bm25_rank(spark, sf_dir).collect()
+    assert bm and all(r.n_terms == len(_SEARCH_TERMS) for r in bm)
+    assert all(r.score_units > 0 for r in bm)
+
+    ce = {
+        r.lang: r.m
+        for r in text_lm_perplexity(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.avg("cross_entropy").alias("m"))
+        .collect()
+    }
+    assert min(ce, key=ce.get) == _LM_TRAIN_LANG, ce
+
+    lw = {
+        r.lang: r.m
+        for r in dsir_importance_weights(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.avg("log_weight").alias("m"))
+        .collect()
+    }
+    assert max(lw, key=lw.get) == _LM_TRAIN_LANG, lw
