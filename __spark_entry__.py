@@ -78,6 +78,7 @@ _SAMPLE_FIRST = [
     "hybrid_search_rrf",
     "stream_ann_ivf_probe",
     "ndcg_ranking_audit",
+    "weighted_sample_without_replacement",
     # never-driver-checked (r1-r3): windows + typed state
     "arrow_window_zscore",
     "arrow_window_zscore_pandas",

@@ -374,6 +374,71 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(u < F.col("n_chars") * 50)
 
 
+_AES_K = 100  # exact sample size
+
+
+@register(
+    "weighted_sample_without_replacement",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             CAST(round(ln((CAST('0x' || substring(md5('aes:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                            % 1000000 + 1) / 1000001.0) * 1000000) AS BIGINT) AS lnu_micro
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, n_chars, lnu_micro,
+             round(CAST(lnu_micro AS DOUBLE) / n_chars, 6) AS priority,
+             row_number() OVER (
+               ORDER BY CAST(lnu_micro AS DOUBLE) / n_chars DESC, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT doc_id, n_chars, lnu_micro, priority, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {_AES_K}
+    """,
+    tags=("sample", "weighted", "topk", "curation"),
+)
+def weighted_sample_without_replacement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-size weighted sample without replacement — the A-ES /
+    Efraimidis-Spirakis reservoir (key u^(1/w), keep the k largest),
+    the standard way to draw a fixed row budget ∝ length when the
+    Bernoulli sampler's variable size won't do. Spark has no native
+    equivalent (sample() is unweighted; sampleBy is per-stratum
+    Bernoulli).
+
+    Determinism: u comes from a salted md5 of doc_id (no RNG state),
+    and the key comparison uses the LOG form — ln(u)/w orders
+    identically to u^(1/w) — with ln(u) quantized to integer micronats
+    so the per-row priority is ONE correctly-rounded division of exact
+    integers, bit-identical across engines (pow() would not be).
+    Higher weight divides the negative log toward zero ⇒ higher
+    selection probability, exactly A-ES.
+
+    Scale shape: scan → in-row key projection → TakeOrdered(k) — the
+    reservoir IS the top-k machinery, no shuffle wider than k rows per
+    partition, identical at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    lnu = F.expr(
+        "cast(round(ln((cast(conv(substring(md5(concat('aes:', cast(doc_id as string))), 1, 8),"
+        " 16, 10) as bigint) % 1000000 + 1) / 1000001.0d) * 1000000) as bigint)"
+    )
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        lnu.alias("lnu_micro"),
+    ).withColumn(
+        "priority",
+        F.round(F.col("lnu_micro").cast("double") / F.col("n_chars"), 6),
+    )
+    ordered = keyed.orderBy(
+        (F.col("lnu_micro").cast("double") / F.col("n_chars")).desc(), F.asc("doc_id")
+    ).limit(_AES_K)
+    w = Window.orderBy(
+        (F.col("lnu_micro").cast("double") / F.col("n_chars")).desc(), F.asc("doc_id")
+    )
+    return ordered.withColumn("rn", F.row_number().over(w).cast("long"))
+
+
 @register(
     "corpus_shuffle_rank",
     oracle="""
