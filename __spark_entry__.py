@@ -39,110 +39,84 @@ def entry(spark: SparkSession) -> DataFrame:
 # everything else follows in registration order. Names not in the
 # registry are ignored (robust to renames).
 _SAMPLE_FIRST = [
-    # the one red row of CORRECTNESS_r03 (wire-reader pacing data
-    # loss, fixed this round: cap moved into latestOffset) leads so
-    # the driver re-proves it green — its oracle now also carries a
-    # global total_rows column, so any loss flips the hash
-    "stream_kafka_real_roundtrip",
-    # round 4: broker-side offset lane (OffsetCommit/OffsetFetch v0)
-    # + two-group fan-out over one wire topic, both exactly-once; and
-    # the transactional sink (begin/commit markers + read-committed)
-    # proven under an injected mid-epoch crash
-    "stream_kafka_two_readers",
-    "stream_kafka_txn_sink_roundtrip",
-    # source->operator->sink composed, both sides exactly-once, crash
-    # injected mid-pipeline every run (the reference's full dataflow)
-    "stream_kafka_end_to_end",
-    # round-4-changed queries: real-decode video dedup + H.264
-    # roundtrip (new codec), data-dependent q11 nation pick,
-    # non-degenerate contamination audit
-    "multimodal_h264_roundtrip",
-    "multimodal_video_dedup",
-    "tpch_q11ish",
-    "split_contamination_check",
-    # round-4 new: CCNet-style LM perplexity scoring, DSIR hashed
-    # n-gram importance weights, hashed-bucket NB classifier, and the
-    # JL random-projection audit (micronat-quantized exact sums)
-    "text_lm_perplexity",
-    "dsir_importance_weights",
-    "nb_lang_classifier",
-    "rp_jl_projection_audit",
-    # round-4 new: CCNet head/middle/tail publishing split, in-row
-    # zero-shuffle unigram entropy, and the streaming ingest scorer
-    # sharing the batch DSIR model/oracle
-    "ccnet_perplexity_buckets",
-    "text_unigram_entropy",
-    "stream_dsir_scores",
-    "hard_negative_mining",
-    "text_bm25_rank",
-    "hybrid_search_rrf",
-    "stream_ann_ivf_probe",
-    "ndcg_ranking_audit",
-    "weighted_sample_without_replacement",
-    # never-driver-checked (r1-r3): windows + typed state
-    "arrow_window_zscore",
-    "arrow_window_zscore_pandas",
-    "arrow_window_zscore_arrow",
-    "count_window_agg",
-    "session_window_dynamic_gap",
-    "windowed_distinct_users_bitmap",
-    "cumulative_distinct_users",
-    "stateful_first_value",
-    "stateful_distinct_firsts",
+    # r4's one red row: vec_state_collect failed ONLY on output shape
+    # (ArrayType column vs the driver's pandas canonicalizer) — r5
+    # reshapes it to a '|'-joined string; it leads so the driver
+    # re-proves it green. embedding_quantize_int8 had the same latent
+    # trap (never sampled) and approx_distinct_users gets its first
+    # value oracle (the 2%-contract boolean) this round.
     "vec_state_collect",
-    "map_state_topvalue",
-    "cogroup_activity_order_merge",
-    # never-checked: temporal / as-of / range joins
-    "asof_join_purchase_view",
-    "asof_join_forward",
-    "asof_join_nearest",
-    "range_join_close_events",
-    "bitemporal_asof",
-    "fifo_pairing_events",
-    # never-checked: table maintenance / CDC / IVM
-    "scd2_user_type_history",
-    "cdc_merge_customer",
-    "merge_upsert_user_stats",
-    "ivm_incremental_agg",
-    "ivm_retractable_agg",
-    "snapshot_diff_user_stats",
-    "golden_record_customers",
-    "zorder_events_layout",
-    "hilbert_events_layout",
-    "dq_expectations_orders",
-    # never-checked: stream-stream joins + streaming state shapes
-    "stream_stream_range_join",
-    "stream_static_enrich",
-    "stream_stream_left_outer_join",
-    "stream_stream_left_semi_join",
-    "stream_stream_full_outer_join",
-    "stream_stream_right_outer_join",
-    "stream_temporal_dim_join",
-    "stream_cdc_upsert",
-    "stream_scd2_history",
-    "stream_session_window_dynamic_gap",
-    "stream_dedup_within_watermark",
-    "stream_sliding_window_agg",
-    "stream_running_counts_update_mode",
-    # never-checked: analytics / SQL shapes
+    "embedding_quantize_int8",
+    "approx_distinct_users",
+    # never-driver-checked (49 of this 50-prefix are first-time rows):
+    # graph suite
+    "graph_label_propagation",
+    "graph_link_prediction",
+    "graph_modularity",
+    # dedup remainder
+    "dedup_weighted_minhash",
+    "dedup_simhash_band_pairs",
+    "dedup_prefix_filter_pairs",
+    "dedup_minhash_signatures",
+    "dedup_ngram_containment",
+    "dedup_minhash_estimate_vs_exact",
+    "dedup_span_removal",
+    "fuzzy_match_customers",
+    # similarity / ANN remainder
+    "ann_lsh_bucketed",
+    "knn_label_majority",
+    "kmeans_embeddings",
+    "embedding_dim_stats",
+    "matryoshka_recall_audit",
+    # text-analysis remainder
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_count",
+    "text_fingerprint",
+    "text_chunking",
+    "text_tfidf_topterms",
+    "text_pmi_collocations",
+    "text_readability_flesch",
+    "udtf_sentence_split",
+    "vocab_top_tokens",
+    # cohort / funnel / stats analytics
     "funnel_conversion",
     "retention_cohorts",
     "cep_purchase_error_pattern",
     "rolling_median_value",
+    "exact_median_selection",
+    "mode_event_type_per_user",
+    "market_basket_lift",
+    "cohort_ltv_weekly",
+    "ab_test_purchase_value",
+    "stl_residual_anomalies",
+    # SQL shapes
     "sql_recursive_reach",
     "sql_pipe_syntax",
     "tpch_q16ish",
     "tpch_q20ish",
-    "exact_median_selection",
-    "mode_event_type_per_user",
-    # never-checked: codec roundtrip proven in r3 parity only
+    "scalar_subquery_above_avg",
+    "salted_skew_join",
+    # multimodal remainder
     "multimodal_jpeg_roundtrip",
-    # high-value re-checks stay close behind the 50-prefix
-    "stream_kafka_log_roundtrip",
-    "source_protobuf_roundtrip",
-    "source_avro_roundtrip",
-    "arrow_ipc_roundtrip",
-    "tpch_q1",
+    "multimodal_meta",
+    "multimodal_frame_sample",
+    # curation remainder
+    "gopher_quality_flags",
+    "decontam_ngram_overlap",
+    # --- 50-prefix boundary; tail = more never-checked for robustness
+    "stream_static_enrich",
+    "stream_sliding_window_agg",
+    "stream_dedup_within_watermark",
+    "stream_cdc_upsert",
+    "pyds_collection_agg",
+    "stream_pyds_collection",
+    "salted_hot_key_agg",
+    "distribution_drift_chi2",
+    "hll_distinct_users",
+    "vocab_top_bigrams",
+    "multimodal_audio_energy",
+    "multimodal_scene_cuts",
 ]
 
 

@@ -1039,7 +1039,8 @@ def _km_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
            UNNEST(generate_series(1, len(e.embedding))) AS u(i)
       GROUP BY q.vec_id
     )
-    SELECT q.vec_id, q.qvec, q.scale, err.max_abs_err, err.n_saturated
+    SELECT q.vec_id, array_to_string(q.qvec, '|') AS qvec,
+           q.scale, err.max_abs_err, err.n_saturated
     FROM q JOIN err ON q.vec_id = err.vec_id
     """,
     tags=("similarity", "quantization", "pipeline"),
@@ -1068,9 +1069,14 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qvec"),
         (F.col("max_abs") / 127.0).alias("scale"),
     )
+    # qvec is emitted '|'-joined as a scalar string (lossless for int
+    # elements; int→string formatting is identical across engines) —
+    # the driver's pandas canonicalizer cannot hash array cells.
     return q.select(
         "vec_id",
-        "qvec",
+        F.expr("array_join(transform(qvec, qi -> cast(qi as string)), '|')").alias(
+            "qvec"
+        ),
         "scale",
         F.expr(
             "array_max(zip_with(qvec, embedding,"

@@ -693,17 +693,34 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_users",
-    oracle=None,  # HLL sketch values are engine-specific → rows-only check
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS approx_within_2pct
+    FROM events GROUP BY event_type
+    """,
     tags=("sketch", "survey2.6"),
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++). Sketch internals differ across
-    engines so there is no value oracle; the scale story is the point:
+    engines, so the raw estimate cannot be value-compared; the oracle
+    instead checks the sketch's CONTRACT — rsd=0.01 must land within
+    2% of the exact count (2σ margin; HLL++ sparse mode is exact at
+    these cardinalities). The estimate itself stays out of the output;
+    the boolean is what both engines can agree on. Scale story:
     mergeable sketches → map-side partials, tiny exchange."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.02 * F.col("exact_users")
+        ).alias("approx_within_2pct"),
     )
 
 

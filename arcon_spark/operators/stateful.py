@@ -95,7 +95,7 @@ def stateful_distinct_firsts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vec_state_collect",
     oracle="""
     SELECT user_id,
-           list_sort(list(event_type)) AS event_types,
+           array_to_string(list_sort(list(event_type)), '|') AS event_types,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM (SELECT user_id, event_type FROM events WHERE value > 50.0) t
     GROUP BY user_id
@@ -106,10 +106,15 @@ def vec_state_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VecState / AppenderIndex (reference arcon/src/index/appender/):
     per-key append-then-consume. Batch form: collect_list + sort for a
     deterministic order (the reference's appender preserves arrival
-    order; a distributed engine must impose an explicit one)."""
+    order; a distributed engine must impose an explicit one). The
+    sorted list is emitted '|'-joined as a scalar string: the driver's
+    pandas canonicalizer cannot sort/hash array cells, and the join is
+    lossless here (event_type values contain no '|')."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 50.0)
     return ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_list("event_type")).alias("event_types"),
+        F.array_join(F.sort_array(F.collect_list("event_type")), "|").alias(
+            "event_types"
+        ),
         F.count(F.lit(1)).alias("n"),
     )
 
