@@ -2584,30 +2584,46 @@ def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the model is |langs| prior rows plus ≤ |langs|×1024
     likelihood rows — fixed-size broadcasts regardless of corpus size.
-    The per-doc bucket histogram is one corpus-sized hash aggregate;
-    candidate expansion is an in-row explode of the literal language
-    list (|langs|× row growth, NO join-based cross product); the
-    argmax is a per-doc window over |langs| rows. Training and
-    scoring read the same feature stream once each."""
+    ONE corpus-sized shuffle total: the feature stream is hash-
+    partitioned by doc_id up front, and because HashPartitioning on a
+    SUBSET of the grouping keys satisfies ClusteredDistribution, the
+    per-doc bucket histogram, the per-candidate score aggregate AND
+    the argmax window all reuse that single exchange shuffle-free.
+    The likelihood (clb) and evidence-mass (tl) model stats roll up
+    from the persisted ndb PARTIAL — ≤1024 rows per doc-lang — never
+    re-aggregating raw features; candidate expansion is an in-row
+    explode of the literal language list (|langs|× row growth, NO
+    join-based cross product)."""
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text"))
     toks = docs.select("doc_id", "lang", F.expr(_TOKS).alias("t"))
-    feat = (
-        toks.select("doc_id", "lang", F.explode("t").alias("f"))
-        .select(
-            "doc_id",
-            "lang",
-            F.expr(
-                f"cast(conv(substring(md5(concat('nb:', f)), 1, 8), 16, 10) as bigint)"
-                f" % {_DSIR_B}"
-            ).alias("bucket"),
-        )
-        .persist()
+    feat = toks.select("doc_id", "lang", F.explode("t").alias("f")).select(
+        "doc_id",
+        "lang",
+        F.expr(
+            f"cast(conv(substring(md5(concat('nb:', f)), 1, 8), 16, 10) as bigint)"
+            f" % {_DSIR_B}"
+        ).alias("bucket"),
     )
-    ndb = feat.groupBy("doc_id", F.col("lang").alias("true_lang"), "bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("n_db")
+    # eager localCheckpoint (house pattern, cf. kmeans_embeddings):
+    # ndb is referenced by scoring AND both model stats — checkpointing
+    # cuts the shared lineage so the raw-token explode runs exactly
+    # once, and LogicalRDD preserves the doc_id HashPartitioning for
+    # the downstream distribution reuse.
+    ndb = (
+        feat.repartition("doc_id")
+        .groupBy("doc_id", F.col("lang").alias("true_lang"), "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_db"))
+        .localCheckpoint(eager=True)
     )
-    clb = feat.groupBy("lang", "bucket").agg(F.count(F.lit(1)).cast("long").alias("c_lb"))
-    tl = feat.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("t_l"))
+    # model stats fold the ndb partial (Σ n_db ≡ COUNT(*) over feat) —
+    # these shuffles move ≤1024 rows per (doc, lang), not raw tokens
+    clb = (
+        ndb.groupBy(F.col("true_lang").alias("lang"), "bucket")
+        .agg(F.sum("n_db").cast("long").alias("c_lb"))
+    )
+    tl = ndb.groupBy(F.col("true_lang").alias("lang")).agg(
+        F.sum("n_db").cast("long").alias("t_l")
+    )
     dl = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("d_l"))
     n_docs = docs.count()
     model = tl.join(dl, ["lang"]).select(
@@ -2652,7 +2668,9 @@ def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("score_micro")
         )
     )
-    scores = scores.persist()
+    # scores feeds the confusion aggregate and the argmax window —
+    # checkpoint (doc×|langs| rows) so neither re-runs the scoring join
+    scores = scores.localCheckpoint(eager=True)
     w = Window.partitionBy("doc_id").orderBy(F.desc("score_micro"), F.asc("cand_lang"))
     top1 = (
         scores.select(
@@ -2666,7 +2684,7 @@ def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("score_micro").cast("long").alias("sum_score_micro"),
     )
-    return agg.join(top1, ["true_lang", "cand_lang"], "left").select(
+    return agg.join(F.broadcast(top1), ["true_lang", "cand_lang"], "left").select(
         "true_lang",
         "cand_lang",
         "n_docs",

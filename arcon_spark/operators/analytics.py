@@ -2578,19 +2578,19 @@ def stl_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"cast(cents * 100 as bigint) - cast(sum(cents) over (order by hour rows between {_STL_W} preceding and {_STL_W} following) * 100"
             f" div count(1) over (order by hour rows between {_STL_W} preceding and {_STL_W} following) as bigint)"
         ).alias("det_units"),
-    ).persist()
+    ).localCheckpoint(eager=True)  # hours-count rows; feeds seasonal AND resid
     seasonal = det.groupBy("hod").agg(
         F.expr("cast(sum(det_units) div count(1) as bigint)").alias("s_units")
     )
     resid = det.join(F.broadcast(seasonal), "hod").select(
         "hour", (F.col("det_units") - F.col("s_units")).alias("r")
-    ).persist()
+    ).localCheckpoint(eager=True)  # feeds the median AND the deviation pass
     med = resid.agg(
         F.expr("cast(percentile_disc(0.5) within group (order by r) as bigint)").alias("m")
     )
     dev = resid.join(F.broadcast(med)).select(
         "hour", "r", F.abs(F.col("r") - F.col("m")).alias("ad")
-    )
+    ).localCheckpoint(eager=True)  # feeds the MAD AND the final gate
     mad = dev.agg(
         F.expr("cast(percentile_disc(0.5) within group (order by ad) as bigint)").alias("mad")
     )
