@@ -48,6 +48,8 @@ _SAMPLE_FIRST = [
     "vec_state_collect",
     "embedding_quantize_int8",
     "approx_distinct_users",
+    # r5 new: the un-stubbed magic-byte decode dispatch (4 real codecs)
+    "multimodal_decode_dispatch",
     # never-driver-checked (49 of this 50-prefix are first-time rows):
     # graph suite
     "graph_label_propagation",

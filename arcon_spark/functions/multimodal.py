@@ -47,6 +47,7 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("container", T.StringType(), False),
     ]
 )
 
@@ -91,17 +92,91 @@ def decode_image_stub(payload: bytes, deterministic_fake: bool = True) -> dict:
     }
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def sniff_media(payload: bytes) -> str:
+    """Container detection by magic bytes — the only formats a 100 TB
+    crawl can be trusted to label are the ones the bytes themselves
+    declare."""
+    if payload[:8] == _PNG_MAGIC:
+        return "png"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:4] == b"\x00\x00\x00\x01" or payload[:3] == b"\x00\x00\x01":
+        return "h264"
+    return "unknown"
+
+
+def decode_media_info(payload: bytes) -> dict:
+    """Dispatch a payload to the repo's REAL codecs (PNG / baseline
+    JPEG / RIFF WAVE / H.264 I_PCM, all from-spec in
+    functions/codecs.py) by magic bytes; `decode_image_stub` remains
+    ONLY as the documented escape hatch for genuinely foreign formats.
+    Returns container, geometry, and the decoded content bytes."""
+    from arcon_spark.functions.codecs import (
+        h264_decode_ipcm,
+        jpeg_decode,
+        png_decode,
+        wav_parse,
+    )
+
+    kind = sniff_media(payload)
+    if kind == "png":
+        d = png_decode(payload)
+        return {
+            "container": "png", "width": d["width"], "height": d["height"],
+            "n_frames": 1, "content": d["pixels"],
+        }
+    if kind == "jpeg":
+        d = jpeg_decode(payload)
+        return {
+            "container": "jpeg", "width": d["width"], "height": d["height"],
+            "n_frames": 1, "content": d["pixels"],
+        }
+    if kind == "wav":
+        d = wav_parse(payload)
+        return {
+            "container": "wav", "width": 0, "height": 0,
+            "n_frames": d["n_samples"], "content": d["pcm"],
+        }
+    if kind == "h264":
+        d = h264_decode_ipcm(payload)
+        return {
+            "container": "h264", "width": d["width"], "height": d["height"],
+            "n_frames": len(d["frames"]), "content": b"".join(d["frames"]),
+        }
+    s = decode_image_stub(payload)
+    return {
+        "container": "unknown", "width": s["width"], "height": s["height"],
+        "n_frames": s["n_frames"], "content": payload,
+    }
+
+
 def decode_media(df: DataFrame) -> DataFrame:
     """mapInPandas decode stage: Arrow-batched, per-partition, no
     shuffle. Each batch arrives as a pandas DataFrame with the binary
-    payload column; the stub stands in for the codec."""
+    payload column; magic bytes route each payload to the matching
+    real codec (PNG/JPEG/WAV/H.264), with the deterministic fake only
+    for unrecognized containers."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [decode_image_stub(p) for p in pdf["payload"]]
-            out = pd.DataFrame(metas)
-            out.insert(0, "doc_id", pdf["doc_id"].values)
-            yield out
+            rows: dict[str, list] = {
+                "doc_id": [], "n_bytes": [], "width": [],
+                "height": [], "n_frames": [], "container": [],
+            }
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                info = decode_media_info(bytes(p))
+                rows["doc_id"].append(int(doc_id))
+                rows["n_bytes"].append(len(p))
+                rows["width"].append(info["width"])
+                rows["height"].append(info["height"])
+                rows["n_frames"].append(info["n_frames"])
+                rows["container"].append(info["container"])
+            yield pd.DataFrame(rows)
 
     return df.mapInPandas(_decode, DECODED_SCHEMA)
 
@@ -997,4 +1072,119 @@ def multimodal_h264_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         rt,
         "doc_id long, width int, height int, n_frames long, n_bytes long,"
         " digest string",
+    )
+
+
+@register(
+    "multimodal_decode_dispatch",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, octet_length(encode(text)) AS n, md5(text) AS digest,
+             CAST(doc_id % 4 AS INTEGER) AS fmt
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE fmt WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                    WHEN 2 THEN 'wav' ELSE 'h264' END AS container,
+           CAST(CASE fmt WHEN 0 THEN 48 WHEN 1 THEN 128
+                         WHEN 2 THEN 0 ELSE 32 END AS INTEGER) AS width,
+           CAST(CASE fmt WHEN 0 THEN greatest(1, (n + 143) // 144)
+                         WHEN 1 THEN 8 * greatest(1, (n + 15) // 16)
+                         WHEN 2 THEN 0 ELSE 16 END AS INTEGER) AS height,
+           CAST(CASE fmt WHEN 0 THEN 1 WHEN 1 THEN 1
+                         WHEN 2 THEN (n + 1) // 2
+                         ELSE greatest(1, (n + 511) // 512) END AS BIGINT)
+             AS n_frames,
+           CAST(n AS BIGINT) AS n_bytes,
+           digest
+    FROM d
+    """,
+    tags=("multimodal", "codec", "dispatch", "pipeline"),
+)
+def multimodal_decode_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-stubbed decode_media path end to end: each document's
+    bytes are packed into ONE of the four real container formats
+    (doc_id mod 4 → PNG / baseline JPEG / RIFF WAVE / H.264 I_PCM),
+    and the decoder sees ONLY the payload — magic-byte sniffing picks
+    the codec (sniff_media/decode_media_info), geometry comes from the
+    decoded headers, and the recovered content must hash back to
+    md5(text) per the format's packing convention. A fake decoder
+    cannot produce these digests; this row retires decode_image_stub
+    from every registered path (it remains solely the foreign-format
+    escape hatch). One Arrow-batched mapInPandas stage, no shuffle."""
+    import hashlib
+
+    import numpy as np
+
+    from arcon_spark.functions.codecs import (
+        h264_encode_ipcm,
+        jpeg_encode_gray,
+        png_encode,
+        wav_encode,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stride = _PNG_W * 3
+    fsz = _H264_FW * _H264_FH
+
+    def _pack(fmt: int, data: bytes) -> bytes:
+        n = len(data)
+        if fmt == 0:
+            h = max(1, -(-n // stride))
+            return png_encode(
+                data + b"\x00" * (stride * h - n), _PNG_W, h,
+                color_type=2, filter_type=(n % 5),
+            )
+        if fmt == 1:
+            brows = max(1, -(-n // _JPEG_BW))
+            vals = np.zeros(brows * _JPEG_BW, dtype=np.uint8)
+            vals[:n] = np.frombuffer(data, dtype=np.uint8)
+            img = np.repeat(
+                np.repeat(vals.reshape(brows, _JPEG_BW), 8, axis=0), 8, axis=1
+            )
+            return jpeg_encode_gray(img.tobytes(), _JPEG_BW * 8, brows * 8)
+        if fmt == 2:
+            return wav_encode(
+                data + (b"\x00" if n % 2 else b""),
+                sample_rate=_WAV_RATE, channels=1, bits=16,
+            )
+        nf = max(1, -(-n // fsz))
+        padded = data + b"\xff" * (nf * fsz - n)
+        return h264_encode_ipcm(
+            [padded[k * fsz : (k + 1) * fsz] for k in range(nf)],
+            _H264_FW, _H264_FH,
+        )
+
+    def _unwrap(info: dict, n: int) -> bytes:
+        if info["container"] == "jpeg":
+            out = np.frombuffer(info["content"], dtype=np.uint8).reshape(
+                info["height"], info["width"]
+            )
+            return out[::8, ::8].reshape(-1)[:n].tobytes()
+        return info["content"][:n]
+
+    def rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: dict[str, list] = {
+            "doc_id": [], "container": [], "width": [], "height": [],
+            "n_frames": [], "n_bytes": [], "digest": [],
+        }
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                info = decode_media_info(_pack(int(doc_id) % 4, data))
+                rows["doc_id"].append(int(doc_id))
+                rows["container"].append(info["container"])
+                rows["width"].append(info["width"])
+                rows["height"].append(info["height"])
+                rows["n_frames"].append(int(info["n_frames"]))
+                rows["n_bytes"].append(len(data))
+                rows["digest"].append(
+                    hashlib.md5(_unwrap(info, len(data))).hexdigest()
+                )
+        yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        rt,
+        "doc_id long, container string, width int, height int,"
+        " n_frames long, n_bytes long, digest string",
     )

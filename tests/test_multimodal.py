@@ -101,3 +101,28 @@ def test_frame_sample_python_path_matches_jvm(spark, sf_dir):
         for r in multimodal_frame_sample(spark, sf_dir).collect()
     }
     assert py == jvm and len(py) > 0
+
+
+def test_sniff_media_magic_bytes():
+    from arcon_spark.functions.codecs import (
+        h264_encode_ipcm,
+        jpeg_encode_gray,
+        png_encode,
+        wav_encode,
+    )
+    from arcon_spark.functions.multimodal import decode_media_info, sniff_media
+
+    png = png_encode(b"\x01\x02\x03" * 48, 48, 1, color_type=2, filter_type=0)
+    jpg = jpeg_encode_gray(bytes(range(64)) * 2, 16, 8)
+    wav = wav_encode(b"\x00\x01" * 8)
+    vid = h264_encode_ipcm([b"\xaa" * 512], 32, 16)
+    assert sniff_media(png) == "png"
+    assert sniff_media(jpg) == "jpeg"
+    assert sniff_media(wav) == "wav"
+    assert sniff_media(vid) == "h264"
+    assert sniff_media(b"plain text") == "unknown"
+    # dispatch decodes the real containers, not the fake
+    assert decode_media_info(png)["width"] == 48
+    assert decode_media_info(jpg)["height"] == 8
+    assert decode_media_info(wav)["n_frames"] == 8
+    assert decode_media_info(vid)["content"] == b"\xaa" * 512
