@@ -742,6 +742,8 @@ class _H264BitReader:
         self.pos = 0  # bit position
 
     def u(self, n: int) -> int:
+        if self.pos + n > len(self.data) * 8:
+            raise ValueError("truncated H.264 stream")
         v = 0
         for _ in range(n):
             byte = self.data[self.pos >> 3]
@@ -769,6 +771,8 @@ class _H264BitReader:
     def raw(self, n: int) -> bytes:
         assert self.pos & 7 == 0
         start = self.pos >> 3
+        if start + n > len(self.data):
+            raise ValueError("truncated I_PCM stream")
         self.pos += 8 * n
         return self.data[start : start + n]
 

@@ -792,7 +792,26 @@ class _WireStreamReader(DataSourceStreamReader):
         # latestOffset several times per cycle and the answer must be
         # idempotent within one cycle (same contract as kafka_log).
         base = getattr(self, "_base", None)
+        if base is None and self.group:
+            # checkpoint RESTART: initialOffset() is not called again,
+            # so without seeding here the first post-restart cycle
+            # would return the uncapped high watermark (unbounded batch
+            # exactly when a large backlog follows a restart). Seed
+            # admission control from the broker-side offset lane:
+            # commit() lags the planned batch by at most one cap, so
+            # committed + cap >= the checkpointed start — the capped
+            # end can never fall below the restart start (no stall),
+            # while the first batch is bounded like every other.
+            with KafkaWireClient(self.bootstrap) as cli:
+                committed = cli.offset_fetch(
+                    self.group, self.topic, [int(p) for p in cur]
+                )
+            base = {p: committed.get(int(p), 0) for p in cur}
+            self._base = base
         if base is None:
+            # no group lane to recover a base from — first cycle after
+            # restart stays uncapped (correctness preserved; pacing
+            # resumes once partitions() records the planned end)
             return cur
         return {
             p: min(cur.get(p, 0), base.get(p, 0) + self.max_per_trigger)

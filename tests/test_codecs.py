@@ -181,3 +181,15 @@ def test_h264_rejects_out_of_subset_streams():
     s[idr + 8] ^= 0xFF
     with pytest.raises(ValueError):
         h264_decode_ipcm(bytes(s))
+
+
+def test_h264_truncated_stream_raises():
+    import pytest
+
+    from arcon_spark.functions.codecs import h264_decode_ipcm, h264_encode_ipcm
+
+    stream = h264_encode_ipcm([bytes(range(256)) * 2], 32, 16)
+    # cut mid-I_PCM payload: the reader must raise, never return a
+    # wrong-size frame
+    with pytest.raises(ValueError, match="truncated"):
+        h264_decode_ipcm(stream[: len(stream) - 40])

@@ -397,3 +397,61 @@ def test_txn_sink_exactly_once_under_crash(spark):
         )
         assert raw > 50  # the aborted first try IS on the log — proof the
         # read-committed filter, not luck, produced exactly-once
+
+
+def test_restart_pacing_with_group_bounds_first_batch(spark):
+    """A restart that faces a large backlog must not plan an unbounded
+    first batch: latestOffset() now seeds its admission-control base
+    from the broker-side group offsets when the in-memory base is gone
+    (checkpoint restarts never re-call initialOffset). Before the fix
+    the first post-restart cycle returned the raw high watermark and
+    swallowed the whole backlog in one batch."""
+    out = tempfile.mkdtemp(prefix="kwire_rg_out_") + "/rows"
+    ck = tempfile.mkdtemp(prefix="kwire_rg_ck_")
+    cap, parts = 25, 2
+    with MiniKafkaBroker(num_partitions=parts) as b:
+        register_kafka_wire_source(spark)
+
+        def fill(n, start=0):
+            with KafkaWireClient(b.bootstrap) as c:
+                for i in range(start, start + n):
+                    c.produce("t", i % parts, [(f"k{i}".encode(), f"v{i}".encode())])
+
+        def run_once():
+            q = (
+                spark.readStream.format("arcon_kafka_wire")
+                .option("bootstrap", b.bootstrap)
+                .option("topic", "t")
+                .option("group", "pace-restart")
+                .option("maxRecordsPerTrigger", str(cap))
+                .load()
+                .select("partition", "offset", "key")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return q
+
+        fill(20)
+        run_once()
+        assert spark.read.parquet(out).count() == 20
+
+        fill(150, start=20)  # backlog >> one batch's budget
+        # Python sources run availableNow as a single batch, so every
+        # run_once() below is a genuine checkpoint restart. The first
+        # restart facing the backlog must deliver exactly one CAPPED
+        # batch — before the fix it returned the raw high watermark
+        # and this count read 170.
+        run_once()
+        assert spark.read.parquet(out).count() == 20 + cap * parts
+        runs = 1
+        while spark.read.parquet(out).count() < 170 and runs < 10:
+            run_once()
+            runs += 1
+        rows = spark.read.parquet(out).collect()
+        assert len(rows) == 170  # nothing lost, nothing re-delivered
+        assert len({(r.partition, r.offset) for r in rows}) == 170
+        assert runs >= 3  # the backlog drained across capped restarts

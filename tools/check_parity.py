@@ -138,9 +138,19 @@ def main() -> int:
                 spark, con.cursor(), REGISTRY[name], sf_dir, clear_cache=False
             )
 
+        done = 0
         with ThreadPoolExecutor(max_workers=jobs) as pool:
             for cat, msg in pool.map(worker, batch):
                 record(cat, msg)
+                done += 1
+                # several queries persist() without unpersist — over a
+                # full-registry run hundreds of cached RDDs accumulate
+                # and the memory pressure destabilizes exactly the runs
+                # --jobs was meant to speed up. Dropping the whole
+                # cache periodically is safe: concurrent queries just
+                # recompute (correctness unaffected).
+                if done % 40 == 0:
+                    spark.catalog.clearCache()
         spark.catalog.clearCache()
     else:
         for name in batch:

@@ -49,14 +49,16 @@ def main() -> int:
     failures: list[str] = []
 
     bm = text_bm25_rank(spark, sf_dir).collect()
-    if not all(r.n_terms == len(_SEARCH_TERMS) for r in bm):
+    bm_ok = all(r.n_terms == len(_SEARCH_TERMS) for r in bm) and all(
+        r.score_units > 0 for r in bm
+    )
+    if not bm_ok:
         failures.append(
-            f"bm25: top-k includes docs matching < {len(_SEARCH_TERMS)} terms "
-            f"(n_terms = {sorted({r.n_terms for r in bm})}) — IDF regression?"
+            f"bm25: top-k not full-match positive (n_terms = "
+            f"{sorted({r.n_terms for r in bm})}, "
+            f"min score = {min(r.score_units for r in bm)}) — IDF regression?"
         )
-    if not all(r.score_units > 0 for r in bm):
-        failures.append("bm25: non-positive scores in top-k — IDF went negative")
-    print(f"bm25: {len(bm)} rows, all full-match positive: {not failures}")
+    print(f"bm25: {len(bm)} rows, all full-match positive: {bm_ok}")
 
     ce = {
         r.lang: r.m
