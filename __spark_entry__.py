@@ -48,8 +48,14 @@ _SAMPLE_FIRST = [
     "vec_state_collect",
     "embedding_quantize_int8",
     "approx_distinct_users",
-    # r5 new: the un-stubbed magic-byte decode dispatch (4 real codecs)
+    # r5 new: the un-stubbed magic-byte decode dispatch (4 real
+    # codecs), cross-doc exact-substring dedup, sequence packing,
+    # temperature mixture weights, one-pass curation funnel
     "multimodal_decode_dispatch",
+    "dedup_cross_doc_spans",
+    "pack_concat_chunks",
+    "mixture_temperature_sampling",
+    "curation_funnel_counts",
     # never-driver-checked (49 of this 50-prefix are first-time rows):
     # graph suite
     "graph_label_propagation",

@@ -614,3 +614,144 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_exposed_rows"),
         F.min("l_diversity").alias("l_diversity_min"),
     )
+
+
+# ---------------------------------------------------------------------------
+# data-mixture weighting (temperature-scaled multilingual sampling)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mixture_temperature_sampling",
+    oracle=f"""
+    WITH n AS (
+      SELECT lang, CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    s AS (
+      SELECT lang, n_tokens,
+             CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+               AS s_micro
+      FROM n
+    ),
+    t AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot,
+             CAST(SUM(s_micro) AS BIGINT) AS stot
+      FROM s
+    )
+    SELECT s.lang, s.n_tokens,
+           CAST(s.n_tokens * 10000 // t.tot AS BIGINT) AS p_bp,
+           CAST(s.s_micro * 10000 // t.stot AS BIGINT) AS q_bp,
+           CAST((s.s_micro * 10000 // t.stot)
+                - (s.n_tokens * 10000 // t.tot) AS BIGINT) AS boost_bp
+    FROM s, t
+    """,
+    tags=("curation", "mixture", "sampling", "pipeline"),
+)
+def mixture_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language-mixture weights — the published
+    multilingual sampling correction (exponentiated smoothing q_l ∝
+    p_l^α as in mBERT/XLM/mT5): natural token share p_l is flattened
+    to q_l so low-resource languages are upsampled. α = 1/2 here
+    because sqrt is correctly rounded in BOTH engines (the determinism
+    doctrine forbids cross-engine pow); the sqrt is quantized to
+    integer micro-units before the normalizing sums, so every output
+    share (basis points) is exact integer floor division. boost_bp > 0
+    marks upsampled languages.
+
+    Scale shape: one corpus-sized hash aggregate to |langs| rows;
+    everything after is arithmetic on a fixed-size frame with a 1-row
+    broadcast of the normalizers (allowlisted BNLJ — O(1) forever)."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    n = (
+        docs.select("lang", F.expr(f"size({_TOKS})").cast("long").alias("nt"))
+        .groupBy("lang")
+        .agg(F.sum("nt").cast("long").alias("n_tokens"))
+    )
+    s = n.withColumn(
+        "s_micro",
+        F.expr("cast(round(sqrt(cast(n_tokens as double)) * 1000000) as bigint)"),
+    )
+    t = s.agg(
+        F.sum("n_tokens").cast("long").alias("tot"),
+        F.sum("s_micro").cast("long").alias("stot"),
+    )
+    return s.join(F.broadcast(t)).select(
+        "lang",
+        "n_tokens",
+        F.expr("cast(n_tokens * 10000 div tot as bigint)").alias("p_bp"),
+        F.expr("cast(s_micro * 10000 div stot as bigint)").alias("q_bp"),
+        F.expr(
+            "cast((s_micro * 10000 div stot) - (n_tokens * 10000 div tot) as bigint)"
+        ).alias("boost_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# curation funnel (staged quality gates, counted in one pass)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_funnel_counts",
+    oracle=f"""
+    WITH f AS (
+      SELECT
+        len(t) AS n,
+        (len(t) BETWEEN 30 AND 5000) AS f1,
+        (10 * list_sum(list_transform(t, x -> len(x)))
+           BETWEEN 3 * 10 * len(t) AND 10 * 10 * len(t)) AS f2,
+        (5 * list_max(list_transform(list_distinct(t),
+             x -> len(list_filter(t, y -> y = x)))) <= len(t)) AS f3,
+        (10 * len(list_distinct(t)) >= 3 * len(t)) AS f4
+      FROM (SELECT {_SQL_TOKS} AS t FROM documents)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN f1 THEN 1 END) AS BIGINT) AS pass_length,
+           CAST(COUNT(CASE WHEN f1 AND f2 THEN 1 END) AS BIGINT) AS pass_wordlen,
+           CAST(COUNT(CASE WHEN f1 AND f2 AND f3 THEN 1 END) AS BIGINT)
+             AS pass_repetition,
+           CAST(COUNT(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 END) AS BIGINT)
+             AS pass_distinct
+    FROM f
+    """,
+    tags=("curation", "quality", "funnel", "pipeline"),
+)
+def curation_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staged curation funnel every corpus report opens with —
+    Gopher/C4-style quality gates applied in sequence (token count →
+    mean word length → top-token repetition → distinct-token ratio),
+    each stage's survivor count measured. All four flags are computed
+    IN the row with array higher-order functions (integer-scaled
+    comparisons, no floats), so the whole funnel is one codegen
+    projection plus one global count aggregate: zero joins, zero
+    per-stage passes — at 100 TB the funnel costs exactly one scan."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    f = docs.select(
+        F.expr(f"size({_TOKS})").alias("n"),
+        F.expr(f"size({_TOKS}) between 30 and 5000").alias("f1"),
+        F.expr(
+            f"10 * aggregate({_TOKS}, 0, (a, x) -> a + length(x))"
+            f" between 3 * 10 * size({_TOKS}) and 10 * 10 * size({_TOKS})"
+        ).alias("f2"),
+        F.expr(
+            f"5 * array_max(transform(array_distinct({_TOKS}),"
+            f" x -> size(filter({_TOKS}, y -> y = x)))) <= size({_TOKS})"
+        ).alias("f3"),
+        F.expr(
+            f"10 * size(array_distinct({_TOKS})) >= 3 * size({_TOKS})"
+        ).alias("f4"),
+    )
+    return f.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(F.when(F.col("f1"), 1)).cast("long").alias("pass_length"),
+        F.count(F.when(F.col("f1") & F.col("f2"), 1))
+        .cast("long")
+        .alias("pass_wordlen"),
+        F.count(F.when(F.col("f1") & F.col("f2") & F.col("f3"), 1))
+        .cast("long")
+        .alias("pass_repetition"),
+        F.count(F.when(F.col("f1") & F.col("f2") & F.col("f3") & F.col("f4"), 1))
+        .cast("long")
+        .alias("pass_distinct"),
+    )

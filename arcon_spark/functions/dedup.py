@@ -2274,3 +2274,90 @@ def dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", "wj_exact", n_match.cast("long").alias("n_match"))
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document exact-substring dedup (Lee et al. 2022 "Deduplicating
+# Training Data Makes Language Models Better": remove any span whose
+# token window occurs verbatim in another document)
+# ---------------------------------------------------------------------------
+
+_XDOC_K = 8  # tokens per window (the paper uses 50 BPE tokens; scaled
+# to the synthetic corpus' ~20-90-token documents so overlaps exist)
+
+
+@register(
+    "dedup_cross_doc_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             md5(array_to_string(t[i:i+{_XDOC_K}-1], ' ')) AS h
+      FROM toks, UNNEST(generate_series(1, len(t) - {_XDOC_K} + 1)) AS u(i)
+    ),
+    dup AS (
+      SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(COUNT(dup.h) AS BIGINT) AS n_dup_windows,
+           CAST(COUNT(dup.h) * 10000 // COUNT(*) AS BIGINT) AS dup_bp
+    FROM w LEFT JOIN dup ON w.h = dup.h
+    GROUP BY w.doc_id
+    """,
+    tags=("dedup", "substring", "pipeline"),
+)
+def dedup_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring cross-document dedup: every K-token window is
+    hashed; a window whose hash occurs in >= 2 DISTINCT documents is a
+    duplicated span, and each document reports its duplicated-window
+    fraction (basis points) — the published suffix-array criterion
+    re-expressed as a window-hash join, which is the shuffle-friendly
+    form (a distributed suffix array needs a global sort; window
+    hashing needs one hash shuffle and finds the same >=K-token
+    verbatim overlaps, discretized to window starts).
+
+    Scale shape: one explode (tokens x 1 per stride-1 window; at
+    100 TB use stride K/2 — detection of >=K-token overlaps is
+    preserved by pigeonhole at the cost of boundary slop), one hash
+    aggregate on the window hash (partial map-side combine handles
+    hot spans), one join back on the same key, one per-doc rollup.
+    No pairwise comparisons anywhere — the all-pairs structure lives
+    inside the hash groups."""
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = docs.select("doc_id", F.expr(_TOKS).alias("t"))
+    # ANSI guard: sequence(1, size-K+1) counts DOWN when size < K
+    w = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"if(size(t) < {_XDOC_K}, array(),"
+                f" transform(sequence(1, size(t) - {_XDOC_K} + 1),"
+                f" i -> md5(array_join(slice(t, i, {_XDOC_K}), ' '))))"
+            )
+        ).alias("h"),
+    )
+    dup = (
+        w.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("is_dup"))
+    )
+    return (
+        w.join(dup, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.count("is_dup").cast("long").alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.expr("cast(n_dup_windows * 10000 div n_windows as bigint)").alias(
+                "dup_bp"
+            ),
+        )
+    )

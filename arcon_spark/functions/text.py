@@ -2691,3 +2691,100 @@ def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_score_micro",
         F.coalesce(F.col("n_top1"), F.lit(0)).cast("long").alias("n_top1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# training-sequence packing (concat-and-chunk audit)
+# ---------------------------------------------------------------------------
+
+_PACK_C = 256  # context length in whitespace tokens
+
+
+@register(
+    "pack_concat_chunks",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, len({_SQL_TOKS_LIST}) AS n FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n,
+             CAST(COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cb
+      FROM d WHERE n > 0
+    ),
+    x AS (
+      SELECT source, doc_id, n, cb,
+             cb // {_PACK_C} AS c0, (cb + n - 1) // {_PACK_C} AS c1
+      FROM c
+    ),
+    e AS (
+      SELECT source, doc_id, n, cb, u.chunk_id
+      FROM x, UNNEST(generate_series(x.c0, x.c1)) AS u(chunk_id)
+    )
+    SELECT source, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN cb >= chunk_id * {_PACK_C} THEN 1 END) AS BIGINT)
+             AS n_starts,
+           CAST(SUM(LEAST((chunk_id + 1) * {_PACK_C}, cb + n)
+                    - GREATEST(chunk_id * {_PACK_C}, cb)) AS BIGINT) AS n_tokens
+    FROM e GROUP BY source, chunk_id
+    """,
+    tags=("text", "packing", "pipeline"),
+)
+def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing audit, concat-and-chunk form (the GPT
+    data-loader default: concatenate documents in a fixed order, slice
+    the token stream into context-length chunks): per (source, chunk)
+    — how many documents it touches, how many START in it, and its
+    token fill (== context length everywhere but each source's tail
+    chunk). The boundary-crossing count is the quantity attention-mask
+    / best-fit packing papers optimize against; this query is the
+    audit that measures it.
+
+    Exactness: token offsets are pure BIGINT prefix sums; a doc's
+    chunk span [cb // C, (cb+n-1) // C] and per-chunk overlap use only
+    integer floor division — both engines agree bit-for-bit.
+
+    Scale shape: one prefix-sum window PARTITIONED BY source (each
+    source's stream packs independently — at 100 TB the packing key
+    widens to (source, shard) so no partition's running sum is
+    unbounded), one explode of at most (n // C + 1) chunk rows per
+    doc, one hash aggregate on (source, chunk). The window and the
+    aggregate share the source key, so the agg reuses the window's
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    d = docs.select(
+        "doc_id", "source", F.expr(f"size({_TOKS})").cast("long").alias("n")
+    ).filter(F.col("n") > 0)
+    wv = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = d.withColumn("cb", F.coalesce(F.sum("n").over(wv), F.lit(0)))
+    x = c.select(
+        "source",
+        "doc_id",
+        "n",
+        "cb",
+        F.expr(f"cb div {_PACK_C}").alias("c0"),
+        F.expr(f"(cb + n - 1) div {_PACK_C}").alias("c1"),
+    )
+    e = x.select(
+        "source", "n", "cb", F.explode(F.expr("sequence(c0, c1)")).alias("chunk_id")
+    )
+    return e.groupBy("source", "chunk_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(F.when(F.col("cb") >= F.col("chunk_id") * _PACK_C, 1))
+        .cast("long")
+        .alias("n_starts"),
+        F.sum(
+            F.least(
+                (F.col("chunk_id") + 1) * _PACK_C, F.col("cb") + F.col("n")
+            )
+            - F.greatest(F.col("chunk_id") * _PACK_C, F.col("cb"))
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )

@@ -296,6 +296,8 @@ def test_no_cartesian_and_bnlj_allowlisted(spark, sf_dir):
         # 1-row broadcast of the all-pairs volume total (strong-tie cut)
         "graph_link_prediction",
         "graph_modularity",
+        # 1-row broadcast of the mixture normalizers (tot/stot)
+        "mixture_temperature_sampling",
     }
     cartesian, rogue_bnlj = [], []
     for name, fn in sorted(queries().items()):
