@@ -56,6 +56,8 @@ _SAMPLE_FIRST = [
     "pack_concat_chunks",
     "mixture_temperature_sampling",
     "curation_funnel_counts",
+    "dedup_survivorship",
+    "stream_curation_funnel",
     # never-driver-checked (49 of this 50-prefix are first-time rows):
     # graph suite
     "graph_label_propagation",

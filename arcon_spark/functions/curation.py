@@ -692,9 +692,7 @@ def mixture_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "curation_funnel_counts",
-    oracle=f"""
+_SQL_FUNNEL = f"""
     WITH f AS (
       SELECT
         len(t) AS n,
@@ -714,20 +712,14 @@ def mixture_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 END) AS BIGINT)
              AS pass_distinct
     FROM f
-    """,
-    tags=("curation", "quality", "funnel", "pipeline"),
-)
-def curation_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The staged curation funnel every corpus report opens with —
-    Gopher/C4-style quality gates applied in sequence (token count →
-    mean word length → top-token repetition → distinct-token ratio),
-    each stage's survivor count measured. All four flags are computed
-    IN the row with array higher-order functions (integer-scaled
-    comparisons, no floats), so the whole funnel is one codegen
-    projection plus one global count aggregate: zero joins, zero
-    per-stage passes — at 100 TB the funnel costs exactly one scan."""
-    docs = load_table(spark, sf_dir, "documents").select("text")
-    f = docs.select(
+    """
+
+
+def _funnel_flags(docs: DataFrame) -> DataFrame:
+    """Per-doc quality-gate flags, computed IN the row (one codegen
+    projection) — shared by the batch funnel and its streaming twin."""
+    return docs.select(
+        "doc_id",
         F.expr(f"size({_TOKS})").alias("n"),
         F.expr(f"size({_TOKS}) between 30 and 5000").alias("f1"),
         F.expr(
@@ -742,6 +734,9 @@ def curation_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"10 * size(array_distinct({_TOKS})) >= 3 * size({_TOKS})"
         ).alias("f4"),
     )
+
+
+def _funnel_counts(f: DataFrame) -> DataFrame:
     return f.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.count(F.when(F.col("f1"), 1)).cast("long").alias("pass_length"),
@@ -755,3 +750,21 @@ def curation_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pass_distinct"),
     )
+
+
+@register(
+    "curation_funnel_counts",
+    oracle=_SQL_FUNNEL,
+    tags=("curation", "quality", "funnel", "pipeline"),
+)
+def curation_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staged curation funnel every corpus report opens with —
+    Gopher/C4-style quality gates applied in sequence (token count →
+    mean word length → top-token repetition → distinct-token ratio),
+    each stage's survivor count measured. All four flags are computed
+    IN the row with array higher-order functions (integer-scaled
+    comparisons, no floats), so the whole funnel is one codegen
+    projection plus one global count aggregate: zero joins, zero
+    per-stage passes — at 100 TB the funnel costs exactly one scan."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _funnel_counts(_funnel_flags(docs))

@@ -2361,3 +2361,117 @@ def dedup_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# survivorship policy over the LSH candidate graph (keep-best dedup)
+# ---------------------------------------------------------------------------
+
+
+def _sql_bands_union() -> str:
+    return " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, md5(concat_ws('_', {parts})) AS band_hash FROM mh".format(
+            b=b,
+            parts=", ".join(
+                f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(NUM_BANDS)
+    )
+
+
+@register(
+    "dedup_survivorship",
+    oracle=(
+        lambda: f"""
+    WITH {_SQL_SHINGLE_CTE},
+    {_SQL_HASH_PAIR_CTE},
+    mh AS (
+      SELECT doc_id, {_sql_mh_list()}
+      FROM hp GROUP BY doc_id
+    ),
+    bands AS (
+      {_sql_bands_union()}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    q AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(t)) * 10000 // len(t) AS BIGINT) AS qu
+      FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM documents)
+      WHERE len(t) > 0
+    ),
+    e AS (
+      SELECT doc_a AS doc_id, doc_b AS other FROM pairs
+      UNION ALL
+      SELECT doc_b AS doc_id, doc_a AS other FROM pairs
+    ),
+    j AS (
+      SELECT e.doc_id, qd.qu AS q_doc,
+             (qo.qu > qd.qu OR (qo.qu = qd.qu AND e.other < e.doc_id)) AS lose
+      FROM e
+      JOIN q qd ON qd.doc_id = e.doc_id
+      JOIN q qo ON qo.doc_id = e.other
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_cands,
+           CAST(ANY_VALUE(q_doc) AS BIGINT) AS quality_units,
+           NOT bool_or(lose) AS keep
+    FROM j GROUP BY doc_id
+    """
+    )(),
+    tags=("dedup", "survivorship", "pipeline"),
+)
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best survivorship over the LSH candidate graph — the
+    policy step every production dedup pipeline runs after candidate
+    generation: among near-duplicate candidates, keep the
+    highest-quality copy (here distinct-token ratio in integer
+    basis-points, ties to the lower doc_id) and drop every document
+    that is strictly worse than ANY of its candidates. Output: each
+    candidate-involved doc, its candidate degree, quality, and keep
+    verdict. The greedy any-loss rule is deterministic, local to the
+    candidate edge list, and needs no cluster materialization — at
+    100 TB it runs as two docs-sized hash joins on the (capped) pair
+    list, no iteration (contrast dedup_connected_clusters when true
+    transitive closure is required)."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    q = (
+        docs.select("doc_id", F.expr(_TOKS).alias("t"))
+        .filter(F.size("t") > 0)
+        .select(
+            "doc_id",
+            F.expr(
+                "cast(size(array_distinct(t)) * 10000 div size(t) as bigint)"
+            ).alias("qu"),
+        )
+    )
+    e = pairs.select(F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("other")).unionAll(
+        pairs.select(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("other"))
+    )
+    j = (
+        e.join(q.select(F.col("doc_id"), F.col("qu").alias("q_doc")), "doc_id")
+        .join(
+            q.select(F.col("doc_id").alias("other"), F.col("qu").alias("q_other")),
+            "other",
+        )
+        .select(
+            "doc_id",
+            "q_doc",
+            (
+                (F.col("q_other") > F.col("q_doc"))
+                | ((F.col("q_other") == F.col("q_doc")) & (F.col("other") < F.col("doc_id")))
+            ).alias("lose"),
+        )
+    )
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cands"),
+        F.first("q_doc").alias("quality_units"),
+        (~F.expr("bool_or(lose)")).alias("keep"),
+    )

@@ -4097,3 +4097,65 @@ def stream_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("hour", F.coalesce("new_users", F.lit(0)).alias("new_users"))
         .withColumn("users_to_date", F.sum("new_users").over(w).cast("long"))
     )
+
+
+def _funnel_oracle() -> str:
+    from arcon_spark.functions.curation import _SQL_FUNNEL
+
+    return _SQL_FUNNEL
+
+
+@register(
+    "stream_curation_funnel",
+    oracle=_funnel_oracle(),
+    tags=("streaming", "curation", "quality", "incremental", "pipeline"),
+)
+def stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gating at INGEST: documents arrive in waves (three
+    micro-batches, split by doc_id % 3) and each wave's per-doc
+    Gopher/C4-style gate flags are computed in-row as it lands; the
+    cumulative funnel report over everything ingested must equal the
+    batch query's counts row-for-row (one oracle serves both —
+    curation_funnel_counts' shared flag/count helpers are used
+    verbatim).
+
+    Scale shape: per micro-batch one codegen projection, no state
+    store, no shuffle; the only aggregate is the final report over the
+    appended flag table. Per-doc flag rows are deterministic, so
+    distinct() absorbs duplicate appends from a retried foreachBatch
+    (same exactly-once insurance as stream_incremental_dedup)."""
+    from arcon_spark.functions.curation import _funnel_counts, _funnel_flags
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cached = _SPLIT_TAPE_CACHE.get((sf_dir, "docs3"))
+    if cached is not None and os.path.isdir(cached[0]):
+        root = cached[0]
+    else:
+        root = write_segments(
+            [docs.filter(F.col("doc_id") % 3 == k) for k in range(3)]
+        )
+        _SPLIT_TAPE_CACHE[(sf_dir, "docs3")] = (root, None)
+    work = scratch_dir("arcon_funnelstream_")
+    flags_dir = os.path.join(work, "flags")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        _funnel_flags(batch_df).write.mode("append").parquet(flags_dir)
+
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+
+    def run():
+        q = (
+            src.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    _with_stream_partitions(spark, run)
+    return _funnel_counts(spark.read.parquet(flags_dir).distinct())

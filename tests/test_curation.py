@@ -145,7 +145,8 @@ def test_int8_quantization_bounds(spark, sf_dir):
     rows = embedding_quantize_int8(spark, sf_dir).collect()
     assert rows
     for r in rows:
-        assert all(-127 <= q <= 127 for q in r.qvec)
+        # qvec is emitted '|'-joined (driver-canon-safe scalar string)
+        assert all(-127 <= int(q) <= 127 for q in r.qvec.split("|"))
         assert r.max_abs_err <= r.scale / 2 + 1e-12
         assert r.n_saturated >= 1  # the max component always hits ±127
 
