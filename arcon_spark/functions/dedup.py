@@ -2440,7 +2440,10 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB it runs as two docs-sized hash joins on the (capped) pair
     list, no iteration (contrast dedup_connected_clusters when true
     transitive closure is required)."""
-    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    # the pair list feeds BOTH direction branches of the edge union —
+    # checkpoint it (house pattern) so the full signature/band lineage
+    # runs once and the final plan is flat
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).localCheckpoint(eager=True)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     q = (
         docs.select("doc_id", F.expr(_TOKS).alias("t"))
