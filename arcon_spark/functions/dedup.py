@@ -231,11 +231,16 @@ def _band_exprs() -> list[str]:
       SELECT doc_id, {_sql_mh_list()}
       FROM hp GROUP BY doc_id
     ),
-    bands AS (
+    bands_raw AS (
       {" UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_id, md5(concat_ws('_', mh{b * ROWS_PER_BAND}, mh{b * ROWS_PER_BAND + 1}, mh{b * ROWS_PER_BAND + 2})) AS band_hash FROM mh"
         for b in range(NUM_BANDS)
       )}
+    ),
+    bands AS (
+      SELECT * FROM bands_raw
+      QUALIFY row_number() OVER (PARTITION BY band_id, band_hash
+                                 ORDER BY doc_id) <= {LSH_BUCKET_CAP}
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
@@ -268,10 +273,11 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # band hash) turns the self-join quadratic. Cap each bucket to its
     # LSH_BUCKET_CAP lowest doc_ids — deterministic, and the window's
     # (band_id, band_hash) partitioning is the same key the join needs,
-    # so the cap rides the one existing shuffle. Inactive below the cap
-    # (test SFs: max bucket ≈ cluster size ≪ 64 — oracle unaffected);
-    # at 100 TB it bounds any bucket's pair blowup at cap² instead of
-    # letting one hot hash dominate the stage.
+    # so the cap rides the one existing shuffle. The oracle encodes the
+    # SAME cap (QUALIFY row_number ORDER BY doc_id) — the cap is part of
+    # the operator's semantics, not a hidden approximation; at 100 TB it
+    # bounds any bucket's pair blowup at cap² instead of letting one hot
+    # hash dominate the stage.
     wcap = Window.partitionBy("band_id", "band_hash").orderBy("doc_id")
     bands = (
         bands.withColumn("_bn", F.row_number().over(wcap))
@@ -1038,7 +1044,12 @@ def _sql_lsh_cand_cte() -> str:
       SELECT doc_id, {_sql_mh_list()}
       FROM hp GROUP BY doc_id
     ),
-    bands AS ({bands_union}),
+    bands_raw AS ({bands_union}),
+    bands AS (
+      SELECT * FROM bands_raw
+      QUALIFY row_number() OVER (PARTITION BY band_id, band_hash
+                                 ORDER BY doc_id) <= {LSH_BUCKET_CAP}
+    ),
     cand AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
@@ -1506,6 +1517,9 @@ _SIMHASH_BANDS = 4  # 4 bands x 16 bits
       SELECT doc_id, b.band_id,
              substr(simhash_bits, b.band_id * 16 + 1, 16) AS band
       FROM sim, UNNEST([0, 1, 2, 3]) AS b(band_id)
+      QUALIFY row_number() OVER (PARTITION BY b.band_id,
+                 substr(simhash_bits, b.band_id * 16 + 1, 16)
+                 ORDER BY doc_id) <= {LSH_BUCKET_CAP}
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1530,9 +1544,15 @@ def dedup_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit fingerprint into 4x16-bit
     pieces, bucket-join on any identical band, then verify exact hamming
     distance <= 3. By pigeonhole this banding has EXACT recall at the
-    threshold: 3 differing bits can touch at most 3 of the 4 bands, so
-    every hamming<=3 pair shares at least one verbatim band — unlike
-    MinHash LSH, no probabilistic recall loss.
+    threshold BELOW THE BUCKET CAP: 3 differing bits can touch at most
+    3 of the 4 bands, so every hamming<=3 pair shares at least one
+    verbatim band — unlike MinHash LSH, no probabilistic recall loss.
+    Hot buckets (> LSH_BUCKET_CAP docs sharing a 16-bit band —
+    boilerplate that collapses to one fingerprint) truncate to the cap
+    deterministically, and the oracle encodes the SAME cap: the r5
+    sf0.1 sweep caught exactly this divergence (spark 300 vs duckdb
+    312 pairs) when the cap engaged for real while the oracle still
+    described uncapped banding.
 
     Plan shape: the fingerprint table (docs x 64 chars — tiny relative
     to the corpus) is persisted once and feeds both the band self-join
@@ -2390,8 +2410,13 @@ def _sql_bands_union() -> str:
       SELECT doc_id, {_sql_mh_list()}
       FROM hp GROUP BY doc_id
     ),
-    bands AS (
+    bands_raw AS (
       {_sql_bands_union()}
+    ),
+    bands AS (
+      SELECT * FROM bands_raw
+      QUALIFY row_number() OVER (PARTITION BY band_id, band_hash
+                                 ORDER BY doc_id) <= {LSH_BUCKET_CAP}
     ),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
