@@ -58,6 +58,10 @@ _SAMPLE_FIRST = [
     "curation_funnel_counts",
     "dedup_survivorship",
     "stream_curation_funnel",
+    # r5 session 2: cross-lingual bitext mining (CCMatrix-style ratio
+    # margin over block-tiled exact cosines; planted-twin direction
+    # check in tools/semantic_audit.py)
+    "bitext_margin_mining",
     # never-driver-checked (49 of this 50-prefix are first-time rows):
     # graph suite
     "graph_label_propagation",

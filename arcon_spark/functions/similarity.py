@@ -2080,3 +2080,226 @@ def rp_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             proj.cast("double") / (F.lit(float(_RP_K)) * orig.cast("double")), 6
         ).alias("jl_ratio"),
     )
+
+
+# --- Bitext mining (cross-lingual parallel-pair candidates) ----------------
+
+_BT_K = 4  # k-NN neighborhood size for the margin normalizer
+_BT_BLOCKS = 8  # block-tiled matmul grid side (raise for larger corpora)
+_BT_THR_PPM = 1_060_000  # keep pairs with ratio margin >= 1.06
+
+
+@register(
+    "bitext_margin_mining",
+    oracle=f"""
+    WITH lab AS (
+      SELECT e.vec_id, d.lang, e.embedding
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+      WHERE d.lang IN ('en', 'fr')
+    ),
+    units AS (
+      SELECT vec_id, lang, u.i AS i,
+             CAST(round(CAST(embedding[u.i] AS DOUBLE) * {_SCALE}.0) AS BIGINT) AS qv
+      FROM lab, UNNEST(generate_series(1, len(embedding))) AS u(i)
+    ),
+    n2 AS (SELECT vec_id, SUM(qv * qv) AS n2 FROM units GROUP BY vec_id),
+    -- MATERIALIZED: cc is referenced by two window CTEs which are each
+    -- referenced twice more; DuckDB inlines plain CTEs, so without the
+    -- hint the cross-cosine join re-evaluates 4x (70s -> <1s at sf0.001)
+    cc AS MATERIALIZED (
+      SELECT x.vec_id AS xid, y.vec_id AS yid,
+             CAST(round(CAST(SUM(x.qv * y.qv) AS DOUBLE)
+                        / (sqrt(CAST(MAX(nx.n2) AS DOUBLE))
+                           * sqrt(CAST(MAX(ny.n2) AS DOUBLE)))
+                        * 1000000.0) AS BIGINT) AS cos_mu
+      FROM units x JOIN units y ON x.i = y.i AND x.lang = 'en' AND y.lang = 'fr'
+      JOIN n2 nx ON nx.vec_id = x.vec_id
+      JOIN n2 ny ON ny.vec_id = y.vec_id
+      GROUP BY x.vec_id, y.vec_id
+    ),
+    xtop AS MATERIALIZED (
+      SELECT xid, yid, cos_mu,
+             row_number() OVER (PARTITION BY xid ORDER BY cos_mu DESC, yid) AS rn
+      FROM cc
+    ),
+    ytop AS MATERIALIZED (
+      SELECT xid, yid, cos_mu,
+             row_number() OVER (PARTITION BY yid ORDER BY cos_mu DESC, xid) AS rn
+      FROM cc
+    ),
+    -- CAST: DuckDB SUM(BIGINT) is HUGEINT, which would type margin_ppm
+    -- as int128 and break the driver's value canon (house rule: no
+    -- HUGEINT/DECIMAL oracle output; sums here are <= 2*K*1e6)
+    sx AS (SELECT xid, CAST(SUM(cos_mu) AS BIGINT) AS sum_x
+           FROM xtop WHERE rn <= {_BT_K} GROUP BY xid),
+    sy AS (SELECT yid, CAST(SUM(cos_mu) AS BIGINT) AS sum_y
+           FROM ytop WHERE rn <= {_BT_K} GROUP BY yid),
+    cand AS (
+      SELECT xid, yid, cos_mu FROM xtop WHERE rn <= {_BT_K}
+      UNION
+      SELECT xid, yid, cos_mu FROM ytop WHERE rn <= {_BT_K}
+    ),
+    marg AS (
+      SELECT c.xid, c.yid, c.cos_mu,
+             (2 * {_BT_K} * c.cos_mu * 1000000) // (sx.sum_x + sy.sum_y) AS margin_ppm
+      FROM cand c JOIN sx ON sx.xid = c.xid JOIN sy ON sy.yid = c.yid
+      WHERE sx.sum_x + sy.sum_y > 0
+    ),
+    best AS (
+      SELECT xid, yid, cos_mu, margin_ppm,
+             row_number() OVER (PARTITION BY xid ORDER BY margin_ppm DESC, yid) AS fx,
+             row_number() OVER (PARTITION BY yid ORDER BY margin_ppm DESC, xid) AS fy
+      FROM marg
+    )
+    SELECT xid AS doc_en, yid AS doc_fr, cos_mu, margin_ppm
+    FROM best WHERE fx = 1 AND fy = 1 AND margin_ppm >= {_BT_THR_PPM}
+    """,
+    tags=("similarity", "bitext", "curation"),
+)
+def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual bitext mining with ratio-margin scoring (the
+    CCMatrix/LASER recipe): for English docs X and French docs Y,
+    score every candidate pair by margin(x, y) = cos(x, y) divided by
+    the mean of the two k-NN neighborhoods' cosines
+    ((avg_k cos(x, NN_Y(x)) + avg_k cos(y, NN_X(y))) / 2), then keep
+    mutual-best pairs above a 1.06 margin — margin > 1 means the pair
+    stands out of both neighborhoods, the standard signal that two
+    documents are translations rather than merely same-topic.
+
+    Determinism: dot products are exact int64 (components quantized at
+    1e7); each cosine collapses to one correctly-rounded double then
+    quantizes to micro-units (cos_mu), so neighborhood sums are exact
+    integers and the margin is one BIGINT truncating division
+    (margin_ppm) — hash-identical across engines.
+
+    Scale shape: the en×fr cross space is never materialized. Both
+    sides hash into a {_BT_BLOCKS}x{_BT_BLOCKS} tile grid (one shuffle
+    on the tile key, task memory = one tile pair regardless of corpus
+    size — dedup_embedding_cosine's block-matmul pattern); each tile
+    emits only its per-row/per-column top-{_BT_K}-with-ties partials
+    (the lossless distributive-top-k prune), so the shuffle after the
+    matmul carries ~K rows per doc, not |X|x|Y|. At production scale
+    the tile grid composes with the IVF coarse quantizer
+    (ann_ivf_topk) to prune empty tiles. The reference has no vector
+    or multilingual surface (SURVEY.md §2.9); this extends the
+    training-data pipeline suite."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    lab = (
+        emb.join(docs, emb.vec_id == docs.doc_id)
+        .filter(F.col("lang").isin("en", "fr"))
+        .select("vec_id", "lang", "embedding")
+    )
+    B = _BT_BLOCKS
+    blk = lab.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(B)).cast("int"))
+    # en vector in block i serves tiles (i, 0..B-1); fr in block j serves
+    # (0..B-1, j): full bipartite grid, one shuffle, no symmetry fold
+    # (the two sides are disjoint id sets).
+    x_side = blk.filter(F.col("lang") == "en").select(
+        F.col("blk").alias("ti"),
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("tj"),
+        F.lit("x").alias("side"),
+        "vec_id",
+        "embedding",
+    )
+    y_side = blk.filter(F.col("lang") == "fr").select(
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("ti"),
+        F.col("blk").alias("tj"),
+        F.lit("y").alias("side"),
+        "vec_id",
+        "embedding",
+    )
+    tiles = x_side.unionByName(y_side)
+
+    def tile(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"xid": [], "yid": [], "cos_mu": [], "dir": []}).astype(
+            {"xid": "int64", "yid": "int64", "cos_mu": "int64", "dir": "object"}
+        )
+        xm = pdf["side"].to_numpy() == "x"
+        xp, yp = pdf[xm], pdf[~xm]
+        if xp.empty or yp.empty:
+            return empty
+        X = _int_matrix(xp["embedding"])
+        Y = _int_matrix(yp["embedding"])
+        xids = xp["vec_id"].to_numpy(dtype=np.int64)
+        yids = yp["vec_id"].to_numpy(dtype=np.int64)
+        xn = np.sqrt((X * X).sum(axis=1).astype(np.float64))
+        yn = np.sqrt((Y * Y).sum(axis=1).astype(np.float64))
+        cos = (X @ Y.T).astype(np.float64) / (xn[:, None] * yn[None, :])
+        scaled = cos * 1000000.0
+        mu = np.trunc(scaled + np.copysign(0.5, scaled)).astype(np.int64)
+        nx, ny = mu.shape
+        out = []
+        # per-x tile-local top-K with ties (prune is lossless for any
+        # consumer that trims to a global per-x top-K on (mu desc, id)):
+        kx = min(_BT_K, ny)
+        thrx = np.partition(mu, ny - kx, axis=1)[:, ny - kx]
+        ri, ci = np.nonzero(mu >= thrx[:, None])
+        out.append(
+            pd.DataFrame(
+                {"xid": xids[ri], "yid": yids[ci], "cos_mu": mu[ri, ci], "dir": "x"}
+            )
+        )
+        ky = min(_BT_K, nx)
+        thry = np.partition(mu, nx - ky, axis=0)[nx - ky, :]
+        ri, ci = np.nonzero(mu >= thry[None, :])
+        out.append(
+            pd.DataFrame(
+                {"xid": xids[ri], "yid": yids[ci], "cos_mu": mu[ri, ci], "dir": "y"}
+            )
+        )
+        return pd.concat(out, ignore_index=True)
+
+    # The matmul stage feeds both directional top-k branches, and each
+    # of those feeds its sum AND the candidate union — Spark re-executes
+    # a subtree per branch (no cross-branch exchange reuse), so the
+    # K-rows-per-doc partials are checkpointed once (house plan-trim
+    # pattern; same reason the oracle marks cc/xtop/ytop MATERIALIZED).
+    partials = tiles.groupBy("ti", "tj").applyInPandas(
+        tile, "xid long, yid long, cos_mu long, dir string"
+    ).localCheckpoint(eager=True)
+    wx = Window.partitionBy("xid").orderBy(F.desc("cos_mu"), F.asc("yid"))
+    wy = Window.partitionBy("yid").orderBy(F.desc("cos_mu"), F.asc("xid"))
+    xtop = (
+        partials.filter(F.col("dir") == "x")
+        .withColumn("rn", F.row_number().over(wx))
+        .filter(F.col("rn") <= _BT_K)
+        .drop("dir", "rn")
+        .localCheckpoint(eager=True)
+    )
+    ytop = (
+        partials.filter(F.col("dir") == "y")
+        .withColumn("rn", F.row_number().over(wy))
+        .filter(F.col("rn") <= _BT_K)
+        .drop("dir", "rn")
+        .localCheckpoint(eager=True)
+    )
+    sx = xtop.groupBy("xid").agg(F.sum("cos_mu").alias("sum_x"))
+    sy = ytop.groupBy("yid").agg(F.sum("cos_mu").alias("sum_y"))
+    cand = xtop.unionByName(ytop).distinct()
+    marg = (
+        cand.join(sx, "xid")
+        .join(sy, "yid")
+        .filter(F.col("sum_x") + F.col("sum_y") > 0)
+        .withColumn(
+            "margin_ppm",
+            F.expr(f"(2 * {_BT_K} * cos_mu * 1000000) div (sum_x + sum_y)"),
+        )
+    )
+    fx = Window.partitionBy("xid").orderBy(F.desc("margin_ppm"), F.asc("yid"))
+    fy = Window.partitionBy("yid").orderBy(F.desc("margin_ppm"), F.asc("xid"))
+    return (
+        marg.withColumn("fx", F.row_number().over(fx))
+        .withColumn("fy", F.row_number().over(fy))
+        .filter(
+            (F.col("fx") == 1)
+            & (F.col("fy") == 1)
+            & (F.col("margin_ppm") >= _BT_THR_PPM)
+        )
+        .select(
+            F.col("xid").alias("doc_en"),
+            F.col("yid").alias("doc_fr"),
+            "cos_mu",
+            "margin_ppm",
+        )
+    )
