@@ -62,6 +62,13 @@ _SAMPLE_FIRST = [
     # margin over block-tiled exact cosines; planted-twin direction
     # check in tools/semantic_audit.py)
     "bitext_margin_mining",
+    # r5 session 3: differentially-private corpus-statistics release
+    # (deterministic md5-seeded Laplace, clip-bounded sensitivity,
+    # parallel/sequential budget composition; mechanism pinned to the
+    # textbook inverse CDF in tests/test_curation.py)
+    "dp_noisy_domain_counts",
+    "dp_clipped_mean_chars",
+    "dp_length_histogram",
     # never-driver-checked (49 of this 50-prefix are first-time rows):
     # graph suite
     "graph_label_propagation",

@@ -768,3 +768,208 @@ def curation_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-stage passes — at 100 TB the funnel costs exactly one scan."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return _funnel_counts(_funnel_flags(docs))
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private corpus-statistics release
+# ---------------------------------------------------------------------------
+
+# A training-corpus build publishes dataset cards (per-domain counts,
+# mean lengths, length histograms) over documents whose individual
+# presence can be sensitive. The standard fix is an epsilon-DP release:
+# clip each contribution to bound sensitivity, add Laplace(b = delta/eps)
+# noise to every published aggregate, and account the budget across
+# releases. Production DP systems additionally pin the noise RNG seed so
+# a release is reproducible for audit; here the noise is DERIVED
+# deterministically from md5 of the release key (the house deterministic
+# pseudo-randomness pattern), which makes the whole mechanism
+# hash-matchable across engines while keeping the exact inverse-CDF
+# Laplace shape: u32 = first 8 md5 hex digits, u = (u32 + 0.5) / 2^32,
+# noise = -b * sgn(u - 0.5) * ln(1 - 2|u - 0.5|). The quantities
+# 2*u32+1 and 1 - 2|u-0.5| = (2^32 - |2*u32+1 - 2^32|) / 2^32 are exact
+# dyadic doubles, ln() is quantized to micro-units BEFORE scaling by b
+# (per the package-wide micronat rule), so the released values are
+# exact BIGINT micro-units in both engines.
+
+_U32_SPARK = "CAST(conv(substring(md5({k}),1,8),16,10) AS BIGINT)"
+_U32_DUCK = "CAST('0x' || substring(md5({k}),1,8) AS BIGINT)"
+
+
+def _lap_noise_mu(key_sql: str, b: int, dialect: str) -> str:
+    """SQL fragment: deterministic Laplace(b) noise in micro-units for
+    the given key expression — identical formula in both dialects, only
+    the hex-to-int idiom differs (Spark conv() vs DuckDB '0x' cast)."""
+    tpl = _U32_SPARK if dialect == "spark" else _U32_DUCK
+    u32 = tpl.format(k=key_sql)
+    return (
+        f"(CASE WHEN 2*({u32})+1 >= 4294967296 THEN 1 ELSE -1 END) * "
+        f"CAST(round(-ln(CAST(4294967296 - abs(2*({u32})+1 - 4294967296) "
+        f"AS DOUBLE) / 4294967296.0) * 1000000.0) AS BIGINT) * {b}"
+    )
+
+
+_DP_EPS_PPM = 1_000_000  # epsilon = 1 per release
+_DP_CLIP = 256  # char-count clip cap (sensitivity bound for the mean)
+_DP_HIST_W = 64  # histogram bucket width in chars
+_DP_HIST_TOP = 9  # buckets 0..9, top bucket open-ended
+
+
+@register(
+    "dp_noisy_domain_counts",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang, source, count(*) AS c FROM documents GROUP BY lang, source
+    )
+    SELECT lang, source,
+           c * 1000000 + ({_lap_noise_mu("'dpc:' || lang || '|' || source", 1, "duck")})
+             AS noisy_count_mu,
+           round(CAST(c * 1000000 + ({_lap_noise_mu("'dpc:' || lang || '|' || source", 1, "duck")})
+                 AS DOUBLE) / 1000000.0, 6) AS noisy_count,
+           CAST({_DP_EPS_PPM} AS BIGINT) AS epsilon_ppm
+    FROM g
+    """,
+    tags=("curation", "privacy", "dp", "pipeline"),
+)
+def dp_noisy_domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epsilon-DP (eps=1) per-(lang, source) document counts — the
+    dataset-card table published without revealing whether any single
+    document is in the corpus. A count has sensitivity 1 (one document
+    moves one cell by 1, and each document lands in exactly one cell,
+    so the per-cell releases compose in PARALLEL: the whole table costs
+    eps=1, not eps * n_cells). Laplace(1) noise is derived from md5 of
+    the cell key, quantized to micro-units. Plan: one hash aggregate on
+    (lang, source) plus a codegen projection — the release costs
+    exactly the scan + one bounded shuffle at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "source")
+    noise = _lap_noise_mu("'dpc:' || lang || '|' || source", 1, "spark")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "lang",
+            "source",
+            F.expr(f"c * 1000000 + ({noise})").alias("noisy_count_mu"),
+            F.expr(
+                f"round(CAST(c * 1000000 + ({noise}) AS DOUBLE) / 1000000.0, 6)"
+            ).alias("noisy_count"),
+            F.lit(_DP_EPS_PPM).cast("long").alias("epsilon_ppm"),
+        )
+    )
+
+
+@register(
+    "dp_clipped_mean_chars",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang,
+             CAST(SUM(LEAST(n_chars, {_DP_CLIP})) AS BIGINT) AS s,
+             count(*) AS c
+      FROM documents GROUP BY lang
+    ),
+    n AS (
+      SELECT lang,
+             s * 1000000 + ({_lap_noise_mu("'dps:' || lang", 2 * _DP_CLIP, "duck")})
+               AS noisy_sum_mu,
+             GREATEST(c * 1000000 + ({_lap_noise_mu("'dpq:' || lang", 2, "duck")}), 1)
+               AS noisy_cnt_mu
+      FROM g
+    )
+    SELECT lang, noisy_sum_mu, noisy_cnt_mu,
+           round(CAST(noisy_sum_mu AS DOUBLE) / CAST(noisy_cnt_mu AS DOUBLE), 6)
+             AS dp_mean_chars,
+           CAST({_DP_CLIP} AS BIGINT) AS clip_cap,
+           CAST({_DP_EPS_PPM} AS BIGINT) AS epsilon_ppm
+    FROM n
+    """,
+    tags=("curation", "privacy", "dp", "pipeline"),
+)
+def dp_clipped_mean_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epsilon-DP (eps=1 total) mean document length per lang, the
+    clip-then-noise recipe: each document's n_chars is clipped to
+    256 so the sum's sensitivity is bounded by the cap rather
+    than by the longest document (unbounded sensitivity = unbounded
+    noise), then the SUM gets Laplace(clip/(eps/2)) and the COUNT gets
+    Laplace(1/(eps/2)) — sequential composition splits the budget in
+    half because both releases read the same rows. The published mean
+    is one exact-BIGINT division of the two noisy micro-unit sums.
+    Plan: one hash aggregate per lang, noise in the projection."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    ns = _lap_noise_mu("'dps:' || lang", 2 * _DP_CLIP, "spark")
+    nc = _lap_noise_mu("'dpq:' || lang", 2, "spark")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.sum(F.least(F.col("n_chars"), F.lit(_DP_CLIP))).alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .select(
+            "lang",
+            F.expr(f"s * 1000000 + ({ns})").alias("noisy_sum_mu"),
+            F.expr(f"GREATEST(c * 1000000 + ({nc}), 1)").alias("noisy_cnt_mu"),
+        )
+        .select(
+            "lang",
+            "noisy_sum_mu",
+            "noisy_cnt_mu",
+            F.expr(
+                "round(CAST(noisy_sum_mu AS DOUBLE) / CAST(noisy_cnt_mu AS DOUBLE), 6)"
+            ).alias("dp_mean_chars"),
+            F.lit(_DP_CLIP).cast("long").alias("clip_cap"),
+            F.lit(_DP_EPS_PPM).cast("long").alias("epsilon_ppm"),
+        )
+    )
+
+
+@register(
+    "dp_length_histogram",
+    oracle=f"""
+    WITH spine AS (SELECT bucket FROM range(0, {_DP_HIST_TOP} + 1) t(bucket)),
+    g AS (
+      SELECT LEAST(n_chars // {_DP_HIST_W}, {_DP_HIST_TOP}) AS bucket,
+             count(*) AS c
+      FROM documents GROUP BY 1
+    )
+    SELECT s.bucket,
+           COALESCE(g.c, 0) * 1000000
+             + ({_lap_noise_mu("'dph:' || CAST(s.bucket AS VARCHAR)", 1, "duck")})
+             AS noisy_count_mu,
+           round(CAST(COALESCE(g.c, 0) * 1000000
+                 + ({_lap_noise_mu("'dph:' || CAST(s.bucket AS VARCHAR)", 1, "duck")})
+                 AS DOUBLE) / 1000000.0, 6) AS noisy_count,
+           CAST({_DP_EPS_PPM} AS BIGINT) AS epsilon_ppm
+    FROM spine s LEFT JOIN g ON g.bucket = s.bucket
+    """,
+    tags=("curation", "privacy", "dp", "pipeline"),
+)
+def dp_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epsilon-DP (eps=1) histogram of document lengths in 64-char
+    buckets. Two release rules the plain count query doesn't exercise:
+    the bucket SPINE is fixed a priori and EVERY bucket is published —
+    including empty ones, which get pure noise — because suppressing
+    empty cells leaks their emptiness; and since the buckets partition
+    the documents, parallel composition again prices the whole
+    histogram at eps=1. The 10-row spine joins the aggregate by
+    broadcast; noise is keyed on the bucket id alone so the release for
+    a given spine is reproducible regardless of data partitioning."""
+    docs = load_table(spark, sf_dir, "documents").select("n_chars")
+    spine = spark.range(0, _DP_HIST_TOP + 1).select(F.col("id").alias("bucket"))
+    g = (
+        docs.select(
+            F.expr(f"LEAST(n_chars div {_DP_HIST_W}, {_DP_HIST_TOP})").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    noise = _lap_noise_mu("'dph:' || CAST(bucket AS STRING)", 1, "spark")
+    return (
+        spine.join(g, "bucket", "left")
+        .select(
+            "bucket",
+            F.expr(f"COALESCE(c, 0) * 1000000 + ({noise})").alias("noisy_count_mu"),
+            F.expr(
+                f"round(CAST(COALESCE(c, 0) * 1000000 + ({noise}) AS DOUBLE)"
+                " / 1000000.0, 6)"
+            ).alias("noisy_count"),
+            F.lit(_DP_EPS_PPM).cast("long").alias("epsilon_ppm"),
+        )
+    )

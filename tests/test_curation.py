@@ -268,3 +268,81 @@ def test_ranking_operators_discriminate_in_the_intended_direction(spark, sf_dir)
         .collect()
     }
     assert max(lw, key=lw.get) == _LM_TRAIN_LANG, lw
+
+
+def _lap_closed_form(key: str, b: int) -> int:
+    """Independent reimplementation of the deterministic Laplace noise
+    (micro-units): md5-seeded u, exact inverse CDF via math.log — the
+    check parity cannot make (both engines could share a wrong
+    mechanism; this pins it to the textbook formula)."""
+    import hashlib
+
+    u32 = int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+    m = 2 * u32 + 1
+    sgn = 1 if m >= 2**32 else -1
+    t = float(2**32 - abs(m - 2**32)) / float(2**32)
+    lam_mu = round(-math.log(t) * 1_000_000.0)
+    return sgn * lam_mu * b
+
+
+def test_dp_noise_is_textbook_laplace(spark, sf_dir):
+    """The histogram release's noise (noisy_count_mu - 1e6 * true
+    count, empty buckets = pure noise) must equal the closed-form
+    Laplace inverse CDF seeded by the bucket key, and respect the
+    eps=1 tail bound |noise| <= ln(2^33) (u is a 33-bit grid, so the
+    worst-case quantile is 2^-33)."""
+    from arcon_spark.functions.curation import (
+        _DP_HIST_TOP,
+        _DP_HIST_W,
+        dp_length_histogram,
+    )
+
+    true = {
+        r.bucket: r.c
+        for r in load_table(spark, sf_dir, "documents")
+        .select(
+            F.expr(f"LEAST(n_chars div {_DP_HIST_W}, {_DP_HIST_TOP})").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    rows = dp_length_histogram(spark, sf_dir).collect()
+    assert len(rows) == _DP_HIST_TOP + 1  # every spine bucket published
+    bound_mu = math.log(2.0**33) * 1_000_000.0
+    for r in rows:
+        noise = r.noisy_count_mu - 1_000_000 * true.get(r.bucket, 0)
+        assert noise == _lap_closed_form(f"dph:{r.bucket}", 1)
+        assert abs(noise) <= bound_mu
+
+
+def test_dp_clipped_mean_sensitivity_and_noise(spark, sf_dir):
+    """The mean release must clip contributions at the cap (sum of
+    clipped lengths, not raw), split the budget into two Laplace draws
+    with the composed scales (2*clip for the sum, 2 for the count),
+    and divide the exact micro-unit integers."""
+    from arcon_spark.functions.curation import _DP_CLIP, dp_clipped_mean_chars
+
+    true = {
+        r.lang: (r.s, r.c)
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.sum(F.least(F.col("n_chars"), F.lit(_DP_CLIP))).alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .collect()
+    }
+    raw_max = load_table(spark, sf_dir, "documents").agg(
+        F.max("n_chars")
+    ).collect()[0][0]
+    assert raw_max > _DP_CLIP  # the cap genuinely binds on this corpus
+    for r in dp_clipped_mean_chars(spark, sf_dir).collect():
+        s, c = true[r.lang]
+        assert r.noisy_sum_mu - 1_000_000 * s == _lap_closed_form(
+            f"dps:{r.lang}", 2 * _DP_CLIP
+        )
+        assert r.noisy_cnt_mu - 1_000_000 * c == _lap_closed_form(
+            f"dpq:{r.lang}", 2
+        )
+        assert r.dp_mean_chars == round(r.noisy_sum_mu / r.noisy_cnt_mu, 6)
