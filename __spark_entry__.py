@@ -69,6 +69,7 @@ _SAMPLE_FIRST = [
     "dp_noisy_domain_counts",
     "dp_clipped_mean_chars",
     "dp_length_histogram",
+    "stream_dp_release_ledger",
     # never-driver-checked (49 of this 50-prefix are first-time rows):
     # graph suite
     "graph_label_propagation",

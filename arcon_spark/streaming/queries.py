@@ -4159,3 +4159,101 @@ def stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _with_stream_partitions(spark, run)
     return _funnel_counts(spark.read.parquet(flags_dir).distinct())
+
+
+def _dp_wave_oracle() -> str:
+    from arcon_spark.functions.curation import _lap_noise_mu
+
+    noise = _lap_noise_mu(
+        "'sdp:' || CAST(wave AS VARCHAR) || ':' || lang", 1, "duck"
+    )
+    return f"""
+    WITH g AS (
+      SELECT doc_id % 3 AS wave, lang, count(*) AS c
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT wave, lang,
+           c * 1000000 + ({noise}) AS noisy_count_mu,
+           round(CAST(c * 1000000 + ({noise}) AS DOUBLE) / 1000000.0, 6)
+             AS noisy_count,
+           CAST(1000000 AS BIGINT) AS epsilon_ppm
+    FROM g
+    """
+
+
+@register(
+    "stream_dp_release_ledger",
+    oracle=_dp_wave_oracle(),
+    tags=("streaming", "curation", "privacy", "dp", "incremental", "pipeline"),
+)
+def stream_dp_release_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP statistics published AT INGEST: documents arrive in three
+    waves (doc_id % 3) and each micro-batch releases eps=1 Laplace
+    noisy per-lang counts for ITS wave the moment it lands — the
+    hourly-dashboard pattern where stats go public while the corpus is
+    still loading. The waves partition the corpus, so the whole ledger
+    costs eps=1 by parallel composition (a document is covered by
+    exactly one release), and the running ledger the stream accumulates
+    equals the batch release table row-for-row.
+
+    Determinism under streaming: the wave id comes from the DATA
+    (doc_id % 3), never from batch_id, and the noise is keyed on
+    (wave, lang) — so the published values are identical under any
+    micro-batch arrival order, and a retried foreachBatch recomputes
+    byte-identical release rows that distinct() absorbs (the
+    stream_incremental_dedup exactly-once insurance). Per batch the
+    work is one in-batch hash aggregate plus the noise projection —
+    no state store, no stream-side shuffle beyond the per-wave agg."""
+    from arcon_spark.functions.curation import _lap_noise_mu
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    cached = _SPLIT_TAPE_CACHE.get((sf_dir, "docs3lang"))
+    if cached is not None and os.path.isdir(cached[0]):
+        root = cached[0]
+    else:
+        root = write_segments(
+            [docs.filter(F.col("doc_id") % 3 == k) for k in range(3)]
+        )
+        _SPLIT_TAPE_CACHE[(sf_dir, "docs3lang")] = (root, None)
+    work = scratch_dir("arcon_dpledger_")
+    ledger_dir = os.path.join(work, "ledger")
+    noise = _lap_noise_mu("'sdp:' || CAST(wave AS STRING) || ':' || lang", 1, "spark")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy(
+                (F.col("doc_id") % 3).alias("wave"), F.col("lang")
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(
+                "wave",
+                "lang",
+                F.expr(f"c * 1000000 + ({noise})").alias("noisy_count_mu"),
+                F.expr(
+                    f"round(CAST(c * 1000000 + ({noise}) AS DOUBLE)"
+                    " / 1000000.0, 6)"
+                ).alias("noisy_count"),
+                F.lit(1_000_000).cast("long").alias("epsilon_ppm"),
+            )
+            .write.mode("append")
+            .parquet(ledger_dir)
+        )
+
+    src = (
+        spark.readStream.schema("doc_id long, lang string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+
+    def run():
+        q = (
+            src.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    _with_stream_partitions(spark, run)
+    return spark.read.parquet(ledger_dir).distinct()

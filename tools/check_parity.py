@@ -114,6 +114,15 @@ def main() -> int:
     qmap = queries()
     spark = get_spark("parity_check")
     con = duckdb.connect()
+    # Bound the oracle engine so one heavy query degrades to ITS OWN
+    # error instead of taking the host down: 24 GB RAM (the box also
+    # runs the Spark JVM), 30 GiB of spill (two full-registry sf0.1
+    # sweeps died this round when unbounded DuckDB temp filled the
+    # disk and failed unrelated queries), 8 threads (leave CPUs for
+    # the Spark side of the same comparison).
+    con.sql("SET memory_limit='24GB'")
+    con.sql("SET max_temp_directory_size='30GiB'")
+    con.sql("SET threads=8")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
