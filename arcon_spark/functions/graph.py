@@ -39,13 +39,13 @@ def _sql_iterations() -> str:
     prev = "r0"
     for k in range(1, _ITERS + 1):
         parts.append(
-            f"""c{k} AS (
+            f"""c{k} AS MATERIALIZED (
       SELECT e.dst AS node, SUM({_SQL_CONTRIB}) AS s
       FROM edges e JOIN {prev} r ON r.node = e.src
                    JOIN deg d ON d.node = e.src
       GROUP BY e.dst
     ),
-    r{k} AS (
+    r{k} AS MATERIALIZED (
       SELECT n.node, {_TELEPORT} + COALESCE(c.s, 0) AS rank
       FROM nodes n LEFT JOIN c{k} c ON c.node = n.node
     )"""
@@ -57,7 +57,7 @@ def _sql_iterations() -> str:
 @register(
     "pagerank_trade_network",
     oracle=f"""
-    WITH flows AS (
+    WITH flows AS MATERIALIZED (
       SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
       FROM lineitem
         JOIN supplier ON s_suppkey = l_suppkey
@@ -65,11 +65,11 @@ def _sql_iterations() -> str:
         JOIN customer ON c_custkey = o_custkey
       WHERE s_nationkey <> c_nationkey
     ),
-    edges AS (SELECT src, dst FROM flows),
-    nodes AS (SELECT n_nationkey AS node FROM nation),
-    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
+    edges AS MATERIALIZED (SELECT src, dst FROM flows),
+    nodes AS MATERIALIZED (SELECT n_nationkey AS node FROM nation),
+    deg AS MATERIALIZED (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
             FROM edges GROUP BY src),
-    r0 AS (SELECT node, CAST({_UNIT} AS BIGINT) AS rank FROM nodes),
+    r0 AS MATERIALIZED (SELECT node, CAST({_UNIT} AS BIGINT) AS rank FROM nodes),
     {_sql_iterations()}
     SELECT node AS nationkey, CAST(rank AS BIGINT) AS pagerank_units
     FROM r{_ITERS}
@@ -149,7 +149,7 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_triangle_count",
     oracle="""
-    WITH flows AS (
+    WITH flows AS MATERIALIZED (
       SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
       FROM lineitem
         JOIN supplier ON s_suppkey = l_suppkey
@@ -157,7 +157,7 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN customer ON c_custkey = o_custkey
       WHERE s_nationkey <> c_nationkey
     ),
-    und AS (
+    und AS MATERIALIZED (
       SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM flows
     )
     SELECT (SELECT CAST(COUNT(DISTINCT n_nationkey) AS BIGINT) FROM nation) AS n_nodes,
@@ -219,7 +219,7 @@ _UNREACHED = 999  # distance sentinel (graph diameter ≪ this)
 
 def _bfs_sql_iter(k: int) -> str:
     prev = f"d{k - 1}"
-    return f"""d{k} AS (
+    return f"""d{k} AS MATERIALIZED (
       SELECT n.node, LEAST(d.dist, COALESCE(m.c, {_UNREACHED})) AS dist
       FROM nodes n
         JOIN {prev} d ON d.node = n.node
@@ -232,7 +232,7 @@ def _bfs_sql_iter(k: int) -> str:
 @register(
     "graph_bfs_distances",
     oracle=f"""
-    WITH flows AS (
+    WITH flows AS MATERIALIZED (
       SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
       FROM lineitem
         JOIN supplier ON s_suppkey = l_suppkey
@@ -240,9 +240,9 @@ def _bfs_sql_iter(k: int) -> str:
         JOIN customer ON c_custkey = o_custkey
       WHERE s_nationkey <> c_nationkey
     ),
-    edges AS (SELECT src, dst FROM flows),
-    nodes AS (SELECT n_nationkey AS node FROM nation),
-    d0 AS (SELECT node, CASE WHEN node = 0 THEN 0 ELSE {_UNREACHED} END AS dist
+    edges AS MATERIALIZED (SELECT src, dst FROM flows),
+    nodes AS MATERIALIZED (SELECT n_nationkey AS node FROM nation),
+    d0 AS MATERIALIZED (SELECT node, CASE WHEN node = 0 THEN 0 ELSE {_UNREACHED} END AS dist
            FROM nodes),
     {",".join(_bfs_sql_iter(k) for k in range(1, _BFS_ITERS + 1))}
     SELECT node AS nationkey, CAST(dist AS BIGINT) AS dist
@@ -262,7 +262,7 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sql_recursive_reachability",
     oracle="""
-    WITH RECURSIVE flows AS (
+    WITH RECURSIVE flows AS MATERIALIZED (
       SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
       FROM lineitem
         JOIN supplier ON s_suppkey = l_suppkey
@@ -400,18 +400,18 @@ def _sql_lpa_iterations() -> str:
     prev = "l0"
     for k in range(1, _LPA_ITERS + 1):
         parts.append(
-            f"""v{k} AS (
+            f"""v{k} AS MATERIALIZED (
       SELECT u.dst AS node, p.lab, CAST(COUNT(*) AS BIGINT) AS c
       FROM undirected u JOIN {prev} p ON p.node = u.src
       GROUP BY u.dst, p.lab
     ),
-    m{k} AS (
+    m{k} AS MATERIALIZED (
       SELECT node, lab FROM (
         SELECT node, lab,
                row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
         FROM v{k}) WHERE rn = 1
     ),
-    l{k} AS (
+    l{k} AS MATERIALIZED (
       SELECT p.node, COALESCE(m.lab, p.lab) AS lab
       FROM {prev} p LEFT JOIN m{k} m ON m.node = p.node
     )"""
@@ -423,7 +423,7 @@ def _sql_lpa_iterations() -> str:
 @register(
     "graph_label_propagation",
     oracle=f"""
-    WITH flows AS (
+    WITH flows AS MATERIALIZED (
       SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
       FROM lineitem
         JOIN supplier ON s_suppkey = l_suppkey
@@ -431,13 +431,13 @@ def _sql_lpa_iterations() -> str:
         JOIN customer ON c_custkey = o_custkey
       WHERE s_nationkey <> c_nationkey
     ),
-    undirected AS (
+    undirected AS MATERIALIZED (
       SELECT src, dst FROM flows
       UNION
       SELECT dst AS src, src AS dst FROM flows
     ),
-    nodes AS (SELECT n_nationkey AS node FROM nation),
-    l0 AS (SELECT node, CAST(node AS BIGINT) AS lab FROM nodes),
+    nodes AS MATERIALIZED (SELECT n_nationkey AS node FROM nation),
+    l0 AS MATERIALIZED (SELECT node, CAST(node AS BIGINT) AS lab FROM nodes),
     {_sql_lpa_iterations()}
     SELECT node AS nationkey, lab AS community
     FROM l{_LPA_ITERS}
@@ -527,7 +527,7 @@ _SSSP_INF = 999_999_999  # > any real path cost; diameter * max weight bound
 
 def _sssp_sql_iter(k: int) -> str:
     prev = f"d{k - 1}"
-    return f"""d{k} AS (
+    return f"""d{k} AS MATERIALIZED (
       SELECT n.node, LEAST(d.dist, COALESCE(m.c, {_SSSP_INF})) AS dist
       FROM nodes n
         JOIN {prev} d ON d.node = n.node
@@ -540,7 +540,7 @@ def _sssp_sql_iter(k: int) -> str:
 @register(
     "graph_shortest_path_weighted",
     oracle=f"""
-    WITH flows AS (
+    WITH flows AS MATERIALIZED (
       SELECT s_nationkey AS src, c_nationkey AS dst,
              CAST(MIN(round(l_quantity)) AS BIGINT) AS w
       FROM lineitem
@@ -550,9 +550,9 @@ def _sssp_sql_iter(k: int) -> str:
       WHERE s_nationkey <> c_nationkey
       GROUP BY 1, 2
     ),
-    edges AS (SELECT src, dst, w FROM flows),
-    nodes AS (SELECT n_nationkey AS node FROM nation),
-    d0 AS (SELECT node, CASE WHEN node = 0 THEN 0 ELSE {_SSSP_INF} END AS dist
+    edges AS MATERIALIZED (SELECT src, dst, w FROM flows),
+    nodes AS MATERIALIZED (SELECT n_nationkey AS node FROM nation),
+    d0 AS MATERIALIZED (SELECT node, CASE WHEN node = 0 THEN 0 ELSE {_SSSP_INF} END AS dist
            FROM nodes),
     {",".join(_sssp_sql_iter(k) for k in range(1, _SSSP_ITERS + 1))}
     SELECT node AS nationkey, CAST(dist AS BIGINT) AS dist
@@ -633,7 +633,7 @@ _KCORE_K = 3
 _KCORE_ROUNDS = 5
 
 _KCORE_EDGES_SQL = """
-    flows AS (
+    flows AS MATERIALIZED (
       SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
       FROM lineitem
         JOIN supplier ON s_suppkey = l_suppkey
@@ -641,7 +641,7 @@ _KCORE_EDGES_SQL = """
         JOIN customer ON c_custkey = o_custkey
       WHERE s_nationkey <> c_nationkey
     ),
-    sym AS (
+    sym AS MATERIALIZED (
       SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst FROM flows
       UNION
       SELECT DISTINCT GREATEST(src, dst) AS src, LEAST(src, dst) AS dst FROM flows
@@ -653,11 +653,11 @@ def _kcore_sql_rounds() -> str:
     prev = "sym"
     for r in range(1, _KCORE_ROUNDS + 1):
         parts.append(
-            f"""d{r} AS (
+            f"""d{r} AS MATERIALIZED (
       SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM {prev} GROUP BY src
     ),
-    keep{r} AS (SELECT node FROM d{r} WHERE deg >= {_KCORE_K}),
-    e{r} AS (
+    keep{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {_KCORE_K}),
+    e{r} AS MATERIALIZED (
       SELECT e.src, e.dst FROM {prev} e
       JOIN keep{r} a ON a.node = e.src
       JOIN keep{r} b ON b.node = e.dst
@@ -746,7 +746,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_link_prediction",
     oracle="""
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
       SELECT LEAST(s_nationkey, c_nationkey) AS a,
              GREATEST(s_nationkey, c_nationkey) AS b,
              CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n
@@ -757,22 +757,22 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE s_nationkey <> c_nationkey
       GROUP BY 1, 2
     ),
-    tot AS (SELECT SUM(n) AS total, CAST(COUNT(*) AS BIGINT) AS np FROM pairs),
-    strong AS (
+    tot AS MATERIALIZED (SELECT SUM(n) AS total, CAST(COUNT(*) AS BIGINT) AS np FROM pairs),
+    strong AS MATERIALIZED (
       SELECT a, b FROM pairs, tot WHERE n * np > total
     ),
-    sym AS (
+    sym AS MATERIALIZED (
       SELECT a AS src, b AS dst FROM strong
       UNION
       SELECT b AS src, a AS dst FROM strong
     ),
-    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY src),
-    wedge AS (
+    deg AS MATERIALIZED (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+    wedge AS MATERIALIZED (
       SELECT a.src AS u, b.src AS v, CAST(COUNT(*) AS BIGINT) AS common
       FROM sym a JOIN sym b ON a.dst = b.dst AND a.src < b.src
       GROUP BY 1, 2
     ),
-    nonedge AS (
+    nonedge AS MATERIALIZED (
       SELECT w.u, w.v, w.common
       FROM wedge w
       LEFT JOIN sym e ON e.src = w.u AND e.dst = w.v
@@ -881,7 +881,7 @@ _MOD_SCALE = 1_000_000_000
 @register(
     "graph_modularity",
     oracle=f"""
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
       SELECT LEAST(s_nationkey, c_nationkey) AS a,
              GREATEST(s_nationkey, c_nationkey) AS b,
              CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n
@@ -892,26 +892,26 @@ _MOD_SCALE = 1_000_000_000
       WHERE s_nationkey <> c_nationkey
       GROUP BY 1, 2
     ),
-    tot AS (SELECT SUM(n) AS total, CAST(COUNT(*) AS BIGINT) AS np FROM pairs),
-    strong AS (SELECT a, b FROM pairs, tot WHERE n * np > total),
-    undirected AS (
+    tot AS MATERIALIZED (SELECT SUM(n) AS total, CAST(COUNT(*) AS BIGINT) AS np FROM pairs),
+    strong AS MATERIALIZED (SELECT a, b FROM pairs, tot WHERE n * np > total),
+    undirected AS MATERIALIZED (
       SELECT a AS src, b AS dst FROM strong
       UNION
       SELECT b AS src, a AS dst FROM strong
     ),
-    nodes AS (SELECT DISTINCT src AS node FROM undirected),
-    l0 AS (SELECT node, CAST(node AS BIGINT) AS lab FROM nodes),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM undirected),
+    l0 AS MATERIALIZED (SELECT node, CAST(node AS BIGINT) AS lab FROM nodes),
     {{lpa}},
-    labels AS (SELECT node, lab FROM l{{iters}}),
-    m AS (SELECT CAST(COUNT(*) AS BIGINT) // 2 AS m FROM undirected),
-    internal AS (
+    labels AS MATERIALIZED (SELECT node, lab FROM l{{iters}}),
+    m AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) // 2 AS m FROM undirected),
+    internal AS MATERIALIZED (
       SELECT la.lab, CAST(COUNT(*) AS BIGINT) // 2 AS e_c
       FROM undirected u
       JOIN labels la ON la.node = u.src
       JOIN labels lb ON lb.node = u.dst AND lb.lab = la.lab
       GROUP BY la.lab
     ),
-    degs AS (
+    degs AS MATERIALIZED (
       SELECT la.lab, CAST(COUNT(*) AS BIGINT) AS d_c
       FROM undirected u JOIN labels la ON la.node = u.src
       GROUP BY la.lab
@@ -1042,13 +1042,13 @@ def _ppr_sql_iterations() -> str:
     prev = "r0"
     for k in range(1, _ITERS + 1):
         parts.append(
-            f"""c{k} AS (
+            f"""c{k} AS MATERIALIZED (
       SELECT e.dst AS node, SUM({_SQL_CONTRIB}) AS s
       FROM edges e JOIN {prev} r ON r.node = e.src
                    JOIN deg d ON d.node = e.src
       GROUP BY e.dst
     ),
-    r{k} AS (
+    r{k} AS MATERIALIZED (
       SELECT n.node,
              CASE WHEN n.node = {_PPR_SEED} THEN {_TELEPORT} ELSE 0 END
                + COALESCE(c.s, 0) AS rank
@@ -1062,7 +1062,7 @@ def _ppr_sql_iterations() -> str:
 @register(
     "ppr_from_seed",
     oracle=f"""
-    WITH flows AS (
+    WITH flows AS MATERIALIZED (
       SELECT s_nationkey AS src, c_nationkey AS dst,
              CAST(COUNT(*) AS BIGINT) AS w
       FROM lineitem
@@ -1072,11 +1072,11 @@ def _ppr_sql_iterations() -> str:
       WHERE s_nationkey <> c_nationkey
       GROUP BY 1, 2
     ),
-    edges AS (SELECT src, dst FROM flows),
-    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
+    edges AS MATERIALIZED (SELECT src, dst FROM flows),
+    deg AS MATERIALIZED (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
             FROM edges GROUP BY src),
-    nodes AS (SELECT n_nationkey AS node FROM nation),
-    r0 AS (
+    nodes AS MATERIALIZED (SELECT n_nationkey AS node FROM nation),
+    r0 AS MATERIALIZED (
       SELECT node,
              CASE WHEN node = {_PPR_SEED} THEN CAST({_UNIT} AS BIGINT)
                   ELSE CAST(0 AS BIGINT) END AS rank
