@@ -70,6 +70,7 @@ _SAMPLE_FIRST = [
     "dp_clipped_mean_chars",
     "dp_length_histogram",
     "stream_dp_release_ledger",
+    "dp_median_chars",
     # never-driver-checked (49 of this 50-prefix are first-time rows):
     # graph suite
     "graph_label_propagation",

@@ -20,7 +20,7 @@ is on a key that stays bounded at 100 TB (doc_id, ngram hash, source).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from arcon_spark.io import load_table, spread
@@ -970,6 +970,105 @@ def dp_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"round(CAST(COALESCE(c, 0) * 1000000 + ({noise}) AS DOUBLE)"
                 " / 1000000.0, 6)"
             ).alias("noisy_count"),
+            F.lit(_DP_EPS_PPM).cast("long").alias("epsilon_ppm"),
+        )
+    )
+
+
+def _gumbel_mu_sql(key_sql: str, dialect: str) -> str:
+    """SQL fragment: deterministic standard-Gumbel noise in micro-units
+    for the given key — the Gumbel-max trick's randomizer. u is the
+    md5-seeded dyadic uniform; G = -ln(-ln(u)), quantized once after
+    the full expression (chained ln's agree across engines on the
+    micronat grid exactly like the single-ln Laplace quantities)."""
+    tpl = _U32_SPARK if dialect == "spark" else _U32_DUCK
+    u32 = tpl.format(k=key_sql)
+    return (
+        f"CAST(round(-ln(-ln((({u32}) + 0.5) / 4294967296.0))"
+        f" * 1000000.0) AS BIGINT)"
+    )
+
+
+@register(
+    "dp_median_chars",
+    oracle=f"""
+    WITH vals AS (
+      SELECT lang, n_chars AS v, count(*) AS c FROM documents GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT lang, v, c,
+             COALESCE(SUM(c) OVER (PARTITION BY lang ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+             SUM(c) OVER (PARTITION BY lang) AS n
+      FROM vals
+    ),
+    scored AS (
+      SELECT lang, v,
+             -abs(2 * below + c - n) * 250000 AS score_ppm,
+             {_gumbel_mu_sql("'dpm:' || lang || ':' || CAST(v AS VARCHAR)", "duck")} AS g_mu
+      FROM ranked
+    )
+    SELECT lang, v AS dp_median_chars,
+           CAST(score_ppm + g_mu AS BIGINT) AS gumbel_key_ppm,
+           CAST({_DP_EPS_PPM} AS BIGINT) AS epsilon_ppm
+    FROM (SELECT *, row_number() OVER (PARTITION BY lang
+                                       ORDER BY score_ppm + g_mu DESC, v) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+    tags=("curation", "privacy", "dp", "pipeline"),
+)
+def dp_median_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epsilon-DP (eps=1) median document length per lang via the
+    EXPONENTIAL MECHANISM — the DP primitive for non-numeric /
+    selection queries, where adding Laplace noise to the answer makes
+    no sense. Candidates are the observed lengths; utility is the
+    negative rank distance to the true median, u(v) = -|rank(v) - n/2|
+    (sensitivity 1: one document moves any rank by at most 1; the
+    query doubles both terms to stay integer, absorbing the factor
+    into eps/2 -> 250000 ppm per rank step); the mechanism samples v
+    with probability proportional to exp(eps*u/2), realized
+    deterministically by the Gumbel-max trick — argmax of
+    score + Gumbel(md5(key)) is an exact sample of the softmax over
+    scores, and seeding the Gumbel per (lang, candidate) makes the
+    release reproducible and engine-identical.
+
+    Plan: one (lang, value) hash aggregate, two windows partitioned by
+    lang on the tiny distinct-value relation, one top-1 pick — the
+    scan dominates at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    vals = docs.groupBy("lang", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy("lang")
+    gm = _gumbel_mu_sql("'dpm:' || lang || ':' || CAST(v AS STRING)", "spark")
+    scored = vals.select(
+        "lang",
+        "v",
+        F.coalesce(F.sum("c").over(wcum), F.lit(0)).alias("below"),
+        F.sum("c").over(wall).alias("n"),
+        F.col("c"),
+    ).select(
+        "lang",
+        "v",
+        F.expr("-abs(2 * below + c - n) * 250000").alias("score_ppm"),
+        F.expr(gm).alias("g_mu"),
+    )
+    wpick = Window.partitionBy("lang").orderBy(
+        F.desc(F.expr("score_ppm + g_mu")), F.asc("v")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wpick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "lang",
+            F.col("v").alias("dp_median_chars"),
+            F.expr("CAST(score_ppm + g_mu AS BIGINT)").alias("gumbel_key_ppm"),
             F.lit(_DP_EPS_PPM).cast("long").alias("epsilon_ppm"),
         )
     )

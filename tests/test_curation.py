@@ -346,3 +346,51 @@ def test_dp_clipped_mean_sensitivity_and_noise(spark, sf_dir):
             f"dpq:{r.lang}", 2
         )
         assert r.dp_mean_chars == round(r.noisy_sum_mu / r.noisy_cnt_mu, 6)
+
+
+def test_dp_median_is_exact_exponential_mechanism(spark, sf_dir):
+    """Recompute the whole exponential mechanism independently in
+    Python (rank utilities from the raw table, closed-form Gumbel per
+    candidate key, argmax with the value tiebreak) and require the
+    query's released median to match exactly; also bound the utility —
+    the winner's rank distance must stay within the noise tail."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from arcon_spark.functions.curation import dp_median_chars
+
+    rows = (
+        load_table(spark, sf_dir, "documents").select("lang", "n_chars").collect()
+    )
+    by_lang: dict = defaultdict(Counter)
+    for r in rows:
+        by_lang[r.lang][r.n_chars] += 1
+
+    def gumbel_mu(key: str) -> int:
+        u32 = int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+        u = (u32 + 0.5) / 2.0**32
+        return round(-math.log(-math.log(u)) * 1_000_000.0)
+
+    expect = {}
+    for lang, cnt in by_lang.items():
+        n = sum(cnt.values())
+        below = 0
+        best = None
+        for v in sorted(cnt):
+            c = cnt[v]
+            score = -abs(2 * below + c - n) * 250_000
+            key = score + gumbel_mu(f"dpm:{lang}:{v}")
+            # argmax with (key desc, v asc) tiebreak
+            if best is None or key > best[0]:
+                best = (key, v, abs(2 * below + c - n))
+            below += c
+        expect[lang] = best
+
+    got = {r.lang: r for r in dp_median_chars(spark, sf_dir).collect()}
+    assert set(got) == set(expect)
+    for lang, (key, v, rank_err2) in expect.items():
+        assert got[lang].dp_median_chars == v
+        assert got[lang].gumbel_key_ppm == key
+        # utility: 2*|rank - n/2| bounded by the worst Gumbel gap at
+        # eps=1 (|G| <= ln(2^33)+ln(ln(2^33)) ~ 26; score step 0.25/rank)
+        assert rank_err2 <= 220
