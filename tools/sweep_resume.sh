@@ -1,0 +1,21 @@
+#!/bin/bash
+# Resume the chunked sf0.1 sweep over the queries listed in $2 (one
+# name per line), appending to $1. Same chunking/spill hygiene as
+# tools/sweep_sf01.sh.
+set -u
+SF=/root/testdata/sf0.1
+OUT=${1:-/root/repo/sweep_sf01.log}
+LIST=${2:-/root/repo/.sweep_remaining.txt}
+CHUNK=${3:-30}
+mapfile -t ALL < "$LIST"
+TOTAL=${#ALL[@]}
+echo "resume: $TOTAL queries, chunks of $CHUNK" >> "$OUT"
+for ((i = 0; i < TOTAL; i += CHUNK)); do
+  chunk=("${ALL[@]:i:CHUNK}")
+  echo "--- resume chunk $((i / CHUNK)) (${chunk[0]}..${chunk[$((${#chunk[@]} - 1))]})" >> "$OUT"
+  SPARK_GRAFT_CPUS=16 timeout 3000 python /root/repo/tools/check_parity.py \
+    --jobs 2 "$SF" "${chunk[@]}" 2>/dev/null \
+    | grep -E "^(OK|FAIL|ROWS|[0-9]+ pass)" >> "$OUT"
+  rm -rf /root/repo/.tmp /tmp/duckdb_* /tmp/arcon_* 2>/dev/null
+done
+echo "SWEEP DONE" >> "$OUT"
