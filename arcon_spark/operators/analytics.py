@@ -578,7 +578,12 @@ def _brown_terms(lag_fmt: str) -> tuple[str, str]:
            CAST(({terms[0]}) AS DOUBLE) / {_BROWN_SUM1}.0 / 100.0 AS s1,
            CAST(({terms[1]}) AS DOUBLE) / {_BROWN_SUM2}.0 / 100.0 AS s2,
            (2.0 * (CAST(({terms[0]}) AS DOUBLE) / {_BROWN_SUM1}.0 / 100.0))
-             - CAST(({terms[1]}) AS DOUBLE) / {_BROWN_SUM2}.0 / 100.0 AS forecast
+             - CAST(({terms[1]}) AS DOUBLE) / {_BROWN_SUM2}.0 / 100.0 AS level,
+           (CAST(({terms[0]}) AS DOUBLE) / {_BROWN_SUM1}.0 / 100.0)
+             - CAST(({terms[1]}) AS DOUBLE) / {_BROWN_SUM2}.0 / 100.0 AS trend,
+           (3.0 * (CAST(({terms[0]}) AS DOUBLE) / {_BROWN_SUM1}.0 / 100.0))
+             - (2.0 * (CAST(({terms[1]}) AS DOUBLE) / {_BROWN_SUM2}.0 / 100.0))
+             AS forecast
     FROM t WHERE c{2 * _BROWN_D - 2} IS NOT NULL
     """)(_brown_terms("c{k}")),
     tags=("analytics", "timeseries", "forecast"),
@@ -587,10 +592,17 @@ def brown_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brown's double-exponential smoothing (level + trend) with EXACT
     arithmetic: over a full 15-lag frame the second smoothing pass
     composes into fixed convolved integer weights, so S1, S2 and the
-    one-step forecast 2·S1 − S2 are ratios of exact integer dot
-    products — bit-identical cross-engine, where a recursive float
-    EWMA-of-EWMA never is (extends the ewma_user_value design,
-    operators/maintenance.py). Rows without full history are excluded
+    derived quantities are ratios of exact integer dot products —
+    bit-identical cross-engine, where a recursive float EWMA-of-EWMA
+    never is (extends the ewma_user_value design,
+    operators/maintenance.py). The weights are the alpha = 1/2 EWMA
+    truncated at 8 lags, so alpha/(1-alpha) = 1 and Brown's
+    decomposition is level a_t = 2*S1 - S2, trend b_t = S1 - S2, and
+    the one-step forecast a_t + b_t = 3*S1 - 2*S2 (through round 5
+    the `forecast` column carried only the LEVEL 2*S1 - S2 — a
+    semantics mislabel both engines shared, the class of bug parity
+    cannot catch; pinned now by the planted-line test in
+    tests/test_analytics.py). Rows without full history are excluded
     (the head-truncated variant has data-dependent weight sums on S2
     that no longer compose exactly).
 
@@ -617,7 +629,9 @@ def brown_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         s1.alias("s1"),
         s2.alias("s2"),
-        (F.lit(2.0) * s1 - s2).alias("forecast"),
+        (F.lit(2.0) * s1 - s2).alias("level"),
+        (s1 - s2).alias("trend"),
+        (F.lit(3.0) * s1 - F.lit(2.0) * s2).alias("forecast"),
     )
 
 

@@ -2559,8 +2559,8 @@ def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT user_id, event_id,
-           (2.0 * (CAST(({" + ".join(f"c{k} * {2 ** (7 - k)}" for k in range(8))}) AS DOUBLE) / 255.0 / 100.0))
-             - CAST(({" + ".join(f"c{m} * {(8 - abs(m - 7)) * 2 ** (14 - m)}" for m in range(15))}) AS DOUBLE) / 65025.0 / 100.0 AS forecast
+           (3.0 * (CAST(({" + ".join(f"c{k} * {2 ** (7 - k)}" for k in range(8))}) AS DOUBLE) / 255.0 / 100.0))
+             - (2.0 * (CAST(({" + ".join(f"c{m} * {(8 - abs(m - 7)) * 2 ** (14 - m)}" for m in range(15))}) AS DOUBLE) / 65025.0 / 100.0)) AS forecast
     FROM t WHERE c14 IS NOT NULL
     """)(),
     tags=("streaming", "stateful", "forecast"),
@@ -2569,8 +2569,10 @@ def stream_brown_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brown's double-exponential forecast as STREAMING per-key state:
     a 15-value cents ring buffer per user (O(depth) state — exactly
     what the bounded-frame formulation buys, see
-    brown_trend_forecast), emitting the 2·S1−S2 forecast on every
-    element once the buffer is full. Same convolved-integer-weight
+    brown_trend_forecast), emitting the one-step forecast
+    3·S1−2·S2 (level + trend at alpha = 1/2; through round 5 this
+    carried only the level 2·S1−S2 — same mislabel as the batch twin,
+    fixed together) on every element once the buffer is full. Same convolved-integer-weight
     arithmetic as the batch window pass; shares its oracle."""
     from arcon_spark.streaming.stateful import Operator, apply_operator
 
@@ -2605,7 +2607,9 @@ def stream_brown_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if len(ring) == self.DEPTH:
                     s1 = sum(c * w for c, w in zip(ring[:8], W1))
                     s2 = sum(c * w for c, w in zip(ring, CONV))
-                    forecast = 2.0 * (float(s1) / 255.0 / 100.0) - (
+                    # level + trend at alpha=1/2: a+b = 3*S1 - 2*S2
+                    # (round-5 fix, mirrors brown_trend_forecast)
+                    forecast = 3.0 * (float(s1) / 255.0 / 100.0) - 2.0 * (
                         float(s2) / 65025.0 / 100.0
                     )
                     out.append(

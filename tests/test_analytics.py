@@ -170,3 +170,53 @@ def test_quantile_sketch_within_bin_width_of_exact(spark, sf_dir):
     for r in quantile_histogram_sketch(spark, sf_dir).collect():
         want = exact[r.event_type][0 if r.q == 0.5 else 1]
         assert abs(r.est_value - want) <= 4.0, (r.event_type, r.q, r.est_value, want)
+
+
+def test_brown_forecast_is_level_plus_trend(spark, monkeypatch):
+    """Mechanism pin for Brown's smoothing (the forecast column carried
+    only the level 2*S1-S2 through round 5 — both engines agreed, so
+    parity could never catch it). On a planted exact line y = 50 + 10*t
+    cents: recompute S1/S2 from the literal truncated weights and
+    require exact agreement, and require the forecast (3*S1 - 2*S2,
+    i.e. level + trend at alpha = 1/2) to predict y_{t+1} strictly
+    better than the bare level does."""
+    from arcon_spark.operators.analytics import (
+        _BROWN_CONV,
+        _BROWN_D,
+        _BROWN_SUM1,
+        _BROWN_SUM2,
+        _BROWN_W1,
+        brown_trend_forecast,
+    )
+
+    n = 2 * _BROWN_D + 4  # a few full-history rows
+    rows = [
+        (1, t, f"2024-01-01 00:{t:02d}:00", "tick", (50 + 10 * t) / 100.0, "{}")
+        for t in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts_s string, event_type string, value double, props string",
+    ).select(
+        "user_id", "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "event_type", "value", "props",
+    )
+    from arcon_spark.operators import analytics
+
+    monkeypatch.setattr(analytics, "load_table", lambda s, d, n_: df)
+    got = {r.event_id: r for r in brown_trend_forecast(spark, "unused").collect()}
+    assert got, "no full-history rows"
+    for eid, r in got.items():
+        cents = [50 + 10 * (eid - k) for k in range(2 * _BROWN_D - 1)]
+        s1 = sum(c * w for c, w in zip(cents, _BROWN_W1)) / _BROWN_SUM1 / 100.0
+        s2 = sum(c * w for c, w in zip(cents, _BROWN_CONV)) / _BROWN_SUM2 / 100.0
+        assert abs(r.s1 - s1) < 1e-12 and abs(r.s2 - s2) < 1e-12
+        assert abs(r.level - (2 * s1 - s2)) < 1e-12
+        assert abs(r.trend - (s1 - s2)) < 1e-12
+        assert abs(r.forecast - (3 * s1 - 2 * s2)) < 1e-12
+        y_next = (50 + 10 * (eid + 1)) / 100.0
+        assert abs(r.forecast - y_next) < abs(r.level - y_next)
+        # on an exact line the trend estimate must be positive and the
+        # forecast within the truncation bias of the true next value
+        assert r.trend > 0
