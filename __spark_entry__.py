@@ -71,6 +71,10 @@ _SAMPLE_FIRST = [
     "dp_length_histogram",
     "stream_dp_release_ledger",
     "dp_median_chars",
+    # r5 session 3: Brown forecast corrected to level+trend (3*S1-2*S2)
+    # — re-prove both twins at the driver after the semantics fix
+    "brown_trend_forecast",
+    "stream_brown_trend",
     # never-driver-checked (49 of this 50-prefix are first-time rows):
     # graph suite
     "graph_label_propagation",
