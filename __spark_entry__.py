@@ -75,6 +75,8 @@ _SAMPLE_FIRST = [
     # — re-prove both twins at the driver after the semantics fix
     "brown_trend_forecast",
     "stream_brown_trend",
+    # r5 session 3: shuffle pre-flight — heavy-key census + salt advisor
+    "skew_diagnostics_events",
     # never-driver-checked (49 of this 50-prefix are first-time rows):
     # graph suite
     "graph_label_propagation",

@@ -1480,3 +1480,87 @@ def ivm_retractable_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         (F.col("cents").cast("double") / 100.0).alias("revenue"),
     )
+
+
+_SKEW_PARTS = 32  # planning assumption: shuffle partition count
+_SKEW_TOPK = 5  # heavy keys to report
+
+
+@register(
+    "skew_diagnostics_events",
+    oracle=f"""
+    WITH k AS (
+      SELECT user_id, count(*) AS c FROM {{EVENTS_NORM}} GROUP BY user_id
+    ),
+    stats AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS total_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(c) AS BIGINT) AS max_c
+      FROM k
+    ),
+    top AS (
+      SELECT user_id, c,
+             row_number() OVER (ORDER BY c DESC, user_id) AS rn
+      FROM k
+    )
+    SELECT t.rn AS rank, t.user_id AS key, t.c AS key_rows,
+           s.total_rows, s.n_keys,
+           round(CAST(t.c AS DOUBLE) / CAST(s.total_rows AS DOUBLE), 6)
+             AS key_share,
+           round(CAST(t.c AS DOUBLE)
+                 / (CAST(s.total_rows AS DOUBLE) / {_SKEW_PARTS}.0), 6)
+             AS partition_ratio,
+           CAST(CASE WHEN t.c * {_SKEW_PARTS} <= s.total_rows THEN 1
+                ELSE (t.c * {_SKEW_PARTS} + s.total_rows - 1) // s.total_rows
+                END AS BIGINT) AS recommended_salt
+    FROM top t, stats s
+    WHERE t.rn <= {_SKEW_TOPK}
+    """.format(EVENTS_NORM=EVENTS_NORM),
+    tags=("maintenance", "skew", "diagnostics", "scale"),
+)
+def skew_diagnostics_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the pre-flight report for any big
+    shuffle: per heavy key, its row count, share of the table, the
+    ratio of its rows to the average partition's (partition_ratio > 1
+    means this key ALONE overflows its reducer), and the salt factor
+    that would spread it back to average (ceil(key_rows /
+    (total/partitions)), the number a salted repartition or AQE
+    skew-join split actually needs). All counts exact; the two shares
+    are single divisions of exact integers.
+
+    Plan: one map-side-partial count by key, a TakeOrdered-style top-k
+    over the per-key frame, one 1-row stats broadcast — the diagnosis
+    of an N-row shuffle costs one aggregate of it. At 100 TB this is
+    the cheap query you run BEFORE the expensive one."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    k = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    k = k.persist()  # feeds the 1-row stats AND the top-k rank
+    stats = k.agg(
+        F.sum("c").cast("long").alias("total_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("c").cast("long").alias("max_c"),
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("user_id"))
+    top = (
+        k.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SKEW_TOPK)
+    )
+    return top.crossJoin(F.broadcast(stats)).select(
+        F.col("rn").cast("long").alias("rank"),
+        F.col("user_id").alias("key"),
+        F.col("c").cast("long").alias("key_rows"),
+        "total_rows",
+        "n_keys",
+        F.round(F.col("c").cast("double") / F.col("total_rows").cast("double"), 6)
+        .alias("key_share"),
+        F.round(
+            F.col("c").cast("double")
+            / (F.col("total_rows").cast("double") / F.lit(float(_SKEW_PARTS))),
+            6,
+        ).alias("partition_ratio"),
+        F.expr(
+            f"CAST(CASE WHEN c * {_SKEW_PARTS} <= total_rows THEN 1"
+            f" ELSE (c * {_SKEW_PARTS} + total_rows - 1) div total_rows"
+            f" END AS BIGINT)"
+        ).alias("recommended_salt"),
+    )

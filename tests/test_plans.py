@@ -293,6 +293,9 @@ def test_no_cartesian_and_bnlj_allowlisted(spark, sf_dir):
         "bitemporal_asof",
         # 1-row broadcast of the date-range midpoint (period split)
         "revenue_bridge_analysis",
+        # 1-row broadcast of the total/keys/max stats the top-k heavy
+        # keys are scored against
+        "skew_diagnostics_events",
         # 1-row broadcast of the all-pairs volume total (strong-tie cut)
         "graph_link_prediction",
         "graph_modularity",
