@@ -4211,14 +4211,19 @@ def stream_dp_release_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arcon_spark.functions.curation import _lap_noise_mu
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    cached = _SPLIT_TAPE_CACHE.get((sf_dir, "docs3lang"))
+    # NOTE: the cache key embeds this tape's COLUMN SET. stream_dsir_scores
+    # caches a (doc_id, lang, text) tape under "docs3lang"; reusing that key
+    # here with a 2-column tape poisoned its read schema with null text and
+    # zeroed its output in full-registry runs (caught by the r5 closing
+    # gate). Tape keys must be unique per (split, schema).
+    cached = _SPLIT_TAPE_CACHE.get((sf_dir, "docs3_id_lang"))
     if cached is not None and os.path.isdir(cached[0]):
         root = cached[0]
     else:
         root = write_segments(
             [docs.filter(F.col("doc_id") % 3 == k) for k in range(3)]
         )
-        _SPLIT_TAPE_CACHE[(sf_dir, "docs3lang")] = (root, None)
+        _SPLIT_TAPE_CACHE[(sf_dir, "docs3_id_lang")] = (root, None)
     work = scratch_dir("arcon_dpledger_")
     ledger_dir = os.path.join(work, "ledger")
     noise = _lap_noise_mu("'sdp:' || CAST(wave AS STRING) || ':' || lang", 1, "spark")

@@ -438,3 +438,21 @@ def test_cumulate_millisecond_granularity_accepted():
     c = Cumulate("1 second", "100 milliseconds")
     assert c.n_steps == 10
     assert Cumulate("1 minute", "100 milliseconds").n_steps == 600
+
+
+def test_tape_cache_keys_do_not_collide_across_schemas(spark, sf_dir):
+    """Regression: stream_dp_release_ledger once cached its 2-column
+    (doc_id, lang) tape under the key stream_dsir_scores uses for its
+    3-column (doc_id, lang, text) tape; run in that order in one
+    session, dsir read null text through the poisoned tape and emitted
+    ZERO rows (r5 closing-gate catch). Run both in the failure order
+    and require dsir to score every document."""
+    from arcon_spark.io import load_table
+    from arcon_spark.streaming.queries import (
+        stream_dp_release_ledger,
+        stream_dsir_scores,
+    )
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert stream_dp_release_ledger(spark, sf_dir).count() > 0
+    assert stream_dsir_scores(spark, sf_dir).count() == n_docs
