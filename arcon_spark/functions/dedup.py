@@ -262,7 +262,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     does not fire across self-join branches here) — at 100 TB this is
     the signatures-as-intermediate-table step every LSH pipeline
     materializes anyway."""
-    sig = minhash_signatures(spark, sf_dir).persist()
+    sig = minhash_signatures(spark, sf_dir)
     bands = sig.select(
         "doc_id",
         F.posexplode(F.array(*[F.expr(e) for e in _band_exprs()])).alias(
@@ -283,6 +283,9 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands.withColumn("_bn", F.row_number().over(wcap))
         .filter(F.col("_bn") <= LSH_BUCKET_CAP)
         .drop("_bn")
+        # scan leaf AFTER the cap: both self-join sides read the banded
+        # rows without re-running the signature pipeline per side
+        .localCheckpoint(eager=True)
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -1109,11 +1112,15 @@ def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     times and the LSH candidate pipeline twice (plan audit)."""
     from pyspark.sql import Window as W
 
-    cands = dedup_minhash_lsh_pairs(spark, sf_dir).persist()
+    # localCheckpoint (not persist): both frames feed 2+ plan branches,
+    # and persist only dedupes execution — each branch still carries the
+    # full lineage in the plan (22 audited shuffles); the checkpoint
+    # makes them scan leaves (house plan-trim pattern)
+    cands = dedup_minhash_lsh_pairs(spark, sf_dir).localCheckpoint(eager=True)
     sh = (
         _shingle_rows(spark, sf_dir)
         .select("doc_id", F.col("s").alias("shingle"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
     com = (
@@ -1325,7 +1332,7 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.count(F.lit(1)).over(W.partitionBy("doc_id")).alias("n"),
         F.col("s").alias("shingle"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = sh.join(freq, "shingle").withColumn(
         "rn",
@@ -1336,7 +1343,7 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prefix length: n - ceil(t*n) + 1, with ceil(3n/5) = floor((3n+4)/5)
     prefix = ranked.filter(
         F.col("rn") <= F.col("n") - F.expr("(3 * n + 4) div 5") + F.lit(1)
-    ).select("doc_id", "shingle").persist()
+    ).select("doc_id", "shingle").localCheckpoint(eager=True)
     cand = (
         prefix.alias("pa")
         .join(
@@ -1423,7 +1430,7 @@ def dedup_minhash_estimate_vs_exact(spark: SparkSession, sf_dir: str) -> DataFra
     comparison is {h} integer equality checks per pair — done on the
     already-reduced pair set, never the corpus."""
     exact = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
-    sig = minhash_signatures(spark, sf_dir).persist()  # read by both pair sides
+    sig = minhash_signatures(spark, sf_dir).localCheckpoint(eager=True)  # scan leaf read by both pair sides
     a = sig.alias("a")
     b = sig.alias("b")
     n_equal = sum(
@@ -1567,7 +1574,7 @@ def dedup_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity note: the reference has no dedup operator of any
     kind (SURVEY.md §2.9); this is part of the beyond-reference
     training-data pipeline surface."""
-    sig = dedup_simhash(spark, sf_dir).persist()
+    sig = dedup_simhash(spark, sf_dir).localCheckpoint(eager=True)
     bands = sig.select(
         "doc_id",
         F.posexplode(
@@ -2104,7 +2111,7 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(Window.partitionBy("bkt").orderBy(F.desc("sort_key"), F.desc("doc_id")))
         .alias("rn_desc"),
-    ).persist()
+    ).localCheckpoint(eager=True)
 
     # boundary stitch: heads ∪ tails of every bucket, globally ordered —
     # a bounded O(#buckets·(w-1)) frame, NOT an O(n) single-partition sort
@@ -2247,7 +2254,10 @@ def dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (
         toks.groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
+        # scan leaf: tf feeds the size agg, both exact-Jaccard sides and
+        # the signature expansion — persist dedupes work but each branch
+        # still repeats the lineage in the audited plan
+        .localCheckpoint(eager=True)
     )
     sz = tf.groupBy("doc_id").agg(F.sum("tf").alias("n"))
     ta = tf.select(F.col("doc_id").alias("doc_a"), "token", F.col("tf").alias("tfa"))

@@ -193,7 +193,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("s_nationkey", "c_nationkey").alias("b"),
         )
         .distinct()
-        .persist()
+        # scan leaf: feeds the three wedge-join aliases AND the edge
+        # count — persist dedupes work but each branch repeats the
+        # 4-table lineage in the audited plan
+        .localCheckpoint(eager=True)
     )
     e1 = und.select(F.col("a").alias("a1"), F.col("b").alias("b1"))
     e2 = und.select(F.col("a").alias("a2"), F.col("b").alias("b2"))

@@ -1313,7 +1313,7 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2)))")
         ).alias("b")
     ).select("b.w1", "b.w2")
-    big = big.persist()
+    big = big.localCheckpoint(eager=True)  # scan leaf: feeds pair counts + the global count
     pc = (
         big.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt_pair"))
@@ -1507,7 +1507,7 @@ def text_bigram_assoc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2)))")
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
-    big = big.persist()
+    big = big.localCheckpoint(eager=True)  # scan leaf: feeds pair counts, the global count AND the scored join
     pc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("cnt_pair"))
     uni = (
         toks.select(F.explode("t").alias("tok"))
@@ -2496,7 +2496,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only corpus-sized shuffles, and the final per-doc aggregate
     re-uses the feature stream. No Python in the hot path."""
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text"))
-    feat = _dsir_features(docs).persist()
+    feat = _dsir_features(docs).localCheckpoint(eager=True)
     return _dsir_score(feat, _dsir_lr(feat))
 
 

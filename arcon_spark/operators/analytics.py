@@ -1643,7 +1643,7 @@ def theil_sen_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.round(F.col("value") * 100).cast("decimal(38,0)")).cast("double") / F.lit(100.0)).alias("y")
         )
     )
-    hourly = hourly.persist()
+    hourly = hourly.localCheckpoint(eager=True)  # tiny per-hour frame, feeds slopes a/b + residuals + count
     a, b = hourly.alias("a"), hourly.alias("b")
     slopes = a.join(b, F.col("b.x") > F.col("a.x")).select(
         ((F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x")).cast("double")).alias("v")
@@ -2398,7 +2398,7 @@ def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "hod",
             F.expr(f"cast(c * {_TSS_SCALE} div tot as bigint)").alias("p"),
         )
-        .persist()  # feeds norms AND both dot-join branches
+        .localCheckpoint(eager=True)  # scan leaf: feeds norms AND both dot-join branches
     )
     norms = prof.groupBy("user_id").agg(F.sum(F.col("p") * F.col("p")).alias("n2"))
     a = prof.select(F.col("user_id").alias("user_a"), "hod", F.col("p").alias("pa"))
