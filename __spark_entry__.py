@@ -77,6 +77,9 @@ _SAMPLE_FIRST = [
     "stream_brown_trend",
     # r5 session 3: shuffle pre-flight — heavy-key census + salt advisor
     "skew_diagnostics_events",
+    # r5 session 3: multi-touch attribution + split-conformal audit
+    "attribution_revenue_channels",
+    "conformal_calibration_events",
     # never-driver-checked (49 of this 50-prefix are first-time rows):
     # graph suite
     "graph_label_propagation",

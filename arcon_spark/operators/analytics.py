@@ -2713,3 +2713,250 @@ def revenue_bridge_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div {_PVM_SCALE} as bigint)"
         ).alias("rate_effect_cents"),
     )
+
+
+_ATTR_LOOKBACK_US = 24 * 3600 * 1_000_000  # 24h attribution window
+_ATTR_CHANNELS = ("signup", "click", "view")
+
+
+@register(
+    "attribution_revenue_channels",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM {EVENTS_NORM}
+    ),
+    p AS MATERIALIZED (
+      SELECT user_id, ts AS pts, event_id AS pid, cents
+      FROM ev WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, ts AS tts, event_id AS tid, event_type AS channel
+      FROM ev WHERE event_type IN ('signup', 'click', 'view')
+    ),
+    touched AS MATERIALIZED (
+      SELECT p.user_id, p.pid, p.cents, t.channel, t.tts, t.tid,
+             row_number() OVER (PARTITION BY p.user_id, p.pid
+                                ORDER BY t.tts DESC, t.tid DESC) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY p.user_id, p.pid) AS BIGINT) AS n
+      FROM p JOIN t
+        ON t.user_id = p.user_id
+       AND (t.tts < p.pts OR (t.tts = p.pts AND t.tid < p.pid))
+       AND epoch_us(p.pts) - epoch_us(t.tts) <= {_ATTR_LOOKBACK_US}
+    ),
+    attributed AS (
+      SELECT channel,
+             CASE WHEN rn = 1 THEN 1 ELSE 0 END AS is_last,
+             CASE WHEN rn = 1 THEN cents * 1000000 ELSE 0 END AS last_mu,
+             CASE WHEN rn = 1
+                  THEN cents * 1000000 - (n - 1) * ((cents * 1000000) // n)
+                  ELSE (cents * 1000000) // n END AS linear_mu
+      FROM touched
+      UNION ALL
+      SELECT 'direct' AS channel, 1 AS is_last,
+             cents * 1000000 AS last_mu, cents * 1000000 AS linear_mu
+      FROM p WHERE NOT EXISTS (
+        SELECT 1 FROM touched x
+        WHERE x.user_id = p.user_id AND x.pid = p.pid
+      )
+    )
+    SELECT channel,
+           CAST(SUM(is_last) AS BIGINT) AS conversions_last,
+           CAST(SUM(last_mu) AS BIGINT) AS revenue_last_mu,
+           CAST(SUM(linear_mu) AS BIGINT) AS revenue_linear_mu
+    FROM attributed GROUP BY channel
+    """,
+    tags=("analytics", "attribution", "marketing"),
+)
+def attribution_revenue_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch revenue attribution — the marketing-analytics
+    staple: each purchase's cents credited to the touch events
+    (signup/click/view) in its 24 h lookback, under BOTH standard
+    models at once. Last-touch gives the full amount to the most
+    recent touch; linear splits it equally in exact micro-cents with
+    the truncation remainder assigned to the most recent touch, so
+    per-channel linear totals sum EXACTLY to the purchase total (no
+    float leakage between channels). Purchases with no in-window touch
+    credit 'direct'. Both models stay pure BIGINT.
+
+    Plan: both sides hash-shuffle once on user_id; the per-purchase
+    touch join is a bounded range join (a user's touches in 24 h), and
+    the two window functions reuse the join's partitioning. At 100 TB
+    the fan-out is |purchases| x touches-per-day — the same bounded
+    shape as range_join_close_events, never corpus-quadratic."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid"), "cents"
+    )
+    t = ev.filter(F.col("event_type").isin(*_ATTR_CHANNELS)).select(
+        "user_id", F.col("ts").alias("tts"), F.col("event_id").alias("tid"),
+        F.col("event_type").alias("channel"),
+    )
+    touched = (
+        p.join(
+            t,
+            (p.user_id == t.user_id)
+            & (
+                (t.tts < p.pts)
+                | ((t.tts == p.pts) & (t.tid < p.pid))
+            )
+            & (
+                F.unix_micros(p.pts) - F.unix_micros(t.tts)
+                <= F.lit(_ATTR_LOOKBACK_US)
+            ),
+        )
+        .drop(t.user_id)
+        .select("user_id", "pid", "cents", "channel", "tts", "tid")
+    )
+    w = Window.partitionBy("user_id", "pid").orderBy(F.desc("tts"), F.desc("tid"))
+    wn = Window.partitionBy("user_id", "pid")
+    touched = touched.select(
+        "user_id", "pid", "cents", "channel",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+    ).localCheckpoint(eager=True)  # feeds the per-touch credit AND the direct anti-join
+    credit = touched.select(
+        "channel",
+        F.when(F.col("rn") == 1, 1).otherwise(0).alias("is_last"),
+        F.when(F.col("rn") == 1, F.col("cents") * 1_000_000)
+        .otherwise(0)
+        .alias("last_mu"),
+        F.when(
+            F.col("rn") == 1,
+            F.col("cents") * 1_000_000
+            - (F.col("n") - 1) * F.expr("(cents * 1000000) div n"),
+        )
+        .otherwise(F.expr("(cents * 1000000) div n"))
+        .alias("linear_mu"),
+    )
+    direct = (
+        p.join(
+            touched.select("user_id", "pid").distinct(),
+            ["user_id", "pid"],
+            "left_anti",
+        )
+        .select(
+            F.lit("direct").alias("channel"),
+            F.lit(1).alias("is_last"),
+            (F.col("cents") * 1_000_000).alias("last_mu"),
+            (F.col("cents") * 1_000_000).alias("linear_mu"),
+        )
+    )
+    return (
+        credit.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            F.sum("is_last").cast("long").alias("conversions_last"),
+            F.sum("last_mu").cast("long").alias("revenue_last_mu"),
+            F.sum("linear_mu").cast("long").alias("revenue_linear_mu"),
+        )
+    )
+
+
+_CONF_ALPHA_NUM, _CONF_ALPHA_DEN = 1, 10  # alpha = 0.1 -> 90% coverage
+
+
+@register(
+    "conformal_calibration_events",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, event_id, value, event_id % 2 AS split
+      FROM {{EVENTS_NORM}}
+    ),
+    med AS (
+      SELECT event_type, median(value) AS med
+      FROM ev WHERE split = 0 GROUP BY event_type
+    ),
+    scored AS (
+      SELECT e.event_type, e.event_id, e.split,
+             abs(e.value - m.med) AS score
+      FROM ev e JOIN med m ON m.event_type = e.event_type
+    ),
+    cal AS (
+      SELECT event_type, score,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY score, event_id) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_cal
+      FROM scored WHERE split = 0
+    ),
+    qhat AS (
+      SELECT event_type, n_cal, score AS qhat
+      FROM cal
+      WHERE rn = LEAST(((n_cal + 1) * ({_CONF_ALPHA_DEN} - {_CONF_ALPHA_NUM})
+                        + {_CONF_ALPHA_DEN} - 1) // {_CONF_ALPHA_DEN}, n_cal)
+    )
+    SELECT s.event_type, q.n_cal,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           round(q.qhat, 6) AS qhat,
+           round(CAST(SUM(CASE WHEN s.score <= q.qhat THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 6) AS coverage
+    FROM scored s JOIN qhat q ON q.event_type = s.event_type
+    WHERE s.split = 1
+    GROUP BY s.event_type, q.n_cal, q.qhat
+    """.format(EVENTS_NORM=EVENTS_NORM),
+    tags=("analytics", "conformal", "calibration", "mlops"),
+)
+def conformal_calibration_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration — the distribution-free prediction-
+    interval machinery (Vovk; Angelopoulos & Bates survey): per
+    event_type, the calibration half (event_id parity) fits a trivial
+    predictor (its median) and takes the ceil((n+1)(1-alpha))-th
+    smallest nonconformity score |value - median| as qhat; the
+    guarantee is that a fresh exchangeable point lands within qhat
+    with probability >= 1-alpha. The test half then AUDITS the
+    guarantee empirically (coverage column ~ 0.9 at alpha = 0.1).
+    Determinism: the order statistic is an exact row_number selection
+    with an event_id tiebreak; median and the |.-.| scores are single
+    IEEE ops on both engines; k = ceil is integer arithmetic.
+
+    Plan: one (type) median agg on the cal half, one broadcast back,
+    one ranked window on the small per-type cal frame, one test-side
+    aggregate — two shuffles of O(rows), windows on O(rows/type)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value", (F.col("event_id") % 2).alias("split")
+    )
+    med = (
+        ev.filter(F.col("split") == 0)
+        .groupBy("event_type")
+        .agg(F.median("value").alias("med"))
+    )
+    scored = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "event_id", "split",
+        F.abs(F.col("value") - F.col("med")).alias("score"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("score", "event_id")
+    wn = Window.partitionBy("event_type")
+    k = (
+        f"LEAST(((n_cal + 1) * ({_CONF_ALPHA_DEN} - {_CONF_ALPHA_NUM})"
+        f" + {_CONF_ALPHA_DEN} - 1) div {_CONF_ALPHA_DEN}, n_cal)"
+    )
+    qhat = (
+        scored.filter(F.col("split") == 0)
+        .select(
+            "event_type", "score",
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(wn).cast("long").alias("n_cal"),
+        )
+        .filter(F.expr(f"rn = {k}"))
+        .select("event_type", "n_cal", F.col("score").alias("qhat"))
+    )
+    return (
+        scored.filter(F.col("split") == 1)
+        .join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type", "n_cal", F.round("qhat", 6).alias("qhat"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.round(
+                F.sum(F.when(F.col("score") <= F.col("qhat"), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+        .select("event_type", "n_cal", "n_test", "qhat", "coverage")
+    )
