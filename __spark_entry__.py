@@ -80,6 +80,7 @@ _SAMPLE_FIRST = [
     # r5 session 3: multi-touch attribution + split-conformal audit
     "attribution_revenue_channels",
     "conformal_calibration_events",
+    "ab_power_analysis",
     # never-driver-checked (49 of this 50-prefix are first-time rows):
     # graph suite
     "graph_label_propagation",

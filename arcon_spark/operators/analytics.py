@@ -2960,3 +2960,81 @@ def conformal_calibration_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n_cal", "n_test", "qhat", "coverage")
     )
+
+
+# z_{0.975} and z_{0.80}: hardcoded like the Benford table so no
+# inverse-normal evaluates at query time; the sum/square below is the
+# same two-IEEE-op literal tree in both engines.
+_Z_ALPHA = "1.9599639845"
+_Z_BETA = "0.8416212336"
+_POWER_K = f"(({_Z_ALPHA} + {_Z_BETA}) * ({_Z_ALPHA} + {_Z_BETA}))"
+_MDE_PCT = 5  # minimum detectable effect = 5% of the metric mean
+
+
+@register(
+    "ab_power_analysis",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_obs,
+             CAST(SUM(CAST(round(value * 100) AS HUGEINT)) AS DOUBLE) AS s,
+             CAST(SUM(CAST(round(value * 100) AS HUGEINT)
+                      * CAST(round(value * 100) AS HUGEINT)) AS DOUBLE) AS ss
+      FROM {{EVENTS_NORM}} GROUP BY event_type
+    )
+    SELECT event_type, n_obs,
+           round(s / n_obs / 100.0, 6) AS mean_value,
+           round((ss / n_obs - (s / n_obs) * (s / n_obs)) / 10000.0, 6)
+             AS variance,
+           round({_MDE_PCT} / 100.0 * s / n_obs / 100.0, 6) AS mde,
+           CAST(ceiling(
+             2.0 * {_POWER_K} * (ss / n_obs - (s / n_obs) * (s / n_obs))
+             / (({_MDE_PCT} / 100.0 * s / n_obs) * ({_MDE_PCT} / 100.0 * s / n_obs))
+           ) AS BIGINT) AS required_n_per_arm,
+           n_obs / 2 >= CAST(ceiling(
+             2.0 * {_POWER_K} * (ss / n_obs - (s / n_obs) * (s / n_obs))
+             / (({_MDE_PCT} / 100.0 * s / n_obs) * ({_MDE_PCT} / 100.0 * s / n_obs))
+           ) AS BIGINT) AS powered
+    FROM m WHERE s > 0
+    """.format(EVENTS_NORM=EVENTS_NORM),
+    tags=("analytics", "statistics", "experimentation", "power"),
+)
+def ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B test power analysis from exact historical moments — the
+    pre-experiment sizing step that belongs NEXT TO the z-test
+    (ab_test_purchase_value) and DiD: per metric (event_type), the
+    per-arm sample size needed to detect a 5% lift of the
+    mean at alpha = 0.05 two-sided with 80% power,
+    n = 2 (z_a + z_b)^2 sigma^2 / delta^2. Variance comes from exact
+    integer-cent moment sums (the ab_test pattern), the z constants
+    are hardcoded literals (no inverse-normal at query time), and the
+    whole sizing expression is one fixed IEEE tree — so even the
+    ceiling'd integer matches the oracle bit-for-bit. `powered` says
+    whether the observed volume (split in half) already suffices.
+
+    Plan: one map-side-partial moment aggregate; the sizing math runs
+    on |event_types| rows. At 100 TB this is a single-scan job."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    dec = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
+    cents = F.round(F.col("value") * 100).cast("long")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        dec(cents).alias("s"),
+        dec(cents * cents).alias("ss"),
+    )
+    req = (
+        f"CAST(ceiling(2.0 * {_POWER_K} * (ss / n_obs - (s / n_obs) * (s / n_obs))"
+        f" / (({_MDE_PCT} / 100.0 * s / n_obs) * ({_MDE_PCT} / 100.0 * s / n_obs)))"
+        f" AS BIGINT)"
+    )
+    return m.filter(F.col("s") > 0).select(
+        "event_type",
+        "n_obs",
+        F.expr("round(s / n_obs / 100.0, 6)").alias("mean_value"),
+        F.expr("round((ss / n_obs - (s / n_obs) * (s / n_obs)) / 10000.0, 6)").alias(
+            "variance"
+        ),
+        F.expr(f"round({_MDE_PCT} / 100.0 * s / n_obs / 100.0, 6)").alias("mde"),
+        F.expr(req).alias("required_n_per_arm"),
+        F.expr(f"n_obs div 2 >= {req}").alias("powered"),
+    )

@@ -27,6 +27,10 @@ for ((i = 0; i < TOTAL; i += CHUNK)); do
     --jobs 2 "$SF" "${chunk[@]}" 2>/dev/null \
     | grep -E "^(OK|FAIL|ROWS|[0-9]+ pass)" >> "$OUT"
   # sweep DuckDB spill + stray scratch between chunks
-  rm -rf /root/repo/.tmp /tmp/duckdb_* /tmp/arcon_* 2>/dev/null
+  # DuckDB spill only, plus arcon scratch STALE >90min - deleting
+  # live /tmp/arcon_* kills concurrent pytest/parity processes
+  # (DuckDB aborts when its temp vanishes; tempfile.mkdir races)
+  rm -rf /root/repo/.tmp /tmp/duckdb_* 2>/dev/null
+  find /tmp -maxdepth 1 -name 'arcon_*' -mmin +90 -exec rm -rf {} + 2>/dev/null
 done
 echo "SWEEP DONE" >> "$OUT"
