@@ -456,3 +456,24 @@ def test_tape_cache_keys_do_not_collide_across_schemas(spark, sf_dir):
     n_docs = load_table(spark, sf_dir, "documents").count()
     assert stream_dp_release_ledger(spark, sf_dir).count() > 0
     assert stream_dsir_scores(spark, sf_dir).count() == n_docs
+
+
+def test_appended_release_rows_are_retry_absorbable(spark, sf_dir):
+    """The exactly-once insurance of the appending foreachBatch
+    queries is `distinct()` over recomputed rows — which only works
+    while every output column is a pure function of the DATA (no
+    batch_id, no wall clock, no nondeterministic noise). Assert the
+    contract directly: doubling the output rows and distinct()-ing
+    yields the identical frame. A future edit that adds a
+    batch-dependent column silently breaks retry absorption; this
+    test makes it loud."""
+    from arcon_spark.streaming.queries import (
+        stream_dp_release_ledger,
+        stream_dsir_scores,
+    )
+
+    for fn in (stream_dp_release_ledger, stream_dsir_scores):
+        out = fn(spark, sf_dir)
+        doubled = out.unionAll(out).distinct()
+        assert doubled.count() == out.count(), fn.__name__
+        assert doubled.exceptAll(out).count() == 0, fn.__name__
