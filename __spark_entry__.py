@@ -81,6 +81,8 @@ _SAMPLE_FIRST = [
     "attribution_revenue_channels",
     "conformal_calibration_events",
     "ab_power_analysis",
+    "tokenizer_vocab_coverage",
+    "dedup_cluster_purity",
     # never-driver-checked (49 of this 50-prefix are first-time rows):
     # graph suite
     "graph_label_propagation",

@@ -2513,3 +2513,145 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("q_doc").alias("quality_units"),
         (~F.expr("bool_or(lose)")).alias("keep"),
     )
+
+
+_PURITY_CAP = 8  # members scored per cluster: <= 28 pairs each
+
+
+@register(
+    "dedup_cluster_purity",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLE_CTE},
+    shn AS MATERIALIZED (
+      SELECT sh.doc_id, sh.shingle, sz.n
+      FROM sh JOIN (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id) sz
+        ON sz.doc_id = sh.doc_id
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS i, MAX(a.n) AS na, MAX(b.n) AS nb
+      FROM shn a JOIN shn b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS MATERIALIZED (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= {_JACCARD_T}
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+      WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= {_JACCARD_T}
+    ),
+    reach(doc_id, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, r.lab FROM edges e JOIN reach r ON r.doc_id = e.b
+    ),
+    clu AS MATERIALIZED (
+      SELECT doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY doc_id
+    ),
+    sized AS MATERIALIZED (
+      SELECT c.doc_id, c.cluster_id,
+             CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS n_docs,
+             row_number() OVER (PARTITION BY c.cluster_id ORDER BY c.doc_id)
+               AS rn
+      FROM clu c
+    ),
+    members AS (SELECT * FROM sized WHERE n_docs >= 2 AND rn <= {_PURITY_CAP}),
+    cp AS (
+      SELECT m1.cluster_id, MAX(m1.n_docs) AS n_docs,
+             m1.doc_id AS doc_a, m2.doc_id AS doc_b,
+             COALESCE(CAST(round(CAST(p.i AS DOUBLE)
+                 / CAST(p.na + p.nb - p.i AS DOUBLE) * 1000000.0) AS BIGINT), 0)
+               AS j_mu
+      FROM members m1
+      JOIN members m2 ON m2.cluster_id = m1.cluster_id
+                     AND m1.doc_id < m2.doc_id
+      LEFT JOIN pairs p ON p.doc_a = m1.doc_id AND p.doc_b = m2.doc_id
+      GROUP BY m1.cluster_id, m1.doc_id, m2.doc_id, p.i, p.na, p.nb
+    )
+    SELECT cluster_id, MAX(n_docs) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs_eval,
+           CAST(MIN(j_mu) AS BIGINT) AS min_jaccard_mu,
+           CAST(SUM(j_mu) // COUNT(*) AS BIGINT) AS mean_jaccard_mu
+    FROM cp GROUP BY cluster_id
+    """,
+    tags=("dedup", "clusters", "quality", "audit"),
+)
+def dedup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cluster QA: connected components group docs through
+    TRANSITIVE edges, so a cluster can chain a-b-c where a and c share
+    nothing — exactly the over-merging a production dedup pass must
+    audit before dropping non-canonical members. For every multi-doc
+    cluster, score the pairwise EXACT Jaccard over its first
+    {_PURITY_CAP} members (<= 28 pairs per cluster regardless of
+    cluster size — the LSH_BUCKET_CAP discipline), INCLUDING
+    zero-overlap pairs, and report min/mean in exact micro-units: a
+    low min against a high mean is the chain-merge signature.
+
+    Plan: the cluster labels and the capped member list are scan
+    leaves; pair scoring joins the member pairs against the
+    shingle-pair stats (bounded by cap^2/2 per cluster); one final
+    per-cluster aggregate. Shares the shingle/pair machinery and the
+    clustering verbatim with dedup_connected_clusters."""
+    from pyspark.sql import Window as W
+
+    clusters = dedup_connected_clusters(spark, sf_dir).localCheckpoint(eager=True)
+    sized = clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1))
+        .over(W.partitionBy("cluster_id"))
+        .cast("long")
+        .alias("n_docs"),
+        F.row_number()
+        .over(W.partitionBy("cluster_id").orderBy("doc_id"))
+        .alias("rn"),
+    )
+    members = sized.filter(
+        (F.col("n_docs") >= 2) & (F.col("rn") <= _PURITY_CAP)
+    ).localCheckpoint(eager=True)
+
+    sh = (
+        _shingle_rows(spark, sf_dir)
+        .select("doc_id", F.col("s").alias("shingle"))
+        .localCheckpoint(eager=True)
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    m1 = members.select("cluster_id", "n_docs", F.col("doc_id").alias("doc_a"))
+    m2 = members.select(F.col("cluster_id").alias("c2"), F.col("doc_id").alias("doc_b"))
+    mp = (
+        m1.join(m2, (m1.cluster_id == m2.c2) & (F.col("doc_a") < F.col("doc_b")))
+        .select("cluster_id", "n_docs", "doc_a", "doc_b")
+        .localCheckpoint(eager=True)  # feeds the intersection join AND the left join
+    )
+    inter = (
+        mp.join(sh.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
+        .join(
+            sh.alias("b"),
+            (F.col("doc_b") == F.col("b.doc_id"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("i"))
+    )
+    scored = (
+        mp.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            "cluster_id",
+            "n_docs",
+            F.coalesce(
+                F.expr(
+                    "CAST(round(CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE)"
+                    " * 1000000.0) AS BIGINT)"
+                ),
+                F.lit(0),
+            ).alias("j_mu"),
+        )
+    )
+    return scored.groupBy("cluster_id").agg(
+        F.max("n_docs").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs_eval"),
+        F.min("j_mu").cast("long").alias("min_jaccard_mu"),
+        F.expr("CAST(sum(j_mu) div count(1) AS BIGINT)").alias("mean_jaccard_mu"),
+    )

@@ -2788,3 +2788,88 @@ def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_tokens"),
     )
+
+
+_VOCAB_SIZES = (100, 1000, 10000)
+
+
+@register(
+    "tokenizer_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ),
+    counts AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks WHERE token <> '' GROUP BY token
+    ),
+    ranked AS (
+      SELECT token, cnt,
+             row_number() OVER (ORDER BY cnt DESC, token) AS rnk,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS total_occ,
+             CAST(COUNT(*) OVER () AS BIGINT) AS total_types
+      FROM counts
+    ),
+    sizes AS (SELECT unnest({list(_VOCAB_SIZES)}) AS vocab_size)
+    SELECT s.vocab_size,
+           CAST(SUM(CASE WHEN r.rnk <= s.vocab_size THEN r.cnt ELSE 0 END)
+                AS BIGINT) AS covered_occ,
+           MAX(r.total_occ) AS total_occ,
+           round(CAST(SUM(CASE WHEN r.rnk <= s.vocab_size THEN r.cnt ELSE 0 END)
+                 AS DOUBLE) / MAX(r.total_occ), 6) AS coverage,
+           round(1.0 - CAST(SUM(CASE WHEN r.rnk <= s.vocab_size
+                 THEN r.cnt ELSE 0 END) AS DOUBLE) / MAX(r.total_occ), 6)
+             AS oov_rate,
+           MAX(r.total_types) AS total_types
+    FROM ranked r JOIN sizes s ON TRUE
+    GROUP BY s.vocab_size
+    """,
+    tags=("text", "tokenizer", "vocab", "pipeline"),
+)
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-size sizing curve for tokenizer design: for each
+    candidate vocab size k, the fraction of token OCCURRENCES a top-k
+    frequency vocab covers and the residual OOV mass — the curve that
+    answers "how large must the vocabulary be" before BPE training
+    commits to one (vocab_top_tokens is the k=100 slice; this ranks
+    the full type distribution once and evaluates every k in the same
+    pass). Counts are exact integers; coverage is one rounded
+    division.
+
+    Scale shape: one token hash-aggregate with map-side partials (the
+    expensive, data-sized step) → a global rank over the TYPE
+    distribution (|types| rows, Zipf-small vs corpus size) → a
+    broadcast of the 3-row size spine. At 100 TB only the first
+    aggregate touches the corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wr = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    wall = Window.partitionBy()
+    ranked = counts.select(
+        "cnt",
+        F.row_number().over(wr).alias("rnk"),
+        F.sum("cnt").over(wall).cast("long").alias("total_occ"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("total_types"),
+    )
+    sizes = spark.createDataFrame(
+        [(k,) for k in _VOCAB_SIZES], "vocab_size long"
+    )
+    covered = F.sum(
+        F.when(F.col("rnk") <= F.col("vocab_size"), F.col("cnt")).otherwise(0)
+    ).cast("long")
+    return (
+        ranked.join(F.broadcast(sizes))
+        .groupBy("vocab_size")
+        .agg(
+            covered.alias("covered_occ"),
+            F.max("total_occ").alias("total_occ"),
+            F.round(covered.cast("double") / F.max("total_occ"), 6).alias("coverage"),
+            F.round(
+                F.lit(1.0) - covered.cast("double") / F.max("total_occ"), 6
+            ).alias("oov_rate"),
+            F.max("total_types").alias("total_types"),
+        )
+    )

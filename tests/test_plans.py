@@ -296,6 +296,8 @@ def test_no_cartesian_and_bnlj_allowlisted(spark, sf_dir):
         # 1-row broadcast of the total/keys/max stats the top-k heavy
         # keys are scored against
         "skew_diagnostics_events",
+        # 3-row vocab-size spine broadcast onto the ranked type table
+        "tokenizer_vocab_coverage",
         # 1-row broadcast of the all-pairs volume total (strong-tie cut)
         "graph_link_prediction",
         "graph_modularity",
