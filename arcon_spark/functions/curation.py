@@ -813,6 +813,17 @@ _DP_CLIP = 256  # char-count clip cap (sensitivity bound for the mean)
 _DP_HIST_W = 64  # histogram bucket width in chars
 _DP_HIST_TOP = 9  # buckets 0..9, top bucket open-ended
 
+# PRIVACY CAVEAT shared by every dp_* query below: the noise is seeded
+# from md5 of PUBLIC release keys so that the DuckDB oracle can replay
+# it bit-for-bit — that determinism exists ONLY as a cross-engine
+# parity device. It also means anyone can recompute and subtract the
+# noise, so as written these releases provide zero actual differential
+# privacy. A production release must fold a SECRET per-release seed
+# into the md5 key (kept off the published card); the mechanisms
+# themselves (sensitivity bounds, clipping, parallel/sequential budget
+# composition, Gumbel-max exponential mechanism) are unchanged by that
+# swap.
+
 
 @register(
     "dp_noisy_domain_counts",
@@ -837,7 +848,10 @@ def dp_noisy_domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     moves one cell by 1, and each document lands in exactly one cell,
     so the per-cell releases compose in PARALLEL: the whole table costs
     eps=1, not eps * n_cells). Laplace(1) noise is derived from md5 of
-    the cell key, quantized to micro-units. Plan: one hash aggregate on
+    the cell key, quantized to micro-units — see the PRIVACY CAVEAT at
+    the _DP_* constants: md5 of a public key makes the noise
+    recomputable, so a real release needs a secret seed folded into
+    the key. Plan: one hash aggregate on
     (lang, source) plus a codegen projection — the release costs
     exactly the scan + one bounded shuffle at any corpus size."""
     docs = load_table(spark, sf_dir, "documents").select("lang", "source")
@@ -892,7 +906,9 @@ def dp_clipped_mean_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     Laplace(1/(eps/2)) — sequential composition splits the budget in
     half because both releases read the same rows. The published mean
     is one exact-BIGINT division of the two noisy micro-unit sums.
-    Plan: one hash aggregate per lang, noise in the projection."""
+    See the PRIVACY CAVEAT at the _DP_* constants — a real release
+    seeds the md5 noise keys with a secret. Plan: one hash aggregate
+    per lang, noise in the projection."""
     docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
     ns = _lap_noise_mu("'dps:' || lang", 2 * _DP_CLIP, "spark")
     nc = _lap_noise_mu("'dpq:' || lang", 2, "spark")
@@ -950,7 +966,9 @@ def dp_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the documents, parallel composition again prices the whole
     histogram at eps=1. The 10-row spine joins the aggregate by
     broadcast; noise is keyed on the bucket id alone so the release for
-    a given spine is reproducible regardless of data partitioning."""
+    a given spine is reproducible regardless of data partitioning. See
+    the PRIVACY CAVEAT at the _DP_* constants — a real release seeds
+    the md5 noise keys with a secret."""
     docs = load_table(spark, sf_dir, "documents").select("n_chars")
     spine = spark.range(0, _DP_HIST_TOP + 1).select(F.col("id").alias("bucket"))
     g = (
@@ -1031,7 +1049,9 @@ def dp_median_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically by the Gumbel-max trick — argmax of
     score + Gumbel(md5(key)) is an exact sample of the softmax over
     scores, and seeding the Gumbel per (lang, candidate) makes the
-    release reproducible and engine-identical.
+    release reproducible and engine-identical (see the PRIVACY CAVEAT
+    at the _DP_* constants — a real release seeds the key with a
+    secret).
 
     Plan: one (lang, value) hash aggregate, two windows partitioned by
     lang on the tiny distinct-value relation, one top-1 pick — the

@@ -3017,10 +3017,14 @@ def ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     dec = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
     cents = F.round(F.col("value") * 100).cast("long")
+    # square in decimal(38,0) — BIGINT*BIGINT overflows past ~3.04e9
+    # cents while the DuckDB oracle squares in HUGEINT; widening first
+    # keeps both engines in exact arithmetic for any long cents value
+    cents_wide = cents.cast("decimal(38,0)")
     m = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_obs"),
         dec(cents).alias("s"),
-        dec(cents * cents).alias("ss"),
+        F.sum(cents_wide * cents_wide).cast("double").alias("ss"),
     )
     req = (
         f"CAST(ceiling(2.0 * {_POWER_K} * (ss / n_obs - (s / n_obs) * (s / n_obs))"

@@ -696,7 +696,7 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
-           TRUE AS approx_within_2pct
+           TRUE AS approx_within_4pct
     FROM events GROUP BY event_type
     """,
     tags=("sketch", "survey2.6"),
@@ -705,10 +705,14 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++). Sketch internals differ across
     engines, so the raw estimate cannot be value-compared; the oracle
     instead checks the sketch's CONTRACT — rsd=0.01 must land within
-    2% of the exact count (2σ margin; HLL++ sparse mode is exact at
-    these cardinalities). The estimate itself stays out of the output;
-    the boolean is what both engines can agree on. Scale story:
-    mergeable sketches → map-side partials, tiny exchange."""
+    4% of the exact count (a 4σ margin: the 2σ bound is only a ~95%
+    probabilistic guarantee once HLL++ leaves sparse mode, so a new
+    scale factor could legitimately put one cell outside 2% and turn
+    a healthy sketch into a permanent parity failure; below Spark's
+    sparse-mode threshold the estimate is exact and the margin is
+    moot). The estimate itself stays out of the output; the boolean
+    is what both engines can agree on. Scale story: mergeable
+    sketches → map-side partials, tiny exchange."""
     ev = load_table(spark, sf_dir, "events")
     agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
@@ -719,8 +723,8 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_users",
         (
             F.abs(F.col("approx_users") - F.col("exact_users"))
-            <= 0.02 * F.col("exact_users")
-        ).alias("approx_within_2pct"),
+            <= 0.04 * F.col("exact_users")
+        ).alias("approx_within_4pct"),
     )
 
 

@@ -4205,9 +4205,16 @@ def stream_dp_release_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     (wave, lang) — so the published values are identical under any
     micro-batch arrival order, and a retried foreachBatch recomputes
     byte-identical release rows that distinct() absorbs (the
-    stream_incremental_dedup exactly-once insurance). Per batch the
-    work is one in-batch hash aggregate plus the noise projection —
-    no state store, no stream-side shuffle beyond the per-wave agg."""
+    stream_incremental_dedup exactly-once insurance). The final ledger
+    read re-aggregates by (wave, lang), reconstructing the raw count
+    as noisy_mu − noise (the noise is deterministic per cell) and
+    summing — an identity when each wave landed as one micro-batch,
+    and the correct whole-wave recount if a tape change ever splits a
+    wave across micro-batches (partial rows differ in c, survive
+    distinct(), and must be merged, not published twice). Per batch
+    the work is one in-batch hash aggregate plus the noise projection
+    — no state store, no stream-side shuffle beyond the per-wave
+    agg."""
     from arcon_spark.functions.curation import _lap_noise_mu
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
@@ -4265,4 +4272,21 @@ def stream_dp_release_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
 
     _with_stream_partitions(spark, run)
-    return spark.read.parquet(ledger_dir).distinct()
+    # merge any wave that spanned micro-batches: per (wave, lang),
+    # strip the deterministic noise, sum the raw micro-counts, re-add
+    # the noise once — identity for the one-file-per-wave tape, the
+    # whole-wave recount otherwise
+    ledger = spark.read.parquet(ledger_dir).distinct()
+    return (
+        ledger.groupBy("wave", "lang")
+        .agg(F.sum(F.expr(f"noisy_count_mu - ({noise})")).alias("c_mu"))
+        .select(
+            "wave",
+            "lang",
+            F.expr(f"c_mu + ({noise})").alias("noisy_count_mu"),
+            F.expr(
+                f"round(CAST(c_mu + ({noise}) AS DOUBLE) / 1000000.0, 6)"
+            ).alias("noisy_count"),
+            F.lit(1_000_000).cast("long").alias("epsilon_ppm"),
+        )
+    )

@@ -1,6 +1,5 @@
 """Differentially-private dataset-card release — compose the DP suite
-into the report a corpus publisher can ship without leaking whether
-any single document is in the training set:
+into the dataset-card report a corpus publisher ships:
 
     documents
       → per-domain counts      (Laplace eps=1, parallel composition)
@@ -15,6 +14,17 @@ per-query oracles hash-check). Budget accounting: the four releases
 read the same documents, so they compose SEQUENTIALLY — this card
 costs eps = 4 total (each internal table is itself eps = 1 thanks to
 parallel composition over its disjoint cells).
+
+WARNING — the determinism that makes these queries oracle-checkable
+also voids the privacy guarantee as written: the noise is derived
+from md5 of fully PUBLIC release keys (e.g. 'dpc:'||lang||'|'||
+source), so anyone can recompute the noise and subtract it,
+recovering the exact counts. A real release MUST seed the noise from
+a secret (a random per-release seed folded into the md5 key, kept
+off the published card). The mechanisms (sensitivity analysis,
+clipping, budget composition, Gumbel-max exponential mechanism) are
+the real thing; only the seed-handling here is a cross-engine parity
+device, not shippable privacy.
 
 Run: python examples/private_stats_release.py [sf_dir]
 """
