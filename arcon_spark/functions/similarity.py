@@ -36,7 +36,25 @@ from arcon_spark.plans.registry import register
 
 _SCALE = 10_000_000
 TOP_K = 5
-_QUERY_MOD = 50  # vec_id % 50 == 0 → query set
+# Query set: a FIXED-SIZE deterministic md5-order selection, NOT a
+# corpus-proportional slice. The r5 form (vec_id % 50 == 0, 2% of the
+# corpus) was collected to the driver by _query_matrix — O(corpus/50)
+# driver memory and task-closure bytes, the one pattern in the repo
+# that broke at 100×. _QUERY_N is a constant, so the collected
+# artifact and every oracle's query CTE are O(1) at any corpus scale
+# (the _pq_anchor_matrix pattern, generalized).
+_QUERY_N = 32
+
+# the shared oracle-side selection CTE — every consumer oracle embeds
+# this and filters with `vec_id IN (SELECT vec_id FROM qsel)`
+_QSEL_CTE = f"""qsel AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               row_number() OVER (
+                 ORDER BY md5('q:' || CAST(vec_id AS VARCHAR)), vec_id) AS qrn
+        FROM embeddings
+      ) WHERE qrn <= {_QUERY_N}
+    )"""
 
 _INT_DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) ->"
@@ -66,18 +84,39 @@ def _int_matrix(series: pd.Series) -> np.ndarray:
     return np.trunc(m + np.copysign(0.5, m)).astype(np.int64)
 
 
+def _query_ids_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The query-id selection as a _QUERY_N-row DataFrame — for plans
+    that keep the query side distributed (broadcast semi-join) instead
+    of collecting it into a closure."""
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.md5(F.concat(F.lit("q:"), F.col("vec_id").cast("string"))).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(_QUERY_N)
+        .select("vec_id")
+    )
+
+
 def _query_matrix(
     spark: SparkSession, sf_dir: str, with_label: bool = False
 ) -> tuple[np.ndarray, ...]:
-    """The query side (vec_id % _QUERY_MOD == 0) is tiny by design —
-    collect it to the driver once and ship it inside the UDF closure
-    (the moral broadcast join). Returns (qids, Q, qn2), plus the int32
+    """The query side — exactly _QUERY_N rows by construction (md5
+    order, vec_id tiebreak), so collecting it to the driver and
+    shipping it inside the UDF closure (the moral broadcast join) is
+    O(1) in the corpus size. Returns (qids, Q, qn2), plus the int32
     label vector as a fourth element when with_label is set."""
     cols = ["vec_id", "embedding"] + (["label"] if with_label else [])
     rows = (
         load_table(spark, sf_dir, "embeddings")
-        .filter((F.col("vec_id") % _QUERY_MOD) == 0)
-        .select(*cols)
+        .select(
+            *cols,
+            F.md5(F.concat(F.lit("q:"), F.col("vec_id").cast("string"))).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(_QUERY_N)
         .collect()
     )
     qids = np.array([r.vec_id for r in rows], dtype=np.int64)
@@ -142,7 +181,8 @@ def _scored_pairs(spark: SparkSession, sf_dir: str, with_label: bool) -> DataFra
 # exact brute-force top-k SQL — shared by the registration below and
 # the nDCG ranking-quality audit (which nests it as the truth CTE)
 _BF_ORACLE = f"""
-    WITH nrm AS (
+    WITH {_QSEL_CTE},
+    nrm AS (
       SELECT e.vec_id, e.embedding, {_sql_int_dot('e.embedding', 'e.embedding')} AS n2
       FROM embeddings e, UNNEST(generate_series(1, len(e.embedding))) AS u(i)
       GROUP BY e.vec_id, e.embedding
@@ -151,7 +191,8 @@ _BF_ORACLE = f"""
       SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
              {_sql_int_dot('q.embedding', 'c.embedding')} AS d,
              MAX(q.n2) AS qn2, MAX(c.n2) AS cn2
-      FROM nrm q JOIN nrm c ON q.vec_id % {_QUERY_MOD} = 0 AND c.vec_id <> q.vec_id,
+      FROM nrm q JOIN nrm c
+        ON q.vec_id IN (SELECT vec_id FROM qsel) AND c.vec_id <> q.vec_id,
            UNNEST(generate_series(1, len(q.embedding))) AS u(i)
       GROUP BY 1, 2
     ),
@@ -175,8 +216,8 @@ _BF_ORACLE = f"""
     tags=("similarity", "ann"),
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k: query subset (vec_id % 50 == 0) ×
-    all candidates. The scoring pass is a vectorized int64 matmul per
+    """Brute-force cosine top-k: query subset (_QUERY_N md5-order
+    picks) × all candidates. The scoring pass is a vectorized int64 matmul per
     Arrow batch (numpy — this is a BLAS workload, the sanctioned
     Pandas-UDF use), the query matrix broadcast in the closure; then a
     per-query top-k (WindowGroupLimit pushes the k-limit below the
@@ -207,7 +248,8 @@ _PLANE_BIT = (
 
 
 _LSH_ORACLE = f"""
-    WITH units AS (
+    WITH {_QSEL_CTE},
+    units AS (
       SELECT e.vec_id, u.i AS i,
              CAST(round(CAST(e.embedding[u.i] AS DOUBLE) * {_SCALE}.0) AS BIGINT) AS qv
       FROM embeddings e, UNNEST(generate_series(1, len(e.embedding))) AS u(i)
@@ -235,7 +277,7 @@ _LSH_ORACLE = f"""
       SELECT qs.vec_id AS query_id, cs.vec_id AS candidate_id
       FROM sig qs JOIN sig cs
         ON qs.sig = cs.sig AND cs.vec_id <> qs.vec_id
-      WHERE qs.vec_id % {_QUERY_MOD} = 0
+      WHERE qs.vec_id IN (SELECT vec_id FROM qsel)
     ),
     dots AS (
       SELECT c.query_id, c.candidate_id, SUM(ua.qv * ub.qv) AS d
@@ -281,7 +323,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_PLANE_BIT.format(planes=_N_PLANES, scale=_SCALE)), ""
     ).alias("sig")
     nrm = _with_norm(spark, sf_dir).withColumn("sig", sig_expr).persist()
-    q = nrm.filter((F.col("vec_id") % _QUERY_MOD) == 0).alias("q")
+    q = nrm.join(F.broadcast(_query_ids_df(spark, sf_dir)), "vec_id").alias("q")
     c = nrm.alias("c")
     dot = F.expr(_INT_DOT.format(a="q.embedding", b="c.embedding"))
     cos = dot.cast("double") / (
@@ -309,7 +351,8 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "knn_label_majority",
     oracle=f"""
-    WITH nrm AS (
+    WITH {_QSEL_CTE},
+    nrm AS (
       SELECT e.vec_id, e.embedding, e.label, {_sql_int_dot('e.embedding', 'e.embedding')} AS n2
       FROM embeddings e, UNNEST(generate_series(1, len(e.embedding))) AS u(i)
       GROUP BY e.vec_id, e.embedding, e.label
@@ -318,7 +361,8 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT q.vec_id AS query_id, c.vec_id AS candidate_id, MAX(c.label) AS clabel,
              {_sql_int_dot('q.embedding', 'c.embedding')} AS d,
              MAX(q.n2) AS qn2, MAX(c.n2) AS cn2
-      FROM nrm q JOIN nrm c ON q.vec_id % {_QUERY_MOD} = 0 AND c.vec_id <> q.vec_id,
+      FROM nrm q JOIN nrm c
+        ON q.vec_id IN (SELECT vec_id FROM qsel) AND c.vec_id <> q.vec_id,
            UNNEST(generate_series(1, len(q.embedding))) AS u(i)
       GROUP BY 1, 2
     ),
@@ -358,7 +402,8 @@ def knn_label_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "hard_negative_mining",
     oracle=f"""
-    WITH nrm AS (
+    WITH {_QSEL_CTE},
+    nrm AS (
       SELECT e.vec_id, e.embedding, e.label, {_sql_int_dot('e.embedding', 'e.embedding')} AS n2
       FROM embeddings e, UNNEST(generate_series(1, len(e.embedding))) AS u(i)
       GROUP BY e.vec_id, e.embedding, e.label
@@ -369,7 +414,7 @@ def knn_label_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
              {_sql_int_dot('q.embedding', 'c.embedding')} AS d,
              MAX(q.n2) AS qn2, MAX(c.n2) AS cn2
       FROM nrm q JOIN nrm c
-        ON q.vec_id % {_QUERY_MOD} = 0 AND c.label <> q.label,
+        ON q.vec_id IN (SELECT vec_id FROM qsel) AND c.label <> q.label,
            UNNEST(generate_series(1, len(q.embedding))) AS u(i)
       GROUP BY 1, 3
     ),
@@ -568,18 +613,29 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_CENTROID_MOD = 37  # vec_id % 37 == 3 → deterministic coarse centroids
+# Coarse centroids: fixed-count md5-order picks (same rationale as
+# _QUERY_N — the r5 form, vec_id % 37 == 3, was 2.7% of the corpus and
+# collected to the driver; a constant keeps the collect and the UDF
+# closure O(1) at any scale. Production swaps this deterministic
+# sample for k-means-trained centroids with the identical plan shape.)
+_IVF_NC = 16
 _IVF_NPROBE = 2
 
 
-_IVF_ASSIGN_CTES = f"""units AS (
+_IVF_ASSIGN_CTES = f"""{_QSEL_CTE},
+    units AS (
       SELECT e.vec_id, u.i AS i,
              CAST(round(CAST(e.embedding[u.i] AS DOUBLE) * {_SCALE}.0) AS BIGINT) AS qv
       FROM embeddings e, UNNEST(generate_series(1, len(e.embedding))) AS u(i)
     ),
     n2 AS (SELECT vec_id, SUM(qv * qv) AS n2 FROM units GROUP BY vec_id),
-    cents AS (SELECT vec_id AS cent_id FROM embeddings
-              WHERE vec_id % {_IVF_CENTROID_MOD} = 3),
+    cents AS (
+      SELECT vec_id AS cent_id FROM (
+        SELECT vec_id,
+               row_number() OVER (
+                 ORDER BY md5('c:' || CAST(vec_id AS VARCHAR)), vec_id) AS crn
+        FROM embeddings
+      ) WHERE crn <= {_IVF_NC}),
     cdots AS (
       SELECT v.vec_id, c.cent_id, SUM(v.qv * cu.qv) AS d
       FROM units v
@@ -607,7 +663,7 @@ _IVF_ASSIGN_CTES = f"""units AS (
         SELECT vec_id, cent_id,
                row_number() OVER (PARTITION BY vec_id
                                   ORDER BY sim DESC, cent_id) AS rn
-        FROM csim WHERE vec_id % {_QUERY_MOD} = 0
+        FROM csim WHERE vec_id IN (SELECT vec_id FROM qsel)
       ) WHERE rn <= {_IVF_NPROBE}
     )"""
 
@@ -653,8 +709,13 @@ def _ivf_assignment(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
 
     cent_rows = (
         load_table(spark, sf_dir, "embeddings")
-        .filter((F.col("vec_id") % _IVF_CENTROID_MOD) == 3)
-        .select("vec_id", "embedding")
+        .select(
+            "vec_id",
+            "embedding",
+            F.md5(F.concat(F.lit("c:"), F.col("vec_id").cast("string"))).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(_IVF_NC)
         .collect()
     )
     cent_ids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
@@ -711,7 +772,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, probes = _ivf_assignment(spark, sf_dir)
     qemb = (
         load_table(spark, sf_dir, "embeddings")
-        .filter((F.col("vec_id") % _QUERY_MOD) == 0)
+        .join(F.broadcast(_query_ids_df(spark, sf_dir)), "vec_id")
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
     )
 
@@ -1441,10 +1502,11 @@ def _pq_query_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_pq_adc_topk",
     oracle=f"""
-    WITH {_PQ_BASE_CTES},
+    WITH {_QSEL_CTE},
+    {_PQ_BASE_CTES},
     qt AS (
       SELECT vec_id AS query_id, m, j, d AS t
-      FROM dist WHERE vec_id % {_QUERY_MOD} = 0
+      FROM dist WHERE vec_id IN (SELECT vec_id FROM qsel)
     ),
     codes AS (SELECT vec_id, m, j AS code FROM best WHERE rn = 1),
     adc AS (
@@ -1515,7 +1577,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_PQ_BASE_CTES},
     qt AS (
       SELECT vec_id AS query_id, m, j, d AS t
-      FROM dist WHERE vec_id % {_QUERY_MOD} = 0
+      FROM dist WHERE vec_id IN (SELECT vec_id FROM qsel)
     ),
     codes AS (SELECT vec_id, m, j AS code FROM best WHERE rn = 1),
     cand AS (
@@ -1630,7 +1692,8 @@ def _prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "matryoshka_recall_audit",
     oracle=f"""
-    WITH units AS (
+    WITH {_QSEL_CTE},
+    units AS (
       SELECT e.vec_id, u.i AS i,
              CAST(round(CAST(e.embedding[u.i] AS DOUBLE) * {_SCALE}.0) AS BIGINT) AS qv
       FROM embeddings e, UNNEST(generate_series(1, len(e.embedding))) AS u(i)
@@ -1638,7 +1701,7 @@ def _prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2f AS (SELECT vec_id, SUM(qv * qv) AS n2 FROM units GROUP BY vec_id),
     n2p AS (SELECT vec_id, SUM(qv * qv) AS n2 FROM units WHERE i <= {_MRL_DIM}
             GROUP BY vec_id),
-    qs AS (SELECT vec_id FROM embeddings WHERE vec_id % {_QUERY_MOD} = 0),
+    qs AS (SELECT vec_id FROM qsel),
     fdots AS (
       SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
              SUM(uq.qv * uc.qv) AS d
@@ -1766,11 +1829,12 @@ def _mmr_oracle() -> str:
             f" AS score_units FROM s{j}"
         )
     return f"""
-    WITH rel AS (
+    WITH {_QSEL_CTE},
+    rel AS (
       SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
              {_sql_int_dot('q.embedding', 'c.embedding')} AS rel
       FROM embeddings q JOIN embeddings c
-        ON q.vec_id % {_QUERY_MOD} = 0 AND c.vec_id <> q.vec_id,
+        ON q.vec_id IN (SELECT vec_id FROM qsel) AND c.vec_id <> q.vec_id,
            UNNEST(generate_series(1, len(q.embedding))) AS u(i)
       GROUP BY 1, 2
     ),
@@ -1806,8 +1870,9 @@ def _mmr_oracle() -> str:
     tags=("similarity", "retrieval", "mmr"),
 )
 def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximal-marginal-relevance retrieval: per query (vec_id % 50
-    == 0), greedily pick K=5 results from the top-20 inner-product
+    """Maximal-marginal-relevance retrieval: per query (_QUERY_N
+    md5-order picks), greedily pick K=5 results from the top-20
+    inner-product
     pool, each step maximizing λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s)
     with λ=0.7 encoded as the exact integer weights 7/3 over
     fixed-point int64 dot products — the whole greedy trace (pick,

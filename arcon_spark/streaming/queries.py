@@ -1020,9 +1020,9 @@ def stream_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier."""
     from arcon_spark.functions.similarity import (
         _INT_DOT,
-        _QUERY_MOD,
         TOP_K,
         _ivf_assignment,
+        _query_ids_df,
     )
 
     assigned, probes = _ivf_assignment(spark, sf_dir)
@@ -1033,7 +1033,7 @@ def stream_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     qemb = (
         load_table(spark, sf_dir, "embeddings")
-        .filter((F.col("vec_id") % _QUERY_MOD) == 0)
+        .join(F.broadcast(_query_ids_df(spark, sf_dir)), "vec_id")
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
     )
     cached = _SPLIT_TAPE_CACHE.get((sf_dir, "annq3"))
