@@ -123,3 +123,152 @@ def test_oracle_types_never_hugeint(duck, name):
         if any(b in typ.upper() for b in ("HUGEINT", "DECIMAL"))
     ]
     assert not bad, f"{name}: HUGEINT/DECIMAL oracle columns {bad}"
+
+
+# ---------------------------------------------------------------------------
+# Determinism doctrine (locked from convention into contract, r6)
+# ---------------------------------------------------------------------------
+
+#: Call names that make a query's VALUES nondeterministic — anything
+#: here breaks the 346-green invariant on the next parity run, because
+#: DuckDB cannot replay it. (uuid in scratch-path names is fine; these
+#: are flagged only when CALLED inside a registered query function.)
+_NONDET_CALLS = {
+    "rand",
+    "randn",
+    "random",
+    "randint",
+    "uniform",
+    "choice",
+    "shuffle",
+    "monotonically_increasing_id",
+    "current_timestamp",
+    "current_date",
+    "now",
+}
+
+#: Engine-specific approximate aggregates: their estimates differ
+#: across engines, so they may appear only behind a contract-boolean
+#: reshape that both engines agree on (the approx_distinct_users
+#: pattern), never as raw output.
+_APPROX_CALLS = {"approx_count_distinct", "percentile_approx", "approx_percentile"}
+_APPROX_OK = {"approx_distinct_users"}
+
+#: Oracle-side bans (regex over the SQL): DuckDB nondeterminism and
+#: engine-specific sketches that can never hash-match Spark.
+_ORACLE_BANNED = (
+    r"\brandom\s*\(",
+    r"\bsetseed\s*\(",
+    r"\bgen_random_uuid\s*\(",
+    r"\bnow\s*\(\)",
+    r"\bcurrent_timestamp\b",
+    r"\bcurrent_date\b",
+    r"\bapprox_count_distinct\s*\(",
+    r"\bapprox_quantile\s*\(",
+    r"\breservoir_quantile\s*\(",
+)
+
+
+def _called_names(tree):
+    import ast
+
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Call):
+            f = node.func
+            if isinstance(f, ast.Attribute):
+                yield f.attr, node
+            elif isinstance(f, ast.Name):
+                yield f.id, node
+
+
+def test_no_nondeterministic_calls_in_registered_queries():
+    """The cross-engine determinism doctrine (micronat quantization,
+    md5-seeded pseudo-randomness, integer fixed-point) is what makes
+    every oracle value-hash match. This test turns the convention into
+    a contract: no registered query function may call a
+    nondeterministic or engine-specific-approximate function, and none
+    may compute `x ** 0.5` (Python pow is not guaranteed to be the
+    correctly-rounded sqrt that SQL sqrt / math.sqrt give)."""
+    import ast
+    import inspect
+    import textwrap
+
+    offenders = []
+    for name, spec in sorted(REGISTRY.items()):
+        try:
+            src = textwrap.dedent(inspect.getsource(spec.fn))
+        except (OSError, TypeError):  # builtins / dynamically built
+            continue
+        tree = ast.parse(src)
+        for called, node in _called_names(tree):
+            if called in _NONDET_CALLS:
+                offenders.append((name, called))
+            if called in _APPROX_CALLS and name not in _APPROX_OK:
+                offenders.append((name, called))
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.BinOp)
+                and isinstance(node.op, ast.Pow)
+                and isinstance(node.right, ast.Constant)
+                and node.right.value == 0.5
+            ):
+                offenders.append((name, "** 0.5 (use math.sqrt / np.sqrt)"))
+    assert not offenders, f"nondeterministic constructs in queries: {offenders}"
+
+
+def test_no_nondeterministic_sql_in_oracles():
+    """Oracle side of the same contract: DuckDB nondeterminism or
+    engine-specific sketches in an oracle would make the parity gate
+    flaky or permanently red."""
+    import re
+
+    offenders = []
+    for name, sql in sorted(oracle_sql().items()):
+        low = sql.lower()
+        for pat in _ORACLE_BANNED:
+            if re.search(pat, low):
+                offenders.append((name, pat))
+    assert not offenders, f"banned SQL constructs in oracles: {offenders}"
+
+
+def test_spark_sql_strings_avoid_rand_and_clock():
+    """Registered queries build many expressions via F.expr(...) SQL
+    strings — scan the string literals inside each registered function
+    for rand()/clock calls the AST call-scan cannot see."""
+    import ast
+    import inspect
+    import re
+    import textwrap
+
+    banned = re.compile(
+        r"\brand\s*\(\)|\brandn\s*\(|\brandom\s*\(\)|\buuid\s*\(\)"
+        r"|\bcurrent_timestamp\b|\bcurrent_date\b|\bnow\s*\(\)",
+        re.IGNORECASE,
+    )
+    offenders = []
+    for name, spec in sorted(REGISTRY.items()):
+        try:
+            src = textwrap.dedent(inspect.getsource(spec.fn))
+        except (OSError, TypeError):
+            continue
+        tree = ast.parse(src)
+        # skip docstrings: only scan strings that are NOT a lone Expr
+        # statement's value (module/function/class docstrings)
+        doc_nodes = set()
+        for node in ast.walk(tree):
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.Module)):
+                if (
+                    node.body
+                    and isinstance(node.body[0], ast.Expr)
+                    and isinstance(node.body[0].value, ast.Constant)
+                ):
+                    doc_nodes.add(id(node.body[0].value))
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Constant)
+                and isinstance(node.value, str)
+                and id(node) not in doc_nodes
+                and banned.search(node.value)
+            ):
+                offenders.append((name, node.value[:60]))
+    assert not offenders, f"nondeterministic SQL strings in queries: {offenders}"
