@@ -44,6 +44,7 @@ __all__ = [
     "Field",
     "MessageType",
     "message_from_spark_schema",
+    "oneof_message",
     "encode_message",
     "decode_message",
     "proto_encode",
@@ -65,6 +66,15 @@ class Field:
     kind: str  # one of the kind sets above
     repeated: bool = False
     message: "MessageType | None" = None  # when kind == "message"
+    #: oneof group name, or None. Members of a group share the
+    #: containing message's tag space; at most one may be set, a set
+    #: member is ALWAYS serialized (even at its default value — the
+    #: proto3 oneof presence rule), and on decode the last tag seen
+    #: wins, clearing its siblings. This is the wire behaviour prost
+    #: derives for the reference's `#[arcon::proto] enum` types
+    #: (arcon_tests/src/proto_derive_test.rs nested_enums/prost_unit;
+    #: SURVEY §1.3 maps an enum to a tagged struct of nullable fields).
+    oneof: str | None = None
 
 
 @dataclass
@@ -109,6 +119,34 @@ def message_from_spark_schema(name: str, schema) -> MessageType:
     for i, f in enumerate(schema.fields, start=1):
         k, m, rep = kind_of(f.dataType)
         msg.fields.append(Field(tag=i, name=f.name, kind=k, repeated=rep, message=m))
+    return msg
+
+
+def oneof_message(
+    name: str,
+    variants: list[tuple[str, "MessageType"]],
+    group: str = "this",
+    first_tag: int = 1,
+) -> MessageType:
+    """The `#[arcon::proto] enum` mapping: a message whose single oneof
+    carries one variant message per enum arm, tags assigned in
+    declaration order — exactly what the reference's derive emits for
+    `enum A { B(B), C(C) }` (arcon_tests/src/proto_derive_test.rs
+    nested_enums: the struct holds `this: Option<AEnum>`; prost tags
+    the arms 1..n). The Spark shape is SURVEY §1.3's 'tagged struct of
+    nullable fields': each variant becomes a nullable struct column,
+    at most one non-null per row."""
+    msg = MessageType(name)
+    for i, (vname, vmsg) in enumerate(variants):
+        msg.fields.append(
+            Field(
+                tag=first_tag + i,
+                name=vname,
+                kind="message",
+                message=vmsg,
+                oneof=group,
+            )
+        )
     return msg
 
 
@@ -217,6 +255,8 @@ _DEFAULTS = {"string": "", "bytes": b"", "bool": False, "double": 0.0, "float": 
 def _default_of(f: Field):
     if f.repeated:
         return []
+    if f.oneof is not None:
+        return None  # oneof members have explicit presence, any kind
     if f.kind == "message":
         return None  # message fields have explicit presence in proto3
     return _DEFAULTS.get(f.kind, 0)
@@ -233,12 +273,24 @@ def _is_default(f: Field, v) -> bool:
 
 def encode_message(msg: MessageType, record: dict) -> bytes:
     """proto3 encode: `record` maps field name -> python value; None or
-    default-valued scalars are omitted."""
+    default-valued scalars are omitted. Oneof members invert the rule:
+    at most one per group may be non-None (ValueError otherwise), and
+    the set member is written even at its default value."""
+    set_by_group: dict[str, str] = {}
+    for f in msg.fields:
+        if f.oneof is not None and record.get(f.name) is not None:
+            prev = set_by_group.get(f.oneof)
+            if prev is not None:
+                raise ValueError(
+                    f"{msg.name}.{f.oneof}: both '{prev}' and '{f.name}' set"
+                )
+            set_by_group[f.oneof] = f.name
     buf = bytearray()
     for f in msg.fields:
         v = record.get(f.name)
         if v is None:
             continue
+        force = f.oneof is not None  # set oneof member always serializes
         if f.repeated:
             if len(v) == 0:
                 continue
@@ -268,21 +320,21 @@ def encode_message(msg: MessageType, record: dict) -> bytes:
             _write_varint(buf, len(body))
             buf += body
         elif f.kind == "string":
-            if v == "":
+            if v == "" and not force:
                 continue
             payload = v.encode("utf-8")
             _write_varint(buf, _key(f.tag, 2))
             _write_varint(buf, len(payload))
             buf += payload
         elif f.kind == "bytes":
-            if len(v) == 0:
+            if len(v) == 0 and not force:
                 continue
             payload = bytes(v)
             _write_varint(buf, _key(f.tag, 2))
             _write_varint(buf, len(payload))
             buf += payload
         else:
-            if _is_default(f, v):
+            if _is_default(f, v) and not force:
                 continue
             _write_varint(buf, _key(f.tag, _scalar_wire(f.kind)))
             _encode_scalar(buf, f.kind, v)
@@ -319,6 +371,11 @@ def decode_message(msg: MessageType, data: bytes) -> dict:
         if f is None:
             pos = _skip(data, pos, wire)
             continue
+        if f.oneof is not None:
+            # last-one-wins: a later oneof tag clears its siblings
+            for sib in msg.fields:
+                if sib.oneof == f.oneof and sib.name != f.name:
+                    out[sib.name] = None
         if f.repeated:
             if f.name not in rep_seen:
                 out[f.name] = []
@@ -481,4 +538,89 @@ def _register_roundtrip_query() -> None:
         )
 
 
+def _register_oneof_roundtrip_query() -> None:
+    from pyspark.sql import SparkSession
+
+    from arcon_spark.io import load_table
+    from arcon_spark.plans.registry import register
+
+    @register(
+        "source_protobuf_oneof_roundtrip",
+        oracle="""
+        SELECT event_type AS variant,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS cents
+        FROM events
+        GROUP BY event_type
+        """,
+        tags=("source", "protobuf", "schema", "oneof", "survey2.1"),
+    )
+    def source_protobuf_oneof_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Tagged-union (`#[arcon::proto] enum`) round trip: each event
+        becomes a oneof message — `Purchase{user_id, cents}` when
+        event_type = 'purchase', `Other{user_id, kind}` otherwise —
+        mirroring the reference's derived enums (prost `oneof this`,
+        arcon_tests/src/proto_derive_test.rs nested_enums; SURVEY §1.3
+        maps an enum arm to a nullable struct column, at most one
+        non-null per row). The union is wire-encoded, decoded back, and
+        the recovered variants aggregate per kind; the oracle computes
+        the same rollup from raw parquet, so a hash-match proves the
+        oneof framing (set-member-always-serialized, siblings-null)
+        loses nothing — including which arm was set."""
+        ev = load_table(spark, sf_dir, "events")
+        tagged = ev.select(
+            F.when(
+                ev.event_type == "purchase",
+                F.struct(
+                    ev.user_id.alias("user_id"),
+                    F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+                ),
+            ).alias("purchase"),
+            F.when(
+                ev.event_type != "purchase",
+                F.struct(ev.user_id.alias("user_id"), ev.event_type.alias("kind")),
+            ).alias("other"),
+        )
+        purchase_msg = MessageType(
+            "Purchase", [Field(1, "user_id", "int64"), Field(2, "cents", "int64")]
+        )
+        other_msg = MessageType(
+            "Other", [Field(1, "user_id", "int64"), Field(2, "kind", "string")]
+        )
+        union = oneof_message(
+            "EventKind", [("purchase", purchase_msg), ("other", other_msg)]
+        )
+        enc = proto_encode(tagged, union)
+        dec = proto_decode(
+            enc,
+            union,
+            "proto",
+            "purchase struct<user_id: bigint, cents: bigint>,"
+            " other struct<user_id: bigint, kind: string>",
+        )
+        return (
+            dec.select(
+                F.when(F.col("purchase").isNotNull(), F.lit("purchase"))
+                .otherwise(F.col("other.kind"))
+                .alias("variant"),
+                F.coalesce(F.col("purchase.user_id"), F.col("other.user_id")).alias(
+                    "uid"
+                ),
+                F.coalesce(F.col("purchase.cents"), F.lit(0).cast("long")).alias(
+                    "pc"
+                ),
+            )
+            .groupBy("variant")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("uid").cast("long").alias("sum_uid"),
+                F.sum("pc").cast("long").alias("cents"),
+            )
+        )
+
+
 _register_roundtrip_query()
+_register_oneof_roundtrip_query()

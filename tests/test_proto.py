@@ -16,6 +16,7 @@ from arcon_spark.proto import (
     decode_message,
     encode_message,
     message_from_spark_schema,
+    oneof_message,
 )
 
 T1 = MessageType("Test1", [Field(1, "a", "int32")])
@@ -128,6 +129,77 @@ def test_roundtrip_property(i, s, d, b, r):
     rec = {"i": i, "s": s, "d": d, "b": b, "r": r}
     out = decode_message(m, encode_message(m, rec))
     assert out == rec
+
+
+# --- oneof (the reference's `#[arcon::proto] enum` derive:
+# arcon_tests/src/proto_derive_test.rs basic/nested_enums — prost maps
+# `enum Foo { Bar(i32), Baz(f32) }` to `oneof this { int32 bar = 1;
+# float baz = 2; }` with tags in declaration order) ---
+
+FOO = MessageType(
+    "Foo",
+    [
+        Field(1, "bar", "int32", oneof="this"),
+        Field(2, "baz", "float", oneof="this"),
+    ],
+)
+B_MSG = MessageType("B", [Field(1, "v", "int32")])
+C_MSG = MessageType("C", [])  # the reference's empty struct C {}
+A_MSG = oneof_message("A", [("b", B_MSG), ("c", C_MSG)])
+
+
+def test_golden_oneof_scalar_variants():
+    # FooEnum::Bar(5) -> field 1 varint: 08 05
+    assert encode_message(FOO, {"bar": 5, "baz": None}) == bytes.fromhex("0805")
+    # FooEnum::Baz(5.0) -> field 2 float LE: 15 00 00 a0 40
+    assert encode_message(FOO, {"bar": None, "baz": 5.0}) == bytes.fromhex("150000a040")
+    assert decode_message(FOO, bytes.fromhex("0805")) == {"bar": 5, "baz": None}
+    assert decode_message(FOO, bytes.fromhex("150000a040")) == {"bar": None, "baz": 5.0}
+
+
+def test_oneof_default_value_still_serialized():
+    # proto3 oneof presence: a SET member serializes even at its
+    # default (unlike a plain scalar field) so Bar(0) != unset
+    assert encode_message(FOO, {"bar": 0, "baz": None}) == bytes.fromhex("0800")
+    assert decode_message(FOO, bytes.fromhex("0800")) == {"bar": 0, "baz": None}
+    # fully-unset oneof encodes to nothing and decodes to all-None
+    assert encode_message(FOO, {"bar": None, "baz": None}) == b""
+    assert decode_message(FOO, b"") == {"bar": None, "baz": None}
+
+
+def test_golden_oneof_message_variants():
+    # A{this: Some(AEnum::B(B{v:3}))} -> 0a 02 08 03
+    wire_b = bytes.fromhex("0a020803")
+    assert encode_message(A_MSG, {"b": {"v": 3}, "c": None}) == wire_b
+    assert decode_message(A_MSG, wire_b) == {"b": {"v": 3}, "c": None}
+    # A{this: Some(AEnum::C(C{}))} -> empty nested message STILL framed:
+    # 12 00 (the nested_enums test case: presence of the empty variant)
+    wire_c = bytes.fromhex("1200")
+    assert encode_message(A_MSG, {"b": None, "c": {}}) == wire_c
+    assert decode_message(A_MSG, wire_c) == {"b": None, "c": {}}
+
+
+def test_oneof_both_set_rejected():
+    import pytest
+
+    with pytest.raises(ValueError, match="both 'bar' and 'baz'"):
+        encode_message(FOO, {"bar": 1, "baz": 2.0})
+
+
+def test_oneof_decode_last_one_wins():
+    # spec: when a wire stream carries several members of one oneof,
+    # the last one wins and clears its siblings
+    wire = bytes.fromhex("0a020803") + bytes.fromhex("1200")
+    assert decode_message(A_MSG, wire) == {"b": None, "c": {}}
+    wire2 = bytes.fromhex("1200") + bytes.fromhex("0a020803")
+    assert decode_message(A_MSG, wire2) == {"b": {"v": 3}, "c": None}
+
+
+def test_oneof_message_tags_in_declaration_order():
+    assert [(f.tag, f.name, f.oneof) for f in A_MSG.fields] == [
+        (1, "b", "this"),
+        (2, "c", "this"),
+    ]
 
 
 def test_schema_autotag_from_spark_schema(spark):
