@@ -2154,9 +2154,9 @@ _BT_BLOCKS = 8  # block-tiled matmul grid side (raise for larger corpora)
 _BT_THR_PPM = 1_060_000  # keep pairs with ratio margin >= 1.06
 
 
-@register(
-    "bitext_margin_mining",
-    oracle=f"""
+# Shared by the exhaustive tile-grid miner and the IVF-pruned variant:
+# the prune is lossless, so both hash-match the same unpruned oracle.
+_BT_ORACLE = f"""
     WITH lab AS (
       SELECT e.vec_id, d.lang, e.embedding
       FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
@@ -2218,7 +2218,80 @@ _BT_THR_PPM = 1_060_000  # keep pairs with ratio margin >= 1.06
     )
     SELECT xid AS doc_en, yid AS doc_fr, cos_mu, margin_ppm
     FROM best WHERE fx = 1 AND fy = 1 AND margin_ppm >= {_BT_THR_PPM}
-    """,
+    """
+
+
+def _bt_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return (
+        emb.join(docs, emb.vec_id == docs.doc_id)
+        .filter(F.col("lang").isin("en", "fr"))
+        .select("vec_id", "lang", "embedding")
+    )
+
+
+def _bt_downstream(partials: DataFrame) -> DataFrame:
+    """(xid, yid, cos_mu, dir) candidate partials → mutual-best mined
+    pairs. Valid for ANY partial set that is a superset of each x's
+    true top-{_BT_K} (dir='x') and each y's (dir='y') under
+    (cos_mu desc, id asc) — the global windows re-trim here."""
+    # The partial set feeds both directional top-k branches, and each
+    # of those feeds its sum AND the candidate union — Spark re-executes
+    # a subtree per branch (no cross-branch exchange reuse), so the
+    # K-rows-per-doc partials are checkpointed once (house plan-trim
+    # pattern; same reason the oracle marks cc/xtop/ytop MATERIALIZED).
+    partials = partials.localCheckpoint(eager=True)
+    wx = Window.partitionBy("xid").orderBy(F.desc("cos_mu"), F.asc("yid"))
+    wy = Window.partitionBy("yid").orderBy(F.desc("cos_mu"), F.asc("xid"))
+    xtop = (
+        partials.filter(F.col("dir") == "x")
+        .withColumn("rn", F.row_number().over(wx))
+        .filter(F.col("rn") <= _BT_K)
+        .drop("dir", "rn")
+        .localCheckpoint(eager=True)
+    )
+    ytop = (
+        partials.filter(F.col("dir") == "y")
+        .withColumn("rn", F.row_number().over(wy))
+        .filter(F.col("rn") <= _BT_K)
+        .drop("dir", "rn")
+        .localCheckpoint(eager=True)
+    )
+    sx = xtop.groupBy("xid").agg(F.sum("cos_mu").alias("sum_x"))
+    sy = ytop.groupBy("yid").agg(F.sum("cos_mu").alias("sum_y"))
+    cand = xtop.unionByName(ytop).distinct()
+    marg = (
+        cand.join(sx, "xid")
+        .join(sy, "yid")
+        .filter(F.col("sum_x") + F.col("sum_y") > 0)
+        .withColumn(
+            "margin_ppm",
+            F.expr(f"(2 * {_BT_K} * cos_mu * 1000000) div (sum_x + sum_y)"),
+        )
+    )
+    fx = Window.partitionBy("xid").orderBy(F.desc("margin_ppm"), F.asc("yid"))
+    fy = Window.partitionBy("yid").orderBy(F.desc("margin_ppm"), F.asc("xid"))
+    return (
+        marg.withColumn("fx", F.row_number().over(fx))
+        .withColumn("fy", F.row_number().over(fy))
+        .filter(
+            (F.col("fx") == 1)
+            & (F.col("fy") == 1)
+            & (F.col("margin_ppm") >= _BT_THR_PPM)
+        )
+        .select(
+            F.col("xid").alias("doc_en"),
+            F.col("yid").alias("doc_fr"),
+            "cos_mu",
+            "margin_ppm",
+        )
+    )
+
+
+@register(
+    "bitext_margin_mining",
+    oracle=_BT_ORACLE,
     tags=("similarity", "bitext", "curation"),
 )
 def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2243,18 +2316,14 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     size — dedup_embedding_cosine's block-matmul pattern); each tile
     emits only its per-row/per-column top-{_BT_K}-with-ties partials
     (the lossless distributive-top-k prune), so the shuffle after the
-    matmul carries ~K rows per doc, not |X|x|Y|. At production scale
-    the tile grid composes with the IVF coarse quantizer
-    (ann_ivf_topk) to prune empty tiles. The reference has no vector
-    or multilingual surface (SURVEY.md §2.9); this extends the
-    training-data pipeline suite."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    lab = (
-        emb.join(docs, emb.vec_id == docs.doc_id)
-        .filter(F.col("lang").isin("en", "fr"))
-        .select("vec_id", "lang", "embedding")
-    )
+    matmul carries ~K rows per doc, not |X|x|Y|. FLOPs are still
+    all-pairs within the grid; bitext_margin_mining_ivf (below) is the
+    production-scale path that composes this with the IVF coarse
+    quantizer to skip tiles a triangle-inequality bound proves empty
+    of top-K candidates. The reference has no vector or multilingual
+    surface (SURVEY.md §2.9); this extends the training-data pipeline
+    suite."""
+    lab = _bt_labeled(spark, sf_dir)
     B = _BT_BLOCKS
     blk = lab.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(B)).cast("int"))
     # en vector in block i serves tiles (i, 0..B-1); fr in block j serves
@@ -2315,56 +2384,245 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return pd.concat(out, ignore_index=True)
 
-    # The matmul stage feeds both directional top-k branches, and each
-    # of those feeds its sum AND the candidate union — Spark re-executes
-    # a subtree per branch (no cross-branch exchange reuse), so the
-    # K-rows-per-doc partials are checkpointed once (house plan-trim
-    # pattern; same reason the oracle marks cc/xtop/ytop MATERIALIZED).
     partials = tiles.groupBy("ti", "tj").applyInPandas(
         tile, "xid long, yid long, cos_mu long, dir string"
-    ).localCheckpoint(eager=True)
-    wx = Window.partitionBy("xid").orderBy(F.desc("cos_mu"), F.asc("yid"))
-    wy = Window.partitionBy("yid").orderBy(F.desc("cos_mu"), F.asc("xid"))
-    xtop = (
-        partials.filter(F.col("dir") == "x")
-        .withColumn("rn", F.row_number().over(wx))
-        .filter(F.col("rn") <= _BT_K)
-        .drop("dir", "rn")
-        .localCheckpoint(eager=True)
     )
-    ytop = (
-        partials.filter(F.col("dir") == "y")
-        .withColumn("rn", F.row_number().over(wy))
-        .filter(F.col("rn") <= _BT_K)
-        .drop("dir", "rn")
-        .localCheckpoint(eager=True)
-    )
-    sx = xtop.groupBy("xid").agg(F.sum("cos_mu").alias("sum_x"))
-    sy = ytop.groupBy("yid").agg(F.sum("cos_mu").alias("sum_y"))
-    cand = xtop.unionByName(ytop).distinct()
-    marg = (
-        cand.join(sx, "xid")
-        .join(sy, "yid")
-        .filter(F.col("sum_x") + F.col("sum_y") > 0)
-        .withColumn(
-            "margin_ppm",
-            F.expr(f"(2 * {_BT_K} * cos_mu * 1000000) div (sum_x + sum_y)"),
-        )
-    )
-    fx = Window.partitionBy("xid").orderBy(F.desc("margin_ppm"), F.asc("yid"))
-    fy = Window.partitionBy("yid").orderBy(F.desc("margin_ppm"), F.asc("xid"))
-    return (
-        marg.withColumn("fx", F.row_number().over(fx))
-        .withColumn("fy", F.row_number().over(fy))
-        .filter(
-            (F.col("fx") == 1)
-            & (F.col("fy") == 1)
-            & (F.col("margin_ppm") >= _BT_THR_PPM)
-        )
+    return _bt_downstream(partials)
+
+
+# --- IVF-pruned bitext mining (the production-scale FLOP path) --------------
+
+_BT_IVF_B = 4  # query-block fan within a cell tile (caps task memory)
+
+
+def _bt_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled en/fr vectors + IVF cell index + per-centroid cosine
+    array. The quantizer is ann_ivf_topk's: _IVF_NC deterministic
+    md5-order centroid picks (fixed-size driver artifact), one
+    broadcast int-matmul per Arrow batch. Eagerly checkpointed: the
+    assignment feeds member grouping, radii, seed tiles, AND the prune
+    — it must be computed exactly once (a re-evaluation under a
+    different Arrow batch shape could flip an argmax tie and let two
+    branches disagree on a cell)."""
+    cent_rows = (
+        load_table(spark, sf_dir, "embeddings")
         .select(
-            F.col("xid").alias("doc_en"),
-            F.col("yid").alias("doc_fr"),
-            "cos_mu",
-            "margin_ppm",
+            "vec_id",
+            "embedding",
+            F.md5(F.concat(F.lit("c:"), F.col("vec_id").cast("string"))).alias("h"),
         )
+        .orderBy("h", "vec_id")
+        .limit(_IVF_NC)
+        .collect()
     )
+    Cmat = _int_matrix(pd.Series([r.embedding for r in cent_rows]))
+    cn2d = np.sqrt((Cmat * Cmat).sum(axis=1).astype(np.float64))
+    lab = _bt_labeled(spark, sf_dir)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = _int_matrix(pdf["embedding"])
+            xn = np.sqrt((X * X).sum(axis=1).astype(np.float64))
+            sim = (X @ Cmat.T).astype(np.float64) / (xn[:, None] * cn2d[None, :])
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "lang": pdf["lang"],
+                    "embedding": pdf["embedding"],
+                    "cell": np.argmax(sim, axis=1).astype(np.int32),
+                    "csim": list(sim),
+                }
+            )
+
+    return lab.mapInPandas(
+        assign,
+        "vec_id long, lang string, embedding array<float>,"
+        " cell int, csim array<double>",
+    ).localCheckpoint(eager=True)
+
+
+def _bt_ivf_radii(assigned: DataFrame) -> dict:
+    """{(lang, cell): min cos to own centroid} — the per-cell angular
+    radius in cosine form; <= 2 * _IVF_NC rows, a fixed-size driver
+    artifact like the centroid matrix itself."""
+    return {
+        (r.lang, r.cell): r.rmin
+        for r in (
+            assigned.select(
+                "lang",
+                "cell",
+                F.element_at("csim", F.col("cell") + 1).alias("c2o"),
+            )
+            .groupBy("lang", "cell")
+            .agg(F.min("c2o").alias("rmin"))
+            .collect()
+        )
+    }
+
+
+def _bt_dir_tile(direction: str):
+    """Per-tile exact scorer for ONE direction: emits each query row's
+    tile-local top-{_BT_K}-with-ties over the member rows (same exact
+    int64 matmul + half-away rounding as the exhaustive tile fn)."""
+    qcol, mcol = ("xid", "yid") if direction == "x" else ("yid", "xid")
+
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"xid": [], "yid": [], "cos_mu": [], "dir": []}).astype(
+            {"xid": "int64", "yid": "int64", "cos_mu": "int64", "dir": "object"}
+        )
+        qm = pdf["role"].to_numpy() == "q"
+        qp, mp = pdf[qm], pdf[~qm]
+        if qp.empty or mp.empty:
+            return empty
+        Q = _int_matrix(qp["embedding"])
+        M = _int_matrix(mp["embedding"])
+        qids = qp["vec_id"].to_numpy(dtype=np.int64)
+        mids = mp["vec_id"].to_numpy(dtype=np.int64)
+        qn = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+        mn = np.sqrt((M * M).sum(axis=1).astype(np.float64))
+        cos = (Q @ M.T).astype(np.float64) / (qn[:, None] * mn[None, :])
+        scaled = cos * 1000000.0
+        mu = np.trunc(scaled + np.copysign(0.5, scaled)).astype(np.int64)
+        nq, nm = mu.shape
+        k = min(_BT_K, nm)
+        thr = np.partition(mu, nm - k, axis=1)[:, nm - k]
+        ri, ci = np.nonzero(mu >= thr[:, None])
+        out = pd.DataFrame(
+            {qcol: qids[ri], mcol: mids[ci], "cos_mu": mu[ri, ci], "dir": direction}
+        )
+        return out[["xid", "yid", "cos_mu", "dir"]]
+
+    return fn
+
+
+def _bt_ivf_dir(
+    assigned: DataFrame,
+    qlang: str,
+    mlang: str,
+    direction: str,
+    rad: dict,
+) -> tuple[DataFrame, DataFrame]:
+    """One direction of the branch-and-bound scan. Returns (partials,
+    survivors) where survivors is the post-prune residual (query, cell)
+    set — the 'tiles that actually run matmuls' observable.
+
+    Lossless by the sphere triangle inequality: for y in cell j with
+    centroid c_j and angular radius r_j = max angle(y, c_j),
+    angle(q, y) >= angle(q, c_j) - r_j, so
+    cos(q, y) <= cos(max(0, angle(q, c_j) - r_j)) =: ub(q, j).
+    The seed scan (q's own cell) yields lb(q) = its K-th best exact
+    score — a lower bound on the global K-th best. Any cell with
+    ub < lb cannot contain a global-top-K row (every tie at the K-th
+    value scores >= lb > ub >= its cell's best, a contradiction), so
+    skipping it cannot change _bt_downstream's re-trimmed top-K; the
+    integer slack (+3 on ub, -1 on lb) absorbs the float acos/cos and
+    mu-rounding error, keeping the prune strictly conservative."""
+    B = _BT_IVF_B
+    q = assigned.filter(F.col("lang") == qlang)
+    m = assigned.filter(F.col("lang") == mlang)
+    m_tiles = m.select(
+        F.col("cell").alias("tc"),
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("tb"),
+        F.lit("m").alias("role"),
+        "vec_id",
+        "embedding",
+    )
+    q_seed = q.select(
+        F.col("cell").alias("tc"),
+        F.pmod(F.col("vec_id"), F.lit(B)).cast("int").alias("tb"),
+        F.lit("q").alias("role"),
+        "vec_id",
+        "embedding",
+    )
+    schema = "xid long, yid long, cos_mu long, dir string"
+    seed = (
+        q_seed.unionByName(m_tiles)
+        .groupBy("tc", "tb")
+        .applyInPandas(_bt_dir_tile(direction), schema)
+        .localCheckpoint(eager=True)
+    )
+    qkey, okey = ("xid", "yid") if direction == "x" else ("yid", "xid")
+    wq = Window.partitionBy(qkey).orderBy(F.desc("cos_mu"), F.asc(okey))
+    lb = (
+        seed.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == _BT_K)
+        .select(F.col(qkey).alias("vec_id"), F.col("cos_mu").alias("lb_mu"))
+    )
+    # member-side cell radii as a literal array (<= _IVF_NC doubles);
+    # cells with no members on the m side carry a sentinel and are
+    # dropped — nothing to scan there
+    rmins = [rad.get((mlang, j)) for j in range(_IVF_NC)]
+    rarr = F.array(*[F.lit(-2.0 if v is None else float(v)) for v in rmins])
+    survivors = (
+        q.select("vec_id", "cell", F.posexplode("csim").alias("j", "simj"))
+        .filter(F.col("j") != F.col("cell"))
+        .withColumn("rminj", F.element_at(rarr, F.col("j") + 1))
+        .filter(F.col("rminj") > -1.5)
+        .join(lb, "vec_id", "left")
+        .withColumn(
+            "ub_mu",
+            F.expr(
+                "cast(round(cos(greatest(0.0D,"
+                " acos(least(1.0D, greatest(-1.0D, simj)))"
+                " - acos(least(1.0D, greatest(-1.0D, rminj)))))"
+                " * 1000000.0D) as bigint) + 3"
+            ),
+        )
+        .filter(F.col("lb_mu").isNull() | (F.col("ub_mu") >= F.col("lb_mu") - 1))
+        .select("vec_id", "j")
+        .localCheckpoint(eager=True)
+    )
+    q_res = survivors.join(q.select("vec_id", "embedding"), "vec_id").select(
+        F.col("j").alias("tc"),
+        F.pmod(F.col("vec_id"), F.lit(B)).cast("int").alias("tb"),
+        F.lit("q").alias("role"),
+        "vec_id",
+        "embedding",
+    )
+    # only surviving cells' members shuffle into the residual scan —
+    # this semi-join IS the tile-count drop
+    m_res = m_tiles.join(
+        survivors.select(F.col("j").alias("tc")).distinct(), "tc", "leftsemi"
+    )
+    residual = (
+        q_res.unionByName(m_res)
+        .groupBy("tc", "tb")
+        .applyInPandas(_bt_dir_tile(direction), schema)
+    )
+    return seed.unionByName(residual), survivors
+
+
+@register(
+    "bitext_margin_mining_ivf",
+    oracle=_BT_ORACLE,
+    tags=("similarity", "bitext", "curation", "ivf"),
+)
+def bitext_margin_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bitext_margin_mining with the promised IVF composition made
+    real: a branch-and-bound prune over the coarse-quantizer cells so
+    only tiles that CAN hold a top-K candidate run exact matmuls.
+
+    Per direction: (1) seed scan — each query against its own cell's
+    members gives an exact lower bound lb = its K-th best score;
+    (2) bound — each other cell j is admitted only if the triangle-
+    inequality upper bound cos(angle(q, c_j) - r_j) reaches lb (see
+    _bt_ivf_dir for the losslessness argument); (3) residual scan —
+    surviving (query, cell) pairs only. The prune is lossless, so this
+    query shares bitext_margin_mining's unpruned oracle verbatim — a
+    hash-match proves no mined pair was lost to the pruning.
+
+    Scale shape: FLOPs drop from all-pairs to seed + admitted cells —
+    on clustered corpora (the regime where bitext mining is run: LASER
+    embeddings cluster hard by topic/translation) most cells fail the
+    bound (tests/test_similarity.py plants such a corpus and asserts
+    the drop); on an isotropic corpus the bound admits ~everything and
+    the cost degrades to the exhaustive grid, never below it in
+    recall. Driver artifacts stay O(1): centroid matrix (_IVF_NC rows)
+    and per-cell radii (<= 2*_IVF_NC doubles)."""
+    assigned = _bt_ivf_assign(spark, sf_dir)
+    rad = _bt_ivf_radii(assigned)
+    px, _ = _bt_ivf_dir(assigned, "en", "fr", "x", rad)
+    py, _ = _bt_ivf_dir(assigned, "fr", "en", "y", rad)
+    return _bt_downstream(px.unionByName(py))

@@ -228,3 +228,64 @@ def test_ivf_centroids_fixed_count(spark, sf_dir):
         .count()
     )
     assert n == _IVF_NC
+
+
+def test_bitext_ivf_prune_lossless_and_prunes_clustered(spark, tmp_path):
+    """The IVF-pruned bitext miner must (a) return EXACTLY the
+    exhaustive miner's pairs on a clustered corpus — the prune is
+    lossless by the triangle-inequality bound — and (b) actually skip
+    most residual (query, cell) tiles there: with orthogonal clusters,
+    a foreign cell's upper bound cos(angle - radius) sits far below
+    the seed scan's K-th-best lower bound. Isotropic corpora (the
+    synthetic testdata) degrade to ~no pruning but keep equality —
+    that case is covered by the shared parity oracle at all SFs."""
+    import numpy as np
+    import pandas as pd
+
+    from arcon_spark.functions.similarity import (
+        _bt_ivf_assign,
+        _bt_ivf_dir,
+        _bt_ivf_radii,
+        bitext_margin_mining,
+        bitext_margin_mining_ivf,
+    )
+
+    rng = np.random.default_rng(11)
+    n_per, dims, n_clusters = 20, 64, 6
+    centers = np.eye(dims)[:n_clusters]
+    vecs, ids, langs = [], [], []
+    next_id = 1000
+    # per-dim sigma 0.05 over 64 dims -> noise norm ~0.4 against unit
+    # centers: tight orthogonal clusters (cross-cluster cos ~0, within
+    # ~0.85+); twins at sigma 0.01 sit at cos ~0.997, clearing the 1.06
+    # margin over their ~0.87 neighborhoods
+    for c in range(n_clusters):
+        en = centers[c] + 0.05 * rng.standard_normal((n_per, dims))
+        fr = en + 0.01 * rng.standard_normal((n_per, dims))  # planted twins
+        for pts, lang in ((en, "en"), (fr, "fr")):
+            vecs.append(pts)
+            ids.extend(range(next_id, next_id + n_per))
+            next_id += n_per + 7
+            langs.extend([lang] * n_per)
+    V = np.concatenate(vecs).astype(np.float32)
+    td = str(tmp_path)
+    pd.DataFrame({"vec_id": ids, "embedding": list(V), "label": 0}).to_parquet(
+        f"{td}/embeddings.parquet"
+    )
+    pd.DataFrame(
+        {"doc_id": ids, "text": "x", "lang": langs, "source": "t", "n_chars": 1}
+    ).to_parquet(f"{td}/documents.parquet")
+
+    exact = sorted(tuple(r) for r in bitext_margin_mining(spark, td).collect())
+    pruned = sorted(tuple(r) for r in bitext_margin_mining_ivf(spark, td).collect())
+    assert len(exact) >= 3  # non-degenerate: twins must actually mine
+    assert pruned == exact
+
+    assigned = _bt_ivf_assign(spark, td)
+    rad = _bt_ivf_radii(assigned)
+    _, surv_x = _bt_ivf_dir(assigned, "en", "fr", "x", rad)
+    n_q = assigned.filter("lang = 'en'").count()
+    live_fr = len({c for (lang, c) in rad if lang == "fr"})
+    full_fan = n_q * (live_fr - 1)  # every non-seed live cell, no prune
+    admitted = surv_x.count()
+    assert admitted < 0.5 * full_fan, (admitted, full_fan)
