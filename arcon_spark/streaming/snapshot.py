@@ -43,6 +43,18 @@ class SnapshotCatalog:
     def _manifest_path(self, state_id: str) -> str:
         return os.path.join(self.root, state_id, "_manifest.json")
 
+    def _write_manifest(self, state_id: str, manifest: dict) -> None:
+        """Atomic publish: write-temp + rename, never truncate in
+        place — a reader concurrent with a commit/vacuum must see
+        either the old manifest or the new one, never a torn file
+        (caught by the 120-epoch reader-load sweep in
+        tests/test_snapshot.py)."""
+        mp = self._manifest_path(state_id)
+        tmp = mp + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, mp)
+
     def _commit(self, state_id: str, epoch: int, path: str) -> None:
         mp = self._manifest_path(state_id)
         manifest = {"snapshots": []}
@@ -52,8 +64,7 @@ class SnapshotCatalog:
         manifest["snapshots"] = [
             s for s in manifest["snapshots"] if s["epoch"] != epoch
         ] + [{"epoch": epoch, "path": path}]
-        with open(mp, "w") as f:
-            json.dump(manifest, f)
+        self._write_manifest(state_id, manifest)
 
     def writer(self, state_id: str) -> Callable[[DataFrame, int], None]:
         """foreachBatch hook: persist batch as epoch snapshot + commit
@@ -110,8 +121,7 @@ class SnapshotCatalog:
         with open(mp) as f:
             manifest = json.load(f)
         keep = [s for s in manifest["snapshots"] if s["epoch"] not in set(expired)]
-        with open(mp, "w") as f:
-            json.dump({"snapshots": keep}, f)
+        self._write_manifest(state_id, {"snapshots": keep})
         for e in expired:
             shutil.rmtree(
                 os.path.join(self.root, state_id, f"epoch={e}"), ignore_errors=True

@@ -153,3 +153,62 @@ def test_snapshot_expire_keeps_recent_epochs(spark):
     assert cat.read("s", 2).count() == 1  # kept epoch still queryable
     assert cat.latest("s").count() == 1
     assert cat.expire("s", keep_last=2) == []  # idempotent
+
+
+def test_snapshot_catalog_epoch_sweep_vacuum_under_reader_load(spark, tmp_path):
+    """Scale probe for the manifest-first vacuum: 120 committed epochs
+    (reference SnapshotManager keeps every epoch, manager/snapshot.rs:
+    50-57 — here retention is real), expire(keep_last=20) every 10
+    epochs while a concurrent reader hammers latest() — the commit
+    order (shrink manifest, THEN delete data) means a reader working
+    from a fresh manifest must never hit a missing path. Ends by
+    checking the manifest and the on-disk epoch dirs agree exactly."""
+    import os
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from arcon_spark.streaming.snapshot import SnapshotCatalog
+
+    root = str(tmp_path / "snaps")
+    cat = SnapshotCatalog(spark, root)
+    sid = "user_stats"
+    write = cat.writer(sid)
+    stop = threading.Event()
+    errors: list[str] = []
+    reads = [0]
+
+    def reader():
+        while not stop.is_set():
+            try:
+                eps = cat.epochs(sid)
+                if eps:
+                    # newest epoch: committed before it is listed, and
+                    # never the vacuum's victim
+                    assert cat.read(sid, eps[-1]).count() == 3
+                    reads[0] += 1
+            except Exception as e:  # noqa: BLE001
+                errors.append(f"{type(e).__name__}: {e}")
+                break
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    keep = 20
+    try:
+        for e in range(120):
+            write(spark.range(3).withColumn("epoch", F.lit(e)), e)
+            if e % 10 == 9:
+                expired = cat.expire(sid, keep_last=keep)
+                assert all(x <= e - keep for x in expired), (e, expired)
+    finally:
+        stop.set()
+        t.join(timeout=120)
+    assert not errors, errors
+    assert reads[0] > 0  # the reader actually raced the vacuum
+    cat.expire(sid, keep_last=keep)
+    eps = cat.epochs(sid)
+    assert len(eps) == keep and eps[-1] == 119 and eps[0] == 100
+    for e in eps:
+        assert cat.read(sid, e).count() == 3
+    on_disk = {d for d in os.listdir(os.path.join(root, sid)) if d.startswith("epoch=")}
+    assert on_disk == {f"epoch={e}" for e in eps}
