@@ -2258,23 +2258,52 @@ def _bt_downstream(partials: DataFrame) -> DataFrame:
         .drop("dir", "rn")
         .localCheckpoint(eager=True)
     )
-    sx = xtop.groupBy("xid").agg(F.sum("cos_mu").alias("sum_x"))
-    sy = ytop.groupBy("yid").agg(F.sum("cos_mu").alias("sum_y"))
-    cand = xtop.unionByName(ytop).distinct()
-    marg = (
-        cand.join(sx, "xid")
-        .join(sy, "yid")
-        .filter(F.col("sum_x") + F.col("sum_y") > 0)
-        .withColumn(
-            "margin_ppm",
-            F.expr(f"(2 * {_BT_K} * cos_mu * 1000000) div (sum_x + sum_y)"),
+    # Three-exchange tail (was seven as joins): the union is deduped by
+    # a (xid, yid) hash-agg running on an xid-only repartition — the
+    # subset partitioning satisfies ClusteredDistribution for the agg
+    # AND the xid neighborhood-sum window (house plan-trim pattern);
+    # provenance flags replace the sx/sy join sides (sum over in_x rows
+    # per xid == sum over xtop, since each pair is unique within a
+    # direction); the yid sum window, the margin, and the fy mutual-
+    # best rank then share ONE yid exchange, and fx closes with the
+    # last xid exchange.
+    u = xtop.withColumn("in_x", F.lit(1)).withColumn("in_y", F.lit(0)).unionByName(
+        ytop.withColumn("in_x", F.lit(0)).withColumn("in_y", F.lit(1))
+    )
+    g = (
+        u.repartition("xid")
+        .groupBy("xid", "yid")
+        .agg(
+            F.max("cos_mu").alias("cos_mu"),
+            F.max("in_x").alias("in_x"),
+            F.max("in_y").alias("in_y"),
         )
+        .withColumn(
+            "sum_x",
+            F.sum(F.when(F.col("in_x") == 1, F.col("cos_mu"))).over(
+                Window.partitionBy("xid")
+            ),
+        )
+        .withColumn(
+            "sum_y",
+            F.sum(F.when(F.col("in_y") == 1, F.col("cos_mu"))).over(
+                Window.partitionBy("yid")
+            ),
+        )
+    )
+    marg = g.filter(
+        F.col("sum_x").isNotNull()
+        & F.col("sum_y").isNotNull()
+        & (F.col("sum_x") + F.col("sum_y") > 0)
+    ).withColumn(
+        "margin_ppm",
+        F.expr(f"(2 * {_BT_K} * cos_mu * 1000000) div (sum_x + sum_y)"),
     )
     fx = Window.partitionBy("xid").orderBy(F.desc("margin_ppm"), F.asc("yid"))
     fy = Window.partitionBy("yid").orderBy(F.desc("margin_ppm"), F.asc("xid"))
     return (
-        marg.withColumn("fx", F.row_number().over(fx))
-        .withColumn("fy", F.row_number().over(fy))
+        marg.withColumn("fy", F.row_number().over(fy))
+        .withColumn("fx", F.row_number().over(fx))
         .filter(
             (F.col("fx") == 1)
             & (F.col("fy") == 1)

@@ -2140,8 +2140,11 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     and `cross_entropy` is one correctly-rounded division of exact
     integers — hash-stable across engines.
 
-    Scale shape: model training is two hash aggregates over the
-    reference slice's bigram stream; V is one distinct-count scalar.
+    Scale shape: model training is ONE hash aggregate over the
+    reference slice's bigram stream; the context counts c(w1) are the
+    trained table's own marginal (an aggregate of the small count
+    table, not a second shuffle of the stream). V is one
+    distinct-count scalar.
     Scoring joins the corpus bigram stream to the two count tables on
     their natural keys — shuffle-hash joins keyed by (w1,w2)/(w1) that
     AQE turns into broadcasts whenever the trained tables fit (they do
@@ -2165,8 +2168,13 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     train = big.filter(F.col("lang") == _LM_TRAIN_LANG)
-    c12 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("cnt12"))
-    c1 = train.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("cnt1"))
+    c12 = train.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt12")
+    ).persist()
+    # context counts are the bigram table's own marginal — aggregating
+    # the (small) trained model instead of re-shuffling the full
+    # training bigram stream a second time
+    c1 = c12.groupBy("w1").agg(F.sum("cnt12").cast("long").alias("cnt1"))
     vsize = int(
         toks.filter(F.col("lang") == _LM_TRAIN_LANG)
         .select(F.explode("t").alias("tok"))
