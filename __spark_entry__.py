@@ -39,119 +39,75 @@ def entry(spark: SparkSession) -> DataFrame:
 # everything else follows in registration order. Names not in the
 # registry are ignored (robust to renames).
 _SAMPLE_FIRST = [
-    # r4's one red row: vec_state_collect failed ONLY on output shape
-    # (ArrayType column vs the driver's pandas canonicalizer) — r5
-    # reshapes it to a '|'-joined string; it leads so the driver
-    # re-proves it green. embedding_quantize_int8 had the same latent
-    # trap (never sampled) and approx_distinct_users gets its first
-    # value oracle (the 2%-contract boolean) this round.
-    "vec_state_collect",
-    "embedding_quantize_int8",
-    "approx_distinct_users",
-    # r5 new: the un-stubbed magic-byte decode dispatch (4 real
-    # codecs), cross-doc exact-substring dedup, sequence packing,
-    # temperature mixture weights, one-pass curation funnel
-    "multimodal_decode_dispatch",
-    "dedup_cross_doc_spans",
-    "pack_concat_chunks",
-    "mixture_temperature_sampling",
-    "curation_funnel_counts",
-    "dedup_survivorship",
-    "stream_curation_funnel",
-    # r5 session 2: cross-lingual bitext mining (CCMatrix-style ratio
-    # margin over block-tiled exact cosines; planted-twin direction
-    # check in tools/semantic_audit.py)
-    "bitext_margin_mining",
-    # r5 session 3: differentially-private corpus-statistics release
-    # (deterministic md5-seeded Laplace, clip-bounded sensitivity,
-    # parallel/sequential budget composition; mechanism pinned to the
-    # textbook inverse CDF in tests/test_curation.py)
-    "dp_noisy_domain_counts",
-    "dp_clipped_mean_chars",
-    "dp_length_histogram",
-    "stream_dp_release_ledger",
-    "dp_median_chars",
-    # r5 session 3: Brown forecast corrected to level+trend (3*S1-2*S2)
-    # — re-prove both twins at the driver after the semantics fix
-    "brown_trend_forecast",
-    "stream_brown_trend",
-    # r5 session 3: shuffle pre-flight — heavy-key census + salt advisor
-    "skew_diagnostics_events",
-    # r5 session 3: multi-touch attribution + split-conformal audit
-    "attribution_revenue_channels",
-    "conformal_calibration_events",
-    "ab_power_analysis",
-    "tokenizer_vocab_coverage",
-    "dedup_cluster_purity",
-    # never-driver-checked (49 of this 50-prefix are first-time rows):
-    # graph suite
-    "graph_label_propagation",
-    "graph_link_prediction",
-    "graph_modularity",
-    # dedup remainder
-    "dedup_weighted_minhash",
-    "dedup_simhash_band_pairs",
-    "dedup_prefix_filter_pairs",
-    "dedup_minhash_signatures",
-    "dedup_ngram_containment",
-    "dedup_minhash_estimate_vs_exact",
-    "dedup_span_removal",
-    "fuzzy_match_customers",
-    # similarity / ANN remainder
-    "ann_lsh_bucketed",
-    "knn_label_majority",
-    "kmeans_embeddings",
-    "embedding_dim_stats",
-    "matryoshka_recall_audit",
-    # text-analysis remainder
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_count",
-    "text_fingerprint",
-    "text_chunking",
-    "text_tfidf_topterms",
-    "text_pmi_collocations",
-    "text_readability_flesch",
-    "udtf_sentence_split",
-    "vocab_top_tokens",
-    # cohort / funnel / stats analytics
+    # --- round 6 sample: the 2 new queries lead, then 48 rows the
+    # driver has NEVER checked in rounds 1-5 (list = registry order
+    # minus the 240 in CORRECTNESS_r01-r05) — 50/50 first-time rows.
+    # r6 new: protobuf oneof (tagged-union) roundtrip + the IVF
+    # branch-and-bound bitext miner (lossless prune, shared oracle)
+    "source_protobuf_oneof_roundtrip",
+    "bitext_margin_mining_ivf",
+    # multimodal suite (from-spec codecs behind Arrow-batched plumbing)
+    "multimodal_meta",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_audio_energy",
+    "multimodal_image_histogram",
+    "multimodal_scene_cuts",
+    "multimodal_audio_vad",
+    "multimodal_jpeg_roundtrip",
+    # python-datasource pair
+    "pyds_collection_agg",
+    "stream_pyds_collection",
+    # streaming remainder (tapes; slower rows, deliberately mixed in
+    # now so latent shape issues surface with rounds left to fix)
+    "stream_sliding_window_agg",
+    "stream_static_enrich",
+    "stream_distinct_pairs",
+    "stream_stream_left_outer_join",
+    "stream_stream_left_semi_join",
+    "stream_session_window_dynamic_gap",
+    "stream_dedup_within_watermark",
+    "stream_running_counts_update_mode",
+    # batch analytics / SQL-shape remainder, registry order
+    "transition_matrix_events",
+    "rfm_customer_segments",
+    "hll_distinct_users",
+    "sql_recursive_reach",
+    "variant_json_extract",
+    "quantile_histogram_sketch",
+    "reservoir_sample_per_type",
+    "range_frame_trailing_sum",
+    "sql_pipe_syntax",
+    "session_top_paths",
+    "sample_estimate_audit",
+    "scalar_subquery_above_avg",
+    "min_per_group_joinback",
+    "salted_hot_key_agg",
+    "time_rollup_hierarchy",
+    "salted_skew_join",
     "funnel_conversion",
     "retention_cohorts",
     "cep_purchase_error_pattern",
     "rolling_median_value",
-    "exact_median_selection",
-    "mode_event_type_per_user",
+    "sax_symbolize_hourly",
+    "debounce_events",
     "market_basket_lift",
     "cohort_ltv_weekly",
+    "decayed_topk_parts",
+    "gini_best_split_totalprice",
+    "target_encode_nation",
     "ab_test_purchase_value",
-    "stl_residual_anomalies",
-    # SQL shapes
-    "sql_recursive_reach",
-    "sql_pipe_syntax",
-    "tpch_q16ish",
-    "tpch_q20ish",
-    "scalar_subquery_above_avg",
-    "salted_skew_join",
-    # multimodal remainder
-    "multimodal_jpeg_roundtrip",
-    "multimodal_meta",
-    "multimodal_frame_sample",
-    # curation remainder
-    "gopher_quality_flags",
-    "decontam_ngram_overlap",
-    # --- 50-prefix boundary; tail = more never-checked for robustness
-    "stream_static_enrich",
-    "stream_sliding_window_agg",
-    "stream_dedup_within_watermark",
-    "stream_cdc_upsert",
-    "pyds_collection_agg",
-    "stream_pyds_collection",
-    "salted_hot_key_agg",
+    "theil_sen_hourly_trend",
+    "benford_first_digit_audit",
+    # --- 50-prefix boundary; tail = more never-checked for r7
+    "hhi_revenue_concentration",
+    "pandas_udaf_trimmed_mean",
+    "exact_median_selection",
     "distribution_drift_chi2",
-    "hll_distinct_users",
-    "vocab_top_bigrams",
-    "multimodal_audio_energy",
-    "multimodal_scene_cuts",
+    "diff_in_diff_events",
+    "ts_similarity_topk",
+    "stl_decompose_hourly",
+    "stl_residual_anomalies",
 ]
 
 
