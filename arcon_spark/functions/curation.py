@@ -287,7 +287,12 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped = ng.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("ngram"))).filter(
         F.col("df") <= _DF_CAP
     )
-    sized = capped.withColumn("n_total", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+    # the sized index feeds BOTH sides of the eval x train join —
+    # checkpoint so the distinct + two-window chain executes once, not
+    # once per branch (house plan-trim pattern)
+    sized = capped.withColumn(
+        "n_total", F.count(F.lit(1)).over(W.partitionBy("doc_id"))
+    ).localCheckpoint(eager=True)
     e = sized.filter(F.col("is_eval")).alias("e")
     t = sized.filter(~F.col("is_eval")).alias("t")
     return (

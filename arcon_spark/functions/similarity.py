@@ -913,17 +913,24 @@ def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     EDBT'19): each user's hour-of-day activity histogram is a 24-dim
     integer vector; top-3 most-similar users per user by cosine.
 
-    Plan: profiles via one groupBy; pairwise dots via an inverted-index
-    join on the hour dimension (24 'bands' — never a full user×user
-    cross join at the scan level); exact integer dot products →
-    deterministic ranking. The hour-join is the sparse-vector analog of
-    the LSH band join."""
+    Plan: profiles via one groupBy; each profile row carries its
+    user's squared norm via a window BEFORE the pair join, so the
+    norms ride through the inverted-index join for free (no per-side
+    norm-table rejoins); pairwise dots via the join on the hour
+    dimension (24 'bands' — never a full user×user cross join at the
+    scan level); exact integer dot products → deterministic ranking.
+    The hour-join is the sparse-vector analog of the LSH band join."""
     ev = load_table(spark, sf_dir, "events")
     prof = (
         ev.groupBy("user_id", F.hour("ts").cast("long").alias("h"))
         .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "n2",
+            F.sum(F.col("n") * F.col("n")).over(Window.partitionBy("user_id")),
+        )
+        # feeds both self-join sides: compute the profile chain once
+        .localCheckpoint(eager=True)
     )
-    nrm = prof.groupBy("user_id").agg(F.sum(F.col("n") * F.col("n")).alias("n2"))
     a = prof.alias("a")
     b = prof.alias("b")
     dots = (
@@ -934,18 +941,16 @@ def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b")
         )
-        .agg(F.sum(F.col("a.n") * F.col("b.n")).alias("d"))
+        .agg(
+            F.sum(F.col("a.n") * F.col("b.n")).alias("d"),
+            F.max("a.n2").alias("n2a"),
+            F.max("b.n2").alias("n2b"),
+        )
     )
-    na = nrm.alias("na")
-    nb = nrm.alias("nb")
     cos = F.col("d").cast("double") / (
-        F.sqrt(F.col("na.n2").cast("double")) * F.sqrt(F.col("nb.n2").cast("double"))
+        F.sqrt(F.col("n2a").cast("double")) * F.sqrt(F.col("n2b").cast("double"))
     )
-    scored = (
-        dots.join(na, F.col("user_a") == F.col("na.user_id"))
-        .join(nb, F.col("user_b") == F.col("nb.user_id"))
-        .select("user_a", "user_b", cos.alias("cosine"))
-    )
+    scored = dots.select("user_a", "user_b", cos.alias("cosine"))
     w = Window.partitionBy("user_a").orderBy(F.desc("cosine"), F.asc("user_b"))
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))

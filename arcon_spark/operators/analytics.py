@@ -797,6 +797,9 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part"))
         .distinct()
+        # feeds the order count, both self-join sides, and the support
+        # table — checkpoint so the distinct runs once, not per branch
+        .localCheckpoint(eager=True)
     )
     n_orders = items.select("okey").distinct().count()
     supp = items.groupBy("part").agg(F.count(F.lit(1)).alias("c"))
@@ -1170,59 +1173,58 @@ def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a null-count over a left join with the (small) dimension
     broadcast.
 
-    Plan: single-scan conditional aggregation per rule (Catalyst
-    shares the orders scan across the unioned branches), one
-    broadcast join, one distinct-agg — no rule ever materializes
-    violating ROWS (pair each failing rule with a follow-up query for
-    examples, as split_contamination_check does). At 100 TB this is
-    the post-load audit gate run before a partition is published."""
+    Plan: ALL five orders rules evaluate in ONE pass — a single scan
+    through the (broadcast) referential left join into one
+    conditional aggregate, pivoted to rule rows by an in-row explode;
+    the lineitem rule is a second single-row aggregate. Two scans,
+    two single-row exchanges, one broadcast for the whole audit — no
+    rule ever materializes violating ROWS (pair each failing rule
+    with a follow-up query for examples, as split_contamination_check
+    does). At 100 TB this is the post-load audit gate run before a
+    partition is published, and one pass vs six is the difference."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
 
-    def rule(name: str, df: DataFrame, viol) -> DataFrame:
-        return df.agg(
-            F.lit(name).alias("rule"),
-            F.count(F.lit(1)).alias("n_checked"),
-            F.sum(F.when(viol, 1).otherwise(0)).cast("long").alias("n_violations"),
-        ).select("rule", "n_checked", "n_violations")
+    def viol(cond) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
 
-    uniq = orders.agg(
-        F.lit("orderkey_unique").alias("rule"),
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
+    wide = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        viol(F.col("o_orderkey").isNull()).alias("v_null"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).cast("long").alias("v_uniq"),
+        viol(F.col("o_totalprice") <= 0).alias("v_price"),
+        viol(~F.col("o_orderstatus").isin("F", "O", "P")).alias("v_status"),
+        viol(F.col("c_custkey").isNull()).alias("v_ref"),
+    )
+
+    def as_rule(name: str, v: str) -> F.Column:
+        return F.struct(
+            F.lit(name).alias("rule"),
+            F.col("n").alias("n_checked"),
+            F.col(v).alias("n_violations"),
+        )
+
+    orules = wide.select(
+        F.explode(
+            F.array(
+                as_rule("orderkey_not_null", "v_null"),
+                as_rule("orderkey_unique", "v_uniq"),
+                as_rule("totalprice_positive", "v_price"),
+                as_rule("status_accepted_values", "v_status"),
+                as_rule("custkey_referential", "v_ref"),
+            )
+        ).alias("r")
+    ).select("r.rule", "r.n_checked", "r.n_violations")
+    li_rule = li.agg(
+        F.lit("lineitem_discount_range").alias("rule"),
         F.count(F.lit(1)).alias("n_checked"),
-        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
-        .cast("long")
-        .alias("n_violations"),
-    ).select("rule", "n_checked", "n_violations")
-    ref = rule(
-        "custkey_referential",
-        orders.join(
-            F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left"
+        viol((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).alias(
+            "n_violations"
         ),
-        F.col("c_custkey").isNull(),
-    )
-    return (
-        rule("orderkey_not_null", orders, F.col("o_orderkey").isNull())
-        .unionByName(uniq)
-        .unionByName(
-            rule("totalprice_positive", orders, F.col("o_totalprice") <= 0)
-        )
-        .unionByName(
-            rule(
-                "status_accepted_values",
-                orders,
-                ~F.col("o_orderstatus").isin("F", "O", "P"),
-            )
-        )
-        .unionByName(ref)
-        .unionByName(
-            rule(
-                "lineitem_discount_range",
-                li,
-                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1),
-            )
-        )
-    )
+    ).select("rule", "n_checked", "n_violations")
+    return orules.unionByName(li_rule)
 
 
 # ---------------------------------------------------------------------------
