@@ -461,6 +461,35 @@ class Stream:
             lambda batch_df, _id: batch_df.foreachPartition(send_partition)
         ).start()
 
+    def to_socket_udp(self, host: str, port: int) -> StreamingQuery:
+        """SocketSink, wire-faithful variant: the reference's sink is
+        UDP with one JSON-serialized datagram per record (operator/
+        sink/socket.rs:35-76 — `SocketSink::udp`, `serde_json::
+        to_string` per element, one `send_to` per record; fire-and-
+        forget, no framing, no delivery guarantee). to_socket() above
+        is the reliable TCP/JSON-lines lane this repo prefers; this
+        method exists for strict parity with the reference's (dead-
+        code) UDP semantics. One OS-allocated sending socket per
+        partition, matching its 0.0.0.0:0 bind."""
+
+        def send_partition(rows) -> None:
+            import json as _json
+            import socket as _socket
+
+            sock = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+            try:
+                for row in rows:
+                    sock.sendto(
+                        _json.dumps(row.asDict(), default=str).encode(),
+                        (host, port),
+                    )
+            finally:
+                sock.close()
+
+        return self.df.writeStream.foreachBatch(
+            lambda batch_df, _id: batch_df.foreachPartition(send_partition)
+        ).start()
+
     def measure(self) -> "tuple[StreamingQuery, object]":
         """.measure() (reference dataflow/sink/mod.rs:112-126): run the
         stream into a noop sink with a MeasureListener attached;

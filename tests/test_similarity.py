@@ -191,6 +191,8 @@ def test_driver_collected_artifacts_are_fixed_size(spark):
         _query_matrix,
     )
 
+    from arcon_spark.functions.similarity import _bt_ivf_assign, _bt_ivf_radii
+
     sizes = {}
     for sf in ("sf0.001", "sf0.01"):
         sf_dir = f"/root/testdata/{sf}"
@@ -202,6 +204,10 @@ def test_driver_collected_artifacts_are_fixed_size(spark):
         _assigned, probes = _ivf_assignment(spark, sf_dir)
         # probes is queries x nprobe — also a constant
         assert probes.count() <= _QUERY_N * 2
+        # the bitext IVF miner's driver artifacts: per-cell radii are
+        # bounded by 2 cells x languages, independent of corpus size
+        rad = _bt_ivf_radii(_bt_ivf_assign(spark, sf_dir))
+        assert len(rad) <= 2 * _IVF_NC
         sizes[sf] = (len(qids), Q.shape)
     assert sizes["sf0.001"] == sizes["sf0.01"]
 

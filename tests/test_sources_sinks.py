@@ -308,3 +308,51 @@ def test_binaryfile_source_reads_blobs_with_metadata(spark, tmp_path):
     for name, data in payloads.items():
         assert bytes(by_name[name]["content"]) == data
         assert by_name[name]["length"] == len(data)
+
+
+def test_socket_sink_udp_one_datagram_per_record(spark):
+    """The wire-faithful UDP SocketSink (reference socket.rs:114-153
+    `udp_sink_test`: a UDP receiver gets each element as one
+    JSON-serialized datagram). Loopback UDP, so no datagram loss."""
+    import json
+    import socket
+    import threading
+
+    received = []
+    srv = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    srv.bind(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def serve():
+        srv.settimeout(0.5)
+        while not stop.is_set():
+            try:
+                data, _ = srv.recvfrom(65536)
+            except socket.timeout:
+                continue
+            received.append(json.loads(data.decode()))
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    try:
+        s = Stream.from_collection(
+            spark, [(i, i * 10) for i in range(7)], "k long, v long"
+        )
+        q = s.to_socket_udp("127.0.0.1", port)
+        q.processAllAvailable()
+        q.stop()
+        import time as _t
+
+        for _ in range(50):
+            if len(received) >= 7:
+                break
+            _t.sleep(0.1)
+    finally:
+        stop.set()
+        t.join(timeout=2)
+        srv.close()
+    # one datagram per record, each a standalone JSON object
+    assert sorted((r["k"], r["v"]) for r in received) == [
+        (i, i * 10) for i in range(7)
+    ]
