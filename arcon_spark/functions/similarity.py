@@ -2553,19 +2553,27 @@ def _bt_ivf_dir(
     skipping it cannot change _bt_downstream's re-trimmed top-K; the
     integer slack (+3 on ub, -1 on lb) absorbs the float acos/cos and
     mu-rounding error, keeping the prune strictly conservative."""
+    # Tiles are (cell, qblock, mblock): BOTH sides block-split, so task
+    # memory is one tile pair even when the quantizer hands a mega-cell
+    # to clustered data (the regime this variant exists for) — each
+    # side rides the shuffle B times, and the per-query top-K windows
+    # re-trim the per-tile partials losslessly, exactly as in the
+    # exhaustive miner's grid.
     B = _BT_IVF_B
     q = assigned.filter(F.col("lang") == qlang)
     m = assigned.filter(F.col("lang") == mlang)
     m_tiles = m.select(
         F.col("cell").alias("tc"),
-        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("tb"),
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("qb"),
+        F.pmod(F.col("vec_id"), F.lit(B)).cast("int").alias("mb"),
         F.lit("m").alias("role"),
         "vec_id",
         "embedding",
     )
     q_seed = q.select(
         F.col("cell").alias("tc"),
-        F.pmod(F.col("vec_id"), F.lit(B)).cast("int").alias("tb"),
+        F.pmod(F.col("vec_id"), F.lit(B)).cast("int").alias("qb"),
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("mb"),
         F.lit("q").alias("role"),
         "vec_id",
         "embedding",
@@ -2573,7 +2581,7 @@ def _bt_ivf_dir(
     schema = "xid long, yid long, cos_mu long, dir string"
     seed = (
         q_seed.unionByName(m_tiles)
-        .groupBy("tc", "tb")
+        .groupBy("tc", "qb", "mb")
         .applyInPandas(_bt_dir_tile(direction), schema)
         .localCheckpoint(eager=True)
     )
@@ -2610,7 +2618,8 @@ def _bt_ivf_dir(
     )
     q_res = survivors.join(q.select("vec_id", "embedding"), "vec_id").select(
         F.col("j").alias("tc"),
-        F.pmod(F.col("vec_id"), F.lit(B)).cast("int").alias("tb"),
+        F.pmod(F.col("vec_id"), F.lit(B)).cast("int").alias("qb"),
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("mb"),
         F.lit("q").alias("role"),
         "vec_id",
         "embedding",
@@ -2622,7 +2631,7 @@ def _bt_ivf_dir(
     )
     residual = (
         q_res.unionByName(m_res)
-        .groupBy("tc", "tb")
+        .groupBy("tc", "qb", "mb")
         .applyInPandas(_bt_dir_tile(direction), schema)
     )
     return seed.unionByName(residual), survivors
