@@ -46,6 +46,7 @@ _SAMPLE_FIRST = [
     # branch-and-bound bitext miner (lossless prune, shared oracle)
     "source_protobuf_oneof_roundtrip",
     "bitext_margin_mining_ivf",
+    "text_mojibake_repair",
     # multimodal suite (from-spec codecs behind Arrow-batched plumbing)
     "multimodal_meta",
     "multimodal_resize",

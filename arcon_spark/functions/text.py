@@ -2881,3 +2881,126 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("total_types").alias("total_types"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mojibake repair (ftfy-style UTF-8/CP1252 double-encoding fix)
+# ---------------------------------------------------------------------------
+
+# The classic web-corpus corruption: UTF-8 bytes decoded as CP1252
+# ("é" -> "Ã©", "€" -> "â‚¬", "—" -> "â€”"). The repair table is DERIVED
+# from the encoding law itself at import time — good.encode('utf-8')
+# .decode('cp1252') — and pinned by tests/test_properties.py, so the
+# chained-replace chains below cannot drift from the real mapping.
+# (Characters whose UTF-8 bytes hit CP1252's five undefined slots, and
+# the invisible NBSP/soft-hyphen cases, are deliberately excluded.)
+_MOJI_GOODS = "éèêâçôîûùüöäñóáú°«»€–—…"
+# goods that appear INSIDE other goods' mojibake forms must corrupt
+# first (â and € lead every trigraph; » sits inside û's digraph), so a
+# single forward pass is exactly inverted by a single repair pass
+_MOJI_CORRUPT_ORDER = "â€«»°" + "".join(
+    g for g in _MOJI_GOODS if g not in "â€«»°"
+)
+_MOJI_PAIRS = [
+    (g, g.encode("utf-8").decode("cp1252")) for g in _MOJI_CORRUPT_ORDER
+]
+
+
+def _moji_chain(col: str, pairs) -> str:
+    out = col
+    for a, b in pairs:
+        out = f"replace({out}, '{a}', '{b}')"
+    return out
+
+
+# corrupt: good -> bad in nesting-safe order; repair: bad -> good,
+# longest bads first so trigraphs never lose their tail to a digraph
+_MOJI_CORRUPT_SQL = _moji_chain("expected", _MOJI_PAIRS)
+_MOJI_REPAIR_SQL = _moji_chain(
+    "corrupted",
+    [(b, g) for g, b in sorted(_MOJI_PAIRS, key=lambda p: -len(p[1]))],
+)
+_MOJI_SUFFIX = " – café ôté «№» for €42…".replace("№", "n°")
+
+
+@register(
+    "text_mojibake_repair",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             doc_id % 7 = 3 AS planted,
+             CASE WHEN doc_id % 7 = 3 THEN text || '{_MOJI_SUFFIX}'
+                  ELSE text END AS expected
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, planted, expected,
+             CASE WHEN planted THEN {_MOJI_CORRUPT_SQL}
+                  ELSE expected END AS corrupted
+      FROM base
+    ),
+    r AS (
+      SELECT doc_id, planted, expected, corrupted,
+             {_MOJI_REPAIR_SQL} AS repaired
+      FROM c
+    )
+    SELECT doc_id, planted,
+           corrupted <> repaired AS mojibake_detected,
+           repaired = expected AS repaired_ok,
+           CAST(length(corrupted) - length(repaired) AS BIGINT)
+             AS n_chars_collapsed
+    FROM r
+    """,
+    tags=("text", "quality", "encoding", "pipeline"),
+)
+def text_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ftfy-style mojibake repair: undo the UTF-8-decoded-as-CP1252
+    double encoding ('Ã©' -> 'é', 'â‚¬' -> '€', 'â€”' -> '—') with a
+    table-driven chained replace whose table is computed from the
+    encoding law itself. The corpus is ASCII, so a deterministic slice
+    (doc_id % 7 = 3) gets a unicode suffix planted and forward-
+    corrupted in-query; repair must invert it exactly (repaired_ok),
+    while clean docs must pass through untouched (mojibake_detected
+    false, 0 chars collapsed) — the one-sided-repair contract a real
+    ingest pipeline needs before dedup/fingerprinting (mojibake splits
+    otherwise-identical documents into distinct hash buckets).
+
+    Scale shape: ZERO shuffles — one scan, per-row codegen string
+    replaces, no Python, no state; the repair chain is ~23 literal
+    replaces that Catalyst folds into one whole-stage-codegen pass.
+    Spark and DuckDB execute the IDENTICAL expression strings, so
+    parity is by construction; semantics are pinned to the real
+    encoding law by tests/test_properties.py."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        "doc_id",
+        F.expr("doc_id % 7 = 3").alias("planted"),
+        F.expr(
+            f"CASE WHEN doc_id % 7 = 3 THEN text || '{_MOJI_SUFFIX}'"
+            " ELSE text END"
+        ).alias("expected"),
+    )
+    c = base.select(
+        "doc_id",
+        "planted",
+        "expected",
+        F.expr(
+            f"CASE WHEN planted THEN {_MOJI_CORRUPT_SQL} ELSE expected END"
+        ).alias("corrupted"),
+    )
+    r = c.select(
+        "doc_id",
+        "planted",
+        "expected",
+        "corrupted",
+        F.expr(_MOJI_REPAIR_SQL).alias("repaired"),
+    )
+    return r.select(
+        "doc_id",
+        "planted",
+        (F.col("corrupted") != F.col("repaired")).alias("mojibake_detected"),
+        (F.col("repaired") == F.col("expected")).alias("repaired_ok"),
+        (F.length("corrupted") - F.length("repaired"))
+        .cast("long")
+        .alias("n_chars_collapsed"),
+    )

@@ -396,3 +396,35 @@ def test_h264_ipcm_roundtrip_property():
         assert dec["frames"] == frames
 
     check()
+
+
+def test_mojibake_table_matches_the_encoding_law():
+    """Every (good, bad) repair pair must BE the UTF-8/CP1252 double
+    encoding — recomputed here independently so the table in text.py
+    can never drift from the real law it claims to invert."""
+    from arcon_spark.functions.text import _MOJI_GOODS, _MOJI_PAIRS
+
+    assert {g for g, _ in _MOJI_PAIRS} == set(_MOJI_GOODS)
+    for good, bad in _MOJI_PAIRS:
+        assert bad == good.encode("utf-8").decode("cp1252"), good
+        assert len(good) == 1 and len(bad) in (2, 3)
+
+
+@given(st.text(alphabet=st.sampled_from(list(
+    "abc XYZ.,!?'\"\n\t0189" "éèêâçôîûùüöäñóáú°«»€–—…"
+)), max_size=120))
+@settings(max_examples=300, deadline=None)
+def test_mojibake_corrupt_then_repair_is_identity(s):
+    """The chained-replace corrupt pass (nesting-safe order) composed
+    with the repair pass (longest-bad-first) is the identity on any
+    text over ASCII + the repair alphabet — pure Python re-execution
+    of the exact chains both engines run."""
+    from arcon_spark.functions.text import _MOJI_PAIRS
+
+    corrupted = s
+    for good, bad in _MOJI_PAIRS:
+        corrupted = corrupted.replace(good, bad)
+    repaired = corrupted
+    for good, bad in sorted(_MOJI_PAIRS, key=lambda p: -len(p[1])):
+        repaired = repaired.replace(bad, good)
+    assert repaired == s
