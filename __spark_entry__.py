@@ -100,7 +100,9 @@ _SAMPLE_FIRST = [
     "ab_test_purchase_value",
     "theil_sen_hourly_trend",
     "benford_first_digit_audit",
-    # --- 50-prefix boundary; tail = more never-checked for r7
+    # --- 50-prefix boundary; tail = ALL 59 queries that will still be
+    # never-driver-checked after r6 (registry order), so the r7 rotation
+    # is mechanical: move the next 50 of these above the boundary.
     "hhi_revenue_concentration",
     "pandas_udaf_trimmed_mean",
     "exact_median_selection",
@@ -109,6 +111,56 @@ _SAMPLE_FIRST = [
     "ts_similarity_topk",
     "stl_decompose_hourly",
     "stl_residual_anomalies",
+    "revenue_bridge_analysis",
+    "gap_fill_forward_hourly",
+    "pareto_frontier_orders",
+    "mode_event_type_per_user",
+    "pattern_view_view_purchase",
+    "ewma_user_value",
+    "seasonal_hourly_baseline",
+    "acf_hourly_value",
+    "ols_trend_hourly_value",
+    "wow_growth_event_revenue",
+    "tpch_q16ish",
+    "tpch_q20ish",
+    "pii_redact_stats",
+    "gopher_quality_flags",
+    "decontam_ngram_overlap",
+    "mad_outlier_events",
+    "domain_mixture_weights",
+    "bloom_split_probe",
+    "k_anonymity_audit",
+    "bloom_split_membership",
+    "stratified_split",
+    "text_repetition_ratio",
+    "weighted_sample_docs",
+    "corpus_shuffle_rank",
+    "vocab_top_bigrams",
+    "lang_id_confusion",
+    "sample_k_per_source",
+    "text_cdc_chunks",
+    "text_bigram_assoc_score",
+    "text_sentiment_lexicon",
+    "user_activity_similarity",
+    "embedding_centroid_drift",
+    "stream_ohlc_hourly",
+    "stream_mad_anomaly",
+    "stream_appender_topk_window",
+    "stream_funnel_conversion",
+    "stream_rolling_median",
+    "stream_kmv_distinct",
+    "stream_debounce",
+    "stream_stream_full_outer_join",
+    "stream_stream_right_outer_join",
+    "stream_cdc_upsert",
+    "stream_temporal_dim_join",
+    "stream_quantile_histogram",
+    "stream_gap_fill_locf",
+    "stream_scd2_history",
+    "stream_bitmap_distinct",
+    "stream_windowed_distinct",
+    "stream_table_checksum",
+    "stream_distribution_drift",
 ]
 
 
