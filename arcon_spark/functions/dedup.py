@@ -2238,15 +2238,26 @@ def dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreement count (n_match of 12) — the estimate-vs-truth audit in
     one frame, like dedup_minhash_estimate_vs_exact for the
     unweighted case. Plan: tf (one hash agg) feeds BOTH the exact
-    pair join and the expanded signature build — persisted, the
-    multi-consumer rule (MEASURE.md session-5); signature aggregation
-    is 12 MINs, map-side partial, rows ∝ docs not tokens.
+    pair computation and the expanded signature build — checkpointed,
+    the multi-consumer rule (MEASURE.md session-5); signature
+    aggregation is 12 MINs, map-side partial, rows ∝ docs not tokens.
 
-    Scale caveat: the EXACT side's token self-join is O(Σ_t df_t²) —
-    it exists to validate the estimator at test scale. At 100 TB,
-    compute only the signatures and band them (reuse the LSH machinery
-    of dedup_minhash_lsh_pairs on mh0..mh11), then audit the estimator
-    on a sampled pair set, never the full corpus."""
+    Exact side: the naive token self-join emits O(Σ_t df_t²) rows —
+    on this corpus's 31-token vocabulary that is 4.5e8 shuffled rows
+    (measured 197 s at sf0.1). Instead each doc collapses to its
+    (token, tf) list and Σmin(tf_a, tf_b) runs as the house block-tile
+    pattern (dedup_embedding_cosine's grid): B×B unordered block
+    pairs, each tile densifying ONLY its own token union and
+    accumulating a per-dimension np.minimum sum — no pair ever leaves
+    its task, the shuffle carries 2·(B+1)·docs doc-vectors, task
+    memory is one tile pair. At 100 TB the exact side remains the
+    test-scale audit path (per-tile token unions grow with corpus
+    vocabulary): compute only the signatures and band them (reuse the
+    LSH machinery of dedup_minhash_lsh_pairs on mh0..mh11), then audit
+    the estimator on a sampled pair set, never the full corpus."""
+    import numpy as np
+    import pandas as pd
+
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
@@ -2254,28 +2265,87 @@ def dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (
         toks.groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
-        # scan leaf: tf feeds the size agg, both exact-Jaccard sides and
-        # the signature expansion — persist dedupes work but each branch
-        # still repeats the lineage in the audited plan
+        # scan leaf: tf feeds the doc-vector build and the signature
+        # expansion — checkpointed so the agg runs once
         .localCheckpoint(eager=True)
     )
-    sz = tf.groupBy("doc_id").agg(F.sum("tf").alias("n"))
-    ta = tf.select(F.col("doc_id").alias("doc_a"), "token", F.col("tf").alias("tfa"))
-    tb = tf.select(F.col("doc_id").alias("doc_b"), "token", F.col("tf").alias("tfb"))
-    pairs = (
-        ta.join(tb, "token")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.least("tfa", "tfb")).alias("summin"))
+    B = _COS_BLOCKS
+    docvec = tf.groupBy("doc_id").agg(
+        F.collect_list(F.struct("token", "tf")).alias("items"),
+        F.sum("tf").cast("long").alias("n"),
     )
-    wj = F.col("summin").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("summin")
-    ).cast("double")
-    exact = (
-        pairs.join(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-        .select("doc_a", "doc_b", wj.alias("wj_exact"))
-        .filter(F.col("wj_exact") >= _WMH_T)
+    blk = docvec.withColumn("blk", F.pmod(F.col("doc_id"), F.lit(B)).cast("int"))
+    a_side = blk.select(
+        F.col("blk").alias("pi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(B - 1))).alias("pj"),
+        F.lit("a").alias("side"),
+        "doc_id",
+        "items",
+        "n",
+    )
+    b_side = blk.select(
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("pi"),
+        F.col("blk").alias("pj"),
+        F.lit("b").alias("side"),
+        "doc_id",
+        "items",
+        "n",
+    )
+    grid = a_side.unionByName(b_side)
+
+    def tile(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": [], "doc_b": [], "wj_exact": []}).astype(
+            {"doc_a": "int64", "doc_b": "int64", "wj_exact": "float64"}
+        )
+        pi, pj = int(key[0]), int(key[1])
+        am = pdf["side"].to_numpy() == "a"
+        ap, bp = pdf[am], pdf[~am]
+        if ap.empty or bp.empty:
+            return empty
+
+        def dense(items: pd.Series, index: dict) -> np.ndarray:
+            m = np.zeros((len(items), len(index)), dtype=np.int64)
+            for r, lst in enumerate(items):
+                for it in lst:
+                    m[r, index[it["token"]]] = it["tf"]
+            return m
+
+        vocab = {
+            t: k
+            for k, t in enumerate(
+                sorted({it["token"] for lst in pdf["items"] for it in lst})
+            )
+        }
+        A = dense(ap["items"].reset_index(drop=True), vocab)
+        Bm = dense(bp["items"].reset_index(drop=True), vocab)
+        aids = ap["doc_id"].to_numpy(dtype=np.int64)
+        bids = bp["doc_id"].to_numpy(dtype=np.int64)
+        na = ap["n"].to_numpy(dtype=np.int64)
+        nb = bp["n"].to_numpy(dtype=np.int64)
+        summin = np.zeros((len(aids), len(bids)), dtype=np.int64)
+        for k in range(len(vocab)):
+            summin += np.minimum(A[:, k][:, None], Bm[:, k][None, :])
+        # int64 → double conversions are exact (< 2^53); the division is
+        # the same single IEEE op the oracle's CAST(... AS DOUBLE) does
+        wj = summin.astype(np.float64) / (
+            na[:, None] + nb[None, :] - summin
+        ).astype(np.float64)
+        keep = (wj >= _WMH_T) & (aids[:, None] < bids[None, :])
+        ai, bi = np.nonzero(keep)
+        out = [pd.DataFrame({"doc_a": aids[ai], "doc_b": bids[bi], "wj_exact": wj[ai, bi]})]
+        if pi != pj:
+            # off-diagonal tiles carry disjoint id sets on the two sides:
+            # emit the flipped-order pairs too, canonicalised doc_a < doc_b
+            ai2, bi2 = np.nonzero((wj >= _WMH_T) & (aids[:, None] > bids[None, :]))
+            out.append(
+                pd.DataFrame(
+                    {"doc_a": bids[bi2], "doc_b": aids[ai2], "wj_exact": wj[ai2, bi2]}
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    exact = grid.groupBy("pi", "pj").applyInPandas(
+        tile, "doc_a long, doc_b long, wj_exact double"
     )
     expanded = tf.select(
         "doc_id", "token", F.explode(F.expr("sequence(1, tf)")).alias("i")
