@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from arcon_spark.io import load_table
+from arcon_spark.io import load_table, spread
 from arcon_spark.plans.registry import register
 
 # metadata schema every multimodal column carries
@@ -56,7 +56,7 @@ def media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text → fake media payload (utf-8 bytes) + metadata
     struct. At 100 TB real payloads come from binaryFile/parquet binary
     columns; everything downstream is payload-source-agnostic."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     payload = F.encode("text", "utf-8")
     return docs.select(
         "doc_id",
@@ -757,7 +757,7 @@ def multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from arcon_spark.functions.codecs import h264_decode_ipcm, h264_encode_ipcm
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     vf_len = _VF_LEN
 
     def frame_hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -856,7 +856,7 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arcon_spark.functions.codecs import png_decode, png_encode
 
     stride = _PNG_W * 3
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows: dict[str, list] = {"doc_id": [], "width": [], "height": [], "n_bytes": [], "digest": []}
@@ -908,7 +908,7 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from arcon_spark.functions.codecs import wav_encode, wav_parse
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows: dict[str, list] = {
@@ -969,7 +969,7 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from arcon_spark.functions.codecs import jpeg_decode, jpeg_encode_gray
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows: dict[str, list] = {
@@ -1041,7 +1041,7 @@ def multimodal_h264_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from arcon_spark.functions.codecs import h264_decode_ipcm, h264_encode_ipcm
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     fsz = _H264_FW * _H264_FH
 
     def rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1123,7 +1123,7 @@ def multimodal_decode_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         wav_encode,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     stride = _PNG_W * 3
     fsz = _H264_FW * _H264_FH
 
