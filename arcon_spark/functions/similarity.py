@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from arcon_spark.io import load_table, spread
+from arcon_spark.io import load_table, pin_groups, spread
 from arcon_spark.plans.compat import EVENTS_NORM
 from arcon_spark.plans.registry import register
 
@@ -1958,7 +1958,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id long, rank long, candidate_id long,"
         " rel_units long, pen_units long, score_units long"
     )
-    return pool.groupBy("query_id").applyInPandas(greedy, out_schema)
+    return pin_groups(pool, "query_id").groupBy("query_id").applyInPandas(greedy, out_schema)
 
 
 @register(
@@ -2418,7 +2418,7 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return pd.concat(out, ignore_index=True)
 
-    partials = tiles.groupBy("ti", "tj").applyInPandas(
+    partials = pin_groups(tiles, "ti", "tj").groupBy("ti", "tj").applyInPandas(
         tile, "xid long, yid long, cos_mu long, dir string"
     )
     return _bt_downstream(partials)
@@ -2580,7 +2580,7 @@ def _bt_ivf_dir(
     )
     schema = "xid long, yid long, cos_mu long, dir string"
     seed = (
-        q_seed.unionByName(m_tiles)
+        pin_groups(q_seed.unionByName(m_tiles), "tc", "qb", "mb")
         .groupBy("tc", "qb", "mb")
         .applyInPandas(_bt_dir_tile(direction), schema)
         .localCheckpoint(eager=True)
@@ -2630,7 +2630,7 @@ def _bt_ivf_dir(
         survivors.select(F.col("j").alias("tc")).distinct(), "tc", "leftsemi"
     )
     residual = (
-        q_res.unionByName(m_res)
+        pin_groups(q_res.unionByName(m_res), "tc", "qb", "mb")
         .groupBy("tc", "qb", "mb")
         .applyInPandas(_bt_dir_tile(direction), schema)
     )

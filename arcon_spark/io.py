@@ -123,6 +123,25 @@ def spread(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
     return df.repartition(target)
 
 
+def pin_groups(df: DataFrame, *cols: str) -> DataFrame:
+    """Explicit hash repartition on the grouping key, sized to session
+    parallelism, for use DIRECTLY before a groupBy(*cols) that feeds a
+    pandas-group stage (applyInPandas / cogroup.applyInPandas).
+
+    Why: AQE coalesces shuffle partitions by BYTE size, but a pandas
+    group stage's cost is per GROUP CALL (Arrow slice + Python
+    function invocation, ~1-10 ms each) — a tiny-byte shuffle with
+    thousands of groups gets squashed onto 1-4 tasks and runs its
+    Python calls serially (measured: the 15k-key cogroup merge on 3
+    AQE-coalesced tasks took 21 s; pinned to 32, 2.8 s). A
+    user-specified repartition with an explicit partition count is
+    exempt from AQE coalescing, and because it hash-clusters the same
+    key the downstream groupBy inserts NO second exchange — the plan
+    keeps one shuffle, it just keeps all its reducers."""
+    spark = df.sparkSession
+    return df.repartition(spark.sparkContext.defaultParallelism, *cols)
+
+
 def compact_files(
     spark: SparkSession,
     path: str,

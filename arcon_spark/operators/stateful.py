@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from arcon_spark.io import load_table
+from arcon_spark.io import load_table, pin_groups
 from arcon_spark.plans.compat import EVENTS_NORM
 from arcon_spark.plans.registry import register
 
@@ -216,8 +216,8 @@ def cogroup_activity_order_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        ev.groupBy("user_id")
-        .cogroup(orders.groupBy("user_id"))
+        pin_groups(ev, "user_id").groupBy("user_id")
+        .cogroup(pin_groups(orders, "user_id").groupBy("user_id"))
         .applyInPandas(
             merge,
             "user_id long, n_events long, n_orders long,"

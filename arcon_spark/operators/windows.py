@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from arcon_spark.io import load_table
+from arcon_spark.io import load_table, pin_groups
 from arcon_spark.plans.compat import EVENTS_NORM, msum, sql_msum
 from arcon_spark.plans.registry import register
 
@@ -284,7 +284,7 @@ def arrow_window_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         out["centered"] = np.trunc(scaled + np.copysign(0.5, scaled)) / 10000.0
         return out
 
-    return base.groupBy("win_start").applyInPandas(
+    return pin_groups(base, "win_start").groupBy("win_start").applyInPandas(
         center, "win_start timestamp, event_id long, centered double"
     )
 
