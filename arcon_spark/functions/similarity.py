@@ -913,47 +913,91 @@ def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     EDBT'19): each user's hour-of-day activity histogram is a 24-dim
     integer vector; top-3 most-similar users per user by cosine.
 
-    Plan: profiles via one groupBy; each profile row carries its
-    user's squared norm via a window BEFORE the pair join, so the
-    norms ride through the inverted-index join for free (no per-side
-    norm-table rejoins); pairwise dots via the join on the hour
-    dimension (24 'bands' — never a full user×user cross join at the
-    scan level); exact integer dot products → deterministic ranking.
-    The hour-join is the sparse-vector analog of the LSH band join."""
+    Plan: the hour-key join has only 24 distinct values, so it caps at
+    24 tasks and shuffles users²·hours pair rows into the aggregation
+    (27M at sf0.1, ~10 s). Instead each user's histogram densifies to
+    a 24-slot int64 vector and the DIRECTED pair space runs as the
+    house block-tile matmul (bitext's two-sided kernel): each tile
+    computes one matmul and emits, per user on each side, only its
+    tile-local top-3-with-ties — a lossless prune for the per-user
+    global top-3, which one final window re-trims over ≤ 3·B·users
+    partial rows instead of users² pairs."""
+    import numpy as np
+    import pandas as pd
+
     ev = load_table(spark, sf_dir, "events")
     prof = (
         ev.groupBy("user_id", F.hour("ts").cast("long").alias("h"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn(
-            "n2",
-            F.sum(F.col("n") * F.col("n")).over(Window.partitionBy("user_id")),
-        )
-        # feeds both self-join sides: compute the profile chain once
-        .localCheckpoint(eager=True)
+        .groupBy("user_id")
+        .agg(F.collect_list(F.struct("h", "n")).alias("items"))
     )
-    a = prof.alias("a")
-    b = prof.alias("b")
-    dots = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h")) & (F.col("a.user_id") != F.col("b.user_id")),
-        )
-        .groupBy(
-            F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b")
-        )
-        .agg(
-            F.sum(F.col("a.n") * F.col("b.n")).alias("d"),
-            F.max("a.n2").alias("n2a"),
-            F.max("b.n2").alias("n2b"),
-        )
+    B = _BT_BLOCKS
+    blk = prof.withColumn("blk", F.pmod(F.col("user_id"), F.lit(B)).cast("int"))
+    a_side = blk.select(
+        F.col("blk").alias("pi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(B - 1))).alias("pj"),
+        F.lit("a").alias("side"),
+        "user_id",
+        "items",
     )
-    cos = F.col("d").cast("double") / (
-        F.sqrt(F.col("n2a").cast("double")) * F.sqrt(F.col("n2b").cast("double"))
+    b_side = blk.select(
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("pi"),
+        F.col("blk").alias("pj"),
+        F.lit("b").alias("side"),
+        "user_id",
+        "items",
     )
-    scored = dots.select("user_a", "user_b", cos.alias("cosine"))
+    grid = a_side.unionByName(b_side)
+
+    def tile(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"user_a": [], "user_b": [], "cosine": []}).astype(
+            {"user_a": "int64", "user_b": "int64", "cosine": "float64"}
+        )
+        am = pdf["side"].to_numpy() == "a"
+        ap, bp = pdf[am], pdf[~am]
+        if ap.empty or bp.empty:
+            return empty
+
+        def dense(items: pd.Series) -> np.ndarray:
+            m = np.zeros((len(items), 24), dtype=np.int64)
+            for r, lst in enumerate(items):
+                for it in lst:
+                    m[r, it["h"]] = it["n"]
+            return m
+
+        A = dense(ap["items"].reset_index(drop=True))
+        Bm = dense(bp["items"].reset_index(drop=True))
+        aid = ap["user_id"].to_numpy(dtype=np.int64)
+        bid = bp["user_id"].to_numpy(dtype=np.int64)
+        an = np.sqrt((A * A).sum(axis=1).astype(np.float64))
+        bn = np.sqrt((Bm * Bm).sum(axis=1).astype(np.float64))
+        cos = (A @ Bm.T).astype(np.float64) / (an[:, None] * bn[None, :])
+        # self-pairs only exist on the diagonal tile; mask them out of
+        # both directional top-3 scans
+        self_mask = aid[:, None] == bid[None, :]
+        cosm = np.where(self_mask, -np.inf, cos)
+        out = []
+        ka = min(3, cosm.shape[1])
+        thr = np.partition(cosm, cosm.shape[1] - ka, axis=1)[:, cosm.shape[1] - ka]
+        # & ~self_mask: a 1-user diagonal tile has thr = -inf, which
+        # would otherwise re-admit the masked self cell
+        ri, ci = np.nonzero((cosm >= thr[:, None]) & ~self_mask)
+        out.append(pd.DataFrame({"user_a": aid[ri], "user_b": bid[ci], "cosine": cos[ri, ci]}))
+        kb = min(3, cosm.shape[0])
+        thr = np.partition(cosm, cosm.shape[0] - kb, axis=0)[cosm.shape[0] - kb, :]
+        ri, ci = np.nonzero((cosm >= thr[None, :]) & ~self_mask)
+        out.append(pd.DataFrame({"user_a": bid[ci], "user_b": aid[ri], "cosine": cos[ri, ci]}))
+        part = pd.concat(out, ignore_index=True)
+        # the two directional scans overlap on mutually-top pairs
+        return part.drop_duplicates(["user_a", "user_b"])
+
+    cand = pin_groups(grid, "pi", "pj").groupBy("pi", "pj").applyInPandas(
+        tile, "user_a long, user_b long, cosine double"
+    )
     w = Window.partitionBy("user_a").orderBy(F.desc("cosine"), F.asc("user_b"))
     return (
-        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        cand.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
     )
 
@@ -1391,49 +1435,65 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact integer dot products of dedup_embedding_cosine, so the
     oracle replays both and hash-matches bit-for-bit.
 
-    Scale: the within-cluster self-join keys on cluster id — at 100 TB
-    k is sized so a cluster's vectors fit a partition (k ~ n/10⁵), and
-    the pair scoring becomes a per-cluster numpy matmul via
-    applyInPandas (ann_bruteforce_topk shows that kernel); the
-    relational form here is the verifiable specification."""
+    Scale: pairs key on cluster id, but k = 8 distinct join keys
+    caps the parallelism (and per-pair zip_with/aggregate HOFs cost
+    ~µs each — measured 21 s at sf0.1). The pair scoring therefore
+    runs as the house block-tile matmul keyed (cluster, pi, pj):
+    within each cluster the member set is sub-tiled by pmod(vec_id),
+    each tile does ONE int64 numpy matmul and emits only the
+    duplicate-marked ids — k·B(B+1)/2 pinned tasks, task memory one
+    tile pair. At 100 TB k is ALSO sized up (k ~ n/10⁵) so a cluster's
+    tile grid stays shallow; the cross-engine spec is the oracle's
+    relational replay, which hash-matches this kernel bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
     assign = _km_assign(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # n2 computed ONCE per vector and carried on the clustered frame,
-    # which is persisted because it feeds BOTH sides of the self-join —
-    # exchange/subtree reuse does not fire across self-join branches,
-    # so without this the int-dot HOF and the k-means assignment were
-    # each evaluated twice more (once per branch) plus twice again via
-    # the separate norm joins (audit: 8 aggregate() HOFs in the plan,
-    # now 1 + the per-pair dot)
-    withc = (
-        emb.join(assign, "vec_id")
-        .select(
-            "vec_id",
-            "embedding",
-            "cluster",
-            F.expr(_INT_DOT.format(a="embedding", b="embedding")).alias("n2"),
-        )
-        .persist()
+    withc = emb.join(assign, "vec_id").select("vec_id", "embedding", "cluster")
+    B = _BT_BLOCKS
+    blk = withc.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(B)).cast("int"))
+    a_side = blk.select(
+        "cluster",
+        F.col("blk").alias("pi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(B - 1))).alias("pj"),
+        F.lit("a").alias("side"),
+        "vec_id",
+        "embedding",
     )
-    a = withc.alias("a")
-    b = withc.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.cluster") == F.col("b.cluster"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("va"),
-        F.col("b.vec_id").alias("vb"),
-        F.expr(_INT_DOT.format(a="a.embedding", b="b.embedding")).alias("d"),
-        F.col("a.n2").alias("na_n2"),
-        F.col("b.n2").alias("nb_n2"),
+    b_side = blk.select(
+        "cluster",
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("pi"),
+        F.col("blk").alias("pj"),
+        F.lit("b").alias("side"),
+        "vec_id",
+        "embedding",
     )
-    cos = F.col("d").cast("double") / (
-        F.sqrt(F.col("na_n2").cast("double")) * F.sqrt(F.col("nb_n2").cast("double"))
-    )
+    grid = a_side.unionByName(b_side)
+
+    def tile(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        am = pdf["side"].to_numpy() == "a"
+        ap, bp = pdf[am], pdf[~am]
+        if ap.empty or bp.empty:
+            return pd.DataFrame({"vec_id": []}).astype({"vec_id": "int64"})
+        A = _int_matrix(ap["embedding"])
+        Bm = _int_matrix(bp["embedding"])
+        aids = ap["vec_id"].to_numpy(dtype=np.int64)
+        bids = bp["vec_id"].to_numpy(dtype=np.int64)
+        an = np.sqrt((A * A).sum(axis=1).astype(np.float64))
+        bn = np.sqrt((Bm * Bm).sum(axis=1).astype(np.float64))
+        cos = (A @ Bm.T).astype(np.float64) / (an[:, None] * bn[None, :])
+        # a point is removed when a SMALLER id in its cluster is close:
+        # within a tile mark max(id) of every close ordered pair; both
+        # orientations are checked so off-diagonal tiles need no flip
+        dup = (cos >= _SEMDEDUP_TAU) & (aids[:, None] != bids[None, :])
+        ai, bi = np.nonzero(dup)
+        return pd.DataFrame({"vec_id": np.maximum(aids[ai], bids[bi])}).drop_duplicates()
+
     rm = (
-        pairs.filter(cos >= _SEMDEDUP_TAU)
-        .select(F.col("vb").alias("vec_id"))
+        pin_groups(grid, "cluster", "pi", "pj")
+        .groupBy("cluster", "pi", "pj")
+        .applyInPandas(tile, "vec_id long")
         .distinct()
         .withColumn("rm", F.lit(True))
     )

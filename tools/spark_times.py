@@ -35,6 +35,26 @@ def main() -> None:
     qmap = queries()
     names = [n for n in qmap if not only or n in only]
 
+    # Same uncounted warmup as bench.py: JVM/codegen/parquet-footer and
+    # the Python-worker pool fork (~5-8 s across 32 cores) land here,
+    # not on the first measured query — otherwise single-query runs
+    # overstate by the session startup cost.
+    from pyspark.sql import functions as F
+
+    from arcon_spark.io import load_table
+
+    load_table(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("decimal(38,0)")).alias("u"),
+    ).write.format("noop").mode("overwrite").save()
+
+    def _ident(it):
+        yield from it
+
+    spark.range(0, 64, 1, spark.sparkContext.defaultParallelism).mapInPandas(
+        _ident, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
     times: dict[str, float] = {}
     for name in names:
         spark.catalog.clearCache()
