@@ -931,6 +931,9 @@ def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .groupBy("user_id")
         .agg(F.collect_list(F.struct("h", "n")).alias("items"))
+        # feeds both grid sides: checkpoint so the histogram build is
+        # not re-executed per branch (house multi-consumer rule)
+        .localCheckpoint(eager=True)
     )
     B = _BT_BLOCKS
     blk = prof.withColumn("blk", F.pmod(F.col("user_id"), F.lit(B)).cast("int"))

@@ -91,6 +91,16 @@ HEADLINE = [
     "stream_first_seen_tws",
     # ingestion-time LSH dedup against the accumulated index
     "stream_incremental_dedup",
+    # round 6: the queries rebuilt on the block-tile kernel / pinned
+    # group parallelism — benched so regressions in the tile machinery
+    # surface in the per-round record
+    "dedup_weighted_minhash",
+    "fuzzy_match_customers",
+    "semdedup_embeddings",
+    "ts_similarity_topk",
+    "user_activity_similarity",
+    "cogroup_activity_order_merge",
+    "multimodal_jpeg_roundtrip",
 ]
 
 
