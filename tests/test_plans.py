@@ -315,3 +315,38 @@ def test_no_cartesian_and_bnlj_allowlisted(spark, sf_dir):
             rogue_bnlj.append(name)
     assert cartesian == [], cartesian
     assert rogue_bnlj == [], rogue_bnlj
+
+
+def test_batch_apply_in_pandas_sites_pin_group_parallelism():
+    """Every batch applyInPandas site must route its input through
+    io.pin_groups: AQE coalesces shuffle partitions by BYTES, but a
+    pandas group stage costs per GROUP CALL, so an unpinned tiny-byte
+    shuffle with thousands of groups collapses onto 1-4 tasks and runs
+    its Python serially (measured 21 s -> 2.8 s on the cogroup merge,
+    MEASURE.md round-6). Statement-level check: the full call
+    expression (receiver chain + arguments, so cogroup's second input
+    counts) must contain a pin_groups( call. Streaming modules are
+    exempt — applyInPandasWithState/tWS run on the state-store
+    partitioning, not an AQE-coalesced batch exchange."""
+    import ast
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "arcon_spark"
+    offenders = []
+    for sub in ("functions", "operators"):
+        for path in sorted((root / sub).glob("*.py")):
+            src = path.read_text()
+            tree = ast.parse(src)
+            for node in ast.walk(tree):
+                if (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "applyInPandas"
+                ):
+                    seg = ast.get_source_segment(src, node) or ""
+                    if "pin_groups(" not in seg:
+                        offenders.append(f"{path.name}:{node.lineno}")
+    assert offenders == [], (
+        "applyInPandas without pin_groups (see io.pin_groups): "
+        f"{offenders}"
+    )
