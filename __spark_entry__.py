@@ -39,76 +39,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # everything else follows in registration order. Names not in the
 # registry are ignored (robust to renames).
 _SAMPLE_FIRST = [
-    # --- round 6 sample: the 2 new queries lead, then 48 rows the
-    # driver has NEVER checked in rounds 1-5 (list = registry order
-    # minus the 240 in CORRECTNESS_r01-r05) — 50/50 first-time rows.
-    # r6 new: protobuf oneof (tagged-union) roundtrip + the IVF
-    # branch-and-bound bitext miner (lossless prune, shared oracle)
-    "source_protobuf_oneof_roundtrip",
-    "bitext_margin_mining_ivf",
-    "text_mojibake_repair",
-    # multimodal suite (from-spec codecs behind Arrow-batched plumbing)
-    "multimodal_meta",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "multimodal_audio_energy",
-    "multimodal_image_histogram",
-    "multimodal_scene_cuts",
-    "multimodal_audio_vad",
-    "multimodal_jpeg_roundtrip",
-    # python-datasource pair
-    "pyds_collection_agg",
-    "stream_pyds_collection",
-    # streaming remainder (tapes; slower rows, deliberately mixed in
-    # now so latent shape issues surface with rounds left to fix)
-    "stream_sliding_window_agg",
-    "stream_static_enrich",
-    "stream_distinct_pairs",
-    "stream_stream_left_outer_join",
-    "stream_stream_left_semi_join",
-    "stream_session_window_dynamic_gap",
-    "stream_dedup_within_watermark",
-    "stream_running_counts_update_mode",
-    # batch analytics / SQL-shape remainder, registry order
-    "transition_matrix_events",
-    "rfm_customer_segments",
-    "hll_distinct_users",
-    "sql_recursive_reach",
-    "variant_json_extract",
-    "quantile_histogram_sketch",
-    "reservoir_sample_per_type",
-    "range_frame_trailing_sum",
-    "sql_pipe_syntax",
-    "session_top_paths",
-    "sample_estimate_audit",
-    "scalar_subquery_above_avg",
-    "min_per_group_joinback",
-    "salted_hot_key_agg",
-    "time_rollup_hierarchy",
-    "salted_skew_join",
-    "funnel_conversion",
-    "retention_cohorts",
-    "cep_purchase_error_pattern",
-    "rolling_median_value",
-    "sax_symbolize_hourly",
-    "debounce_events",
-    "market_basket_lift",
-    "cohort_ltv_weekly",
-    "decayed_topk_parts",
-    "gini_best_split_totalprice",
-    "target_encode_nation",
-    "ab_test_purchase_value",
-    "theil_sen_hourly_trend",
+    # --- round 7 sample: the final 59 queries the driver has NEVER
+    # checked in rounds 1-6 (list = registry order minus the 290 in
+    # CORRECTNESS_r01-r06) rotated above the 50-prefix boundary; the
+    # trailing ~9 close out in r8. Two rows lead out of registry
+    # order: the r7 candidate-set fixes (ADVICE r6) changed their
+    # semantics — a pair sharing no activity hour is now excluded from
+    # the top-k candidate set, matching the oracles' hour equi-join —
+    # so their external certification matters most.
+    "ts_similarity_topk",
+    "user_activity_similarity",
+    # batch analytics / SQL-shape tail, registry order (benford was
+    # r6's 51st row — listed but cut by the driver's 50-row sample)
     "benford_first_digit_audit",
-    # --- 50-prefix boundary; tail = ALL 59 queries that will still be
-    # never-driver-checked after r6 (registry order), so the r7 rotation
-    # is mechanical: move the next 50 of these above the boundary.
     "hhi_revenue_concentration",
     "pandas_udaf_trimmed_mean",
     "exact_median_selection",
     "distribution_drift_chi2",
     "diff_in_diff_events",
-    "ts_similarity_topk",
     "stl_decompose_hourly",
     "stl_residual_anomalies",
     "revenue_bridge_analysis",
@@ -141,8 +89,8 @@ _SAMPLE_FIRST = [
     "text_cdc_chunks",
     "text_bigram_assoc_score",
     "text_sentiment_lexicon",
-    "user_activity_similarity",
     "embedding_centroid_drift",
+    # streaming tail (tapes), registry order
     "stream_ohlc_hourly",
     "stream_mad_anomaly",
     "stream_appender_topk_window",
@@ -152,6 +100,10 @@ _SAMPLE_FIRST = [
     "stream_debounce",
     "stream_stream_full_outer_join",
     "stream_stream_right_outer_join",
+    # --- 50-prefix boundary; tail = the 9 queries still
+    # never-driver-checked after r7 (registry order) — the r8 rotation
+    # moves these above the boundary and external certification is
+    # complete at 349/349.
     "stream_cdc_upsert",
     "stream_temporal_dim_join",
     "stream_quantile_histogram",

@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from arcon_spark.io import load_table, pin_groups, spread
+from arcon_spark.io import load_table, pin_groups, spread, tile_grid_side
 from arcon_spark.plans.compat import EVENTS_NORM
 from arcon_spark.plans.registry import register
 
@@ -935,7 +935,9 @@ def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # not re-executed per branch (house multi-consumer rule)
         .localCheckpoint(eager=True)
     )
-    B = _BT_BLOCKS
+    # grid side from the USER count (one cheap job on the checkpointed
+    # profile) so tile-pair memory is bounded at any corpus scale
+    B = tile_grid_side(prof.count(), floor=_BT_BLOCKS)
     blk = prof.withColumn("blk", F.pmod(F.col("user_id"), F.lit(B)).cast("int"))
     a_side = blk.select(
         F.col("blk").alias("pi"),
@@ -975,21 +977,25 @@ def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         bid = bp["user_id"].to_numpy(dtype=np.int64)
         an = np.sqrt((A * A).sum(axis=1).astype(np.float64))
         bn = np.sqrt((Bm * Bm).sum(axis=1).astype(np.float64))
-        cos = (A @ Bm.T).astype(np.float64) / (an[:, None] * bn[None, :])
-        # self-pairs only exist on the diagonal tile; mask them out of
-        # both directional top-3 scans
-        self_mask = aid[:, None] == bid[None, :]
-        cosm = np.where(self_mask, -np.inf, cos)
+        dots = A @ Bm.T
+        cos = dots.astype(np.float64) / (an[:, None] * bn[None, :])
+        # candidate-set contract: the oracle builds pairs from an hour
+        # equi-join, so a pair with NO common hour is not a candidate at
+        # all (not a cosine-0 row). Every histogram count n >= 1, so
+        # dot > 0 ⟺ shared hour — mask dot-0 cells alongside the
+        # diagonal self-pairs before both directional top-3 scans.
+        valid = (dots > 0) & (aid[:, None] != bid[None, :])
+        cosm = np.where(valid, cos, -np.inf)
         out = []
         ka = min(3, cosm.shape[1])
         thr = np.partition(cosm, cosm.shape[1] - ka, axis=1)[:, cosm.shape[1] - ka]
-        # & ~self_mask: a 1-user diagonal tile has thr = -inf, which
-        # would otherwise re-admit the masked self cell
-        ri, ci = np.nonzero((cosm >= thr[:, None]) & ~self_mask)
+        # & valid: a row with < 3 valid cells has thr = -inf, which
+        # would otherwise re-admit the masked cells
+        ri, ci = np.nonzero((cosm >= thr[:, None]) & valid)
         out.append(pd.DataFrame({"user_a": aid[ri], "user_b": bid[ci], "cosine": cos[ri, ci]}))
         kb = min(3, cosm.shape[0])
         thr = np.partition(cosm, cosm.shape[0] - kb, axis=0)[cosm.shape[0] - kb, :]
-        ri, ci = np.nonzero((cosm >= thr[None, :]) & ~self_mask)
+        ri, ci = np.nonzero((cosm >= thr[None, :]) & valid)
         out.append(pd.DataFrame({"user_a": bid[ci], "user_b": aid[ri], "cosine": cos[ri, ci]}))
         part = pd.concat(out, ignore_index=True)
         # the two directional scans overlap on mutually-top pairs
@@ -1454,7 +1460,10 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = _km_assign(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     withc = emb.join(assign, "vec_id").select("vec_id", "embedding", "cluster")
-    B = _BT_BLOCKS
+    # corpus-count-derived grid side (metadata-only parquet count);
+    # sub-tiling is per cluster, so this is conservative — it bounds
+    # even a single cluster holding the whole corpus
+    B = tile_grid_side(emb.count(), floor=_BT_BLOCKS)
     blk = withc.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(B)).cast("int"))
     a_side = blk.select(
         "cluster",
@@ -2218,7 +2227,13 @@ def rp_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Bitext mining (cross-lingual parallel-pair candidates) ----------------
 
 _BT_K = 4  # k-NN neighborhood size for the margin normalizer
-_BT_BLOCKS = 8  # block-tiled matmul grid side (raise for larger corpora)
+# Floor of the block-tiled matmul grid side. The ACTUAL side is
+# io.tile_grid_side(corpus_rows): ceil(n / TILE_ROWS) floored here, so
+# per-tile memory is bounded at any corpus scale without hand-tuning
+# (r6 had this as a fixed 8 with a "raise for larger corpora" note —
+# now it is computed; results are B-independent, the tiling is a
+# lossless decomposition for every consumer).
+_BT_BLOCKS = 8
 _BT_THR_PPM = 1_060_000  # keep pairs with ratio margin >= 1.06
 
 
@@ -2408,7 +2423,9 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     (margin_ppm) — hash-identical across engines.
 
     Scale shape: the en×fr cross space is never materialized. Both
-    sides hash into a {_BT_BLOCKS}x{_BT_BLOCKS} tile grid (one shuffle
+    sides hash into a BxB tile grid — B = io.tile_grid_side(corpus
+    rows), floored at {_BT_BLOCKS}, so per-tile-pair memory stays
+    bounded at any corpus size — (one shuffle
     on the tile key, task memory = one tile pair regardless of corpus
     size — dedup_embedding_cosine's block-matmul pattern); each tile
     emits only its per-row/per-column top-{_BT_K}-with-ties partials
@@ -2420,8 +2437,11 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     of top-K candidates. The reference has no vector or multilingual
     surface (SURVEY.md §2.9); this extends the training-data pipeline
     suite."""
-    lab = _bt_labeled(spark, sf_dir)
-    B = _BT_BLOCKS
+    # checkpoint the labeled side ONCE: the corpus count that sizes the
+    # grid and the tile fan both read it, and the join+filter must not
+    # re-run per consumer
+    lab = _bt_labeled(spark, sf_dir).localCheckpoint(eager=True)
+    B = tile_grid_side(lab.count(), floor=_BT_BLOCKS)
     blk = lab.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(B)).cast("int"))
     # en vector in block i serves tiles (i, 0..B-1); fr in block j serves
     # (0..B-1, j): full bipartite grid, one shuffle, no symmetry fold

@@ -123,7 +123,7 @@ def spread(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
     return df.repartition(target)
 
 
-def pin_groups(df: DataFrame, *cols: str) -> DataFrame:
+def pin_groups(df: DataFrame, *cols: str, num_partitions: int | None = None) -> DataFrame:
     """Explicit hash repartition on the grouping key, sized to session
     parallelism, for use DIRECTLY before a groupBy(*cols) that feeds a
     pandas-group stage (applyInPandas / cogroup.applyInPandas).
@@ -137,9 +137,45 @@ def pin_groups(df: DataFrame, *cols: str) -> DataFrame:
     user-specified repartition with an explicit partition count is
     exempt from AQE coalescing, and because it hash-clusters the same
     key the downstream groupBy inserts NO second exchange — the plan
-    keeps one shuffle, it just keeps all its reducers."""
+    keeps one shuffle, it just keeps all its reducers.
+
+    Sizing: the pin must scale with DATA, not just cores — a fixed
+    defaultParallelism pin would cap heavy pandas-group shuffles at
+    core count on a 1000-executor cluster. Default width is
+    max(defaultParallelism, upstream partition count): upstream
+    partitions are a byte-scaled proxy (input splits / prior shuffle
+    width grow with volume), so at 100 TB the pin widens with the scan
+    while locally it floors at session parallelism. Callers with a
+    better estimate (e.g. known group count) pass num_partitions."""
     spark = df.sparkSession
-    return df.repartition(spark.sparkContext.defaultParallelism, *cols)
+    if num_partitions is None:
+        num_partitions = max(
+            spark.sparkContext.defaultParallelism, df.rdd.getNumPartitions()
+        )
+    return df.repartition(num_partitions, *cols)
+
+
+#: target per-block row count for the block-tile matmul kernels: a tile
+#: pair materializes at most tile_rows² matmul cells (~128 MB of float64
+#: at 4096) plus two tile_rows·d operand slices — the executor-memory
+#: bound the grid side is derived from.
+TILE_ROWS = 4096
+
+
+def tile_grid_side(n_rows: int, floor: int = 8, tile_rows: int = TILE_ROWS) -> int:
+    """Grid side B for the house block-tile matmul kernels (bitext,
+    semdedup, activity-similarity…), derived from the corpus row count
+    instead of hand-tuned: the smallest B that keeps every block at
+    ≤ tile_rows rows, floored at `floor` so small corpora keep enough
+    tiles to use the cluster. Per-tile-pair memory is then bounded at
+    any scale — (n/B)² ≤ tile_rows² cells — while shuffle replication
+    (each row serves B tiles) grows only when the memory bound forces
+    it. B is a pure function of the row count, so plans and results
+    stay deterministic per dataset (the tile decomposition is lossless
+    for every consumer: results are B-independent)."""
+    import math
+
+    return max(floor, math.ceil(max(0, n_rows) / tile_rows))
 
 
 def compact_files(

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from arcon_spark.io import load_table, pin_groups
+from arcon_spark.io import load_table, pin_groups, tile_grid_side
 from arcon_spark.plans.compat import EVENTS_NORM
 from arcon_spark.plans.registry import register
 
@@ -2418,7 +2418,9 @@ def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.collect_list(F.struct("hod", "p")).alias("items"),
         F.sum(F.col("p") * F.col("p")).alias("n2"),
     )
-    _B = 8
+    # grid side from the user count (one small job on the checkpointed
+    # profile), so tile-pair memory is bounded at any corpus scale
+    _B = tile_grid_side(prof.select("user_id").distinct().count())
     blk = vec.withColumn("blk", F.pmod(F.col("user_id"), F.lit(_B)).cast("int"))
     a_side = blk.select(
         F.col("blk").alias("pi"),
@@ -2442,15 +2444,20 @@ def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         if ap.empty or bp.empty:
             return empty
 
-        def dense(items: pd.Series) -> np.ndarray:
+        def dense(items: pd.Series) -> tuple[np.ndarray, np.ndarray]:
             m = np.zeros((len(items), 24), dtype=np.int64)
+            pres = np.zeros((len(items), 24), dtype=np.int64)
             for r, lst in enumerate(items):
                 for it in lst:
                     m[r, it["hod"]] = it["p"]
-            return m
+                    # presence tracks the profile ROW, not the value:
+                    # p = c·SCALE div tot legitimately floors to 0, so
+                    # p != 0 is NOT a valid shared-hod test
+                    pres[r, it["hod"]] = 1
+            return m, pres
 
-        A = dense(ap["items"].reset_index(drop=True))
-        Bm = dense(bp["items"].reset_index(drop=True))
+        A, Pa = dense(ap["items"].reset_index(drop=True))
+        Bm, Pb = dense(bp["items"].reset_index(drop=True))
         aid = ap["user_id"].to_numpy(dtype=np.int64)
         bid = bp["user_id"].to_numpy(dtype=np.int64)
         d2 = (
@@ -2465,6 +2472,11 @@ def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             if pi == pj
             else np.ones_like(d2, dtype=bool)
         )
+        # candidate-set contract: the oracle's dots CTE joins profiles
+        # on hod, so a pair with no shared-hod row is not a candidate —
+        # even though its dist2 = n2a + n2b is well-defined. Keep only
+        # pairs whose hod-presence vectors intersect.
+        keep &= (Pa @ Pb.T) > 0
         ai, bi = np.nonzero(keep)
         out = pd.DataFrame(
             {

@@ -3,6 +3,12 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+The stdout line is sized under the driver's 2000-byte tail capture
+(slowest queries first; "n_queries"/"queries_shown"/"queries_full"
+make the trim explicit); the COMPLETE per-query record — all timings
+plus per-query medians — is written to $SPARK_GRAFT_BENCH_OUT
+(default bench_result.json).
+
 Each query is fully materialized through the `noop` sink (no driver
 collect — the same execution profile a cluster run would have).
 """
@@ -188,7 +194,8 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     wall = round(time.time() - t_all, 3)
 
-    line = json.dumps(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = json.dumps(
         {
             "metric": "headline_queries_total_sec",
             "value": total,
@@ -198,20 +205,50 @@ def main() -> None:
             # round-over-round comparison column (MEASURE.md), robust
             # to this host's up-to-10x single-entry timing noise
             "medians": {name: _median(ts) for name, ts in passes.items()},
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "sf": sf_val,
             "repeats": repeats,
             "wall_sec": wall,
         }
     )
-    # The JSON goes to its own file as well as stdout: the r2 artifact
-    # lost the head of the stdout line to interleaved Spark progress
-    # output, dropping the first queries and making it unparseable.
+    # Full record (all queries + medians) goes to its own file; it is
+    # ~4.5 KB and the driver only captures the LAST 2000 bytes of
+    # stdout, which through r6 cut the head off the single JSON line
+    # and left every BENCH_r*.json with "parsed": null.
     out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try:
         with open(out_path, "w") as fh:
-            fh.write(line + "\n")
+            fh.write(full + "\n")
     except OSError:
         pass  # stdout line below is still the contract
+
+    # Stdout gets ONE compact JSON line sized under the driver's
+    # 2000-byte tail capture: headline total + as many per-query
+    # timings as fit, slowest first (the entries that matter for
+    # regression triage), with the full set's location and count so
+    # the truncation is explicit, never silent.
+    budget = int(os.environ.get("SPARK_GRAFT_BENCH_STDOUT_BYTES", "1900"))
+    meta = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {},
+        "sf": sf_val,
+        "repeats": repeats,
+        "wall_sec": wall,
+        "n_queries": len(timings),
+        "queries_shown": 0,
+        "queries_full": out_path,
+    }
+    shown: dict[str, float] = {}
+    for name in sorted(timings, key=lambda n: (-timings[n], n)):
+        trial = dict(meta, queries=dict(shown, **{name: timings[name]}))
+        trial["queries_shown"] = len(trial["queries"])
+        if len(json.dumps(trial, separators=(",", ":"))) > budget:
+            break
+        shown[name] = timings[name]
+    meta["queries"] = shown
+    meta["queries_shown"] = len(shown)
+    line = json.dumps(meta, separators=(",", ":"))
     sys.stdout.flush()
     print(line, flush=True)
 

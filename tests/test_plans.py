@@ -323,13 +323,28 @@ def test_batch_apply_in_pandas_sites_pin_group_parallelism():
     pandas group stage costs per GROUP CALL, so an unpinned tiny-byte
     shuffle with thousands of groups collapses onto 1-4 tasks and runs
     its Python serially (measured 21 s -> 2.8 s on the cogroup merge,
-    MEASURE.md round-6). Statement-level check: the full call
-    expression (receiver chain + arguments, so cogroup's second input
-    counts) must contain a pin_groups( call. Streaming modules are
-    exempt — applyInPandasWithState/tWS run on the state-store
-    partitioning, not an AQE-coalesced batch exchange."""
+    MEASURE.md round-6). AST-level check (the r6 form was a substring
+    match, which pin_groups(df, 'x').groupBy('y') would have satisfied
+    while still inserting a second exchange): every groupBy feeding an
+    applyInPandas — including cogroup's second input — must have a
+    pin_groups call as its DIRECT receiver, and the pinned column list
+    must equal the groupBy key list exactly, so the downstream groupBy
+    reuses the pinned exchange instead of adding an AQE-coalescible
+    one. Streaming modules are exempt — applyInPandasWithState/tWS run
+    on the state-store partitioning, not an AQE-coalesced batch
+    exchange."""
     import ast
     import pathlib
+
+    def _arg_keys(call: "ast.Call", skip: int = 0) -> list | None:
+        """String-constant args of a call past `skip` leading args
+        (None if any remaining arg is non-constant)."""
+        keys = []
+        for a in call.args[skip:]:
+            if not (isinstance(a, ast.Constant) and isinstance(a.value, str)):
+                return None
+            keys.append(a.value)
+        return keys
 
     root = pathlib.Path(__file__).resolve().parent.parent / "arcon_spark"
     offenders = []
@@ -338,15 +353,42 @@ def test_batch_apply_in_pandas_sites_pin_group_parallelism():
             src = path.read_text()
             tree = ast.parse(src)
             for node in ast.walk(tree):
-                if (
+                if not (
                     isinstance(node, ast.Call)
                     and isinstance(node.func, ast.Attribute)
                     and node.func.attr == "applyInPandas"
                 ):
-                    seg = ast.get_source_segment(src, node) or ""
-                    if "pin_groups(" not in seg:
-                        offenders.append(f"{path.name}:{node.lineno}")
+                    continue
+                # every groupBy in the receiver subtree (cogroup's
+                # second input is an argument of a receiver-chain call,
+                # so ast.walk reaches it too)
+                for gb in ast.walk(node.func.value):
+                    if not (
+                        isinstance(gb, ast.Call)
+                        and isinstance(gb.func, ast.Attribute)
+                        and gb.func.attr == "groupBy"
+                    ):
+                        continue
+                    recv = gb.func.value
+                    pinned = (
+                        isinstance(recv, ast.Call)
+                        and isinstance(recv.func, ast.Name)
+                        and recv.func.id == "pin_groups"
+                    )
+                    if not pinned:
+                        offenders.append(
+                            f"{path.name}:{gb.lineno} groupBy receiver is "
+                            "not a pin_groups(...) call"
+                        )
+                        continue
+                    gb_keys = _arg_keys(gb)
+                    pin_keys = _arg_keys(recv, skip=1)  # arg 0 is the df
+                    if gb_keys is None or pin_keys is None or gb_keys != pin_keys:
+                        offenders.append(
+                            f"{path.name}:{gb.lineno} pin_groups keys "
+                            f"{pin_keys} != groupBy keys {gb_keys}"
+                        )
     assert offenders == [], (
-        "applyInPandas without pin_groups (see io.pin_groups): "
+        "applyInPandas group keys not pinned (see io.pin_groups): "
         f"{offenders}"
     )

@@ -272,3 +272,40 @@ def test_spark_sql_strings_avoid_rand_and_clock():
             ):
                 offenders.append((name, node.value[:60]))
     assert not offenders, f"nondeterministic SQL strings in queries: {offenders}"
+
+
+def test_generated_docs_match_registry_counts():
+    """Doc-regen contract (r6 verdict #7): the counts stated in the
+    generated docs must equal the registry at HEAD — QUERIES.md's
+    header count and per-query sections, README's registry size, and
+    SCALE.md's batch-plan table and summary line. These drifted across
+    r6's three regenerations; a stale doc now fails CI instead of
+    shipping. Regenerate with tools/queries_report.py and
+    tools/scale_audit.py after any registry change."""
+    import pathlib
+    import re
+
+    from arcon_spark.plans.registry import queries
+
+    reg = queries()
+    n = len(reg)
+    n_batch = sum(1 for q in reg if not q.startswith("stream_"))
+    repo = pathlib.Path(__file__).resolve().parent.parent
+
+    queries_md = (repo / "QUERIES.md").read_text()
+    m = re.search(r"^(\d+) queries;", queries_md, re.M)
+    assert m and int(m.group(1)) == n, f"QUERIES.md header says {m and m.group(1)}, registry has {n}"
+    sections = re.findall(r"^## ([a-z0-9_]+)\s", queries_md, re.M)
+    assert len(sections) == n, f"QUERIES.md has {len(sections)} sections, registry {n}"
+    assert set(sections) == set(reg)
+
+    readme = (repo / "README.md").read_text()
+    m = re.search(r"registry holds (\d+)", readme)
+    assert m and int(m.group(1)) == n, f"README registry count {m and m.group(1)} != {n}"
+
+    scale_md = (repo / "SCALE.md").read_text()
+    rows = re.findall(r"^\| ([a-z0-9_]+) \| \d+ \|", scale_md, re.M)
+    assert len(rows) == n_batch, f"SCALE.md table has {len(rows)} rows, batch registry {n_batch}"
+    assert set(rows) == {q for q in reg if not q.startswith("stream_")}
+    m = re.search(r"\*\*(\d+) batch queries\*\*", scale_md)
+    assert m and int(m.group(1)) == n_batch

@@ -212,6 +212,30 @@ def test_driver_collected_artifacts_are_fixed_size(spark):
     assert sizes["sf0.001"] == sizes["sf0.01"]
 
 
+def test_tile_grid_side_bounds_block_rows():
+    """The block-tile grid side is COMPUTED from the corpus row count
+    (r6 had a fixed _BT_BLOCKS=8 with a 'raise for larger corpora'
+    docstring note): for any corpus, per-block rows ceil(n/B) stay
+    <= TILE_ROWS, so a tile pair never materializes more than
+    TILE_ROWS² matmul cells, while small corpora keep the floor-of-8
+    grid (identical plans/perf at the tested SFs)."""
+    import math
+
+    from arcon_spark.functions.similarity import _BT_BLOCKS
+    from arcon_spark.io import TILE_ROWS, tile_grid_side
+
+    # two synthetic corpus sizes well past the floor threshold
+    for n in (100_000, 10_000_000):
+        b = tile_grid_side(n)
+        assert b >= _BT_BLOCKS
+        assert math.ceil(n / b) <= TILE_ROWS, (n, b)
+        # no gratuitous over-tiling: one fewer block would break the bound
+        assert b == _BT_BLOCKS or math.ceil(n / (b - 1)) > TILE_ROWS
+    # the tested SFs sit under the floor threshold: grid unchanged vs r6
+    for n in (0, 1, 2_801, 8 * TILE_ROWS):
+        assert tile_grid_side(n) == _BT_BLOCKS
+
+
 def test_ivf_centroids_fixed_count(spark, sf_dir):
     """The coarse-centroid collect is bounded by _IVF_NC at any scale
     (the %37 slice it replaced grew with the corpus)."""

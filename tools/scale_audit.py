@@ -12,6 +12,12 @@ Columns:
 - agg:        HashAggregate/ObjectHashAggregate count (SortAggregate
   is banned registry-wide by tests/test_plans.py)
 
+Beyond the table, two enumerated-and-justified sections: plans with
+>= 6 shuffles, and plans containing a single-partition WindowExec
+(empty partition spec) — each such row needs a one-line justification
+in HIGH_SHUFFLE_NOTES / GLOBAL_WINDOW_NOTES or it is flagged
+UNEXPLAINED in SCALE.md and warned on stdout.
+
 Usage: python tools/scale_audit.py [sf_dir] [query ...]
 
 With query names, audits ONLY those (printed to stdout, SCALE.md
@@ -57,6 +63,63 @@ HIGH_SHUFFLE_NOTES: dict[str, str] = {
 }
 
 
+# One-line justifications for any query whose plan contains a
+# single-partition WindowExec (empty partition spec — "No Partition
+# Defined" at runtime): legitimate ONLY over a DERIVED table whose row
+# count is bounded by construction (hours, bins, slivers, scalar
+# audits), never over event-scale data. The audit refuses to leave
+# such a row unexplained, exactly like the >=6-shuffle rows.
+GLOBAL_WINDOW_NOTES: dict[str, str] = {}
+
+
+def _global_window_count(plan: str) -> int:
+    """Count WindowExec operators with an EMPTY partition spec.
+
+    WindowExec prints `Window [exprs], [part], [order]` (3 top-level
+    groups) when partitioned, `Window [exprs], [order]` (2 groups)
+    when global, and `Window [exprs], [part]` (2 groups) when
+    partitioned without ordering — the 2-group forms disambiguate by
+    the sort-direction tokens only an order spec contains. Dedup by
+    plan_id like _exchange_counts (cached subtrees re-print)."""
+    seen: set[str] = set()
+    n = 0
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-: ").lstrip()
+        if not (s.startswith("Window ") or s.startswith("WindowGroupLimit ")):
+            continue
+        m = re.search(r"\[plan_id=(\d+)\]", line)
+        key = m.group(1) if m else s
+        if key in seen:
+            continue
+        seen.add(key)
+        # split into top-level [...] groups
+        groups, depth, start = [], 0, None
+        for i, ch in enumerate(s):
+            if ch == "[":
+                if depth == 0:
+                    start = i
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append(s[start : i + 1])
+        if s.startswith("WindowGroupLimit "):
+            # prints `WindowGroupLimit [part], [order], rankFn, k` —
+            # global iff the first group is empty or an order spec
+            if groups and (
+                groups[0] == "[]" or " ASC " in groups[0] or " DESC " in groups[0]
+            ):
+                n += 1
+            continue
+        if len(groups) >= 3:
+            continue  # [exprs], [part], [order]
+        if len(groups) == 2 and (" ASC " in groups[1] or " DESC " in groups[1]):
+            n += 1  # [exprs], [order] — no partition spec
+        elif len(groups) == 2 and groups[1] == "[]":
+            n += 1
+    return n
+
+
 def _exchange_counts(plan: str) -> tuple[int, int]:
     """(shuffles, broadcasts) as UNIQUE physical exchanges. A cached
     frame's plan is re-printed under every InMemoryTableScan, so raw
@@ -100,13 +163,14 @@ def main() -> None:
                 n_bc,
                 plan.count("HashAggregate") + plan.count("ObjectHashAggregate"),
                 ", ".join(REGISTRY[name].tags[:3]),
+                _global_window_count(plan),
             )
         )
 
     if only:
         for r in rows:
             print("| " + " | ".join(str(c) for c in r) + " |")
-        return
+        return  # (last column = single-partition Window count)
 
     out = [
         "# SCALE — physical-plan audit of every batch query",
@@ -124,7 +188,7 @@ def main() -> None:
         "|---|---|---|---|---|---|---|",
     ]
     for r in rows:
-        out.append("| " + " | ".join(str(c) for c in r) + " |")
+        out.append("| " + " | ".join(str(c) for c in r[:7]) + " |")
 
     n_zero = sum(1 for r in rows if r[1] == 0)
     n_py = sum(1 for r in rows if r[3])
@@ -146,6 +210,30 @@ def main() -> None:
             out.append(f"- **{r[0]}** ({r[1]} shuffles): {note}")
         if unexplained:
             print(f"WARNING: unexplained >=6-shuffle plans: {unexplained}")
+    gw_rows = [r for r in rows if r[7] > 0]
+    if gw_rows:
+        out += [
+            "",
+            "## Single-partition Window rows (WindowExec with no "
+            "partition spec), each justified",
+            "",
+            "A global window moves ALL its input to one task — "
+            "legitimate only over a DERIVED table whose row count is "
+            "bounded by construction (hour series, fixed bins, "
+            "top-k-trimmed candidates, scalar audits), never over "
+            "event-scale data. tools/scale_audit.py enumerates every "
+            "such plan; an unexplained row is a bug to fix.",
+            "",
+        ]
+        gw_unexplained = []
+        for r in gw_rows:
+            note = GLOBAL_WINDOW_NOTES.get(r[0])
+            if note is None:
+                gw_unexplained.append(r[0])
+                note = "UNEXPLAINED — repartition the window or add a note"
+            out.append(f"- **{r[0]}** ({r[7]} global window{'s' if r[7] > 1 else ''}): {note}")
+        if gw_unexplained:
+            print(f"WARNING: unexplained single-partition Window plans: {gw_unexplained}")
     with open("/root/repo/SCALE.md", "w") as f:
         f.write("\n".join(out) + "\n")
     print(f"wrote SCALE.md: {len(rows)} queries, {n_zero} zero-shuffle, {n_py} python")
