@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from arcon_spark.io import load_table, spread
+from arcon_spark.io import load_table, spread, two_phase_rank
 from arcon_spark.plans.registry import register
 
 # Tiny per-language stopword lists (the synthetic corpus vocab is
@@ -457,17 +457,21 @@ def corpus_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     — hash-order rank gives both; changing the salt is a fresh epoch
     permutation. The rank column makes the ORDERING itself
     value-checked by the oracle (the driver's hash compare is otherwise
-    order-insensitive). At 100 TB emit instead a hash-bucketed
-    repartitionByRange write; the global row_number here is the
-    oracle-checkable form of the same ordering contract."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    key = F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
-    from pyspark.sql import Window as W
+    order-insensitive).
 
-    return docs.select(
-        "doc_id",
-        F.row_number().over(W.orderBy(key, "doc_id")).cast("long").alias("shuffle_rank"),
+    Scale shape (r7): the rank is io.two_phase_rank — range-exchange
+    on the hash key, per-partition row_number, plus a broadcast
+    #partitions-row offset table; no single-partition WindowExec
+    anywhere near the corpus, so the permutation materializes at any
+    scale (through r6 this was a global row_number — the
+    oracle-checkable but one-reducer form)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.withColumn(
+        "k", F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
     )
+    return two_phase_rank(
+        keyed, [F.col("k"), F.col("doc_id")], rank_name="shuffle_rank"
+    ).select("doc_id", "shuffle_rank")
 
 
 PACK_BUDGET = 2048
@@ -501,11 +505,12 @@ def corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximation of greedy bin packing (exact greedy is inherently
     sequential; cumsum packing differs only at bin boundaries and
     parallelizes). Integer token counts → the running sum and integer
-    division are bit-identical across engines. At 100 TB replace the
-    global window with per-partition cumsums + a broadcast of partition
-    offsets (two passes, no single-reducer sort)."""
-    from pyspark.sql import Window as W
+    division are bit-identical across engines.
 
+    Scale shape (r7): the running sum is io.two_phase_rank's
+    per-range-partition cumsum + broadcast partition offsets — the
+    exact plan the r6 docstring promised for 100 TB, now the only
+    form (no single-partition WindowExec touches the corpus)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select(
         "doc_id",
@@ -513,12 +518,20 @@ def corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_tokens"),
     )
-    key = F.md5(F.concat(F.lit("pack:"), F.col("doc_id").cast("string")))
-    w = W.orderBy(key, "doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    return toks.select(
+    keyed = toks.withColumn(
+        "k", F.md5(F.concat(F.lit("pack:"), F.col("doc_id").cast("string")))
+    )
+    cum = two_phase_rank(
+        keyed,
+        [F.col("k"), F.col("doc_id")],
+        rank_name=None,
+        sum_col="n_tokens",
+        sum_name="cum_incl",
+    )
+    return cum.select(
         "doc_id",
         "n_tokens",
-        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("cum_before"),
+        (F.col("cum_incl") - F.col("n_tokens")).alias("cum_before"),
     ).select(
         "doc_id",
         "n_tokens",
@@ -2845,23 +2858,25 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     division.
 
     Scale shape: one token hash-aggregate with map-side partials (the
-    expensive, data-sized step) → a global rank over the TYPE
-    distribution (|types| rows, Zipf-small vs corpus size) → a
-    broadcast of the 3-row size spine. At 100 TB only the first
-    aggregate touches the corpus."""
+    expensive, data-sized step) → the type-distribution rank via
+    io.two_phase_rank (r7: a raw web-scale type table is NOT small —
+    junk tokens push |types| toward 1e8-1e9, too big for the r6
+    single-partition rank; the distributed rank's only global window
+    is its #partitions-row offset table) → 1-row totals and the 3-row
+    size spine ride as broadcasts. At 100 TB only the first aggregate
+    touches the corpus."""
     docs = load_table(spark, sf_dir, "documents").select("text")
     toks = docs.select(
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
     ).filter(F.col("token") != "")
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    wr = Window.orderBy(F.desc("cnt"), F.asc("token"))
-    wall = Window.partitionBy()
-    ranked = counts.select(
-        "cnt",
-        F.row_number().over(wr).alias("rnk"),
-        F.sum("cnt").over(wall).cast("long").alias("total_occ"),
-        F.count(F.lit(1)).over(wall).cast("long").alias("total_types"),
+    totals = counts.agg(
+        F.sum("cnt").cast("long").alias("total_occ"),
+        F.count(F.lit(1)).cast("long").alias("total_types"),
     )
+    ranked = two_phase_rank(
+        counts, [F.col("cnt").desc(), F.col("token").asc()], rank_name="rnk"
+    ).join(F.broadcast(totals))
     sizes = spark.createDataFrame(
         [(k,) for k in _VOCAB_SIZES], "vocab_size long"
     )

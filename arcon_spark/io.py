@@ -155,6 +155,104 @@ def pin_groups(df: DataFrame, *cols: str, num_partitions: int | None = None) -> 
     return df.repartition(num_partitions, *cols)
 
 
+def two_phase_rank(
+    df: DataFrame,
+    order_by,
+    *,
+    rank_name: str | None = "rn",
+    sum_col: str | None = None,
+    sum_name: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global row_number (and optionally an inclusive running
+    sum) over a total order WITHOUT a single-partition WindowExec —
+    the scalable form of ``row_number() OVER (ORDER BY ...)``.
+
+    Plan: range-exchange on the sort key, per-partition JVM windows
+    for the local rank/cumsum, then a #partitions-row offset table
+    (count/sum per range partition, prefix-summed) broadcast-joined
+    back. The only global window runs over that offset table — its
+    row count is the shuffle width, a cluster constant, never data —
+    so the plan survives any corpus size where a single partition
+    holding the full order would not. Ranks are independent of the
+    partition count and of AQE coalescing: range partitions are
+    key-disjoint and id-ordered, so offset+local_rank reproduces the
+    exact global rank for ANY boundary placement. Costs one extra
+    hash exchange on the partition id versus the naive global window
+    (a pid-keyed reshuffle of already-ranged rows; mild balls-in-bins
+    skew of whole partitions, bounded by small multiples of n/P).
+
+    order_by: list of Columns (may carry .desc()); keys must be
+    NULL-free and, with the caller's tiebreak, total."""
+    spark = df.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    order_by = list(order_by)
+    parted = df.repartitionByRange(p, *order_by).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    from pyspark.sql import Window
+
+    # Both the running and the whole-partition stats ride ONE pid
+    # window exchange; the per-partition totals are then read off the
+    # __lrn == 1 row of each partition instead of a separate groupBy
+    # branch. The ranked frame feeds TWO consumers (the offset table
+    # and the final join probe) and spark_partition_id() is flagged
+    # nondeterministic — exchange reuse cannot share the subtree — so
+    # the house multi-consumer rule applies: checkpoint once, read
+    # twice. This also pins the pid assignment: both consumers see the
+    # SAME materialized partitions rather than two re-executions.
+    wloc = Window.partitionBy("__pid").orderBy(*order_by)
+    wall = Window.partitionBy("__pid")
+    local = parted.withColumn("__lrn", F.row_number().over(wloc)).withColumn(
+        "__pcnt", F.count(F.lit(1)).over(wall)
+    )
+    if sum_col is not None:
+        local = local.withColumn(
+            "__lcs",
+            F.sum(sum_col).over(wloc.rowsBetween(Window.unboundedPreceding, 0)),
+        ).withColumn("__psum", F.sum(sum_col).over(wall))
+    local = local.localCheckpoint(eager=True)
+    per_cols = ["__pid", "__pcnt"] + (["__psum"] if sum_col is not None else [])
+    per = local.filter(F.col("__lrn") == 1).select(*per_cols)
+    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    off_cols = [
+        "__pid",
+        F.coalesce(F.sum("__pcnt").over(woff), F.lit(0)).alias("__roff"),
+    ]
+    if sum_col is not None:
+        off_cols.append(
+            F.coalesce(F.sum("__psum").over(woff), F.lit(0)).alias("__soff")
+        )
+    off = per.select(*off_cols)
+    out = local.join(F.broadcast(off), "__pid")
+    if rank_name is not None:
+        out = out.withColumn(
+            rank_name, (F.col("__roff") + F.col("__lrn")).cast("long")
+        )
+    if sum_col is not None:
+        out = out.withColumn(sum_name, F.col("__soff") + F.col("__lcs"))
+    return out.drop(
+        "__pid", "__lrn", "__lcs", "__pcnt", "__psum", "__roff", "__soff"
+    )
+
+
+def ntile_from_rank(rank_col, n_col, k: int):
+    """SQL NTILE(k) computed arithmetically from a global rank and the
+    total row count — the standard large-buckets-first split (first
+    n%k buckets get one extra row), identical in Spark and DuckDB.
+    Lets NTILE ride on two_phase_rank instead of a single-partition
+    window."""
+    rn, n = F.col(rank_col), F.col(n_col)
+    sz = (n / k).cast("long")  # n div k (exact: doubles are integral here)
+    rem = n % k
+    thr = rem * (sz + 1)
+    return (
+        F.when(rn <= thr, ((rn - 1) / (sz + 1)).cast("long") + 1)
+        .otherwise(rem + ((rn - 1 - thr) / sz).cast("long") + 1)
+        .cast("long")
+    )
+
+
 #: target per-block row count for the block-tile matmul kernels: a tile
 #: pair materializes at most tile_rows² matmul cells (~128 MB of float64
 #: at 4096) plus two tile_rows·d operand slices — the executor-memory

@@ -27,7 +27,7 @@ from arcon_spark.scratch import scratch_dir
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from arcon_spark.io import load_table
+from arcon_spark.io import load_table, ntile_from_rank, two_phase_rank
 from arcon_spark.plans.compat import (
     EVENTS_NORM,
     cents_window_sum,
@@ -1368,16 +1368,23 @@ def histogram_equidepth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-width histogram for skewed columns, and the statistic behind
     range-partition boundary choice. ntile over (value, event_id) is a
     total order, so buckets are deterministic; lo/hi are raw MIN/MAX
-    (no float arithmetic) so the oracle matches bit-for-bit. The
-    global window is the oracle-checkable form; at 100 TB the same
-    deciles come from repartitionByRange(value) — Spark's range
-    partitioner IS an equi-depth sampler — with per-partition count /
-    min / max, no total sort."""
-    from pyspark.sql import Window as W
+    (no float arithmetic) so the oracle matches bit-for-bit.
 
+    Scale shape (r7): NTILE over the raw event table is event-scale —
+    through r6 it ran as a single-partition window. Now the global
+    rank comes from io.two_phase_rank (repartitionByRange(value) —
+    Spark's range partitioner IS an equi-depth sampler — plus
+    per-partition rank and broadcast offsets) and NTILE(10) is
+    recovered arithmetically from (rank, total) by io.ntile_from_rank;
+    the only global window left is the #partitions-row offset
+    table."""
     ev = load_table(spark, sf_dir, "events").select("value", "event_id")
-    t = ev.select(
-        "value", F.ntile(10).over(W.orderBy("value", "event_id")).alias("bucket")
+    n_rows = ev.count()  # scalar: the decile split needs the total
+    ranked = two_phase_rank(
+        ev, [F.col("value").asc(), F.col("event_id").asc()], rank_name="__rn"
+    )
+    t = ranked.withColumn("__n", F.lit(n_rows)).select(
+        "value", ntile_from_rank("__rn", "__n", 10).alias("bucket")
     )
     return t.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("cnt"),
@@ -1785,11 +1792,16 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     segments — the standard CRM/marketing analytics operator. Monetary
     goes through exact integer cents (plans/compat); every ntile
     ordering carries the custkey tiebreak so quintile assignment is a
-    total order (cross-engine identical). One aggregation exchange on
-    custkey + single-partition ntile windows over the reduced
-    per-customer frame — at 100 TB replace ntile with
-    percentile-threshold joins if the customer dimension itself
-    outgrows a partition (the aggregation stage is unchanged)."""
+    total order (cross-engine identical).
+
+    Scale shape (r7): the customer dimension is NOT bounded (billions
+    of customers at 100 TB), so the three quintile scores no longer
+    run as single-partition ntile windows — each is io.two_phase_rank
+    (range exchange + per-partition rank + broadcast offsets) chained
+    over the same frame, with NTILE(5) recovered arithmetically from
+    (global rank, total count) by io.ntile_from_rank; the only global
+    windows left are the three #partitions-row offset tables. One
+    aggregation exchange on custkey feeds the chain."""
     orders = load_table(spark, sf_dir, "orders")
     rfm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.datediff(
@@ -1797,21 +1809,35 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("recency_days"),
         F.count(F.lit(1)).alias("frequency"),
         msum(F.col("o_totalprice"), 2).alias("monetary"),
+    # feeds the count AND the rank chain (house multi-consumer rule)
+    ).localCheckpoint(eager=True)
+    n_cust = rfm.count()  # scalar: the quintile split needs the total
+    s = two_phase_rank(
+        rfm, [F.col("recency_days").asc(), F.col("custkey").asc()], rank_name="__rr"
     )
-    scored = rfm.select(
-        "*",
-        F.ntile(5).over(Window.orderBy(F.asc("recency_days"), F.asc("custkey"))).alias("r_score"),
-        F.ntile(5).over(Window.orderBy(F.desc("frequency"), F.asc("custkey"))).alias("f_score"),
-        F.ntile(5).over(Window.orderBy(F.desc("monetary"), F.asc("custkey"))).alias("m_score"),
+    s = two_phase_rank(
+        s, [F.col("frequency").desc(), F.col("custkey").asc()], rank_name="__rf"
+    )
+    s = two_phase_rank(
+        s, [F.col("monetary").desc(), F.col("custkey").asc()], rank_name="__rm"
+    )
+    scored = s.withColumn("__n", F.lit(n_cust)).select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        ntile_from_rank("__rr", "__n", 5).alias("r_score"),
+        ntile_from_rank("__rf", "__n", 5).alias("f_score"),
+        ntile_from_rank("__rm", "__n", 5).alias("m_score"),
     )
     return scored.select(
         "custkey",
         "recency_days",
         "frequency",
         "monetary",
-        F.col("r_score").cast("long").alias("r_score"),
-        F.col("f_score").cast("long").alias("f_score"),
-        F.col("m_score").cast("long").alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
         F.when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "champion")
         .when(F.col("r_score") <= 2, "recent")
         .when(F.col("f_score") <= 2, "loyal")

@@ -220,3 +220,53 @@ def test_brown_forecast_is_level_plus_trend(spark, monkeypatch):
         # on an exact line the trend estimate must be positive and the
         # forecast within the truncation bias of the true next value
         assert r.trend > 0
+
+
+def test_two_phase_rank_matches_global_window(spark):
+    """io.two_phase_rank / ntile_from_rank (r7): the distributed rank,
+    inclusive running sum, and arithmetic NTILE must reproduce the
+    single-partition window forms EXACTLY for asc and desc orders —
+    they replaced the global windows in corpus_shuffle_rank,
+    corpus_pack_bins, histogram_equidepth_value, rfm_customer_segments
+    and tokenizer_vocab_coverage, so any divergence is a silent
+    corpus-ordering bug."""
+    from pyspark.sql import Window, functions as F
+
+    from arcon_spark.io import ntile_from_rank, two_phase_rank
+
+    df = spark.range(0, 4007).select(
+        F.col("id"),
+        F.md5(F.col("id").cast("string")).alias("k"),
+        F.pmod(F.col("id") * 37, F.lit(1000)).alias("v"),
+    )
+    naive = df.select(
+        "id",
+        F.row_number().over(Window.orderBy("k", "id")).cast("long").alias("rn"),
+        F.sum("v")
+        .over(Window.orderBy("k", "id").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.ntile(7).over(Window.orderBy("k", "id")).cast("long").alias("b"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("v"), F.asc("id")))
+        .cast("long")
+        .alias("rnd"),
+    )
+    two = two_phase_rank(
+        df, [F.col("k"), F.col("id")], rank_name="rn", sum_col="v", sum_name="cum"
+    )
+    two = (
+        two.withColumn("n", F.lit(df.count()))
+        .withColumn("b", ntile_from_rank("rn", "n", 7))
+        .select("id", "rn", "cum", "b")
+    )
+    twod = two_phase_rank(
+        df, [F.col("v").desc(), F.col("id").asc()], rank_name="rnd"
+    ).select("id", "rnd")
+    merged = naive.alias("a").join(two.alias("t"), "id").join(twod.alias("d"), "id")
+    bad = merged.filter(
+        (F.col("a.rn") != F.col("t.rn"))
+        | (F.col("a.cum") != F.col("t.cum"))
+        | (F.col("a.b") != F.col("t.b"))
+        | (F.col("a.rnd") != F.col("d.rnd"))
+    ).count()
+    assert bad == 0

@@ -69,7 +69,90 @@ HIGH_SHUFFLE_NOTES: dict[str, str] = {
 # count is bounded by construction (hours, bins, slivers, scalar
 # audits), never over event-scale data. The audit refuses to leave
 # such a row unexplained, exactly like the >=6-shuffle rows.
-GLOBAL_WINDOW_NOTES: dict[str, str] = {}
+_TPR_NOTE = (
+    "io.two_phase_rank offset table: the only global window runs over "
+    "one row per range partition (rows = shuffle width, a cluster "
+    "constant); the corpus-scale rank/cumsum itself is per-partition"
+)
+GLOBAL_WINDOW_NOTES: dict[str, str] = {
+    # --- rewritten in r7 onto io.two_phase_rank (range exchange +
+    # per-partition rank + broadcast #partitions-row offsets): the
+    # detector still sees the offset table's tiny global window
+    "corpus_shuffle_rank": _TPR_NOTE,
+    "corpus_pack_bins": _TPR_NOTE,
+    "histogram_equidepth_value": _TPR_NOTE,
+    "rfm_customer_segments": _TPR_NOTE + " (three chained ranks, one per RFM axis)",
+    "tokenizer_vocab_coverage": _TPR_NOTE,
+    # --- bounded derived tables: the window input is hours / bins /
+    # shards / top-k partials by construction, never event-scale
+    "bpe_pair_merge_stats": (
+        "rank <= top-k filter plans as WindowGroupLimit: the Partial "
+        "trim caps the single-partition input at k rows per map "
+        "partition (k * shuffle-width), not the pair vocabulary"
+    ),
+    "decayed_topk_parts": (
+        "rank <= top-k over the per-part scored aggregate plans as "
+        "WindowGroupLimit — Partial trim bounds the final window at "
+        "k rows per partition"
+    ),
+    "cumulative_distinct_users": (
+        "running sum over the per-HOUR new-user counts — rows bounded "
+        "by the time horizon (8760/year), not events"
+    ),
+    "dedup_sorted_neighborhood": (
+        "the global lead() runs ONLY on the boundary stitch frame — "
+        "heads/tails of each sort bucket, O(#buckets * window) rows "
+        "independent of corpus size; the corpus-scale lead is "
+        "per-bucket (see the SHARDED-sort docstring)"
+    ),
+    "gini_best_split_totalprice": (
+        "cumulative class counts + argmin over the 100-row price-BIN "
+        "table; bin count is a constant of the operator"
+    ),
+    "heavy_hitters_shard_union": (
+        "ranks run on the candidate union (<= local-M per shard, "
+        "shard count fixed) and the truth set trimmed to K via "
+        "WindowGroupLimit — both bounded by sketch parameters"
+    ),
+    "hybrid_search_rrf": (
+        "both ranker outputs end in TakeOrdered/top-k (<= K rows "
+        "each); the rank-assignment and RRF-fusion windows run on "
+        "<= 2K rows regardless of corpus size"
+    ),
+    "pareto_frontier_orders": (
+        "running max over the per-DATE max-price table (|distinct "
+        "dates| rows, bounded by the calendar); the corpus-scale "
+        "dominance test is a broadcast threshold join"
+    ),
+    "sequence_gap_report": (
+        "global lead over one min-row per 2^14-id shard — a 4-orders-"
+        "of-magnitude reduction of the key space; re-shard "
+        "hierarchically if the id space outgrows it"
+    ),
+    "skew_diagnostics_events": (
+        "rank over the per-KEY count aggregate trimmed to the top-k "
+        "report rows via WindowGroupLimit; diagnostics output is "
+        "k rows by construction"
+    ),
+    "stl_decompose_hourly": (
+        "centered moving average over the per-HOUR series "
+        "(8760/year rows); decomposing many series in parallel adds "
+        "the series key to PARTITION BY (see docstring)"
+    ),
+    "survival_risk_table": (
+        "cumulative deaths over the per-DAY lifetime table — rows "
+        "bounded by the observation horizon in days"
+    ),
+    "theil_sen_hourly_trend": (
+        "slope median via rank over the h^2 pairwise-slope table of "
+        "the per-HOUR series — bounded by the horizon squared, not "
+        "events (sketch alternative documented for longer horizons)"
+    ),
+    "weighted_sample_without_replacement": (
+        "rn assignment runs AFTER orderBy().limit(k): TakeOrdered "
+        "reduces to k rows before the window touches anything"
+    ),
+}
 
 
 def _global_window_count(plan: str) -> int:
