@@ -2446,14 +2446,16 @@ def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def dense(items: pd.Series) -> tuple[np.ndarray, np.ndarray]:
             m = np.zeros((len(items), 24), dtype=np.int64)
-            pres = np.zeros((len(items), 24), dtype=np.int64)
+            pres = np.zeros(len(items), dtype=np.int64)
             for r, lst in enumerate(items):
                 for it in lst:
                     m[r, it["hod"]] = it["p"]
                     # presence tracks the profile ROW, not the value:
                     # p = c·SCALE div tot legitimately floors to 0, so
-                    # p != 0 is NOT a valid shared-hod test
-                    pres[r, it["hod"]] = 1
+                    # p != 0 is NOT a valid shared-hod test. Packed as
+                    # a 24-bit mask: the pairwise intersect test is one
+                    # n² bitwise AND, 24x cheaper than a presence matmul
+                    pres[r] |= 1 << it["hod"]
             return m, pres
 
         A, Pa = dense(ap["items"].reset_index(drop=True))
@@ -2475,8 +2477,8 @@ def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # candidate-set contract: the oracle's dots CTE joins profiles
         # on hod, so a pair with no shared-hod row is not a candidate —
         # even though its dist2 = n2a + n2b is well-defined. Keep only
-        # pairs whose hod-presence vectors intersect.
-        keep &= (Pa @ Pb.T) > 0
+        # pairs whose 24-bit hod-presence masks intersect.
+        keep &= (Pa[:, None] & Pb[None, :]) > 0
         ai, bi = np.nonzero(keep)
         out = pd.DataFrame(
             {
