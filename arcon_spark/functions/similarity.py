@@ -2641,8 +2641,10 @@ def _bt_ivf_dir(
     # to clustered data (the regime this variant exists for) — each
     # side rides the shuffle B times, and the per-query top-K windows
     # re-trim the per-tile partials losslessly, exactly as in the
-    # exhaustive miner's grid.
-    B = _BT_IVF_B
+    # exhaustive miner's grid. The fan is corpus-count-derived (floored
+    # at the r6 constant): conservative even if ONE cell holds the
+    # whole corpus; assigned is checkpointed, so the count is free.
+    B = tile_grid_side(assigned.count(), floor=_BT_IVF_B)
     q = assigned.filter(F.col("lang") == qlang)
     m = assigned.filter(F.col("lang") == mlang)
     m_tiles = m.select(
