@@ -221,12 +221,27 @@ def main() -> None:
     except OSError:
         pass  # stdout line below is still the contract
 
-    # Stdout gets ONE compact JSON line sized under the driver's
-    # 2000-byte tail capture: headline total + as many per-query
-    # timings as fit, slowest first (the entries that matter for
-    # regression triage), with the full set's location and count so
-    # the truncation is explicit, never silent.
     budget = int(os.environ.get("SPARK_GRAFT_BENCH_STDOUT_BYTES", "1900"))
+    line = stdout_line(timings, total, sf_val, repeats, wall, out_path, budget)
+    sys.stdout.flush()
+    print(line, flush=True)
+
+
+def stdout_line(
+    timings: dict[str, float],
+    total: float,
+    sf_val,
+    repeats: int,
+    wall: float,
+    out_path: str,
+    budget: int = 1900,
+) -> str:
+    """ONE compact JSON line sized under the driver's 2000-byte tail
+    capture: headline total + as many per-query timings as fit,
+    slowest first (the entries that matter for regression triage),
+    with the full set's location and count so the truncation is
+    explicit, never silent. Kept as a pure function so the budget
+    contract is unit-testable (tests/test_registry.py)."""
     meta = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -248,9 +263,7 @@ def main() -> None:
         shown[name] = timings[name]
     meta["queries"] = shown
     meta["queries_shown"] = len(shown)
-    line = json.dumps(meta, separators=(",", ":"))
-    sys.stdout.flush()
-    print(line, flush=True)
+    return json.dumps(meta, separators=(",", ":"))
 
 
 if __name__ == "__main__":

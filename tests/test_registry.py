@@ -309,3 +309,34 @@ def test_generated_docs_match_registry_counts():
     assert set(rows) == {q for q in reg if not q.startswith("stream_")}
     m = re.search(r"\*\*(\d+) batch queries\*\*", scale_md)
     assert m and int(m.group(1)) == n_batch
+
+
+def test_bench_stdout_line_fits_driver_capture():
+    """bench.py's stdout contract (r7): the driver captures only the
+    LAST 2000 bytes of stdout and json-parses it — through r6 the full
+    per-query line was ~4.5 KB, so every BENCH_r*.json recorded
+    'parsed': null. The compact line must parse, fit the budget, trim
+    slowest-first, and declare the trim explicitly."""
+    import importlib.util
+    import json
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", pathlib.Path(__file__).resolve().parent.parent / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    timings = {f"query_with_a_long_name_{i:03d}": 0.1 + i * 0.037 for i in range(120)}
+    line = bench.stdout_line(timings, 99.9, 0.1, 3, 400.0, "bench_result.json")
+    assert len(line) <= 1900
+    d = json.loads(line)
+    assert d["n_queries"] == 120
+    assert d["queries_shown"] == len(d["queries"]) < 120
+    # slowest-first: every shown entry >= every hidden entry
+    hidden_max = max(v for k, v in timings.items() if k not in d["queries"])
+    assert min(d["queries"].values()) >= hidden_max
+    # a small set is emitted whole
+    small = {"a": 1.0, "b": 2.0}
+    d2 = json.loads(bench.stdout_line(small, 3.0, 0.1, 2, 5.0, "x.json"))
+    assert d2["queries"] == small and d2["queries_shown"] == 2
