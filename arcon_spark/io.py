@@ -270,7 +270,14 @@ def tile_grid_side(n_rows: int, floor: int = 8, tile_rows: int = TILE_ROWS) -> i
     (each row serves B tiles) grows only when the memory bound forces
     it. B is a pure function of the row count, so plans and results
     stay deterministic per dataset (the tile decomposition is lossless
-    for every consumer: results are B-independent)."""
+    for every consumer: results are B-independent).
+
+    Task count grows as B² — intrinsic to EXACT all-pairs kernels,
+    whose FLOPs are O(n²) no matter how they are tiled. The grid keeps
+    each task bounded; it does not change the total. Past ~10⁶ rows
+    the registered sub-quadratic variants (IVF branch-and-bound
+    bitext, LSH/banded dedup, cluster-scoped semdedup) are the
+    production path, exactly as their docstrings state."""
     import math
 
     return max(floor, math.ceil(max(0, n_rows) / tile_rows))
