@@ -304,7 +304,23 @@ def test_no_cartesian_and_bnlj_allowlisted(spark, sf_dir):
         # 1-row broadcast of the mixture normalizers (tot/stot)
         "mixture_temperature_sampling",
     }
-    cartesian, rogue_bnlj = [], []
+    import importlib.util
+    import pathlib
+
+    # piggyback the single-partition-Window contract on the same
+    # full-registry plan walk (plan builds dominate this test's cost):
+    # every plan containing a WindowExec with no partition spec must
+    # carry a justification in tools/scale_audit.GLOBAL_WINDOW_NOTES —
+    # a new unbounded global sort can't land silently (r7; the audit
+    # tool renders the same notes into SCALE.md)
+    spec = importlib.util.spec_from_file_location(
+        "scale_audit",
+        pathlib.Path(__file__).resolve().parent.parent / "tools" / "scale_audit.py",
+    )
+    scale_audit = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(scale_audit)
+
+    cartesian, rogue_bnlj, rogue_gw = [], [], []
     for name, fn in sorted(queries().items()):
         if name.startswith("stream_"):
             continue
@@ -313,8 +329,17 @@ def test_no_cartesian_and_bnlj_allowlisted(spark, sf_dir):
             cartesian.append(name)
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
             rogue_bnlj.append(name)
+        if (
+            scale_audit._global_window_count(plan) > 0
+            and name not in scale_audit.GLOBAL_WINDOW_NOTES
+        ):
+            rogue_gw.append(name)
     assert cartesian == [], cartesian
     assert rogue_bnlj == [], rogue_bnlj
+    assert rogue_gw == [], (
+        "single-partition Window without a GLOBAL_WINDOW_NOTES "
+        f"justification (see tools/scale_audit.py): {rogue_gw}"
+    )
 
 
 def test_batch_apply_in_pandas_sites_pin_group_parallelism():
