@@ -270,3 +270,24 @@ def test_two_phase_rank_matches_global_window(spark):
         | (F.col("a.rnd") != F.col("d.rnd"))
     ).count()
     assert bad == 0
+
+
+def test_two_phase_rank_edges(spark):
+    """Edge contract: empty input yields an empty frame with the rank
+    column; a single-row frame ranks 1; an explicit num_partitions=1
+    degenerates to the naive single-partition result."""
+    from pyspark.sql import functions as F
+
+    from arcon_spark.io import two_phase_rank
+
+    df = spark.range(0, 5).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    empty = two_phase_rank(df.filter("id < 0"), [F.col("id")], rank_name="rn")
+    assert empty.count() == 0 and "rn" in empty.columns
+    one = two_phase_rank(df.filter("id = 3"), [F.col("id")], rank_name="rn")
+    assert [r.rn for r in one.collect()] == [1]
+    single = two_phase_rank(
+        df, [F.col("id")], rank_name="rn", sum_col="v", sum_name="cum",
+        num_partitions=1,
+    )
+    rows = {r.id: (r.rn, r.cum) for r in single.collect()}
+    assert rows == {i: (i + 1, sum(j * 2 for j in range(i + 1))) for i in range(5)}
