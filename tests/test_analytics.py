@@ -291,3 +291,37 @@ def test_two_phase_rank_edges(spark):
     )
     rows = {r.id: (r.rn, r.cum) for r in single.collect()}
     assert rows == {i: (i + 1, sum(j * 2 for j in range(i + 1))) for i in range(5)}
+
+
+def test_ntile_from_rank_formula_property():
+    """Property check of the closed-form NTILE used by
+    io.ntile_from_rank, against the standard SQL definition (first
+    n % k buckets get one extra row) evaluated in pure Python — every
+    (n, k) shape: n < k, n divisible, ragged remainders."""
+    def sql_ntile(rn: int, n: int, k: int) -> int:
+        sz, rem = n // k, n % k
+        # enumerate boundaries exactly as the spec words it
+        bucket, start = 1, 1
+        while True:
+            width = sz + (1 if bucket <= rem else 0)
+            if rn < start + width:
+                return bucket
+            start += width
+            bucket += 1
+
+    def closed_form(rn: int, n: int, k: int) -> int:
+        sz, rem = n // k, n % k
+        thr = rem * (sz + 1)
+        if rn <= thr:
+            return (rn - 1) // (sz + 1) + 1
+        return rem + (rn - 1 - thr) // sz + 1
+
+    for n in (1, 2, 3, 5, 7, 10, 49, 50, 51, 100, 1007):
+        for k in (1, 2, 3, 5, 7, 10):
+            if n < k:
+                # every row its own bucket (sz = 0 branch never divides)
+                for rn in range(1, n + 1):
+                    assert closed_form(rn, n, k) == rn == sql_ntile(rn, n, k)
+                continue
+            for rn in range(1, n + 1):
+                assert closed_form(rn, n, k) == sql_ntile(rn, n, k), (rn, n, k)
