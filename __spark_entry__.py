@@ -39,71 +39,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # everything else follows in registration order. Names not in the
 # registry are ignored (robust to renames).
 _SAMPLE_FIRST = [
-    # --- round 7 sample: the final 59 queries the driver has NEVER
-    # checked in rounds 1-6 (list = registry order minus the 290 in
-    # CORRECTNESS_r01-r06) rotated above the 50-prefix boundary; the
-    # trailing ~9 close out in r8. Two rows lead out of registry
-    # order: the r7 candidate-set fixes (ADVICE r6) changed their
-    # semantics — a pair sharing no activity hour is now excluded from
-    # the top-k candidate set, matching the oracles' hour equi-join —
-    # so their external certification matters most.
-    "ts_similarity_topk",
-    "user_activity_similarity",
-    # batch analytics / SQL-shape tail, registry order (benford was
-    # r6's 51st row — listed but cut by the driver's 50-row sample)
-    "benford_first_digit_audit",
-    "hhi_revenue_concentration",
-    "pandas_udaf_trimmed_mean",
-    "exact_median_selection",
-    "distribution_drift_chi2",
-    "diff_in_diff_events",
-    "stl_decompose_hourly",
-    "stl_residual_anomalies",
-    "revenue_bridge_analysis",
-    "gap_fill_forward_hourly",
-    "pareto_frontier_orders",
-    "mode_event_type_per_user",
-    "pattern_view_view_purchase",
-    "ewma_user_value",
-    "seasonal_hourly_baseline",
-    "acf_hourly_value",
-    "ols_trend_hourly_value",
-    "wow_growth_event_revenue",
-    "tpch_q16ish",
-    "tpch_q20ish",
-    "pii_redact_stats",
-    "gopher_quality_flags",
-    "decontam_ngram_overlap",
-    "mad_outlier_events",
-    "domain_mixture_weights",
-    "bloom_split_probe",
-    "k_anonymity_audit",
-    "bloom_split_membership",
-    "stratified_split",
-    "text_repetition_ratio",
-    "weighted_sample_docs",
-    "corpus_shuffle_rank",
-    "vocab_top_bigrams",
-    "lang_id_confusion",
-    "sample_k_per_source",
-    "text_cdc_chunks",
-    "text_bigram_assoc_score",
-    "text_sentiment_lexicon",
-    "embedding_centroid_drift",
-    # streaming tail (tapes), registry order
-    "stream_ohlc_hourly",
-    "stream_mad_anomaly",
-    "stream_appender_topk_window",
-    "stream_funnel_conversion",
-    "stream_rolling_median",
-    "stream_kmv_distinct",
-    "stream_debounce",
-    "stream_stream_full_outer_join",
-    "stream_stream_right_outer_join",
-    # --- 50-prefix boundary; tail = the 9 queries still
-    # never-driver-checked after r7 (registry order) — the r8 rotation
-    # moves these above the boundary and external certification is
-    # complete at 349/349.
+    # --- round 8 sample. Three blocks:
+    # (1) the final 9 queries never driver-checked in r1-r7 (judge
+    #     parity-certified them in the r7 session; a green r8 row makes
+    #     cumulative driver certification 349/349);
     "stream_cdc_upsert",
     "stream_temporal_dim_join",
     "stream_quantile_histogram",
@@ -113,6 +52,70 @@ _SAMPLE_FIRST = [
     "stream_windowed_distinct",
     "stream_table_checksum",
     "stream_distribution_drift",
+    # (2) queries whose code paths changed in r8 — the applyInArrow
+    #     pin (VERDICT r7 #1), the integer-arithmetic ntile_from_rank
+    #     and the .rdd-free spread/pin width derivation (ADVICE r7) —
+    #     plus one data-dependent tile-kernel row per the standing
+    #     VERDICT r7 #4 insurance rule;
+    "bitext_margin_mining_ivf",
+    "arrow_window_zscore_arrow",
+    "histogram_equidepth_value",
+    "rfm_customer_segments",
+    "tokenizer_vocab_coverage",
+    "corpus_pack_bins",
+    "corpus_shuffle_rank",
+    # (3) re-certification backfill: 47 rows were last driver-checked
+    #     in ROUND 1 (the stalest external evidence in the repo); the
+    #     first 34 fill this sample, the remaining 12 are queued after
+    #     the boundary for r9.
+    "aggregator_stats",
+    "anti_join_no_urgent",
+    "broadcast_dim_join",
+    "corr_quantity_price_by_flag",
+    "cube_lineitem",
+    "deterministic_sample",
+    "distinct_pairs",
+    "except_orders",
+    "exists_slow_orders",
+    "filter_events",
+    "flatmap_tokens",
+    "full_outer_user_activity",
+    "funnel_view_click_purchase",
+    "grouping_sets_orders",
+    "having_big_spenders",
+    "intersect_users",
+    "json_extract_props",
+    "keyby_reduce",
+    "kmv_distinct_users",
+    "kmv_theta_intersection",
+    "lag_delta_per_user",
+    "map_events",
+    "moving_avg_value_per_user",
+    "ntile_percent_rank",
+    "percentiles_value",
+    "pivot_event_counts",
+    "priority_region_grid",
+    "profile_events",
+    "rank_orders",
+    "retention_weekly_cohorts",
+    "rollup_orders",
+    "running_sum_per_customer",
+    "scalar_functions_date",
+    "scalar_functions_text",
+    # --- 50-prefix boundary; tail = the 12 remaining r1-stale rows,
+    # queued to lead the r9 sample.
+    "semi_join_urgent_customers",
+    "sessionize_events",
+    "sort_limit_orders",
+    "source_csv_json_roundtrip",
+    "sql_portable_text",
+    "topk_per_group",
+    "tpch_q13ish",
+    "tpch_q3",
+    "tpch_q5ish",
+    "union_all_sources",
+    "union_users",
+    "unpivot_lineitem_metrics",
 ]
 
 

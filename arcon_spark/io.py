@@ -108,6 +108,50 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def _scan_width_estimate(df: DataFrame) -> int | None:
+    """Estimated file-scan partition count from analysis-time facts
+    ONLY — never touches ``df.rdd``. Accessing .rdd finalizes the
+    adaptive plan and eagerly executes any un-materialized upstream
+    shuffle stages, and the caller's subsequent action then re-executes
+    that subtree in a separate query execution (no cross-query exchange
+    reuse) — the double-execution trap flagged in ADVICE r7.
+
+    ``df.inputFiles()`` is a walk of the analyzed plan's file relations
+    (their listings are already cached at analysis); splitting their
+    byte total by maxPartitionBytes reproduces Spark's own split math
+    closely enough for a sizing hint. Returns None when the plan has no
+    file scan (pure in-memory / post-checkpoint frames)."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # pragma: no cover - exotic plan shapes
+        return None
+    if not files:
+        return None
+    spark = df.sparkSession
+    raw = spark.conf.get(
+        "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)
+    ).strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    unit = 1
+    if raw.endswith("b"):
+        raw = raw[:-1]
+    if raw and raw[-1] in mult:
+        unit, raw = mult[raw[-1]], raw[:-1]
+    max_split = int(raw) * unit
+    total = 0
+    for uri in files:
+        p = uri[7:] if uri.startswith("file://") else uri
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            # non-local filesystem (object store): fall back to one
+            # split per file — a lower bound, still data-scaled.
+            return max(1, len(files))
+    import math
+
+    return max(1, math.ceil(total / max(1, max_split)))
+
+
 def spread(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
     """Ensure a compute-heavy pipeline has enough partitions to use the
     cluster. The synthetic tables are single parquet files → one input
@@ -115,10 +159,17 @@ def spread(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
     scale inputs have thousands of splits and this is a no-op (we only
     repartition when the scan has fewer than min_ratio × parallelism
     partitions); the shuffle it inserts moves raw input rows once,
-    before the expensive projection, which is the cheap direction."""
+    before the expensive projection, which is the cheap direction.
+
+    Width is derived from the scan's file bytes (_scan_width_estimate),
+    not ``df.rdd`` — see ADVICE r7. Precondition: the input is a
+    narrow file-scan projection (every call site is `spread(load_table
+    (...).select(...))`); a scan-free frame is assumed already
+    distributed and passes through unchanged."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= max(1, int(target * min_ratio)):
+    width = _scan_width_estimate(df)
+    if width is None or width >= max(1, int(target * min_ratio)):
         return df
     return df.repartition(target)
 
@@ -126,7 +177,7 @@ def spread(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
 def pin_groups(df: DataFrame, *cols: str, num_partitions: int | None = None) -> DataFrame:
     """Explicit hash repartition on the grouping key, sized to session
     parallelism, for use DIRECTLY before a groupBy(*cols) that feeds a
-    pandas-group stage (applyInPandas / cogroup.applyInPandas).
+    pandas-group stage (applyInPandas / applyInArrow / cogroup).
 
     Why: AQE coalesces shuffle partitions by BYTE size, but a pandas
     group stage's cost is per GROUP CALL (Arrow slice + Python
@@ -142,15 +193,22 @@ def pin_groups(df: DataFrame, *cols: str, num_partitions: int | None = None) -> 
     Sizing: the pin must scale with DATA, not just cores — a fixed
     defaultParallelism pin would cap heavy pandas-group shuffles at
     core count on a 1000-executor cluster. Default width is
-    max(defaultParallelism, upstream partition count): upstream
-    partitions are a byte-scaled proxy (input splits / prior shuffle
-    width grow with volume), so at 100 TB the pin widens with the scan
-    while locally it floors at session parallelism. Callers with a
-    better estimate (e.g. known group count) pass num_partitions."""
+    max(defaultParallelism, shuffle width, file-scan split estimate):
+    the shuffle width is what any upstream exchange was planned at
+    (pre-AQE-coalescing), and the scan estimate grows with input bytes,
+    so at 100 TB the pin widens with the data while locally it floors
+    at session parallelism. All three inputs are analysis-time facts —
+    ``df.rdd`` is deliberately never touched (finalizing the AQE plan
+    there eagerly executes un-materialized upstream shuffles and the
+    real action then re-runs them; ADVICE r7). Callers with a better
+    estimate (e.g. known group count) pass num_partitions."""
     spark = df.sparkSession
     if num_partitions is None:
+        shuffle_w = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
         num_partitions = max(
-            spark.sparkContext.defaultParallelism, df.rdd.getNumPartitions()
+            spark.sparkContext.defaultParallelism,
+            shuffle_w,
+            _scan_width_estimate(df) or 1,
         )
     return df.repartition(num_partitions, *cols)
 
@@ -181,6 +239,17 @@ def two_phase_rank(
     hash exchange on the partition id versus the naive global window
     (a pid-keyed reshuffle of already-ranged rows; mild balls-in-bins
     skew of whole partitions, bounded by small multiples of n/P).
+
+    Durability trade-off (ADVICE r7): the eager localCheckpoint below
+    materializes the full ranked frame in executor-LOCAL storage —
+    fast, but not fault-tolerant (an executor loss fails the job and
+    local disks must hold the dataset). That is the right call for the
+    bench/test envelope; at real cluster scale prefer
+    ``persist(StorageLevel.DISK_ONLY)`` + a reliable checkpoint dir,
+    or derive pids from collected range boundaries (a #partitions-row
+    driver artifact) so no pinning is needed at all. The PLAN shape —
+    no data-sized global window — is what this helper guarantees;
+    the materialization tier is swappable per deployment.
 
     order_by: list of Columns (may carry .desc()); keys must be
     NULL-free and, with the caller's tiebreak, total."""
@@ -236,20 +305,27 @@ def two_phase_rank(
     )
 
 
-def ntile_from_rank(rank_col, n_col, k: int):
+def ntile_from_rank(rank_col: str, n_col: str, k: int):
     """SQL NTILE(k) computed arithmetically from a global rank and the
     total row count — the standard large-buckets-first split (first
     n%k buckets get one extra row), identical in Spark and DuckDB.
     Lets NTILE ride on two_phase_rank instead of a single-partition
-    window."""
-    rn, n = F.col(rank_col), F.col(n_col)
-    sz = (n / k).cast("long")  # n div k (exact: doubles are integral here)
-    rem = n % k
-    thr = rem * (sz + 1)
-    return (
-        F.when(rn <= thr, ((rn - 1) / (sz + 1)).cast("long") + 1)
-        .otherwise(rem + ((rn - 1 - thr) / sz).cast("long") + 1)
-        .cast("long")
+    window.
+
+    Pure integer arithmetic (`div`/`%` on longs), so the formula is
+    exact at ANY row count — the earlier double-division form was only
+    exact while quotient×divisor products stayed below 2^53 (ADVICE
+    r7). rank_col / n_col must be plain column names (they are spliced
+    into a SQL expression)."""
+    k = int(k)
+    rn, n = rank_col, n_col
+    sz = f"({n} div {k})"          # small-bucket size
+    rem = f"({n} % {k})"           # number of buckets holding sz+1 rows
+    thr = f"({rem} * ({sz} + 1))"  # ranks <= thr land in a big bucket
+    return F.expr(
+        f"CAST(CASE WHEN {rn} <= {thr} "
+        f"THEN ({rn} - 1) div ({sz} + 1) + 1 "
+        f"ELSE {rem} + ({rn} - 1 - {thr}) div {sz} + 1 END AS BIGINT)"
     )
 
 

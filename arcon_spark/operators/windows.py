@@ -335,7 +335,10 @@ def arrow_window_zscore_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return base.groupBy("win_start").applyInArrow(
+    # applyInArrow has the same per-group-call cost profile as
+    # applyInPandas, so it gets the same AQE-coalescing pin (the AST
+    # contract in tests/test_plans.py covers both methods).
+    return pin_groups(base, "win_start").groupBy("win_start").applyInArrow(
         center, "win_start timestamp, event_id long, centered double"
     )
 

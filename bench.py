@@ -222,7 +222,16 @@ def main() -> None:
         pass  # stdout line below is still the contract
 
     budget = int(os.environ.get("SPARK_GRAFT_BENCH_STDOUT_BYTES", "1900"))
-    line = stdout_line(timings, total, sf_val, repeats, wall, out_path, budget)
+    line = stdout_line(
+        timings,
+        total,
+        sf_val,
+        repeats,
+        wall,
+        out_path,
+        budget,
+        medians={name: _median(ts) for name, ts in passes.items()},
+    )
     sys.stdout.flush()
     print(line, flush=True)
 
@@ -235,18 +244,27 @@ def stdout_line(
     wall: float,
     out_path: str,
     budget: int = 1900,
+    medians: dict[str, float] | None = None,
 ) -> str:
     """ONE compact JSON line sized under the driver's 2000-byte tail
     capture: headline total + as many per-query timings as fit,
     slowest first (the entries that matter for regression triage),
     with the full set's location and count so the truncation is
     explicit, never silent. Kept as a pure function so the budget
-    contract is unit-testable (tests/test_registry.py)."""
+    contract is unit-testable (tests/test_registry.py).
+
+    r8 (VERDICT r7 #7): per-query MEDIANS ride the same line so
+    round-over-round drift adjudication works from driver artifacts
+    alone. To fit both tables, per-query values are trimmed to 2
+    decimals BEFORE queries are trimmed (the full-precision record
+    stays in $SPARK_GRAFT_BENCH_OUT); min and median are added as a
+    pair per query so the two tables always cover the same names."""
     meta = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": {},
+        "medians": {},
         "sf": sf_val,
         "repeats": repeats,
         "wall_sec": wall,
@@ -254,14 +272,24 @@ def stdout_line(
         "queries_shown": 0,
         "queries_full": out_path,
     }
+    medians = medians or {}
     shown: dict[str, float] = {}
+    shown_med: dict[str, float] = {}
     for name in sorted(timings, key=lambda n: (-timings[n], n)):
-        trial = dict(meta, queries=dict(shown, **{name: timings[name]}))
+        trial = dict(
+            meta,
+            queries=dict(shown, **{name: round(timings[name], 2)}),
+            medians=dict(
+                shown_med, **{name: round(medians.get(name, timings[name]), 2)}
+            ),
+        )
         trial["queries_shown"] = len(trial["queries"])
         if len(json.dumps(trial, separators=(",", ":"))) > budget:
             break
-        shown[name] = timings[name]
+        shown[name] = round(timings[name], 2)
+        shown_med[name] = round(medians.get(name, timings[name]), 2)
     meta["queries"] = shown
+    meta["medians"] = shown_med
     meta["queries_shown"] = len(shown)
     return json.dumps(meta, separators=(",", ":"))
 

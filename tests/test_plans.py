@@ -343,15 +343,19 @@ def test_no_cartesian_and_bnlj_allowlisted(spark, sf_dir):
 
 
 def test_batch_apply_in_pandas_sites_pin_group_parallelism():
-    """Every batch applyInPandas site must route its input through
-    io.pin_groups: AQE coalesces shuffle partitions by BYTES, but a
-    pandas group stage costs per GROUP CALL, so an unpinned tiny-byte
-    shuffle with thousands of groups collapses onto 1-4 tasks and runs
-    its Python serially (measured 21 s -> 2.8 s on the cogroup merge,
-    MEASURE.md round-6). AST-level check (the r6 form was a substring
+    """Every batch applyInPandas AND applyInArrow site must route its
+    input through io.pin_groups: AQE coalesces shuffle partitions by
+    BYTES, but a pandas/arrow group stage costs per GROUP CALL, so an
+    unpinned tiny-byte shuffle with thousands of groups collapses onto
+    1-4 tasks and runs its Python serially (measured 21 s -> 2.8 s on
+    the cogroup merge, MEASURE.md round-6). applyInArrow shares the
+    per-group-call profile exactly (same Arrow hop, minus the pandas
+    Block build), so it is covered too — r7's contract matched only
+    applyInPandas, leaving the arrow window site coalescible (VERDICT
+    r7 finding #1). AST-level check (the r6 form was a substring
     match, which pin_groups(df, 'x').groupBy('y') would have satisfied
-    while still inserting a second exchange): every groupBy feeding an
-    applyInPandas — including cogroup's second input — must have a
+    while still inserting a second exchange): every groupBy feeding a
+    group-apply — including cogroup's second input — must have a
     pin_groups call as its DIRECT receiver, and the pinned column list
     must equal the groupBy key list exactly, so the downstream groupBy
     reuses the pinned exchange instead of adding an AQE-coalescible
@@ -381,7 +385,7 @@ def test_batch_apply_in_pandas_sites_pin_group_parallelism():
                 if not (
                     isinstance(node, ast.Call)
                     and isinstance(node.func, ast.Attribute)
-                    and node.func.attr == "applyInPandas"
+                    and node.func.attr in ("applyInPandas", "applyInArrow")
                 ):
                     continue
                 # every groupBy in the receiver subtree (cogroup's
@@ -417,3 +421,43 @@ def test_batch_apply_in_pandas_sites_pin_group_parallelism():
         "applyInPandas group keys not pinned (see io.pin_groups): "
         f"{offenders}"
     )
+
+
+def test_spread_and_pin_groups_never_touch_rdd(spark, sf_dir, monkeypatch):
+    """io.spread / io.pin_groups width derivation must stay off
+    ``DataFrame.rdd`` (ADVICE r7): accessing .rdd finalizes the AQE
+    plan and eagerly EXECUTES any un-materialized upstream shuffle
+    stages, and the caller's real action then re-runs that subtree in
+    a separate query execution — the upstream cost is silently paid
+    twice. Enforced by poisoning the .rdd property and exercising both
+    helpers on a scan and on a shuffled (un-checkpointed) frame; also
+    pins the behavior contract: a single-file scan still widens to
+    session parallelism, and pin_groups floors at the shuffle width."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from arcon_spark import io
+
+    docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shuffled = docs.groupBy((F.col("doc_id") % 64).alias("g")).count()
+    cls = type(docs)  # the CONCRETE class: the classic DataFrame
+    # subclass shadows the abstract base's .rdd, so patch the runtime
+    # type, and prove the poison is armed before trusting the test
+    orig = cls.rdd
+
+    def _poisoned(self):  # pragma: no cover - must never run
+        raise AssertionError("io helpers must not touch DataFrame.rdd")
+
+    monkeypatch.setattr(cls, "rdd", property(_poisoned))
+    with pytest.raises(AssertionError):
+        docs.rdd  # noqa: B018 - poison armed?
+    wide = io.spread(docs)
+    pinned_scan = io.pin_groups(docs, "doc_id")
+    pinned_shuf = io.pin_groups(shuffled, "g")
+    monkeypatch.setattr(cls, "rdd", orig)
+
+    target = spark.sparkContext.defaultParallelism
+    assert wide.rdd.getNumPartitions() == target  # single file -> widened
+    assert pinned_scan.rdd.getNumPartitions() >= target
+    shuffle_w = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert pinned_shuf.rdd.getNumPartitions() >= max(target, shuffle_w)

@@ -328,15 +328,25 @@ def test_bench_stdout_line_fits_driver_capture():
     spec.loader.exec_module(bench)
 
     timings = {f"query_with_a_long_name_{i:03d}": 0.1 + i * 0.037 for i in range(120)}
-    line = bench.stdout_line(timings, 99.9, 0.1, 3, 400.0, "bench_result.json")
+    medians = {k: v * 1.5 for k, v in timings.items()}
+    line = bench.stdout_line(
+        timings, 99.9, 0.1, 3, 400.0, "bench_result.json", medians=medians
+    )
     assert len(line) <= 1900
     d = json.loads(line)
     assert d["n_queries"] == 120
     assert d["queries_shown"] == len(d["queries"]) < 120
-    # slowest-first: every shown entry >= every hidden entry
+    # r8: the median table rides the same line, same names as the min
+    # table (driver-artifact-only drift adjudication, VERDICT r7 #7)
+    assert set(d["medians"]) == set(d["queries"])
+    for k, v in d["medians"].items():
+        assert abs(v - medians[k]) <= 0.005  # 2-decimal stdout trim
+    # slowest-first: every shown entry >= every hidden entry (stdout
+    # values are trimmed to 2 decimals, hence the half-ulp tolerance)
     hidden_max = max(v for k, v in timings.items() if k not in d["queries"])
-    assert min(d["queries"].values()) >= hidden_max
+    assert min(d["queries"].values()) >= hidden_max - 0.005
     # a small set is emitted whole
     small = {"a": 1.0, "b": 2.0}
     d2 = json.loads(bench.stdout_line(small, 3.0, 0.1, 2, 5.0, "x.json"))
     assert d2["queries"] == small and d2["queries_shown"] == 2
+    assert d2["medians"] == small  # medians default to the min table
