@@ -212,3 +212,122 @@ def test_snapshot_catalog_epoch_sweep_vacuum_under_reader_load(spark, tmp_path):
         assert cat.read(sid, e).count() == 3
     on_disk = {d for d in os.listdir(os.path.join(root, sid)) if d.startswith("epoch=")}
     assert on_disk == {f"epoch={e}" for e in eps}
+
+
+def test_repartition_checkpoint_rescaled_restart(spark):
+    """State rescaling via the catalog (VERDICT r7 #6, SURVEY §7#3):
+    Spark pins a streaming checkpoint's shuffle width forever at first
+    start, and the reference only DESIGNED key-range rescaling. The
+    catalog closes the gap because keyed state is already exported as
+    DataFrames: run a counting query at width 8, snapshot its state,
+    repartition_checkpoint it to width 3, restart the query with a
+    FRESH checkpoint at width 3 seeded through tWS initialState — and
+    the merged result must equal a plain batch count over ALL input,
+    i.e. the rescale lost and invented nothing."""
+    import os
+
+    import pandas as pd
+    import pytest
+    from pyspark.sql.streaming import StatefulProcessor
+
+    from arcon_spark.streaming.tws import ROCKSDB_PROVIDER, TWS_AVAILABLE
+
+    if not TWS_AVAILABLE:
+        pytest.skip("protobuf bootstrap failed")
+
+    class Count(StatefulProcessor):
+        """Per-key running count; emits the post-batch count per key
+        (the exported state row). handleInitialState makes the same
+        processor restartable from a catalog snapshot."""
+
+        def init(self, handle) -> None:
+            self.n = handle.getValueState("n", "n long")
+
+        def handleInitialState(self, key, initialState, timerValues) -> None:
+            self.n.update((int(initialState["n"].iloc[0]),))
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self.n.get()[0] if self.n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self.n.update((n,))
+            yield pd.DataFrame({"k": [key[0]], "n": [n]})
+
+        def close(self) -> None:
+            pass
+
+    # phase-1 input: keys 0..9 x3; phase-2 input: keys 5..14 x2
+    rows_a = [(k, i) for k in range(10) for i in range(3)]
+    rows_b = [(k, i) for k in range(5, 15) for i in range(2)]
+    seg_a = spark.createDataFrame(rows_a, "k long, v long")
+    seg_b = spark.createDataFrame(rows_b, "k long, v long")
+    root_a = write_segments(spark, "k long, v long", [rows_a])
+    root_b = write_segments(spark, "k long, v long", [rows_b])
+    cat = SnapshotCatalog(spark, tempfile.mkdtemp(prefix="arcon_rescale_"))
+
+    skey = "spark.sql.shuffle.partitions"
+    pkey = "spark.sql.streaming.stateStore.providerClass"
+    prev_s, prev_p = spark.conf.get(skey), spark.conf.get(pkey, None)
+    spark.conf.set(pkey, ROCKSDB_PROVIDER)
+    try:
+        # phase 1 at width 8
+        spark.conf.set(skey, "8")
+        q = (
+            spark.readStream.schema("k long, v long")
+            .parquet(root_a)
+            .groupBy("k")
+            .transformWithStateInPandas(Count(), "k long, n long", "Append", "None")
+            .writeStream.foreachBatch(cat.writer("counts"))
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="arcon_rescale_c1_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        assert cat.latest("counts").count() == 10
+
+        # rescale the exported state 8 -> 3
+        seed_path = cat.repartition_checkpoint("counts", ["k"], 3)
+        files = [f for f in os.listdir(seed_path) if f.endswith(".parquet")]
+        assert 1 <= len(files) <= 3  # physically rewritten at the new width
+        manifest = cat.epochs("counts__p3")
+        assert manifest == cat.epochs("counts")  # epoch carried over
+
+        # phase 2: FRESH checkpoint at width 3, state seeded from the
+        # rescaled snapshot
+        spark.conf.set(skey, "3")
+        seed = cat.latest("counts__p3").groupBy("k")
+        q2 = (
+            spark.readStream.schema("k long, v long")
+            .parquet(root_b)
+            .groupBy("k")
+            .transformWithStateInPandas(
+                Count(), "k long, n long", "Append", "None", initialState=seed
+            )
+            .writeStream.foreachBatch(cat.writer("counts_p3"))
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="arcon_rescale_c2_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.processAllAvailable()
+        q2.stop()
+
+        # merged final state: phase-2 rows win, untouched keys keep the
+        # seed value — and the whole thing must equal the batch truth
+        got = {r.k: r.n for r in cat.latest("counts__p3").collect()}
+        got.update({r.k: r.n for r in cat.latest("counts_p3").collect()})
+        truth = {
+            r.k: r.n
+            for r in seg_a.unionAll(seg_b).groupBy("k").agg(F.count("*").alias("n")).collect()
+        }
+        assert got == truth
+    finally:
+        spark.conf.set(skey, prev_s)
+        if prev_p is not None:
+            spark.conf.set(pkey, prev_p)
+        else:
+            spark.conf.unset(pkey)
