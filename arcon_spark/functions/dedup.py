@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from arcon_spark.io import load_table, pin_groups, spread
+from arcon_spark.io import load_table, pin_groups, spread, tile_grid_side
 from arcon_spark.plans.registry import REGISTRY, register
 
 NUM_HASHES = 12
@@ -447,7 +447,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SCALE = 10_000_000  # float32 has ~7 significant decimals
-_COS_BLOCKS = 8  # block-matmul grid; tune ≈ sqrt(corpus_rows·dim·8B / task_mem)
+# Block-matmul grids are sized per-corpus via io.tile_grid_side(n_rows)
+# (floor 8 keeps small corpora parallel) — r8: the fixed B=8 this module
+# used through r7 let per-tile memory grow with the corpus; the weighted
+# minhash tile hit (n/8)² int64 accumulators at 10x data (root-caused in
+# the sf1 scaling run, MEASURE.md r8) before the switch.
 
 # exact integer dot product of two float arrays (order-independent)
 _INT_DOT = (
@@ -510,8 +514,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arcon_spark.functions.similarity import _int_matrix
     from arcon_spark.io import spread as _spread
 
-    B = _COS_BLOCKS
     emb = _spread(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    B = tile_grid_side(emb.count())
     blk = emb.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(B)).cast("int"))
     # A-side: vector in block i serves every pair (i, j>=i); B-side: every (i<=j, j).
     a_side = blk.select(
@@ -1494,10 +1498,11 @@ def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles hold disjoint key sets and canonicalise with least/greatest.
     Same pair set, 900 parallel keys instead of 25 —
     dedup_prefix_filter_pairs is the token-set analog of this funnel."""
-    B = _COS_BLOCKS
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey"
-    ).withColumn("blk", F.pmod(F.col("c_custkey"), F.lit(B)).cast("int"))
+    )
+    B = tile_grid_side(cust.count())
+    cust = cust.withColumn("blk", F.pmod(F.col("c_custkey"), F.lit(B)).cast("int"))
     a = cust.select(
         F.col("c_custkey").alias("key_a"),
         F.col("c_name").alias("name_a"),
@@ -2272,14 +2277,23 @@ def dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured 197 s at sf0.1). Instead each doc collapses to its
     (token, tf) list and Σmin(tf_a, tf_b) runs as the house block-tile
     pattern (dedup_embedding_cosine's grid): B×B unordered block
-    pairs, each tile densifying ONLY its own token union and
-    accumulating a per-dimension np.minimum sum — no pair ever leaves
-    its task, the shuffle carries 2·(B+1)·docs doc-vectors, task
-    memory is one tile pair. At 100 TB the exact side remains the
-    test-scale audit path (per-tile token unions grow with corpus
-    vocabulary): compute only the signatures and band them (reuse the
-    LSH machinery of dedup_minhash_lsh_pairs on mh0..mh11), then audit
-    the estimator on a sampled pair set, never the full corpus."""
+    pairs, no pair ever leaves its task, the shuffle carries
+    2·(B+1)·docs doc-vectors, task memory is one tile pair. Inside a
+    tile the accumulation is SPARSE per token: only tokens present on
+    BOTH sides contribute, and each contributes an nnz_a(t)×nnz_b(t)
+    min-outer scattered into the summin accumulator — total work
+    Σ_t nnz_a·nnz_b (the information-theoretic cost of exact weighted
+    Jaccard), NOT rows_a·rows_b·|vocab|. The r7 form densified the
+    tile's whole token union and looped every vocab column over the
+    full rows×rows outer: at 10x corpus with 10x vocabulary that is a
+    1000x blow-up — root-caused when the r8 sf1 scaling run put this
+    query 60+ CPU-minutes into three straggler tiles (MEASURE.md r8).
+    The grid side comes from io.tile_grid_side, so the summin tile
+    (tile_rows² int64) is memory-bounded at any corpus size. At
+    100 TB the exact side remains the test-scale audit path: compute
+    only the signatures and band them (reuse the LSH machinery of
+    dedup_minhash_lsh_pairs on mh0..mh11), then audit the estimator on
+    a sampled pair set, never the full corpus."""
     import numpy as np
     import pandas as pd
 
@@ -2294,7 +2308,7 @@ def dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # expansion — checkpointed so the agg runs once
         .localCheckpoint(eager=True)
     )
-    B = _COS_BLOCKS
+    B = tile_grid_side(docs.count())
     docvec = tf.groupBy("doc_id").agg(
         F.collect_list(F.struct("token", "tf")).alias("items"),
         F.sum("tf").cast("long").alias("n"),
@@ -2328,28 +2342,40 @@ def dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         if ap.empty or bp.empty:
             return empty
 
-        def dense(items: pd.Series, index: dict) -> np.ndarray:
-            m = np.zeros((len(items), len(index)), dtype=np.int64)
+        def triples(items: pd.Series):
+            """(row, token, tf) triplet arrays, token-sorted so each
+            token's rows form one contiguous slice."""
+            rows, tok, tfs = [], [], []
             for r, lst in enumerate(items):
                 for it in lst:
-                    m[r, index[it["token"]]] = it["tf"]
-            return m
+                    rows.append(r)
+                    tok.append(it["token"])
+                    tfs.append(it["tf"])
+            rows = np.asarray(rows, dtype=np.int64)
+            tok = np.asarray(tok, dtype=object)
+            tfs = np.asarray(tfs, dtype=np.int64)
+            order = np.argsort(tok, kind="stable")
+            return rows[order], tok[order], tfs[order]
 
-        vocab = {
-            t: k
-            for k, t in enumerate(
-                sorted({it["token"] for lst in pdf["items"] for it in lst})
-            )
-        }
-        A = dense(ap["items"].reset_index(drop=True), vocab)
-        Bm = dense(bp["items"].reset_index(drop=True), vocab)
+        ra, ta, fa = triples(ap["items"].reset_index(drop=True))
+        rb, tb, fb = triples(bp["items"].reset_index(drop=True))
         aids = ap["doc_id"].to_numpy(dtype=np.int64)
         bids = bp["doc_id"].to_numpy(dtype=np.int64)
         na = ap["n"].to_numpy(dtype=np.int64)
         nb = bp["n"].to_numpy(dtype=np.int64)
         summin = np.zeros((len(aids), len(bids)), dtype=np.int64)
-        for k in range(len(vocab)):
-            summin += np.minimum(A[:, k][:, None], Bm[:, k][None, :])
+        # sparse accumulation: walk the two token-sorted triplet lists;
+        # a token only present on one side contributes min(tf, 0) = 0,
+        # so only the intersection's nnz_a x nnz_b outers are computed
+        ua, sa_start, sa_cnt = np.unique(ta, return_index=True, return_counts=True)
+        ub, sb_start, sb_cnt = np.unique(tb, return_index=True, return_counts=True)
+        common, ia, ib = np.intersect1d(ua, ub, return_indices=True)
+        for k in range(len(common)):
+            s0, c0 = sa_start[ia[k]], sa_cnt[ia[k]]
+            s1, c1 = sb_start[ib[k]], sb_cnt[ib[k]]
+            summin[np.ix_(ra[s0 : s0 + c0], rb[s1 : s1 + c1])] += np.minimum(
+                fa[s0 : s0 + c0][:, None], fb[s1 : s1 + c1][None, :]
+            )
         # int64 → double conversions are exact (< 2^53); the division is
         # the same single IEEE op the oracle's CAST(... AS DOUBLE) does
         wj = summin.astype(np.float64) / (
