@@ -498,13 +498,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition orders.
 
     Execution: fully distributed exact block-matmul — NO driver
-    collect. Vectors are hashed into B = _COS_BLOCKS blocks by
-    pmod(vec_id, B); every unordered block pair (i<=j) becomes one
+    collect. Vectors are hashed into B = io.tile_grid_side(n) blocks
+    by pmod(vec_id, B); every unordered block pair (i<=j) becomes one
     group, each vector is replicated to the B+1 groups it participates
     in (explode of a sequence — one shuffle on the (i,j) grid key), and
-    each group does one int64 numpy matmul of (n/B × n/B). Task memory
-    is 2·(n/B)·dim·8 bytes regardless of corpus size; scaling to 100 TB
-    means raising B, not the driver's RAM. The sub-O(n²) approximate
+    each group does one int64 numpy matmul of (n/B × n/B). B grows
+    with the corpus so task memory is bounded at any scale (r8: the
+    fixed B=8 this used through r7 let tiles grow with the data);
+    scaling to 100 TB means B rises, not the driver's RAM. The sub-O(n²) approximate
     paths are ann_lsh_bucketed / ann_ivf_topk / semdedup_embeddings in
     functions.similarity; this is the exact baseline they are recalled
     against."""
