@@ -140,3 +140,26 @@ def test_bloom_no_false_negatives(spark, sf_dir):
     for r in rows:
         if r.exact_dup:
             assert r.bloom_hit, r
+
+
+def test_weighted_minhash_tile_grid_independence(spark, sf_dir, monkeypatch):
+    """The r8 sparse weighted-Jaccard tile (MEASURE.md r8 root-cause)
+    must be a LOSSLESS decomposition: the emitted pair set and every
+    wj_exact value are identical for any grid side B, because each
+    unordered doc pair lands in exactly one tile and integer min-sums
+    are order-independent. Runs the query at two forced grid sides and
+    compares sorted results exactly — pins the B-independence claim
+    the docstring makes against future kernel edits."""
+    from arcon_spark.functions import dedup
+
+    def run(forced_b: int):
+        monkeypatch.setattr(
+            dedup, "tile_grid_side", lambda n, floor=8, tile_rows=4096: forced_b
+        )
+        rows = dedup.dedup_weighted_minhash(spark, sf_dir).collect()
+        monkeypatch.undo()
+        return sorted((r.doc_a, r.doc_b, r.wj_exact, r.n_match) for r in rows)
+
+    a, b = run(3), run(7)
+    assert a == b
+    assert len(a) > 0  # non-degenerate at test scale
