@@ -61,6 +61,20 @@ QUERIES = [
     ("bitext_margin_mining_ivf", 1.5, 1, 1800),
     # streaming ingestion-time dedup (per-batch probe, linear + floor)
     ("stream_incremental_dedup", 1.0, 1, 1800),
+    # r8 extension: one representative per remaining family
+    ("tpch_q1", 1.0, 2, 600),                 # scan + codegen hash agg
+    ("tpch_q3", 1.0, 2, 600),                 # broadcast join + agg
+    ("stream_tumbling_window_agg", 1.0, 2, 600),  # streaming window
+    ("sessionize_events", 1.0, 2, 600),       # session windows (keyed)
+    ("gap_fill_forward_hourly", 1.0, 2, 600), # gap fill / LOCF windows
+    ("asof_join_purchase_view", 1.0, 2, 600), # as-of join
+    ("cdc_merge_customer", 1.0, 2, 600),      # CDC merge / maintenance
+    ("scd2_user_type_history", 1.0, 2, 600),  # SCD2 history build
+    ("hilbert_events_layout", 1.0, 2, 600),   # space-filling layout
+    ("retention_weekly_cohorts", 1.0, 2, 600),  # cohort windows
+    ("kmeans_embeddings", 1.0, 2, 600),       # fixed-k Lloyd's (n·k·iters)
+    ("text_bm25_rank", 1.0, 2, 600),          # retrieval scoring
+    ("pagerank_trade_network", 1.0, 2, 600),  # graph iteration (lineage cuts)
     # EXACT pairwise kernels (documented O(n^2); tiles bound memory,
     # not total FLOPs — their production variants are the rows above)
     ("dedup_embedding_cosine", 2.0, 1, 1800),
@@ -141,6 +155,18 @@ def main() -> int:
 
     for sf_dir, key, budget_scale in ((sf01, "t_sf01", 0.2), (sf1, "t_sf1", 1.0)):
         _warmup(spark, sf_dir)
+        pending = [
+            q for q in QUERIES if key not in results.get(q[0], {})
+        ]
+        # full unmeasured warm pass first: C2-JIT compilation of the
+        # query paths themselves — without it the first sitting's
+        # sf0.1 phase read 2-3x steady state and even produced
+        # ratios < 1 against the (warmer) sf1 phase. Applied per phase
+        # over PENDING queries only, so resumed reruns warm exactly
+        # what they re-measure.
+        for name, _, _, budget in pending:
+            run_once(name, sf_dir, budget * budget_scale)
+        print(f"{key} warm pass done ({len(pending)} queries)", flush=True)
         for name, expected, sf1_passes, budget in QUERIES:
             r = results.setdefault(name, {"expected": expected})
             if key in r:
