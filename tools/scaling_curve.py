@@ -110,6 +110,13 @@ def main() -> int:
     sc = spark.sparkContext
     qmap = queries()
 
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_CURVE_ONLY", "").split(",") if s
+    }
+    global QUERIES
+    if only:
+        QUERIES = [q for q in QUERIES if q[0] in only]
+
     results: dict = {}
     if os.path.exists(out_path):
         with open(out_path) as fh:
