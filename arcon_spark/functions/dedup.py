@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from arcon_spark.io import load_table, pin_groups, spread, tile_grid_side
+from arcon_spark.io import load_table, pin_groups, spread, table_rowcount, tile_grid_side
 from arcon_spark.plans.registry import REGISTRY, register
 
 NUM_HASHES = 12
@@ -516,7 +516,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arcon_spark.io import spread as _spread
 
     emb = _spread(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
-    B = tile_grid_side(emb.count())
+    # grid sizing from parquet footer metadata — counting the spread()-ed
+    # frame would eagerly execute its scan+exchange once just for sizing
+    # and the real action would re-run it (ADVICE r8)
+    B = tile_grid_side(table_rowcount(spark, sf_dir, "embeddings"))
     blk = emb.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(B)).cast("int"))
     # A-side: vector in block i serves every pair (i, j>=i); B-side: every (i<=j, j).
     a_side = blk.select(
@@ -1502,7 +1505,7 @@ def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey"
     )
-    B = tile_grid_side(cust.count())
+    B = tile_grid_side(table_rowcount(spark, sf_dir, "customer"))
     cust = cust.withColumn("blk", F.pmod(F.col("c_custkey"), F.lit(B)).cast("int"))
     a = cust.select(
         F.col("c_custkey").alias("key_a"),
@@ -2309,7 +2312,7 @@ def dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # expansion — checkpointed so the agg runs once
         .localCheckpoint(eager=True)
     )
-    B = tile_grid_side(docs.count())
+    B = tile_grid_side(table_rowcount(spark, sf_dir, "documents"))
     docvec = tf.groupBy("doc_id").agg(
         F.collect_list(F.struct("token", "tf")).alias("items"),
         F.sum("tf").cast("long").alias("n"),

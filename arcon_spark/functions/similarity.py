@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from arcon_spark.io import load_table, pin_groups, spread, tile_grid_side
+from arcon_spark.io import load_table, pin_groups, spread, table_rowcount, tile_grid_side
 from arcon_spark.plans.compat import EVENTS_NORM
 from arcon_spark.plans.registry import register
 
@@ -1460,10 +1460,11 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = _km_assign(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     withc = emb.join(assign, "vec_id").select("vec_id", "embedding", "cluster")
-    # corpus-count-derived grid side (metadata-only parquet count);
-    # sub-tiling is per cluster, so this is conservative — it bounds
-    # even a single cluster holding the whole corpus
-    B = tile_grid_side(emb.count(), floor=_BT_BLOCKS)
+    # corpus-count-derived grid side (parquet FOOTER metadata — no
+    # Spark job, no re-executed scan); sub-tiling is per cluster, so
+    # this is conservative — it bounds even a single cluster holding
+    # the whole corpus
+    B = tile_grid_side(table_rowcount(spark, sf_dir, "embeddings"), floor=_BT_BLOCKS)
     blk = withc.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(B)).cast("int"))
     a_side = blk.select(
         "cluster",

@@ -139,6 +139,15 @@ class SnapshotCatalog:
             raise LookupError(f"no committed snapshots for {state_id!r}")
         epoch = eps[-1]
         dest = dest_state_id or f"{state_id}__p{new_partitions}"
+        if dest == state_id:
+            # the overwrite write would target the same epoch directory
+            # Spark is concurrently reading (ADVICE r8) — in-place
+            # rescale is not a thing; callers restart from the dest id.
+            raise ValueError(
+                "dest_state_id must differ from state_id "
+                f"({state_id!r}): in-place rescale would overwrite the "
+                "snapshot being read"
+            )
         path = os.path.join(self.root, dest, f"epoch={epoch}")
         self.read(state_id, epoch).repartition(
             new_partitions, *key_cols

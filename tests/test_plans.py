@@ -461,3 +461,49 @@ def test_spread_and_pin_groups_never_touch_rdd(spark, sf_dir, monkeypatch):
     assert pinned_scan.rdd.getNumPartitions() >= target
     shuffle_w = int(spark.conf.get("spark.sql.shuffle.partitions"))
     assert pinned_shuf.rdd.getNumPartitions() >= max(target, shuffle_w)
+
+
+def test_scan_width_estimate_survives_exotic_byte_confs(spark, sf_dir):
+    """spark.sql.files.maxPartitionBytes accepts byte strings beyond
+    k/m/g — '1t', '2p' — and a sizing HINT must never turn those legal
+    configs into a hard crash of every spread()/pin_groups() caller
+    (ADVICE r8). The parse itself is a pure helper, so the fallback
+    paths Spark's own conf validation won't let us set ('0.5g',
+    garbage) are pinned directly on _parse_byte_conf."""
+    from arcon_spark import io
+
+    # pure-parse contract: full suffix table + never-raise fallback
+    assert io._parse_byte_conf("1t") == 1 << 40
+    assert io._parse_byte_conf("2p") == 2 << 50
+    assert io._parse_byte_conf("0.5g") == 1 << 29
+    assert io._parse_byte_conf("128mb") == 128 << 20
+    assert io._parse_byte_conf("134217728") == 128 << 20
+    assert io._parse_byte_conf("not-bytes") == 128 << 20  # fallback
+    assert io._parse_byte_conf("") == 128 << 20  # fallback
+
+    # end-to-end: every Spark-settable form keeps spread() working
+    docs = io.load_table(spark, sf_dir, "documents").select("doc_id")
+    key = "spark.sql.files.maxPartitionBytes"
+    orig = spark.conf.get(key)
+    try:
+        for raw in ("1t", "2p", "128mb", "134217728"):
+            spark.conf.set(key, raw)
+            w = io._scan_width_estimate(docs)
+            assert w is not None and w >= 1, (raw, w)
+        spark.conf.set(key, "1k")  # tiny split -> many estimated splits
+        assert io._scan_width_estimate(docs) > 1
+    finally:
+        spark.conf.set(key, orig)
+
+
+def test_table_rowcount_matches_spark_count(spark, sf_dir):
+    """io.table_rowcount reads parquet FOOTER metadata (no Spark job)
+    and must agree exactly with a full scan count — it sizes the
+    block-tile grids, so a wrong count silently changes physical
+    plans (ADVICE r8 moved the tile kernels off df.count() to it)."""
+    from arcon_spark import io
+
+    for name in ("embeddings", "customer", "documents"):
+        meta = io.table_rowcount(spark, sf_dir, name)
+        scanned = io.load_table(spark, sf_dir, name).count()
+        assert meta == scanned, (name, meta, scanned)

@@ -288,6 +288,13 @@ def test_repartition_checkpoint_rescaled_restart(spark):
         q.stop()
         assert cat.latest("counts").count() == 10
 
+        # in-place rescale is forbidden: the overwrite write would
+        # target the same epoch directory being read (ADVICE r8)
+        import pytest
+
+        with pytest.raises(ValueError, match="dest_state_id"):
+            cat.repartition_checkpoint("counts", ["k"], 3, dest_state_id="counts")
+
         # rescale the exported state 8 -> 3
         seed_path = cat.repartition_checkpoint("counts", ["k"], 3)
         files = [f for f in os.listdir(seed_path) if f.endswith(".parquet")]

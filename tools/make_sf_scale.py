@@ -67,7 +67,13 @@ def _offset(tbl: pa.Table, cols: tuple[str, ...], r: int) -> pa.Table:
 
 
 def _suffix_text(texts, r: int):
-    tag = str(r)
+    # join token and replica id with U+00A7 — a character outside the
+    # corpus tokenizer alphabet (queries split on whitespace; base
+    # vocabulary is ascii words) — so a digit-suffixed base token
+    # ('fox1') can never collide with a replica token ('fox'+'1'),
+    # which would silently re-introduce the O(factor^2) cross-replica
+    # pair pathology this tool exists to avoid (ADVICE r8).
+    tag = "§" + str(r)
     return [" ".join(tok + tag for tok in t.split()) for t in texts]
 
 

@@ -182,15 +182,16 @@ def main() -> int:
             # (the r8 first sitting measured the sf0.1 phase at session
             # start and several rows read 2-3x their steady-state floor)
             passes = sf1_passes if key == "t_sf1" else 3
+            # keep the min of COMPLETED passes: a timeout on a later
+            # pass must not discard an earlier valid measurement
+            # (ADVICE r8) — only all-passes-failed records None
             best = math.inf
             for i in range(passes):
                 spark.catalog.clearCache()
                 t = run_once(name, sf_dir, budget * budget_scale)
-                if t is None:
-                    best = None
-                    break
-                best = min(best, t)
-            r[key] = round(best, 2) if best is not None else None
+                if t is not None:
+                    best = min(best, t)
+            r[key] = round(best, 2) if best is not math.inf else None
             print(f"{key:7s} {name:32s} {r[key]}", flush=True)
             save()
 
