@@ -39,71 +39,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # everything else follows in registration order. Names not in the
 # registry are ignored (robust to renames).
 _SAMPLE_FIRST = [
-    # --- round 8 sample. Three blocks:
-    # (1) the final 9 queries never driver-checked in r1-r7 (judge
-    #     parity-certified them in the r7 session; a green r8 row makes
-    #     cumulative driver certification 349/349);
-    "stream_cdc_upsert",
-    "stream_temporal_dim_join",
-    "stream_quantile_histogram",
-    "stream_gap_fill_locf",
-    "stream_scd2_history",
-    "stream_bitmap_distinct",
-    "stream_windowed_distinct",
-    "stream_table_checksum",
-    "stream_distribution_drift",
-    # (2) queries whose code paths changed in r8 — the applyInArrow
-    #     pin (VERDICT r7 #1), the integer-arithmetic ntile_from_rank
-    #     and the .rdd-free spread/pin width derivation (ADVICE r7) —
-    #     plus one data-dependent tile-kernel row per the standing
-    #     VERDICT r7 #4 insurance rule;
-    "bitext_margin_mining_ivf",
-    "arrow_window_zscore_arrow",
-    "histogram_equidepth_value",
-    "rfm_customer_segments",
-    "tokenizer_vocab_coverage",
-    "corpus_pack_bins",
-    "corpus_shuffle_rank",
-    # (3) re-certification backfill: 47 rows were last driver-checked
-    #     in ROUND 1 (the stalest external evidence in the repo); the
-    #     first 34 fill this sample, the remaining 12 are queued after
-    #     the boundary for r9.
-    "aggregator_stats",
-    "anti_join_no_urgent",
-    "broadcast_dim_join",
-    "corr_quantity_price_by_flag",
-    "cube_lineitem",
-    "deterministic_sample",
-    "distinct_pairs",
-    "except_orders",
-    "exists_slow_orders",
-    "filter_events",
-    "flatmap_tokens",
-    "full_outer_user_activity",
-    "funnel_view_click_purchase",
-    "grouping_sets_orders",
-    "having_big_spenders",
-    "intersect_users",
-    "json_extract_props",
-    "keyby_reduce",
-    "kmv_distinct_users",
-    "kmv_theta_intersection",
-    "lag_delta_per_user",
-    "map_events",
-    "moving_avg_value_per_user",
-    "ntile_percent_rank",
-    "percentiles_value",
-    "pivot_event_counts",
-    "priority_region_grid",
-    "profile_events",
-    "rank_orders",
-    "retention_weekly_cohorts",
-    "rollup_orders",
-    "running_sum_per_customer",
-    "scalar_functions_date",
-    "scalar_functions_text",
-    # --- 50-prefix boundary; tail = the 12 remaining r1-stale rows,
-    # queued to lead the r9 sample.
+    # --- round 9 sample. Three blocks:
+    # (1) the 12 rows whose driver certification dates to ROUND 1
+    #     (queued post-boundary in r8) plus the three dedup kernels
+    #     rewritten in r8 AFTER their last green driver row
+    #     (VERDICT r8 next-round #1) — after this block, no registry
+    #     row's driver certification is older than its code;
     "semi_join_urgent_customers",
     "sessionize_events",
     "sort_limit_orders",
@@ -116,6 +57,68 @@ _SAMPLE_FIRST = [
     "union_all_sources",
     "union_users",
     "unpivot_lineitem_metrics",
+    "dedup_weighted_minhash",
+    "dedup_embedding_cosine",
+    "fuzzy_match_customers",
+    # (2) queries added or changed in r9: the new SAX-blocked
+    #     similarity pipeline (VERDICT r8 #6), the exact kernel whose
+    #     profile build it now shares, and semdedup whose grid sizing
+    #     moved to parquet-footer row counts (ADVICE r8) — semdedup is
+    #     also the round's data-dependent tile-kernel insurance row
+    #     (standing VERDICT r7 #4 rule);
+    "ts_similarity_topk_sax",
+    "ts_similarity_topk",
+    "semdedup_embeddings",
+    # (3) re-certification backfill: after r8 the stalest tier is 45
+    #     rows last driver-checked in ROUND 2; the 32 below fill this
+    #     sample (all 27 non-stream rows + the 5 heaviest stream rows),
+    #     the remaining 11 stream rows are queued post-boundary for
+    #     r10.
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "appender_window_median",
+    "bitmap_audience_overlap",
+    "bitmap_distinct_users",
+    "corpus_curation_report",
+    "cumulate_window_agg",
+    "dedup_cc_star_contraction",
+    "dedup_connected_clusters",
+    "dedup_duplicated_spans",
+    "dedup_exact",
+    "dedup_kept_corpus",
+    "dedup_lsh_verified_pairs",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_sorted_neighborhood",
+    "multimodal_png_roundtrip",
+    "multimodal_wav_roundtrip",
+    "profile_orders_columns",
+    "sequence_gap_report",
+    "session_window_agg",
+    "sliding_window_agg",
+    "sql_recursive_reachability",
+    "table_checksum_compare",
+    "tpch_q1",
+    "tumbling_window_agg",
+    "stream_incremental_dedup",
+    "stream_first_seen_tws",
+    "stream_absence_emit_tws",
+    "stream_cep_purchase_error",
+    "stream_union_two_sources",
+    # --- 50-prefix boundary; tail = the 11 remaining r2-stale stream
+    # rows, queued to lead the r10 sample.
+    "stream_absence_alert",
+    "stream_count_window",
+    "stream_cumulate_window_agg",
+    "stream_cumulative_distinct",
+    "stream_ewma_user_value",
+    "stream_last5_sum_tws",
+    "stream_late_data_side_output",
+    "stream_session_window_agg",
+    "stream_stateful_first_value",
+    "stream_tumbling_window_agg",
+    "stream_type_counts_tws",
 ]
 
 

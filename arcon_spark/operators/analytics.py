@@ -2338,11 +2338,11 @@ def bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TSS_SCALE = 1_000_000  # per-mille-of-total fixed point for profiles
 _TSS_K = 10
 
-
-@register(
-    "ts_similarity_topk",
-    oracle=f"""
-    WITH cents AS (
+# shared oracle prefix: volume-normalized integer hour-of-day profile
+# (the exact kernel and its SAX-blocked production variant must verify
+# candidates against the IDENTICAL profile definition)
+_TSS_PROF_SQL = f"""
+    cents AS (
       SELECT user_id, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
              SUM(CAST(round(value * 100) AS HUGEINT)) AS c
       FROM {{EVENTS}}
@@ -2353,7 +2353,35 @@ _TSS_K = 10
       SELECT c.user_id, c.hod,
              CAST(c.c * {_TSS_SCALE} // t.tot AS BIGINT) AS p
       FROM cents c JOIN totals t ON t.user_id = c.user_id
-    ),
+    )"""
+
+
+def _tss_prof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer per-mille hour-of-day profile (user_id, hod, p) — the
+    shared input of ts_similarity_topk and ts_similarity_topk_sax.
+    Checkpointed: every consumer fans out from it (norms, both dot-join
+    branches, the SAX word build), and the agg must run once."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.hour("ts").cast("long").alias("hod"),
+        F.round(F.col("value") * 100).cast("decimal(38,0)").alias("c"),
+    )
+    cents = ev.groupBy("user_id", "hod").agg(F.sum("c").alias("c"))
+    totals = cents.groupBy("user_id").agg(F.sum("c").alias("tot"))
+    return (
+        cents.join(F.broadcast(totals), "user_id")
+        .select(
+            "user_id", "hod",
+            F.expr(f"cast(c * {_TSS_SCALE} div tot as bigint)").alias("p"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+@register(
+    "ts_similarity_topk",
+    oracle=f"""
+    WITH {_TSS_PROF_SQL},
     norms AS (SELECT user_id, SUM(p * p) AS n2 FROM prof GROUP BY user_id),
     dots AS (
       SELECT a.user_id AS user_a, b.user_id AS user_b, SUM(a.p * b.p) AS dot
@@ -2387,21 +2415,7 @@ def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     symbolizer) and verifying only same-word candidates — this query
     IS the exact-verify stage of that pipeline. Distances stay int64
     end to end; ties totalized by (dist2, user_a, user_b)."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        F.hour("ts").cast("long").alias("hod"),
-        F.round(F.col("value") * 100).cast("decimal(38,0)").alias("c"),
-    )
-    cents = ev.groupBy("user_id", "hod").agg(F.sum("c").alias("c"))
-    totals = cents.groupBy("user_id").agg(F.sum("c").alias("tot"))
-    prof = (
-        cents.join(F.broadcast(totals), "user_id")
-        .select(
-            "user_id", "hod",
-            F.expr(f"cast(c * {_TSS_SCALE} div tot as bigint)").alias("p"),
-        )
-        .localCheckpoint(eager=True)  # scan leaf: feeds norms AND both dot-join branches
-    )
+    prof = _tss_prof(spark, sf_dir)
     # The hod equi-join caps at 24 distinct keys and shuffles
     # users²·24 pair rows into the pair aggregation (27M at sf0.1,
     # 19 s). Instead each user's profile densifies to a 24-slot vector
@@ -2493,6 +2507,188 @@ def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         tile, "user_a long, user_b long, dist2 long"
     )
     return cand.orderBy("dist2", "user_a", "user_b").limit(_TSS_K)
+
+
+_SAX_W_SEG = 6  # profile-word PAA segment width (4 segments over 24 h)
+_SAX_W_N = 24 // _SAX_W_SEG
+
+
+def _sax_word_sql() -> str:
+    """DuckDB word CTEs mirroring the Spark build below (kept adjacent
+    so the two stay in lockstep)."""
+    cols = " || ".join(
+        f"chr(97 + COALESCE(MAX(CASE WHEN seg = {i} THEN code END), 0))"
+        for i in range(_SAX_W_N)
+    )
+    return f"""
+    seg AS (
+      SELECT user_id, hod // {_SAX_W_SEG} AS seg, SUM(p) AS s
+      FROM prof GROUP BY 1, 2
+    ),
+    sym AS (
+      SELECT user_id, seg,
+             CASE WHEN s * 8 < {_TSS_SCALE} THEN 0
+                  WHEN s * 8 > {3 * _TSS_SCALE} THEN 2
+                  ELSE 1 END AS code
+      FROM seg
+    ),
+    words AS (SELECT user_id, {cols} AS word FROM sym GROUP BY user_id),
+    probes AS (
+      SELECT user_id,
+             u.slot AS slot,
+             concat(substr(word, 1, u.slot), '*', substr(word, u.slot + 2))
+               AS probe
+      FROM words, unnest(generate_series(0, {_SAX_W_N - 1})) AS u(slot)
+    )"""
+
+
+@register(
+    "ts_similarity_topk_sax",
+    oracle=f"""
+    WITH {_TSS_PROF_SQL},
+    {_sax_word_sql()},
+    cand AS (
+      SELECT DISTINCT a.user_id AS user_a, b.user_id AS user_b
+      FROM probes a JOIN probes b
+        ON a.slot = b.slot AND a.probe = b.probe
+       AND a.user_id < b.user_id
+    ),
+    norms AS (SELECT user_id, SUM(p * p) AS n2 FROM prof GROUP BY user_id),
+    dots AS (
+      SELECT c.user_a, c.user_b, SUM(pa.p * pb.p) AS dot
+      FROM cand c
+      JOIN prof pa ON pa.user_id = c.user_a
+      JOIN prof pb ON pb.user_id = c.user_b AND pb.hod = pa.hod
+      GROUP BY 1, 2
+    )
+    SELECT user_a, user_b,
+           CAST(na.n2 + nb.n2 - 2 * d.dot AS BIGINT) AS dist2
+    FROM dots d
+    JOIN norms na ON na.user_id = d.user_a
+    JOIN norms nb ON nb.user_id = d.user_b
+    QUALIFY row_number() OVER (ORDER BY na.n2 + nb.n2 - 2 * d.dot,
+                               user_a, user_b) <= {_TSS_K}
+    """.format(EVENTS=EVENTS_NORM),
+    tags=("timeseries", "similarity", "topk", "retrieval", "sax"),
+)
+def ts_similarity_topk_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX-blocked production variant of ts_similarity_topk: the
+    symbolize → block → exact-verify pipeline run end to end as ONE
+    query (VERDICT r8 #6 — previously the prune existed only as a
+    docstring pointer to sax_symbolize_hourly).
+
+    Blocking word: each user's per-mille profile is PAA-compressed to
+    4 segment sums of 6 hours and each segment discretized against
+    FIXED integer thresholds on its share of the user's total (classic
+    SAX normalizes per-series, so the word needs NO global statistics —
+    low < 1/8 of total, high > 3/8, mid otherwise, thresholds
+    bracketing the uniform 1/4 share). Absent segments are zero
+    activity → 'a'. Candidates are pairs whose words agree in ALL or
+    ALL-BUT-ONE positions — the iSAX-style multi-probe: each user
+    emits one wildcard probe key per word slot (slot i → word with
+    position i blanked), pairs differing in ≤ 1 position necessarily
+    collide on some probe, and a close pair straddling ONE symbol
+    threshold (the classic SAX miss mode) is recovered. Each distinct
+    candidate is then verified EXACTLY — same integer
+    norm-decomposition, same shared-hod contract (the dot inner join),
+    same (dist2, user_a, user_b) total order — as the exact kernel.
+
+    Scale shape (why this is the production path): the word build is
+    embarrassingly parallel per user (no window, no global quantile —
+    symbols are integer compares against constants), blocking is one
+    equi-join on 4 probe keys per user (key space ≤ 4·3³), and the
+    verify join touches only near-word pairs instead of users² — the
+    all-pairs tile matmul the exact kernel schedules disappears
+    entirely. Every operator is JVM-side whole-stage codegen (zero
+    pandas). Recall vs the exact top-10 is audited in
+    tests/test_analytics.py (pairs further than one threshold apart in
+    word space are the residual miss mode, cf. PAPERS.md
+    EDBT'19/REPOSE)."""
+    prof = _tss_prof(spark, sf_dir)
+    seg = prof.groupBy(
+        "user_id", F.expr(f"hod div {_SAX_W_SEG}").alias("seg")
+    ).agg(F.sum("p").alias("s"))
+    # integer symbol codes (0/1/2), max-when pivoted per segment slot:
+    # codes stay INTEGER inside the hash aggregate (MAX(string) would
+    # demote it to SortAggregate — house plan guard), decoded to chars
+    # only in the final projection
+    code = (
+        F.when(F.col("s") * 8 < F.lit(_TSS_SCALE), 0)
+        .when(F.col("s") * 8 > F.lit(3 * _TSS_SCALE), 2)
+        .otherwise(1)
+    )
+    slots = [
+        F.max(F.when(F.col("seg") == i, code)).alias(f"c{i}")
+        for i in range(_SAX_W_N)
+    ]
+    words = seg.groupBy("user_id").agg(*slots).select(
+        "user_id",
+        F.concat(
+            *[
+                F.expr(f"char(97 + coalesce(c{i}, 0))")
+                for i in range(_SAX_W_N)
+            ]
+        ).alias("word"),
+    )
+    probes = words.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_SAX_W_N - 1))).alias("slot"),
+        "word",
+    ).select(
+        "user_id",
+        "slot",
+        F.concat(
+            F.expr("substr(word, 1, slot)"),
+            F.lit("*"),
+            F.expr("substr(word, slot + 2)"),
+        ).alias("probe"),
+    )
+    # DISTINCT is load-bearing: identical words collide on every probe
+    # slot, and a duplicated candidate row would multiply its prof rows
+    # through the dot join (dot counted once per duplicate)
+    cand = (
+        probes.alias("a")
+        .join(
+            probes.alias("b"),
+            (F.col("a.slot") == F.col("b.slot"))
+            & (F.col("a.probe") == F.col("b.probe"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+        )
+        .distinct()
+    )
+    pa = prof.select(
+        F.col("user_id").alias("user_a"), "hod", F.col("p").alias("p_a")
+    )
+    pb = prof.select(
+        F.col("user_id").alias("user_b"), "hod", F.col("p").alias("p_b")
+    )
+    dots = (
+        cand.join(pa, "user_a")
+        .join(pb, ["user_b", "hod"])
+        .groupBy("user_a", "user_b")
+        .agg(F.sum(F.col("p_a") * F.col("p_b")).alias("dot"))
+    )
+    norms = prof.groupBy("user_id").agg(
+        F.sum(F.col("p") * F.col("p")).alias("n2")
+    )
+    na = norms.select(F.col("user_id").alias("user_a"), F.col("n2").alias("n2_a"))
+    nb = norms.select(F.col("user_id").alias("user_b"), F.col("n2").alias("n2_b"))
+    out = (
+        dots.join(na, "user_a")
+        .join(nb, "user_b")
+        .select(
+            "user_a",
+            "user_b",
+            (F.col("n2_a") + F.col("n2_b") - 2 * F.col("dot"))
+            .cast("long")
+            .alias("dist2"),
+        )
+    )
+    return out.orderBy("dist2", "user_a", "user_b").limit(_TSS_K)
 
 
 # ---------------------------------------------------------------------------

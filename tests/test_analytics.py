@@ -325,3 +325,33 @@ def test_ntile_from_rank_formula_property():
                 continue
             for rn in range(1, n + 1):
                 assert closed_form(rn, n, k) == sql_ntile(rn, n, k), (rn, n, k)
+
+
+def test_sax_blocked_similarity_recall_vs_exact(spark, sf_dir):
+    """Recall audit for the SAX-blocked production variant (VERDICT r8
+    #6): ts_similarity_topk_sax must recover most of the exact
+    kernel's top-10 pairs. With the Hamming<=1 wildcard probe the
+    measured recall is 0.9 at sf0.001 and 1.0 at sf0.01; the floor is
+    set below that to absorb testdata regeneration, not to excuse a
+    broken prune. Also pins the verify-stage contract: every SAX pair
+    present in the exact top-10 carries the IDENTICAL dist2 (the
+    verify stage is exact, only the candidate set is approximate)."""
+    from arcon_spark.operators.analytics import (
+        ts_similarity_topk,
+        ts_similarity_topk_sax,
+    )
+
+    exact = {
+        (r.user_a, r.user_b): r.dist2
+        for r in ts_similarity_topk(spark, sf_dir).collect()
+    }
+    sax = {
+        (r.user_a, r.user_b): r.dist2
+        for r in ts_similarity_topk_sax(spark, sf_dir).collect()
+    }
+    assert exact and sax
+    hits = set(exact) & set(sax)
+    recall = len(hits) / len(exact)
+    assert recall >= 0.6, f"SAX-blocked recall {recall} vs exact top-10"
+    for pair in hits:
+        assert sax[pair] == exact[pair], (pair, sax[pair], exact[pair])

@@ -350,3 +350,31 @@ def test_bench_stdout_line_fits_driver_capture():
     d2 = json.loads(bench.stdout_line(small, 3.0, 0.1, 2, 5.0, "x.json"))
     assert d2["queries"] == small and d2["queries_shown"] == 2
     assert d2["medians"] == small  # medians default to the min table
+
+
+def test_generated_docs_match_source_digest():
+    """Doc-staleness pin (VERDICT r8 #3): the count-based contract
+    above let SCALE.md/PLANS.md go stale when r8 rewrote three kernels
+    without changing the registry SIZE. Every doc-regen tool now
+    stamps the sha256 digest of the arcon_spark package source it ran
+    against (tools/doc_digest.py); this test recomputes the digest at
+    HEAD and fails on mismatch — any package edit forces a doc regen
+    (tools/queries_report.py, tools/scale_audit.py,
+    tools/explain_report.py). Content-based rather than mtime-based:
+    git checkouts rewrite mtimes wholesale."""
+    import importlib.util
+    import pathlib
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "doc_digest", repo / "tools" / "doc_digest.py"
+    )
+    dd = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(dd)
+    want = dd.digest_line(str(repo))
+    for doc in ("QUERIES.md", "SCALE.md", "PLANS.md"):
+        text = (repo / doc).read_text()
+        assert text.rstrip().endswith(want), (
+            f"{doc} is stale for the current package source — regenerate it "
+            f"(expected footer {want!r})"
+        )

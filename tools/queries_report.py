@@ -39,6 +39,9 @@ def main() -> None:
         doc = " ".join((spec.doc or "").split())
         doc = textwrap.fill(doc, width=72, initial_indent="  ", subsequent_indent="  ")
         out += [f"## {name}  `[{check}]`  {' '.join(spec.tags)}", "", doc or "  (no doc)", ""]
+    from tools.doc_digest import digest_line
+
+    out += ["", digest_line(), ""]
     with open("/root/repo/QUERIES.md", "w") as f:
         f.write("\n".join(out))
     print(f"wrote QUERIES.md with {len(REGISTRY)} entries")

@@ -53,6 +53,15 @@ HIGH_SHUFFLE_NOTES: dict[str, str] = {
         "phase 1 moves only per-bin/per-sliver rows, never the full data; "
         "this is the bounded-memory alternative to a global sort"
     ),
+    "ts_similarity_topk_sax": (
+        "the symbolize→block→verify funnel is a chain of differently-"
+        "keyed aggregations over the CHECKPOINTED per-user profile "
+        "(users x ≤24 rows, events already reduced): segment agg, word "
+        "agg, probe-key self-join, candidate distinct, dot agg, norms "
+        "— every exchange after the profile moves per-user or "
+        "per-candidate rows, never event-scale data; this pipeline "
+        "replaces the exact kernel's all-pairs tile matmul"
+    ),
     "text_bigram_assoc_score": (
         "each exchange is a distinct semantic key: spread of the "
         "single-file scan, corpus pair-count agg, vocabulary agg, the "
@@ -317,6 +326,9 @@ def main() -> None:
             out.append(f"- **{r[0]}** ({r[7]} global window{'s' if r[7] > 1 else ''}): {note}")
         if gw_unexplained:
             print(f"WARNING: unexplained single-partition Window plans: {gw_unexplained}")
+    from tools.doc_digest import digest_line
+
+    out += ["", digest_line()]
     with open("/root/repo/SCALE.md", "w") as f:
         f.write("\n".join(out) + "\n")
     print(f"wrote SCALE.md: {len(rows)} queries, {n_zero} zero-shuffle, {n_py} python")

@@ -75,11 +75,15 @@ QUERIES = [
     ("kmeans_embeddings", 1.0, 2, 600),       # fixed-k Lloyd's (n·k·iters)
     ("text_bm25_rank", 1.0, 2, 600),          # retrieval scoring
     ("pagerank_trade_network", 1.0, 2, 600),  # graph iteration (lineage cuts)
+    # r9: SAX-blocked production variant of ts_similarity_topk —
+    # symbolize/block/verify, candidates ~linear at stable word mix
+    ("ts_similarity_topk_sax", 1.0, 2, 600),
     # EXACT pairwise kernels (documented O(n^2); tiles bound memory,
     # not total FLOPs — their production variants are the rows above)
     ("dedup_embedding_cosine", 2.0, 1, 1800),
     ("semdedup_embeddings", 2.0, 1, 1800),
     ("ts_similarity_topk", 2.0, 1, 1800),
+    ("fuzzy_match_customers", 2.0, 1, 1800),
 ]
 
 
