@@ -327,15 +327,19 @@ def test_ntile_from_rank_formula_property():
                 assert closed_form(rn, n, k) == sql_ntile(rn, n, k), (rn, n, k)
 
 
-def test_sax_blocked_similarity_recall_vs_exact(spark, sf_dir):
-    """Recall audit for the SAX-blocked production variant (VERDICT r8
-    #6): ts_similarity_topk_sax must recover most of the exact
-    kernel's top-10 pairs. With the Hamming<=1 wildcard probe the
-    measured recall is 0.9 at sf0.001 and 1.0 at sf0.01; the floor is
-    set below that to absorb testdata regeneration, not to excuse a
-    broken prune. Also pins the verify-stage contract: every SAX pair
-    present in the exact top-10 carries the IDENTICAL dist2 (the
-    verify stage is exact, only the candidate set is approximate)."""
+def test_sax_banded_similarity_quality_vs_exact(spark, sf_dir):
+    """Quality audit for the SAX-banded production variant (VERDICT r8
+    #6), on both standard ANN metrics because this corpus's user
+    profiles are unplanted iid noise (the exact top-10 is a continuum
+    of near-ties, so set recall alone under-reads the prune):
+
+    - top-10 set recall vs the exact kernel (measured 0.7 / 0.8 / 0.9
+      at sf0.001 / 0.01 / 0.1; floored below that only to absorb
+      testdata regeneration);
+    - k-th-distance ratio sax_10th/exact_10th (measured 1.073 / 1.035
+      / 1.006 — the metric that matters on near-tie corpora);
+    - verify-stage exactness: every overlapping pair carries the
+      IDENTICAL dist2 (only the candidate SET is approximate)."""
     from arcon_spark.operators.analytics import (
         ts_similarity_topk,
         ts_similarity_topk_sax,
@@ -352,6 +356,39 @@ def test_sax_blocked_similarity_recall_vs_exact(spark, sf_dir):
     assert exact and sax
     hits = set(exact) & set(sax)
     recall = len(hits) / len(exact)
-    assert recall >= 0.6, f"SAX-blocked recall {recall} vs exact top-10"
+    assert recall >= 0.5, f"SAX-banded recall {recall} vs exact top-10"
+    kth_ratio = max(sax.values()) / max(exact.values())
+    assert 1.0 <= kth_ratio <= 1.25, f"k-th distance ratio {kth_ratio}"
     for pair in hits:
         assert sax[pair] == exact[pair], (pair, sax[pair], exact[pair])
+
+
+def test_sax_band_pigeonhole_guarantee(spark, sf_dir):
+    """The banding's data-independent contract: with 6 bands, any
+    user pair whose sign words differ in <= 5 positions MUST share at
+    least one clean band (pigeonhole) and therefore appear in the
+    candidate set. Verified directly against the words and candidates
+    rebuilt with the registered constants — if a code change breaks
+    band alignment (substr off-by-one, wrong band width), this fails
+    before the lossy recall number can hide it."""
+    import arcon_spark.operators.analytics as A
+
+    prof = A._tss_prof(spark, sf_dir)
+    words = {r.user_id: r.word for r in A._sax_words(prof).collect()}
+    # the REAL blocking stage (shared with the registered query)
+    cands = {
+        (r.user_a, r.user_b) for r in A._sax_candidates(prof).collect()
+    }
+    users = sorted(words)
+    hamming_le = {
+        (a, b)
+        for i, a in enumerate(users)
+        for b in users[i + 1 :]
+        if sum(x != y for x, y in zip(words[a], words[b])) <= A._SAX_BANDS - 1
+    }
+    missing = hamming_le - cands
+    assert not missing, (
+        f"pigeonhole violated: Hamming<={A._SAX_BANDS - 1} pairs absent "
+        f"from the candidate stage: {sorted(missing)[:5]}"
+    )
+    assert cands, "degenerate: no banded candidates at this SF"

@@ -54,10 +54,10 @@ HIGH_SHUFFLE_NOTES: dict[str, str] = {
         "this is the bounded-memory alternative to a global sort"
     ),
     "ts_similarity_topk_sax": (
-        "the symbolize→block→verify funnel is a chain of differently-"
+        "the symbolize→band→verify funnel is a chain of differently-"
         "keyed aggregations over the CHECKPOINTED per-user profile "
         "(users x ≤24 rows, events already reduced): segment agg, word "
-        "agg, probe-key self-join, candidate distinct, dot agg, norms "
+        "agg, band-key self-join, candidate distinct, dot agg, norms "
         "— every exchange after the profile moves per-user or "
         "per-candidate rows, never event-scale data; this pipeline "
         "replaces the exact kernel's all-pairs tile matmul"

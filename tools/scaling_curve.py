@@ -75,9 +75,13 @@ QUERIES = [
     ("kmeans_embeddings", 1.0, 2, 600),       # fixed-k Lloyd's (n·k·iters)
     ("text_bm25_rank", 1.0, 2, 600),          # retrieval scoring
     ("pagerank_trade_network", 1.0, 2, 600),  # graph iteration (lineage cuts)
-    # r9: SAX-blocked production variant of ts_similarity_topk —
-    # symbolize/block/verify, candidates ~linear at stable word mix
-    ("ts_similarity_topk_sax", 1.0, 2, 600),
+    # r9: SAX-banded variant of ts_similarity_topk — the banded
+    # candidate count is Theta(n^2 / #buckets) on this UNCLUSTERED
+    # corpus (profiles are iid noise around uniform, so buckets fill
+    # proportionally; with clustered real data candidates are
+    # output-sensitive). Same documented-quadratic family as the
+    # exact kernels below, with a ~3x smaller constant.
+    ("ts_similarity_topk_sax", 2.0, 1, 1800),
     # EXACT pairwise kernels (documented O(n^2); tiles bound memory,
     # not total FLOPs — their production variants are the rows above)
     ("dedup_embedding_cosine", 2.0, 1, 1800),
