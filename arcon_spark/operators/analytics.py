@@ -2670,7 +2670,14 @@ def ts_similarity_topk_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH recall-vs-prune taper, swept on this corpus at sf0.1 (4-char
     bands): 4 bands → 80k candidates (7% of all pairs), recall 0.4;
     6 bands → 395k (35%), recall 0.9, k-th-distance ratio 1.006;
-    8 bands → recall 1.0, no prune. 6 bands is registered. Quality is
+    8 bands → recall 1.0, no prune. 6 bands is registered. When the
+    corpus's near-pair density is itself quadratic (the sf1 curve
+    synthesizer plants ~45 profile twins per base user), candidate
+    count ~ n²/buckets and the exact kernel's dense tile matmul is
+    the faster plan (measured sf1: 30 s exact vs 255 s banded) — use
+    this pipeline when pairs are sparse, the exact kernel when the
+    corpus is twin-dense; both return oracle-checked answers either
+    way. Quality is
     audited in tests/test_analytics.py on BOTH standard ANN metrics —
     top-10 set recall AND the k-th-distance ratio — because this
     synthetic corpus plants no near-dup user profiles (hour-of-day
@@ -2681,32 +2688,49 @@ def ts_similarity_topk_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     EDBT'19/REPOSE."""
     prof = _tss_prof(spark, sf_dir)
     cand = _sax_candidates(prof)
-    pa = prof.select(
-        F.col("user_id").alias("user_a"), "hod", F.col("p").alias("p_a")
+    # verify stage: ONE row per candidate, not a pair x hod explosion.
+    # Each user's profile densifies to a 24-slot long array plus a
+    # 24-bit hod-presence mask (p = c*SCALE div tot legitimately
+    # floors to 0, so p != 0 is NOT a valid shared-hod test — same
+    # contract as the exact kernel's tile). dist2 is one JVM
+    # zip_with/aggregate over the two arrays; the mask intersect
+    # enforces the oracle's shared-hod candidate contract (its dots
+    # CTE is an inner join on hod). The first registered form verified
+    # through a (pair x shared-hod) equi join — at sf1's twin-dense
+    # corpus that exploded ~7.7M candidates x ~24 rows and read 500 s;
+    # this form carries the same candidates as single rows (r9 curve
+    # re-measure).
+    vecs = prof.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("hod", "p"))).alias("m"),
+        F.sum(F.expr("shiftleft(1L, cast(hod as int))")).alias("mask"),
+    ).select(
+        "user_id",
+        F.expr("transform(sequence(0, 23), h -> coalesce(m[h], 0L))").alias(
+            "vec"
+        ),
+        "mask",
     )
-    pb = prof.select(
-        F.col("user_id").alias("user_b"), "hod", F.col("p").alias("p_b")
+    va = vecs.select(
+        F.col("user_id").alias("user_a"),
+        F.col("vec").alias("vec_a"),
+        F.col("mask").alias("mask_a"),
     )
-    dots = (
-        cand.join(pa, "user_a")
-        .join(pb, ["user_b", "hod"])
-        .groupBy("user_a", "user_b")
-        .agg(F.sum(F.col("p_a") * F.col("p_b")).alias("dot"))
+    vb = vecs.select(
+        F.col("user_id").alias("user_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("mask").alias("mask_b"),
     )
-    norms = prof.groupBy("user_id").agg(
-        F.sum(F.col("p") * F.col("p")).alias("n2")
-    )
-    na = norms.select(F.col("user_id").alias("user_a"), F.col("n2").alias("n2_a"))
-    nb = norms.select(F.col("user_id").alias("user_b"), F.col("n2").alias("n2_b"))
     out = (
-        dots.join(na, "user_a")
-        .join(nb, "user_b")
+        cand.join(va, "user_a")
+        .join(vb, "user_b")
+        .filter((F.col("mask_a").bitwiseAND(F.col("mask_b"))) != 0)
         .select(
             "user_a",
             "user_b",
-            (F.col("n2_a") + F.col("n2_b") - 2 * F.col("dot"))
-            .cast("long")
-            .alias("dist2"),
+            F.expr(
+                "aggregate(zip_with(vec_a, vec_b, (x, y) -> (x - y) * (x - y)),"
+                " 0L, (acc, v) -> acc + v)"
+            ).alias("dist2"),
         )
     )
     return out.orderBy("dist2", "user_a", "user_b").limit(_TSS_K)
