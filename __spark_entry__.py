@@ -60,13 +60,15 @@ _SAMPLE_FIRST = [
     "dedup_weighted_minhash",
     "dedup_embedding_cosine",
     "fuzzy_match_customers",
-    # (2) queries added or changed in r9: the new SAX-blocked
-    #     similarity pipeline (VERDICT r8 #6), the exact kernel whose
-    #     profile build it now shares, and semdedup whose grid sizing
-    #     moved to parquet-footer row counts (ADVICE r8) — semdedup is
-    #     also the round's data-dependent tile-kernel insurance row
+    # (2) queries added or changed in r9: the new SAX-banded
+    #     similarity pipeline (VERDICT r8 #6), the new lossless
+    #     norm-banded radius join, the exact kernel whose profile
+    #     build they share, and semdedup whose grid sizing moved to
+    #     parquet-footer row counts (ADVICE r8) — semdedup is also
+    #     the round's data-dependent tile-kernel insurance row
     #     (standing VERDICT r7 #4 rule);
     "ts_similarity_topk_sax",
+    "ts_similarity_radius_join",
     "ts_similarity_topk",
     "semdedup_embeddings",
     # (3) re-certification backfill: after r8 the stalest tier is 45
@@ -100,14 +102,15 @@ _SAMPLE_FIRST = [
     "sql_recursive_reachability",
     "table_checksum_compare",
     "tpch_q1",
-    "tumbling_window_agg",
     "stream_incremental_dedup",
     "stream_first_seen_tws",
     "stream_absence_emit_tws",
     "stream_cep_purchase_error",
     "stream_union_two_sources",
-    # --- 50-prefix boundary; tail = the 11 remaining r2-stale stream
-    # rows, queued to lead the r10 sample.
+    # --- 50-prefix boundary; tail = the 12 remaining r2-stale rows
+    # (11 stream + tumbling_window_agg, displaced by the new radius
+    # join), queued to lead the r10 sample.
+    "tumbling_window_agg",
     "stream_absence_alert",
     "stream_count_window",
     "stream_cumulate_window_agg",

@@ -2541,6 +2541,28 @@ def _sax_word_sql() -> str:
     )"""
 
 
+def _tss_vecs(prof: DataFrame) -> DataFrame:
+    """(user_id, vec, mask, n2): each profile densified once to a
+    24-slot long array, a 24-bit hod-presence mask (p legitimately
+    floors to 0, so p != 0 is NOT a valid shared-hod test — the exact
+    kernel's tile learned this the hard way), and the squared norm.
+    The verify stages of the SAX and radius variants both consume it:
+    one row per user, dist2 per candidate is a single JVM
+    zip_with/aggregate instead of a pair x hod join explosion."""
+    return prof.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("hod", "p"))).alias("m"),
+        F.sum(F.expr("shiftleft(1L, cast(hod as int))")).alias("mask"),
+        F.sum(F.col("p") * F.col("p")).alias("n2"),
+    ).select(
+        "user_id",
+        F.expr("transform(sequence(0, 23), h -> coalesce(m[h], 0L))").alias(
+            "vec"
+        ),
+        "mask",
+        "n2",
+    )
+
+
 def _sax_words(prof: DataFrame) -> DataFrame:
     """(user_id, word): the hourly sign word of a per-mille profile.
     Integer symbol codes, max-when pivoted per segment slot: codes
@@ -2700,16 +2722,7 @@ def ts_similarity_topk_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus that exploded ~7.7M candidates x ~24 rows and read 500 s;
     # this form carries the same candidates as single rows (r9 curve
     # re-measure).
-    vecs = prof.groupBy("user_id").agg(
-        F.map_from_entries(F.collect_list(F.struct("hod", "p"))).alias("m"),
-        F.sum(F.expr("shiftleft(1L, cast(hod as int))")).alias("mask"),
-    ).select(
-        "user_id",
-        F.expr("transform(sequence(0, 23), h -> coalesce(m[h], 0L))").alias(
-            "vec"
-        ),
-        "mask",
-    )
+    vecs = _tss_vecs(prof)
     va = vecs.select(
         F.col("user_id").alias("user_a"),
         F.col("vec").alias("vec_a"),
@@ -2734,6 +2747,123 @@ def ts_similarity_topk_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("dist2", "user_a", "user_b").limit(_TSS_K)
+
+
+_TSS_RADIUS = 25_000_000_000  # sits between the closest-pair scale
+# (~1e10 at sf0.1) and the no-shared-hod floor (~8e10), so the join is
+# non-degenerate at every test SF without sweeping in the bulk
+_TSS_RADIUS_BAND = 158117  # isqrt(_TSS_RADIUS) + 4 — see docstring
+_TSS_RADIUS_SALT = 32  # band-join salt fan (reducer parallelism per band)
+
+
+@register(
+    "ts_similarity_radius_join",
+    oracle=f"""
+    WITH {_TSS_PROF_SQL},
+    norms AS (SELECT user_id, SUM(p * p) AS n2 FROM prof GROUP BY user_id),
+    dots AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b, SUM(a.p * b.p) AS dot
+      FROM prof a JOIN prof b ON a.hod = b.hod AND a.user_id < b.user_id
+      GROUP BY 1, 2
+    )
+    SELECT user_a, user_b,
+           CAST(na.n2 + nb.n2 - 2 * d.dot AS BIGINT) AS dist2
+    FROM dots d
+    JOIN norms na ON na.user_id = d.user_a
+    JOIN norms nb ON nb.user_id = d.user_b
+    WHERE na.n2 + nb.n2 - 2 * d.dot <= {_TSS_RADIUS}
+    """.format(EVENTS=EVENTS_NORM),
+    tags=("timeseries", "similarity", "join", "radius"),
+)
+def ts_similarity_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 radius similarity self-join over user activity profiles: ALL
+    pairs with dist2 <= 25e9 — the production primitive behind
+    near-dup sweeps and similarity joins at 100 TB (a fixed radius,
+    not a global top-k, is what dedup pipelines actually run).
+
+    LOSSLESS norm-band pruning, unlike the SAX variant's lossy
+    blocking: by the reverse triangle inequality,
+    dist2(a,b) <= R  =>  |sqrt(n2_a) - sqrt(n2_b)| <= sqrt(R), so with
+    s = floor(sqrt(n2)) and band = s div D for D = isqrt(R) + 4
+    (+2 for the two floors, +2 slack for float sqrt rounding — sqrt
+    itself is IEEE-correctly-rounded, the slack is pure paranoia),
+    every qualifying pair sits in the same or an adjacent band. One
+    side emits (band-1, band, band+1), the join key is the other
+    side's band — each candidate pair matches EXACTLY once (the
+    other side's band is a single value appearing once in the emitted
+    set), so no distinct is needed. The band is physical only: the
+    result set is decided by the exact integer dist2 <= R predicate,
+    and the oracle is the plain all-pairs SQL with a WHERE — no
+    approximation anywhere.
+
+    Verify: one row per candidate via the shared dense-array builder
+    (_tss_vecs) — dist2 is a single zip_with/aggregate, the
+    hod-presence mask intersect keeps the oracle's shared-hod
+    candidate contract (its dots CTE inner-joins on hod; at this R the
+    predicate alone would exclude no-overlap pairs, whose dist2 floors
+    near 8e10, but the contract stays explicit). Prune effectiveness
+    is data-dependent and documented: on THIS corpus profiles cluster
+    near the uniform norm so most users share a band (the audit in
+    tests/test_analytics.py pins losslessness, not speedup); on real
+    varied-volume data the norm spread is wide and the band join
+    touches only a sliver. At 100 TB the same shape bucket-partitions
+    by band."""
+    prof = _tss_prof(spark, sf_dir)
+    vecs = _tss_vecs(prof)
+    D = _TSS_RADIUS_BAND
+    banded = vecs.withColumn(
+        "band",
+        F.expr(f"cast(floor(sqrt(cast(n2 as double))) as bigint) div {D}"),
+    )
+    # SALTED band join: when the corpus's norms cluster (this data),
+    # one band holds most users and an unsalted equi join runs its
+    # whole pair space on ONE reducer (measured 11.5 s at sf0.1, a
+    # single hot task). The b-side key gains pmod(user_b, S); the
+    # a-side replicates each probe across the S salts — each pair
+    # still matches exactly once, but the pair space fans across
+    # S reducers per band. S is a parallelism constant (not
+    # data-sized): it splits a key, not a memory-bound tile.
+    S = _TSS_RADIUS_SALT
+    a_side = banded.select(
+        F.col("user_id").alias("user_a"),
+        F.col("vec").alias("vec_a"),
+        F.col("mask").alias("mask_a"),
+        F.explode(
+            F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
+        ).alias("k"),
+    ).select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(S - 1))).alias("salt")
+    )
+    b_side = banded.select(
+        F.col("user_id").alias("user_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("mask").alias("mask_b"),
+        F.col("band").alias("k"),
+        F.pmod(F.col("user_id"), F.lit(S)).cast("int").alias("salt"),
+    )
+    # explicit-width repartition on the join key: the band rows are
+    # KILOBYTES, so AQE coalesces the join's shuffle to ~1 partition
+    # by byte size and the pair space runs serially anyway (measured:
+    # salting alone left 10.8 s of single-task stages). A
+    # user-specified width is exempt from AQE coalescing and the join
+    # reuses the partitioning — same rule as io.pin_groups, applied
+    # to a join instead of a pandas group stage.
+    width = spark.sparkContext.defaultParallelism
+    pairs = a_side.repartition(width, "k", "salt").join(
+        b_side.repartition(width, "k", "salt"), ["k", "salt"]
+    ).filter(F.col("user_a") < F.col("user_b"))
+    return (
+        pairs.filter((F.col("mask_a").bitwiseAND(F.col("mask_b"))) != 0)
+        .select(
+            "user_a",
+            "user_b",
+            F.expr(
+                "aggregate(zip_with(vec_a, vec_b, (x, y) -> (x - y) * (x - y)),"
+                " 0L, (acc, v) -> acc + v)"
+            ).alias("dist2"),
+        )
+        .filter(F.col("dist2") <= F.lit(_TSS_RADIUS))
+    )
 
 
 # ---------------------------------------------------------------------------

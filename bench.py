@@ -104,10 +104,11 @@ HEADLINE = [
     "fuzzy_match_customers",
     "semdedup_embeddings",
     "ts_similarity_topk",
-    # round 9: the SAX-blocked production variant of the exact kernel
-    # above — benched side by side so the prune's speedup (and any
-    # regression in it) is a per-round record
+    # round 9: the SAX-banded variant of the exact kernel above and
+    # the lossless norm-banded radius join — benched side by side so
+    # the candidate machinery's cost is a per-round record
     "ts_similarity_topk_sax",
+    "ts_similarity_radius_join",
     "user_activity_similarity",
     "cogroup_activity_order_merge",
     "multimodal_jpeg_roundtrip",

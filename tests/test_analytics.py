@@ -392,3 +392,44 @@ def test_sax_band_pigeonhole_guarantee(spark, sf_dir):
         f"from the candidate stage: {sorted(missing)[:5]}"
     )
     assert cands, "degenerate: no banded candidates at this SF"
+
+
+def test_radius_join_is_lossless_vs_bruteforce(spark, sf_dir):
+    """ts_similarity_radius_join claims a LOSSLESS norm-band prune
+    (reverse triangle inequality, band width isqrt(R)+4): the result
+    must equal the brute-force all-pairs radius scan exactly — pair
+    set AND dist2 values. Brute force here is an independent driver-
+    side numpy recomputation from the profile rows (no banding, no
+    arrays code shared), so a band-math bug (off-by-one in D, a
+    missing adjacent band, float sqrt rounding) shows as a missing
+    pair, not a degraded recall number."""
+    import numpy as np
+
+    import arcon_spark.operators.analytics as A
+
+    prof = A._tss_prof(spark, sf_dir).collect()
+    users = sorted({r.user_id for r in prof})
+    idx = {u: i for i, u in enumerate(users)}
+    mat = np.zeros((len(users), 24), dtype=np.int64)
+    seen = np.zeros((len(users), 24), dtype=bool)
+    for r in prof:
+        mat[idx[r.user_id], r.hod] = r.p
+        seen[idx[r.user_id], r.hod] = True
+    truth = {}
+    for i, a in enumerate(users):
+        for j in range(i + 1, len(users)):
+            if not (seen[i] & seen[j]).any():
+                continue  # the oracle's shared-hod contract
+            d = mat[i] - mat[j]
+            d2 = int((d * d).sum())
+            if d2 <= A._TSS_RADIUS:
+                truth[(a, users[j])] = d2
+    got = {
+        (r.user_a, r.user_b): r.dist2
+        for r in A.ts_similarity_radius_join(spark, sf_dir).collect()
+    }
+    assert got == truth, (
+        f"lossless violated: missing={sorted(set(truth) - set(got))[:5]} "
+        f"extra={sorted(set(got) - set(truth))[:5]}"
+    )
+    assert truth, "degenerate: radius captures no pairs at this SF"

@@ -88,6 +88,10 @@ QUERIES = [
     ("semdedup_embeddings", 2.0, 1, 1800),
     ("ts_similarity_topk", 2.0, 1, 1800),
     ("fuzzy_match_customers", 2.0, 1, 1800),
+    # r9: lossless norm-banded radius join — output-sensitive; on
+    # this corpus the norms cluster so the band prune degrades toward
+    # all-pairs (documented), hence the quadratic family
+    ("ts_similarity_radius_join", 2.0, 1, 1800),
 ]
 
 
