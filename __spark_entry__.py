@@ -39,77 +39,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # everything else follows in registration order. Names not in the
 # registry are ignored (robust to renames).
 _SAMPLE_FIRST = [
-    # --- round 9 sample. Three blocks:
-    # (1) the 12 rows whose driver certification dates to ROUND 1
-    #     (queued post-boundary in r8) plus the three dedup kernels
-    #     rewritten in r8 AFTER their last green driver row
-    #     (VERDICT r8 next-round #1) — after this block, no registry
-    #     row's driver certification is older than its code;
-    "semi_join_urgent_customers",
-    "sessionize_events",
-    "sort_limit_orders",
-    "source_csv_json_roundtrip",
-    "sql_portable_text",
-    "topk_per_group",
-    "tpch_q13ish",
-    "tpch_q3",
-    "tpch_q5ish",
-    "union_all_sources",
-    "union_users",
-    "unpivot_lineitem_metrics",
-    "dedup_weighted_minhash",
-    "dedup_embedding_cosine",
-    "fuzzy_match_customers",
-    # (2) queries added or changed in r9: the new SAX-banded
-    #     similarity pipeline (VERDICT r8 #6), the new lossless
-    #     norm-banded radius join, the exact kernel whose profile
-    #     build they share, and semdedup whose grid sizing moved to
-    #     parquet-footer row counts (ADVICE r8) — semdedup is also
-    #     the round's data-dependent tile-kernel insurance row
-    #     (standing VERDICT r7 #4 rule);
-    "ts_similarity_topk_sax",
-    "ts_similarity_radius_join",
-    "ts_similarity_topk",
-    "semdedup_embeddings",
-    # (3) re-certification backfill: after r8 the stalest tier is 45
-    #     rows last driver-checked in ROUND 2; the 32 below fill this
-    #     sample (all 27 non-stream rows + the 5 heaviest stream rows),
-    #     the remaining 11 stream rows are queued post-boundary for
-    #     r10.
-    "ann_bruteforce_topk",
-    "ann_ivf_topk",
-    "appender_window_median",
-    "bitmap_audience_overlap",
-    "bitmap_distinct_users",
-    "corpus_curation_report",
-    "cumulate_window_agg",
-    "dedup_cc_star_contraction",
-    "dedup_connected_clusters",
-    "dedup_duplicated_spans",
-    "dedup_exact",
-    "dedup_kept_corpus",
-    "dedup_lsh_verified_pairs",
-    "dedup_minhash_lsh_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_sorted_neighborhood",
-    "multimodal_png_roundtrip",
-    "multimodal_wav_roundtrip",
-    "profile_orders_columns",
-    "sequence_gap_report",
-    "session_window_agg",
-    "sliding_window_agg",
-    "sql_recursive_reachability",
-    "table_checksum_compare",
-    "tpch_q1",
-    "stream_incremental_dedup",
-    "stream_first_seen_tws",
-    "stream_absence_emit_tws",
-    "stream_cep_purchase_error",
-    "stream_union_two_sources",
-    # --- 50-prefix boundary; tail = the 12 remaining r2-stale rows
-    # (11 stream + tumbling_window_agg, displaced by the new radius
-    # join), queued to lead the r10 sample.
+    # --- round 10 sample. Tier bookkeeping recomputed from the nine
+    # CORRECTNESS_r0*.json files this round (ADVICE r9 #2): per-query
+    # LATEST driver-green round gives tiers r2:12, r3:48, r4:48,
+    # r5:47, r6:48, r7:48, r8:50, r9:50 (total 351). Three blocks:
+    # (1) the ENTIRE r2-stale tier — exactly 12 rows (11 stream +
+    #     tumbling_window_agg), queued post-boundary in r9
+    #     (VERDICT r9 next-round #1). After this block the stalest
+    #     certification tier is r3 and the rotation has lapped the
+    #     registry;
     "tumbling_window_agg",
     "stream_absence_alert",
     "stream_count_window",
@@ -122,6 +60,68 @@ _SAMPLE_FIRST = [
     "stream_stateful_first_value",
     "stream_tumbling_window_agg",
     "stream_type_counts_tws",
+    # (2) queries added or changed in r10: the candidate-count
+    #     ts-similarity router (VERDICT r9 next-round #2), plus
+    #     dedup_embedding_cosine as the round's data-dependent
+    #     tile-kernel insurance row (standing VERDICT r7 #4 rule);
+    "ts_similarity_topk_routed",
+    "dedup_embedding_cosine",
+    # (3) re-certification backfill from the r3-stale tier (48 rows:
+    #     33 non-TPC-H + 15 tpch_*). The 36 below = all 33 non-TPC-H
+    #     rows + the 3 heaviest TPC-H rows (q6 scan-agg, q9ish
+    #     6-table profit, q18ish large-order join); the remaining 12
+    #     tpch_* rows are queued post-boundary to lead the r11
+    #     sample. 12 + 2 + 36 = 50 = the driver's sample size.
+    "ann_ivf_pq_topk",
+    "ann_pq_adc_topk",
+    "arrow_ipc_roundtrip",
+    "boilerplate_passages",
+    "bpe_apply_merges",
+    "bpe_pair_merge_stats",
+    "cms_token_counts",
+    "cusum_changepoint_hourly",
+    "dedup_substring_spans",
+    "graph_bfs_distances",
+    "graph_kcore",
+    "graph_shortest_path_weighted",
+    "graph_triangle_count",
+    "heavy_hitters_shard_union",
+    "histogram_event_values",
+    "interval_coverage_users",
+    "mmr_diversified_topk",
+    "multimodal_image_ahash_groups",
+    "ohlc_hourly_value",
+    "pagerank_trade_network",
+    "ppr_from_seed",
+    "pq_encode_embeddings",
+    "source_avro_roundtrip",
+    "source_protobuf_roundtrip",
+    "stream_interval_coverage",
+    "stream_kafka_log_roundtrip",
+    "stream_time_weighted_avg",
+    "survival_risk_table",
+    "text_keywords_rake",
+    "text_search_and_rank",
+    "text_trigram_simpson",
+    "time_weighted_avg_user",
+    "tokenizer_fertility",
+    "tpch_q6",
+    "tpch_q9ish",
+    "tpch_q18ish",
+    # --- 50-prefix boundary; tail = the 12 remaining r3-stale rows
+    # (all tpch_*), queued to lead the r11 sample.
+    "tpch_q2ish",
+    "tpch_q4ish",
+    "tpch_q7ish",
+    "tpch_q8ish",
+    "tpch_q10ish",
+    "tpch_q12ish",
+    "tpch_q14ish",
+    "tpch_q15ish",
+    "tpch_q17ish",
+    "tpch_q19ish",
+    "tpch_q21ish",
+    "tpch_q22ish",
 ]
 
 

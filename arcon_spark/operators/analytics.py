@@ -2662,8 +2662,10 @@ def ts_similarity_topk_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring pointer to sax_symbolize_hourly).
 
     Blocking word: each user's per-mille profile is PAA-compressed to
-    12 segment sums of 2 hours and each segment discretized to the
-    SIGN of its deviation from the user's OWN uniform share (s·12 vs
+    _SAX_W_N = 24 one-hour segment sums (_SAX_W_SEG = 1; the PAA stage
+    is an identity pass-through at this width, kept so the segment
+    width is a single tunable) and each segment discretized to the
+    SIGN of its deviation from the user's OWN uniform share (s·24 vs
     total — classic SAX z-normalizes per-series; the integer analog
     needs NO global statistics, and absent segments read 'below').
     The sign word is the load-bearing design choice: a coarse
