@@ -115,6 +115,44 @@ HEADLINE = [
 ]
 
 
+def _proc_stat_ticks() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from the aggregate cpu line of
+    /proc/stat, or None where unreadable (non-Linux)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+    except OSError:
+        return None
+    if not parts or parts[0] != "cpu":
+        return None
+    vals = [int(v) for v in parts[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
+def _steal_pct(before, after) -> float | None:
+    """Steal%% of total cpu ticks between two _proc_stat_ticks reads."""
+    if before is None or after is None:
+        return None
+    dsteal = after[0] - before[0]
+    dtotal = after[1] - before[1]
+    if dtotal <= 0:
+        return None
+    return round(100.0 * dsteal / dtotal, 2)
+
+
+def _anchor_sec() -> float:
+    """MEASURE.md int-loop anchor (20M-iteration Python sum): reads
+    ~1.8 s on the idle-host pin and 2.1-2.6 s under hypervisor steal.
+    Emitted before/after the measured loop so a BENCH artifact carries
+    its own contention evidence (VERDICT r9 What's-wrong #1)."""
+    t0 = time.monotonic()
+    s = 0
+    for i in range(20_000_000):
+        s += i
+    return round(time.monotonic() - t0, 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -179,6 +217,8 @@ def main() -> None:
     # luck; repeats are recorded in the output for transparency.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
     passes: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    anchor_before = _anchor_sec()
+    stat_before = _proc_stat_ticks()
     t_all = time.time()
     for _ in range(repeats):
         for name in HEADLINE:
@@ -198,6 +238,13 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     wall = round(time.time() - t_all, 3)
+    # Contention evidence rides the artifact (VERDICT r9 #1): steal%
+    # of all cpu ticks across the measured window, plus the int-loop
+    # anchor before/after. A reader holding only BENCH_r{N}.json can
+    # now tell a contended sitting (steal > ~1% or anchors >> 1.8 s
+    # idle pin) from a code regression — MEASURE.md drift rule.
+    steal = _steal_pct(stat_before, _proc_stat_ticks())
+    anchors = [anchor_before, _anchor_sec()]
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     full = json.dumps(
@@ -213,6 +260,8 @@ def main() -> None:
             "sf": sf_val,
             "repeats": repeats,
             "wall_sec": wall,
+            "steal_pct": steal,
+            "anchor_sec": anchors,
         }
     )
     # Full record (all queries + medians) goes to its own file; it is
@@ -236,6 +285,8 @@ def main() -> None:
         out_path,
         budget,
         medians={name: _median(ts) for name, ts in passes.items()},
+        steal_pct=steal,
+        anchor_sec=anchors,
     )
     sys.stdout.flush()
     print(line, flush=True)
@@ -250,6 +301,8 @@ def stdout_line(
     out_path: str,
     budget: int = 1900,
     medians: dict[str, float] | None = None,
+    steal_pct: float | None = None,
+    anchor_sec: list[float] | None = None,
 ) -> str:
     """ONE compact JSON line sized under the driver's 2000-byte tail
     capture: headline total + as many per-query timings as fit,
@@ -276,6 +329,10 @@ def stdout_line(
         "n_queries": len(timings),
         "queries_shown": 0,
         "queries_full": out_path,
+        # contention evidence (VERDICT r9 #1): fixed-size fields, kept
+        # in the meta dict so query-table trimming never drops them
+        "steal_pct": steal_pct,
+        "anchor_sec": anchor_sec,
     }
     medians = medians or {}
     shown: dict[str, float] = {}
