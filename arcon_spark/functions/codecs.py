@@ -305,6 +305,19 @@ def _idct(coef: "_np.ndarray") -> "_np.ndarray":
     return _A.T @ coef @ _A
 
 
+def _fdct_blocks(blocks: "_np.ndarray") -> "_np.ndarray":
+    """Batched 8x8 DCT-II over an (n, 8, 8) stack — the same two basis
+    matmuls as _fdct, broadcast over the block axis (one BLAS dispatch
+    per image instead of two per block). Byte-equality with the
+    per-block form is pinned by tests/test_codecs.py."""
+    return _A @ blocks @ _A.T
+
+
+def _idct_blocks(coefs: "_np.ndarray") -> "_np.ndarray":
+    """Batched inverse of _fdct_blocks."""
+    return _A.T @ coefs @ _A
+
+
 class _BitWriter:
     def __init__(self) -> None:
         self.out = bytearray()
@@ -379,6 +392,84 @@ class _BitReader:
         return m
 
 
+_FAST_TABLE_CACHE: dict = {}
+
+
+def _fast_table(bits: list[int], vals: list[int]) -> tuple[list[int], list[int]]:
+    """(sym_lut, len_lut): 65536-entry peek-16 huffman decode tables
+    (python lists — list indexing is the per-symbol hot path). A code
+    of length L owns the 2^(16-L) windows sharing its prefix; windows
+    no code owns read length 0 (invalid prefix — the bit-serial
+    reader's "no code matched in 16 bits" error). Cached per table
+    CONTENT: a corpus of Annex-K-table JPEGs builds the tables once
+    per process, not once per image."""
+    key = (bytes(bits), bytes(vals))
+    hit = _FAST_TABLE_CACHE.get(key)
+    if hit is None:
+        sym = _np.zeros(1 << 16, dtype=_np.int32)
+        ln = _np.zeros(1 << 16, dtype=_np.int32)
+        for s, (code, length) in _canonical_codes(bits, vals).items():
+            lo = code << (16 - length)
+            sym[lo : lo + (1 << (16 - length))] = s
+            ln[lo : lo + (1 << (16 - length))] = length
+        hit = (sym.tolist(), ln.tolist())
+        _FAST_TABLE_CACHE[key] = hit
+    return hit
+
+
+class _FastBits:
+    """MSB-first reader over a DESTUFFED entropy segment: peek-16
+    huffman decode and multi-bit receive as int.from_bytes window
+    reads — replaces ~30 per-bit python calls per block with 2-4
+    window reads. Reading past the end yields zero bits, the same
+    padding semantics as the bit-serial reader crossing a marker
+    (equivalence vs _BitReader pinned by tests/test_codecs.py)."""
+
+    __slots__ = ("data", "bitpos")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data + b"\x00\x00\x00\x00\x00"
+        self.bitpos = 0
+
+    def read_huff(self, sym_lut: list[int], len_lut: list[int]) -> int:
+        bp = self.bitpos
+        i = bp >> 3
+        v = (int.from_bytes(self.data[i : i + 4], "big") >> (16 - (bp & 7))) & 0xFFFF
+        length = len_lut[v]
+        if length == 0:
+            raise ValueError("invalid huffman code in entropy stream")
+        self.bitpos = bp + length
+        return sym_lut[v]
+
+    def receive(self, n: int) -> int:
+        if n == 0:
+            return 0
+        bp = self.bitpos
+        self.bitpos = bp + n
+        i = bp >> 3
+        return (int.from_bytes(self.data[i : i + 5], "big") >> (40 - n - (bp & 7))) & (
+            (1 << n) - 1
+        )
+
+
+def _entropy_segment(data: bytes, pos: int) -> tuple[bytes, int, int]:
+    """Destuffed entropy bytes from `pos` to the next marker: returns
+    (destuffed, marker_byte, marker_pos) where data[marker_pos] is the
+    0xFF. 0xFF00 inside the segment is a stuffed data byte; any other
+    0xFF pair ends it (RSTn / EOI / next header)."""
+    i = pos
+    n = len(data)
+    while True:
+        j = data.find(b"\xff", i)
+        if j == -1 or j + 1 >= n:
+            raise ValueError("truncated JPEG stream (no marker after scan data)")
+        nxt = data[j + 1]
+        if nxt == 0x00:
+            i = j + 2
+            continue
+        return data[pos:j].replace(b"\xff\x00", b"\xff"), nxt, j
+
+
 def _extend(v: int, t: int) -> int:
     """T.81 F.2.2.1 sign extension: v is t bits; top bit 0 => negative."""
     if t == 0:
@@ -416,38 +507,50 @@ def jpeg_encode_gray(
     )
     qmat = _np.array(q, dtype=_np.float64)[_np.argsort(_ZIGZAG)].reshape(8, 8)
 
+    # r10: one batched DCT/quantize/zigzag pass over every block (the
+    # per-block two-matmul form paid ~2 numpy dispatches plus a
+    # 64-element python list comprehension per block), then an entropy
+    # loop that touches only the NONZERO coefficients — for flat-quant
+    # constant blocks that is 3 huffman writes per block instead of a
+    # 64-iteration scan. Byte-identical to the per-block reference
+    # (tests/test_codecs.py pins the equality).
+    blocks = (
+        padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(bh * bw, 8, 8)
+    )
+    coef = _np.round(_fdct_blocks(blocks) / qmat).astype(_np.int64)
+    zz = coef.reshape(-1, 64)[:, _ZIGZAG]
+    dc = zz[:, 0]
+    diffs_l = (dc - _np.concatenate(([0], dc[:-1]))).tolist()
+    nzr, nzc = _np.nonzero(zz[:, 1:])
+    nzc_l = (nzc + 1).tolist()
+    nzv_l = zz[nzr, nzc + 1].tolist()
+    bounds = _np.searchsorted(nzr, _np.arange(len(zz) + 1)).tolist()
+
     w = _BitWriter()
-    pred = 0
-    for by in range(bh):
-        for bx in range(bw):
-            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            coef = _np.round(_fdct(block) / qmat).astype(_np.int64)
-            zz = [int(coef.flat[_ZIGZAG[i]]) for i in range(64)]
-            diff = zz[0] - pred
-            pred = zz[0]
-            t = _category(diff)
-            code, ln = dc_codes[t]
+    zrl_c, zrl_n = ac_codes[0xF0]  # ZRL
+    eob_c, eob_n = ac_codes[0x00]  # EOB
+    for i in range(len(zz)):
+        diff = diffs_l[i]
+        t = _category(diff)
+        code, ln = dc_codes[t]
+        w.write(code, ln)
+        if t:
+            w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        prev = 0
+        for p in range(bounds[i], bounds[i + 1]):
+            k = nzc_l[p]
+            v = nzv_l[p]
+            run = k - prev - 1
+            while run > 15:
+                w.write(zrl_c, zrl_n)
+                run -= 16
+            s = _category(v)
+            code, ln = ac_codes[(run << 4) | s]
             w.write(code, ln)
-            if t:
-                w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
-            run = 0
-            for k in range(1, 64):
-                v = zz[k]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[0xF0]  # ZRL
-                    w.write(code, ln)
-                    run -= 16
-                s = _category(v)
-                code, ln = ac_codes[(run << 4) | s]
-                w.write(code, ln)
-                w.write(v if v >= 0 else v + (1 << s) - 1, s)
-                run = 0
-            if run:
-                code, ln = ac_codes[0x00]  # EOB
-                w.write(code, ln)
+            w.write(v if v >= 0 else v + (1 << s) - 1, s)
+            prev = k
+        if prev != 63:
+            w.write(eob_c, eob_n)
     w.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -519,7 +622,9 @@ def jpeg_decode(data: bytes) -> dict:
                 bits = list(seg[p + 1 : p + 17])
                 n = sum(bits)
                 vals = list(seg[p + 17 : p + 17 + n])
-                (huff_ac if tc else huff_dc)[th] = _decode_table(bits, vals)
+                # stored as (bits, vals): the scan builds (and caches)
+                # the peek-16 LUTs from the raw table definition
+                (huff_ac if tc else huff_dc)[th] = (bits, vals)
                 p += 17 + n
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
@@ -572,6 +677,15 @@ def _decode_scan(
     data: bytes, pos: int, scan, comps, quant, width: int, height: int,
     restart_interval: int,
 ) -> int:
+    """r10 rewrite of the scan decoder — same spec-shaped MCU walk
+    (interleaved components, sampling factors, RSTn restarts), with
+    the two hot paths vectorized: huffman symbols read via the peek-16
+    LUT over pre-destuffed segments (_FastBits) instead of per-bit
+    python calls, and dequantize/IDCT/clip deferred and run BATCHED
+    per component after the entropy pass (one numpy dispatch per
+    component instead of three per block). Pixel-equality with the
+    bit-serial per-block reference is pinned by tests/test_codecs.py
+    (grayscale, 4:2:0 color, and restart-marker streams)."""
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = (width + 8 * hmax - 1) // (8 * hmax)
@@ -579,35 +693,44 @@ def _decode_scan(
     for c in comps:
         bw = mcux * c["h"]
         bh = mcuy * c["v"]
-        c["plane"] = _np.zeros((bh * 8, bw * 8), dtype=_np.float64)
-        c["qmat"] = _np.array(quant[c["tq"]], dtype=_np.float64)[
-            _np.argsort(_ZIGZAG)
-        ].reshape(8, 8)
+        nblk = bw * bh
+        c["bw"], c["bh"] = bw, bh
+        # coefficients accumulate in ZIGZAG order, so the dequantize
+        # multiplier in zigzag order is the raw DQT list itself
+        c["qvec"] = _np.array(quant[c["tq"]], dtype=_np.float64)
+        c["zzmat"] = _np.zeros((nblk, 64), dtype=_np.float64)
+        c["blkpos"] = _np.zeros((nblk, 2), dtype=_np.int64)
+        c["nblk"] = 0
         c["pred"] = 0
 
-    br = _BitReader(data, pos)
-    zz_unsort = _np.argsort(_ZIGZAG)
+    fscan = [
+        (comp, _fast_table(*dtab), _fast_table(*atab))
+        for comp, dtab, atab in scan
+    ]
+    seg, marker, mpos = _entropy_segment(data, pos)
+    br = _FastBits(seg)
     n_mcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and n_mcu and n_mcu % restart_interval == 0:
-                m = br.align_to_marker()
-                if not (0xD0 <= m <= 0xD7):
-                    raise ValueError(f"expected RST marker, got 0x{m:02x}")
-                br = _BitReader(data, br.pos)
+                if not (0xD0 <= marker <= 0xD7):
+                    raise ValueError(f"expected RST marker, got 0x{marker:02x}")
+                seg, marker, mpos = _entropy_segment(data, mpos + 2)
+                br = _FastBits(seg)
                 for c in comps:
                     c["pred"] = 0
-            for comp, dtab, atab in scan:
+            for comp, (dsym, dlen), (asym, alen) in fscan:
                 for v in range(comp["v"]):
                     for h in range(comp["h"]):
-                        zz = _np.zeros(64, dtype=_np.float64)
-                        t = _read_symbol(br, dtab)
+                        zzm = comp["zzmat"]
+                        bi = comp["nblk"]
+                        t = br.read_huff(dsym, dlen)
                         diff = _extend(br.receive(t), t)
                         comp["pred"] += diff
-                        zz[0] = comp["pred"]
+                        zzm[bi, 0] = comp["pred"]
                         k = 1
                         while k < 64:
-                            rs = _read_symbol(br, atab)
+                            rs = br.read_huff(asym, alen)
                             r, s = rs >> 4, rs & 15
                             if s == 0:
                                 if r == 15:
@@ -615,18 +738,29 @@ def _decode_scan(
                                     continue
                                 break  # EOB
                             k += r
-                            zz[k] = _extend(br.receive(s), s)
+                            zzm[bi, k] = _extend(br.receive(s), s)
                             k += 1
-                        coef = (zz * comp["qmat"].reshape(-1)[_ZIGZAG])[
-                            zz_unsort
-                        ].reshape(8, 8)
-                        blk = _np.clip(_np.round(_idct(coef)) + 128.0, 0, 255)
-                        by = (my * comp["v"] + v) * 8
-                        bx = (mx * comp["h"] + h) * 8
-                        comp["plane"][by : by + 8, bx : bx + 8] = blk
+                        comp["blkpos"][bi, 0] = my * comp["v"] + v
+                        comp["blkpos"][bi, 1] = mx * comp["h"] + h
+                        comp["nblk"] = bi + 1
             n_mcu += 1
-    # skip to the next marker (EOI or another segment)
-    p = br.pos
+
+    # batched dequantize + IDCT + round/clip + scatter, per component
+    zz_unsort = _np.argsort(_ZIGZAG)
+    for c in comps:
+        n = c["nblk"]
+        plane = _np.zeros((c["bh"] * 8, c["bw"] * 8), dtype=_np.float64)
+        if n:
+            deq = c["zzmat"][:n] * c["qvec"][None, :]
+            coefs = deq[:, zz_unsort].reshape(n, 8, 8)
+            blks = _np.clip(_np.round(_idct_blocks(coefs)) + 128.0, 0, 255)
+            pv = plane.reshape(c["bh"], 8, c["bw"], 8)
+            pv[c["blkpos"][:n, 0], :, c["blkpos"][:n, 1], :] = blks
+        c["plane"] = plane
+        del c["zzmat"], c["blkpos"], c["qvec"]
+
+    # skip to the next marker (EOI or another segment), ignoring RSTs
+    p = mpos
     while data[p] != 0xFF or data[p + 1] == 0x00 or 0xD0 <= data[p + 1] <= 0xD7:
         p += 1
     return p

@@ -2378,6 +2378,117 @@ def _tss_prof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tss_tile_topk(prof: DataFrame, n_users: int, words: DataFrame | None = None) -> DataFrame:
+    """Block-tile exact top-{_TSS_K} kernel over dense 24-slot
+    profiles (the house grid of dedup_embedding_cosine): one shuffle
+    of (B+1)·users vectors, all dots as one int64 matmul per tile, and
+    each tile emits only its own top-{_TSS_K} by (dist2, user_a,
+    user_b) — a lossless prune for the global top-{_TSS_K}, which then
+    sorts B(B+1)/2·{_TSS_K} candidate rows, not users². Profiles come
+    from the shared dense-array builder (_tss_vecs): the 24-bit
+    hod-presence mask enforces the oracle's shared-hod candidate
+    contract (its dots CTE inner-joins on hod; p = c·SCALE div tot
+    legitimately floors to 0, so p != 0 is NOT a valid shared-hod
+    test).
+
+    With `words` given (the SAX sign words), each tile ALSO restricts
+    to the EXACT `_sax_candidates` pair set: the {_SAX_BANDS} band
+    keys pack into int64s (positional radix over the symbol bytes) and
+    band agreement is {_SAX_BANDS} vectorized equality outer-compares —
+    so the SAX query's dense-corpus router branch returns the
+    IDENTICAL result set at tile-matmul speed instead of a banded
+    self-join + distinct + per-candidate zip_with (measured sf1
+    twin-dense corpus: 255 s banded-verify vs 30 s exact tile,
+    MEASURE.md r9; the candidate membership test inside the tile costs
+    {_SAX_BANDS} n·m integer compares against an n·m 24-wide matmul)."""
+    import numpy as np
+    import pandas as pd
+
+    vecs = _tss_vecs(prof)
+    if words is not None:
+        vecs = vecs.join(words, "user_id")
+    _B = tile_grid_side(n_users)
+    payload = ["user_id", "vec", "mask", "n2"] + (
+        [] if words is None else ["word"]
+    )
+    blk = vecs.withColumn("blk", F.pmod(F.col("user_id"), F.lit(_B)).cast("int"))
+    a_side = blk.select(
+        F.col("blk").alias("pi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(_B - 1))).alias("pj"),
+        F.lit("a").alias("side"),
+        *payload,
+    )
+    b_side = blk.select(
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("pi"),
+        F.col("blk").alias("pj"),
+        F.lit("b").alias("side"),
+        *payload,
+    )
+    grid = a_side.unionByName(b_side)
+    use_words = words is not None
+
+    def tile(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"user_a": [], "user_b": [], "dist2": []}).astype(
+            {"user_a": "int64", "user_b": "int64", "dist2": "int64"}
+        )
+        pi, pj = int(key[0]), int(key[1])
+        am = pdf["side"].to_numpy() == "a"
+        ap, bp = pdf[am], pdf[~am]
+        if ap.empty or bp.empty:
+            return empty
+        A = np.vstack(ap["vec"].to_numpy()).astype(np.int64)
+        Bm = np.vstack(bp["vec"].to_numpy()).astype(np.int64)
+        aid = ap["user_id"].to_numpy(dtype=np.int64)
+        bid = bp["user_id"].to_numpy(dtype=np.int64)
+        d2 = (
+            ap["n2"].to_numpy(dtype=np.int64)[:, None]
+            + bp["n2"].to_numpy(dtype=np.int64)[None, :]
+            - 2 * (A @ Bm.T)
+        )
+        # diagonal tiles hold block pi on both sides: a<b dedupes;
+        # off-diagonal sides are disjoint id sets, every pairing unique
+        keep = (
+            aid[:, None] < bid[None, :]
+            if pi == pj
+            else np.ones_like(d2, dtype=bool)
+        )
+        pa = ap["mask"].to_numpy(dtype=np.int64)
+        pb = bp["mask"].to_numpy(dtype=np.int64)
+        keep &= (pa[:, None] & pb[None, :]) > 0
+        if use_words:
+            radix = (256 ** np.arange(_SAX_BAND_W - 1, -1, -1)).astype(np.int64)
+            wa = (
+                np.frombuffer("".join(ap["word"]).encode("ascii"), dtype=np.uint8)
+                .reshape(-1, _SAX_BANDS, _SAX_BAND_W)
+                .astype(np.int64)
+                @ radix
+            )
+            wb = (
+                np.frombuffer("".join(bp["word"]).encode("ascii"), dtype=np.uint8)
+                .reshape(-1, _SAX_BANDS, _SAX_BAND_W)
+                .astype(np.int64)
+                @ radix
+            )
+            agree = np.zeros_like(keep)
+            for s in range(_SAX_BANDS):
+                agree |= wa[:, s][:, None] == wb[:, s][None, :]
+            keep &= agree
+        ai, bi = np.nonzero(keep)
+        out = pd.DataFrame(
+            {
+                "user_a": np.minimum(aid[ai], bid[bi]),
+                "user_b": np.maximum(aid[ai], bid[bi]),
+                "dist2": d2[ai, bi],
+            }
+        )
+        return out.sort_values(["dist2", "user_a", "user_b"]).head(_TSS_K)
+
+    cand = pin_groups(grid, "pi", "pj").groupBy("pi", "pj").applyInPandas(
+        tile, "user_a long, user_b long, dist2 long"
+    )
+    return cand.orderBy("dist2", "user_a", "user_b").limit(_TSS_K)
+
+
 @register(
     "ts_similarity_topk",
     oracle=f"""
@@ -2418,95 +2529,15 @@ def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     prof = _tss_prof(spark, sf_dir)
     # The hod equi-join caps at 24 distinct keys and shuffles
     # users²·24 pair rows into the pair aggregation (27M at sf0.1,
-    # 19 s). Instead each user's profile densifies to a 24-slot vector
-    # and the pair space runs as the house block-tile kernel
-    # (dedup_embedding_cosine's grid): one shuffle of (B+1)·users
-    # vectors, all dots as one int64 matmul per tile, and each tile
-    # emits only its own top-{_TSS_K} by (dist2, user_a, user_b) — a
-    # lossless prune for the global top-{_TSS_K}, which then sorts
-    # B(B+1)/2 · {_TSS_K} candidate rows, not users².
-    import numpy as np
-    import pandas as pd
-
-    vec = prof.groupBy("user_id").agg(
-        F.collect_list(F.struct("hod", "p")).alias("items"),
-        F.sum(F.col("p") * F.col("p")).alias("n2"),
+    # 19 s): each user's profile instead densifies to a 24-slot vector
+    # (JVM-side, _tss_vecs — r10 moved the densify out of the pandas
+    # tile) and the pair space runs as the shared block-tile kernel
+    # (_tss_tile_topk). Grid side from the user count: one small job
+    # on the checkpointed profile, so tile-pair memory stays bounded
+    # at any corpus scale.
+    return _tss_tile_topk(
+        prof, prof.select("user_id").distinct().count()
     )
-    # grid side from the user count (one small job on the checkpointed
-    # profile), so tile-pair memory is bounded at any corpus scale
-    _B = tile_grid_side(prof.select("user_id").distinct().count())
-    blk = vec.withColumn("blk", F.pmod(F.col("user_id"), F.lit(_B)).cast("int"))
-    a_side = blk.select(
-        F.col("blk").alias("pi"),
-        F.explode(F.sequence(F.col("blk"), F.lit(_B - 1))).alias("pj"),
-        F.lit("a").alias("side"), "user_id", "items", "n2",
-    )
-    b_side = blk.select(
-        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("pi"),
-        F.col("blk").alias("pj"),
-        F.lit("b").alias("side"), "user_id", "items", "n2",
-    )
-    grid = a_side.unionByName(b_side)
-
-    def tile(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"user_a": [], "user_b": [], "dist2": []}).astype(
-            {"user_a": "int64", "user_b": "int64", "dist2": "int64"}
-        )
-        pi, pj = int(key[0]), int(key[1])
-        am = pdf["side"].to_numpy() == "a"
-        ap, bp = pdf[am], pdf[~am]
-        if ap.empty or bp.empty:
-            return empty
-
-        def dense(items: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-            m = np.zeros((len(items), 24), dtype=np.int64)
-            pres = np.zeros(len(items), dtype=np.int64)
-            for r, lst in enumerate(items):
-                for it in lst:
-                    m[r, it["hod"]] = it["p"]
-                    # presence tracks the profile ROW, not the value:
-                    # p = c·SCALE div tot legitimately floors to 0, so
-                    # p != 0 is NOT a valid shared-hod test. Packed as
-                    # a 24-bit mask: the pairwise intersect test is one
-                    # n² bitwise AND, 24x cheaper than a presence matmul
-                    pres[r] |= 1 << it["hod"]
-            return m, pres
-
-        A, Pa = dense(ap["items"].reset_index(drop=True))
-        Bm, Pb = dense(bp["items"].reset_index(drop=True))
-        aid = ap["user_id"].to_numpy(dtype=np.int64)
-        bid = bp["user_id"].to_numpy(dtype=np.int64)
-        d2 = (
-            ap["n2"].to_numpy(dtype=np.int64)[:, None]
-            + bp["n2"].to_numpy(dtype=np.int64)[None, :]
-            - 2 * (A @ Bm.T)
-        )
-        # diagonal tiles hold block pi on both sides: a<b dedupes;
-        # off-diagonal sides are disjoint id sets, every pairing unique
-        keep = (
-            aid[:, None] < bid[None, :]
-            if pi == pj
-            else np.ones_like(d2, dtype=bool)
-        )
-        # candidate-set contract: the oracle's dots CTE joins profiles
-        # on hod, so a pair with no shared-hod row is not a candidate —
-        # even though its dist2 = n2a + n2b is well-defined. Keep only
-        # pairs whose 24-bit hod-presence masks intersect.
-        keep &= (Pa[:, None] & Pb[None, :]) > 0
-        ai, bi = np.nonzero(keep)
-        out = pd.DataFrame(
-            {
-                "user_a": np.minimum(aid[ai], bid[bi]),
-                "user_b": np.maximum(aid[ai], bid[bi]),
-                "dist2": d2[ai, bi],
-            }
-        )
-        return out.sort_values(["dist2", "user_a", "user_b"]).head(_TSS_K)
-
-    cand = pin_groups(grid, "pi", "pj").groupBy("pi", "pj").applyInPandas(
-        tile, "user_a long, user_b long, dist2 long"
-    )
-    return cand.orderBy("dist2", "user_a", "user_b").limit(_TSS_K)
 
 
 _SAX_W_SEG = 1  # profile-word PAA segment width (24 hourly segments)
@@ -2588,14 +2619,12 @@ def _sax_words(prof: DataFrame) -> DataFrame:
     )
 
 
-def _sax_candidates(prof: DataFrame) -> DataFrame:
-    """(user_a, user_b) banded candidate pairs: users whose sign words
-    agree on at least one of the {_SAX_BANDS} bands. Shared by the
-    registered query and the pigeonhole contract test
-    (tests/test_analytics.py), so the test exercises the REAL blocking
-    stage, not a re-derivation."""
-    words = _sax_words(prof)
-    probes = words.select(
+def _sax_probes(words: DataFrame) -> DataFrame:
+    """(user_id, slot, probe): each user's {_SAX_BANDS} band substrings
+    of the sign word — the LSH band keys. Factored out of
+    _sax_candidates so the router's candidate-count aggregate
+    (_sax_router_stats) measures the REAL blocking keys."""
+    return words.select(
         "user_id",
         F.explode(F.sequence(F.lit(0), F.lit(_SAX_BANDS - 1))).alias("slot"),
         "word",
@@ -2606,6 +2635,52 @@ def _sax_candidates(prof: DataFrame) -> DataFrame:
             "probe"
         ),
     )
+
+
+def _sax_router_stats(prof: DataFrame) -> tuple[int, int]:
+    """(n_users, upper_pairs) in ONE aggregate job over the band
+    probes: upper_pairs = Σ_buckets C(n, 2) over every (slot, probe)
+    bucket — an upper bound on the DISTINCT banded candidate count (a
+    pair agreeing on several bands is counted once per band, so the
+    bound overestimates by at most {_SAX_BANDS}×), and n_users rides
+    the same job as the slot-0 bucket-size sum. Both drive the verify
+    plan choice in ts_similarity_topk_sax; the n_users value also
+    sizes the tile grid, so the dense branch adds no extra count
+    job."""
+    row = (
+        _sax_probes(_sax_words(prof))
+        .groupBy("slot", "probe")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(F.expr("n * (n - 1) div 2")).alias("ub"),
+            F.sum(F.when(F.col("slot") == 0, F.col("n")).otherwise(0)).alias(
+                "nu"
+            ),
+        )
+        .collect()[0]
+    )
+    return int(row["nu"] or 0), int(row["ub"] or 0)
+
+
+#: verify-plan router threshold: the banded path costs ~120× more per
+#: CANDIDATE than the tile matmul costs per PAIR (measured sf1:
+#: 254.8 s zip_with-verify over 7.7M candidates vs 30 s tile kernel
+#: over 112M pairs — MEASURE.md r9), so the tile wins once candidate
+#: density exceeds ~1/120 of all pairs. Routed at 1/64 — conservative
+#: 2× above break-even; _sax_router_stats' ≤6× overestimate can at
+#: worst route a 1/384-density corpus to the tile, still within ~2×
+#: of the banded plan there, while production-sparse corpora
+#: (density ≪ 1%) keep the shuffle-light banded plan.
+_TSS_DENSE_ROUTE = 64
+
+
+def _sax_candidates(prof: DataFrame) -> DataFrame:
+    """(user_a, user_b) banded candidate pairs: users whose sign words
+    agree on at least one of the {_SAX_BANDS} bands. Shared by the
+    registered query and the pigeonhole contract test
+    (tests/test_analytics.py), so the test exercises the REAL blocking
+    stage, not a re-derivation."""
+    probes = _sax_probes(_sax_words(prof))
     # DISTINCT is load-bearing: a pair agreeing on several bands
     # collides on each of them, and a duplicated candidate row would
     # multiply its prof rows through the dot join (dot counted once
@@ -2697,11 +2772,18 @@ def ts_similarity_topk_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 bands → recall 1.0, no prune. 6 bands is registered. When the
     corpus's near-pair density is itself quadratic (the sf1 curve
     synthesizer plants ~45 profile twins per base user), candidate
-    count ~ n²/buckets and the exact kernel's dense tile matmul is
-    the faster plan (measured sf1: 30 s exact vs 255 s banded) — use
-    this pipeline when pairs are sparse, the exact kernel when the
-    corpus is twin-dense; both return oracle-checked answers either
-    way. Quality is
+    count ~ n²/buckets and a dense tile matmul over the SAME candidate
+    set is the faster verify plan (measured sf1: 30 s tile vs 255 s
+    banded join). r10 (VERDICT r9 #2): the query now ROUTES between
+    the two verify plans itself — one cheap aggregate over the band
+    buckets (_sax_router_stats: Σ C(bucket, 2), the quantity that
+    decides the plan) picks the banded zip_with join when candidates
+    are sparse (production corpora) and the band-filtered tile kernel
+    (_tss_tile_topk with words — the membership test runs INSIDE the
+    tile, so the candidate SET and therefore the result is identical)
+    when density exceeds 1/{_TSS_DENSE_ROUTE} of all pairs; both
+    branches are oracle-checked and their equality is pinned by
+    tests/test_analytics.py. Quality is
     audited in tests/test_analytics.py on BOTH standard ANN metrics —
     top-10 set recall AND the k-th-distance ratio — because this
     synthetic corpus plants no near-dup user profiles (hour-of-day
@@ -2711,19 +2793,29 @@ def ts_similarity_topk_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate) is property-tested there too, cf. PAPERS.md
     EDBT'19/REPOSE."""
     prof = _tss_prof(spark, sf_dir)
+    n_users, upper = _sax_router_stats(prof)
+    if upper * _TSS_DENSE_ROUTE >= n_users * max(0, n_users - 1) // 2:
+        # candidate-dense corpus: same candidate set, verified inside
+        # the tile kernel (band agreement = 6 vectorized equality
+        # compares per tile) — identical result, tile-matmul speed
+        return _tss_tile_topk(prof, n_users, words=_sax_words(prof))
+    return _sax_banded_verify(prof)
+
+
+def _sax_banded_verify(prof: DataFrame) -> DataFrame:
+    """The sparse-corpus verify branch of ts_similarity_topk_sax: ONE
+    row per banded candidate, not a pair x hod explosion. Each user's
+    profile densifies to a 24-slot long array plus a 24-bit
+    hod-presence mask (p = c*SCALE div tot legitimately floors to 0,
+    so p != 0 is NOT a valid shared-hod test — same contract as the
+    exact kernel's tile). dist2 is one JVM zip_with/aggregate over the
+    two arrays; the mask intersect enforces the oracle's shared-hod
+    candidate contract (its dots CTE is an inner join on hod). The
+    first registered form verified through a (pair x shared-hod) equi
+    join — at sf1's twin-dense corpus that exploded ~7.7M candidates
+    x ~24 rows and read 500 s; this form carries the same candidates
+    as single rows (r9 curve re-measure)."""
     cand = _sax_candidates(prof)
-    # verify stage: ONE row per candidate, not a pair x hod explosion.
-    # Each user's profile densifies to a 24-slot long array plus a
-    # 24-bit hod-presence mask (p = c*SCALE div tot legitimately
-    # floors to 0, so p != 0 is NOT a valid shared-hod test — same
-    # contract as the exact kernel's tile). dist2 is one JVM
-    # zip_with/aggregate over the two arrays; the mask intersect
-    # enforces the oracle's shared-hod candidate contract (its dots
-    # CTE is an inner join on hod). The first registered form verified
-    # through a (pair x shared-hod) equi join — at sf1's twin-dense
-    # corpus that exploded ~7.7M candidates x ~24 rows and read 500 s;
-    # this form carries the same candidates as single rows (r9 curve
-    # re-measure).
     vecs = _tss_vecs(prof)
     va = vecs.select(
         F.col("user_id").alias("user_a"),

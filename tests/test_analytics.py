@@ -433,3 +433,32 @@ def test_radius_join_is_lossless_vs_bruteforce(spark, sf_dir):
         f"extra={sorted(set(got) - set(truth))[:5]}"
     )
     assert truth, "degenerate: radius captures no pairs at this SF"
+
+
+def test_sax_router_branches_agree_and_route_dense(spark, sf_dir):
+    """r10: ts_similarity_topk_sax routes its verify plan from the
+    measured banded candidate count (one aggregate over the band
+    buckets). Contract: BOTH branches — the banded zip_with verify and
+    the tile-matmul verify restricted to the identical candidate set —
+    return the same top-K, so routing can never change the result; and
+    on this candidate-dense synthetic corpus (measured 35% of all pairs
+    at sf0.1) the router must pick the tile branch."""
+    import arcon_spark.operators.analytics as A
+
+    prof = A._tss_prof(spark, sf_dir)
+    n_users, upper = A._sax_router_stats(prof)
+    assert n_users > 1 and upper > 0
+    assert upper * A._TSS_DENSE_ROUTE >= n_users * (n_users - 1) // 2, (
+        "router should read this corpus as candidate-dense"
+    )
+    banded = {
+        (r.user_a, r.user_b, r.dist2)
+        for r in A._sax_banded_verify(prof).collect()
+    }
+    tiled = {
+        (r.user_a, r.user_b, r.dist2)
+        for r in A._tss_tile_topk(
+            prof, n_users, words=A._sax_words(prof)
+        ).collect()
+    }
+    assert banded and banded == tiled
