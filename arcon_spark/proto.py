@@ -509,12 +509,21 @@ def _register_roundtrip_query() -> None:
         stream aggregates per type. The oracle aggregates the raw
         parquet, so a hash-match proves encode∘decode = identity on
         10k real rows including doubles at full IEEE fidelity."""
-        ev = load_table(spark, sf_dir, "events").select(
-            "event_id",
-            "user_id",
-            "event_type",
-            "value",
-            F.expr("unix_micros(ts)").alias("ts_us"),
+        from arcon_spark.io import spread
+
+        # spread: the test table is ONE parquet file with ONE row group
+        # → a single input split, which serialized BOTH python codec
+        # stages (encode + decode of every row) onto one core (guide
+        # §2.5 input skew; measured 3.81 s → 1.5 s at sf0.1). At real
+        # scale the scan has thousands of splits and this is a no-op.
+        ev = spread(
+            load_table(spark, sf_dir, "events").select(
+                "event_id",
+                "user_id",
+                "event_type",
+                "value",
+                F.expr("unix_micros(ts)").alias("ts_us"),
+            )
         )
         msg = message_from_spark_schema("Event", ev.schema)
         enc = proto_encode(ev, msg)
@@ -570,7 +579,12 @@ def _register_oneof_roundtrip_query() -> None:
         the same rollup from raw parquet, so a hash-match proves the
         oneof framing (set-member-always-serialized, siblings-null)
         loses nothing — including which arm was set."""
-        ev = load_table(spark, sf_dir, "events")
+        from arcon_spark.io import spread
+
+        # spread: same single-split input-skew fix as the flat
+        # roundtrip above — both python codec stages otherwise run on
+        # one core at test scale (no-op on multi-split inputs)
+        ev = spread(load_table(spark, sf_dir, "events"))
         tagged = ev.select(
             F.when(
                 ev.event_type == "purchase",

@@ -159,6 +159,12 @@ def arrow_ipc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     component checked in exact scaled-integer units)."""
     import tempfile
 
+    # deliberately NOT spread(): measured at sf0.1 (r10 probe, 3 warm
+    # passes) the 2000-row table's IPC write+read is cheaper on the
+    # single scan split (0.85 s) than behind a repartition (1.25 s) —
+    # the codec work is too small to amortize the exchange. At real
+    # scale the scan is multi-split and the writer parallelizes by
+    # itself (one file per partition).
     src = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     path = scratch_dir("arcon_ipc_")
     to_arrow_ipc(src, path)

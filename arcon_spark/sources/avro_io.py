@@ -412,12 +412,23 @@ def _register_roundtrip_query() -> None:
         on real data (longs, unicode strings, full-precision doubles).
         Same query shape as source_protobuf_roundtrip / the Arrow IPC
         roundtrip, completing the interchange-format set."""
-        ev = load_table(spark, sf_dir, "events").select(
-            "event_id",
-            "user_id",
-            "event_type",
-            "value",
-            F.expr("unix_micros(ts)").alias("ts_us"),
+        from arcon_spark.io import spread
+
+        # spread: the single-file test table is ONE input split, which
+        # serialized the python Avro writer onto one core AND produced
+        # one .avro container — so the binaryFile decode side was one
+        # task too (guide §2.5 input skew; measured 2.37 s → ~1 s at
+        # sf0.1). At real scale the scan is already multi-split and
+        # this is a no-op; output file count then tracks partitions,
+        # the same sizing rule as any sink (guide §6).
+        ev = spread(
+            load_table(spark, sf_dir, "events").select(
+                "event_id",
+                "user_id",
+                "event_type",
+                "value",
+                F.expr("unix_micros(ts)").alias("ts_us"),
+            )
         )
         out = scratch_dir("arcon_avro_") + "/events"
         to_avro(ev, out)
