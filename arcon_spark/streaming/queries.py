@@ -873,8 +873,15 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     results_dir = os.path.join(work, "pairs")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        from arcon_spark.io import spread
+
+        # spread: each wave arrives as ONE tape file → one input split,
+        # so the signature build (shingle explode → md5 minhash — the
+        # only data-scaled component, exp 0.55 in the r9 decomposition)
+        # ran entirely on one core before its first exchange. At real
+        # ingest scale a batch spans many files and this is a no-op.
         bands = lsh_bands_of(
-            signatures_of_shingles(shingles_of(batch_df))
+            signatures_of_shingles(shingles_of(spread(batch_df)))
         ).persist()
         if os.path.isdir(index_dir):
             idx = spark.read.parquet(index_dir)
