@@ -60,18 +60,30 @@ _SAMPLE_FIRST = [
     "stream_stateful_first_value",
     "stream_tumbling_window_agg",
     "stream_type_counts_tws",
-    # (2) queries added or changed in r10: the candidate-count
-    #     ts-similarity router (VERDICT r9 next-round #2), plus
-    #     dedup_embedding_cosine as the round's data-dependent
+    # (2) the 12 queries CHANGED by the r10 optimization round (every
+    #     one re-verified at sf0.001 + sf0.01 in-round; the driver
+    #     sample re-certifies them at sf0.01 — OPTIMIZATION_r10.md),
+    #     plus dedup_embedding_cosine as the round's data-dependent
     #     tile-kernel insurance row (standing VERDICT r7 #4 rule);
-    "ts_similarity_topk_routed",
+    "ts_similarity_topk_sax",
+    "ts_similarity_topk",
+    "multimodal_jpeg_roundtrip",
+    "source_protobuf_roundtrip",
+    "source_protobuf_oneof_roundtrip",
+    "source_avro_roundtrip",
+    "stream_incremental_dedup",
+    "kmeans_embeddings",
+    "semdedup_embeddings",
+    "profile_orders_columns",
+    "dedup_cc_star_contraction",
+    "stream_first_seen_tws",
     "dedup_embedding_cosine",
     # (3) re-certification backfill from the r3-stale tier (48 rows:
-    #     33 non-TPC-H + 15 tpch_*). The 36 below = all 33 non-TPC-H
-    #     rows + the 3 heaviest TPC-H rows (q6 scan-agg, q9ish
-    #     6-table profit, q18ish large-order join); the remaining 12
-    #     tpch_* rows are queued post-boundary to lead the r11
-    #     sample. 12 + 2 + 36 = 50 = the driver's sample size.
+    #     33 non-TPC-H + 15 tpch_*). The 25 below are the head of that
+    #     tier (source_avro/protobuf moved up into block 2); the
+    #     remaining 9 non-TPC-H rows + all 15 tpch_* rows queue
+    #     post-boundary to lead the r11 sample.
+    #     12 + 13 + 25 = 50 = the driver's sample size.
     "ann_ivf_pq_topk",
     "ann_pq_adc_topk",
     "arrow_ipc_roundtrip",
@@ -94,11 +106,12 @@ _SAMPLE_FIRST = [
     "pagerank_trade_network",
     "ppr_from_seed",
     "pq_encode_embeddings",
-    "source_avro_roundtrip",
-    "source_protobuf_roundtrip",
     "stream_interval_coverage",
     "stream_kafka_log_roundtrip",
     "stream_time_weighted_avg",
+    # --- 50-prefix boundary; tail = the 9 remaining r3-stale
+    # non-TPC-H rows then the 15 r3-stale tpch_* rows, queued to lead
+    # the r11 sample.
     "survival_risk_table",
     "text_keywords_rake",
     "text_search_and_rank",
@@ -108,8 +121,6 @@ _SAMPLE_FIRST = [
     "tpch_q6",
     "tpch_q9ish",
     "tpch_q18ish",
-    # --- 50-prefix boundary; tail = the 12 remaining r3-stale rows
-    # (all tpch_*), queued to lead the r11 sample.
     "tpch_q2ish",
     "tpch_q4ish",
     "tpch_q7ish",

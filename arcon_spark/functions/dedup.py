@@ -688,8 +688,11 @@ def _cc_large_star(edges: DataFrame) -> DataFrame:
         .agg(F.min("v").alias("mn"))
         .select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
     )
+    # sym.filter(v > u) is exactly the original edge set re-keyed
+    # (u = lo, v = hi) — join that directly instead of re-deriving it
+    # through the union (one branch fewer in the plan; same rows)
     return (
-        sym.filter(F.col("v") > F.col("u"))
+        edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
         .join(mins, "u")
         .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
         .filter(F.col("hi") != F.col("lo"))
@@ -743,20 +746,22 @@ def dedup_cc_star_contraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     converged = False
+    n_edges = edges.count()
     for _ in range(12):  # ~log2(max component size); test graphs take 2-3
         new_edges = _cc_small_star(_cc_large_star(edges)).localCheckpoint(eager=True)
         # set-equality check: both frames are distinct, so ⊆ + equal
-        # cardinality ⇒ equal. Two cheap actions on checkpointed frames.
-        if (
-            new_edges.count() == edges.count()
-            and new_edges.subtract(edges).count() == 0
-        ):
+        # cardinality ⇒ equal. The count is carried across rounds (one
+        # count job per round, not two); the subtract job runs only in
+        # the terminating round, when the counts already agree.
+        n_new = new_edges.count()
+        if n_new == n_edges and new_edges.subtract(edges).count() == 0:
             edges.unpersist()
             edges = new_edges
             converged = True
             break
         edges.unpersist()
         edges = new_edges
+        n_edges = n_new
     if not converged:  # pragma: no cover - bound is generous
         raise RuntimeError("star-contraction CC did not converge in 12 rounds")
     # converged edge set is the star graph: each non-root points at its

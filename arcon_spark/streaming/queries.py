@@ -419,18 +419,26 @@ def stream_first_seen_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             self.first = handle.getValueState("first", "v double, ts_us long, eid long")
 
         def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+
             saw_marker = False
             cand = None  # best (ts_us, eid, v) across ALL chunks this batch
             for pdf in rows:
-                marker = pdf["event_id"] < 0
+                eid = pdf["event_id"].to_numpy()
+                marker = eid < 0
                 saw_marker = saw_marker or bool(marker.any())
-                data = pdf[~marker]
-                if len(data):
-                    idx = data.sort_values(["ts_us", "event_id"], kind="mergesort").index[0]
+                keep = ~marker
+                if keep.any():
+                    # (ts_us, event_id)-argmin via lexsort — the per-key
+                    # hot path runs once per key per batch, and a full
+                    # pandas sort_values here cost ~5x the numpy pick
+                    ts = pdf["ts_us"].to_numpy()[keep]
+                    ke = eid[keep]
+                    i = int(np.lexsort((ke, ts))[0])
                     c = (
-                        int(data.at[idx, "ts_us"]),
-                        int(data.at[idx, "event_id"]),
-                        float(data.at[idx, "value"]),
+                        int(ts[i]),
+                        int(ke[i]),
+                        float(pdf["value"].to_numpy()[keep][i]),
                     )
                     if cand is None or c < cand:
                         cand = c
