@@ -424,10 +424,167 @@ def decode_message(msg: MessageType, data: bytes) -> dict:
 # ---------------------------------------------------------------------------
 
 
+#: kinds the vectorized batch encoder covers (flat scalar proto3
+#: messages with 1-byte keys — the ArconType record shape)
+_BATCH_KINDS = {"int64", "uint64", "bool", "double", "string", "bytes"}
+
+
+def _batch_encodable(msg: MessageType) -> bool:
+    return all(
+        (not f.repeated)
+        and f.oneof is None
+        and f.kind in _BATCH_KINDS
+        and f.tag < 16  # 1-byte key
+        for f in msg.fields
+    )
+
+
+def _np_varint_chunks(key_byte, u, present):
+    """Per-row `key + varint(u)` payloads (empty where not present) as
+    (buf uint8 ndarray, offsets int32 ndarray). `u` is uint64 —
+    negatives already two's-complement-wrapped, matching
+    _write_varint's 64-bit masking."""
+    import numpy as np
+
+    nb = np.ones(len(u), dtype=np.int64)
+    for k in range(1, 10):
+        nb += (u >= (1 << (7 * k))).astype(np.int64)
+    plen = np.where(present, 1 + nb, 0)
+    offsets = np.zeros(len(u) + 1, dtype=np.int64)
+    np.cumsum(plen, out=offsets[1:])
+    buf = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    starts = offsets[:-1]
+    buf[starts[present]] = key_byte
+    for k in range(10):
+        m = present & (nb > k)
+        if not m.any():
+            break
+        byte = ((u[m] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        byte |= np.where(nb[m] > k + 1, 0x80, 0).astype(np.uint8)
+        buf[starts[m] + 1 + k] = byte
+    return buf, offsets
+
+
+def _encode_batch_arrow(msg: MessageType, batch):
+    """Vectorized proto3 encode of a whole Arrow batch → one binary
+    array, byte-identical to per-row encode_message (pinned by
+    tests/test_proto.py): same proto3 default omission (0 / "" / b"" /
+    false / NaN-as-missing — the per-row path routes NaN through
+    pandas NA), same field order, same 64-bit varint wrapping. Each
+    field builds its payload column with numpy (varint bytes by
+    position, fixed64 via a (n, 8) little-endian view, string/bytes
+    via one ragged gather), and the per-row message is a single
+    binary_join_element_wise concat — zero python-level per-row
+    work (guide §4.2)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    chunks = []
+    for f in msg.fields:
+        col = batch.column(batch.schema.get_field_index(f.name))
+        if isinstance(col, pa.ChunkedArray):  # pragma: no cover - batches are flat
+            col = col.combine_chunks()
+        null = col.is_null().to_numpy(zero_copy_only=False)
+        key = _key(f.tag, _scalar_wire(f.kind))
+        if f.kind in ("int64", "uint64", "bool"):
+            vals = col.cast(pa.int64()).fill_null(0).to_numpy(zero_copy_only=False)
+            u = vals.astype(np.int64).astype(np.uint64)
+            present = (~null) & (vals != 0)
+            buf, offsets = _np_varint_chunks(key, u, present)
+        elif f.kind == "double":
+            vals = col.cast(pa.float64()).fill_null(0.0).to_numpy(
+                zero_copy_only=False
+            )
+            # mirror the per-row path exactly: 0.0 and -0.0 are the
+            # proto3 default (omitted); NaN goes through pandas NA →
+            # None there, so it is ABSENT here too
+            present = (~null) & (vals != 0.0) & (~np.isnan(vals))
+            plen = np.where(present, 9, 0)
+            offsets = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(plen, out=offsets[1:])
+            buf = np.zeros(int(offsets[-1]), dtype=np.uint8)
+            starts = offsets[:-1][present]
+            buf[starts] = key
+            le = np.ascontiguousarray(vals[present], dtype="<f8").view(
+                np.uint8
+            ).reshape(-1, 8)
+            buf[starts[:, None] + 1 + np.arange(8)] = le
+        else:  # string / bytes
+            b = col.cast(pa.binary()).fill_null(b"")
+            src_off = np.frombuffer(b.buffers()[1], dtype=np.int32)[
+                b.offset : b.offset + n + 1
+            ].astype(np.int64)
+            src = np.frombuffer(b.buffers()[2] or b"", dtype=np.uint8)
+            lens = src_off[1:] - src_off[:-1]
+            present = (~null) & (lens > 0)
+            nb = np.ones(n, dtype=np.int64)
+            for k in range(1, 5):
+                nb += (lens >= (1 << (7 * k))).astype(np.int64)
+            plen = np.where(present, 1 + nb + lens, 0)
+            offsets = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(plen, out=offsets[1:])
+            buf = np.zeros(int(offsets[-1]), dtype=np.uint8)
+            starts = offsets[:-1]
+            buf[starts[present]] = key
+            # length varints
+            u = lens.astype(np.uint64)
+            for k in range(5):
+                m = present & (nb > k)
+                if not m.any():
+                    break
+                byte = ((u[m] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(
+                    np.uint8
+                )
+                byte |= np.where(nb[m] > k + 1, 0x80, 0).astype(np.uint8)
+                buf[starts[m] + 1 + k] = byte
+            # ragged gather of the payload bytes, one vectorized copy
+            lp = lens[present]
+            if lp.sum():
+                row_out = (starts + 1 + nb)[present]
+                row_src = src_off[:-1][present]
+                shift = np.concatenate(([0], np.cumsum(lp[:-1])))
+                seq = np.arange(int(lp.sum()), dtype=np.int64) - np.repeat(
+                    shift, lp
+                )
+                buf[np.repeat(row_out, lp) + seq] = src[
+                    np.repeat(row_src, lp) + seq
+                ]
+        chunks.append(
+            pa.Array.from_buffers(
+                pa.large_binary(),
+                n,
+                [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf.tobytes())],
+            )
+        )
+    if len(chunks) == 1:
+        joined = chunks[0]
+    else:
+        joined = pc.binary_join_element_wise(
+            *chunks, pa.scalar(b"", pa.large_binary())
+        )
+    return joined.cast(pa.binary())
+
+
 def proto_encode(df: DataFrame, msg: MessageType, out_col: str = "proto") -> DataFrame:
     """Encode every row of `df` (whose columns must match msg fields)
-    into one protobuf-framed binary column."""
+    into one protobuf-framed binary column. Flat scalar messages (the
+    ArconType record shape) take the vectorized Arrow batch encoder —
+    r10, ~10× less python per row; anything with repeated/nested/oneof
+    fields keeps the general per-row path."""
     cols = [f.name for f in msg.fields]
+
+    if _batch_encodable(msg):
+        import pyarrow as pa
+
+        def gen_arrow(batches):
+            for batch in batches:
+                yield pa.RecordBatch.from_arrays(
+                    [_encode_batch_arrow(msg, batch)], [out_col]
+                )
+
+        return df.select(*cols).mapInArrow(gen_arrow, f"{out_col} binary")
 
     def gen(batches):
         import pandas as pd
