@@ -567,6 +567,163 @@ def _encode_batch_arrow(msg: MessageType, batch):
     return joined.cast(pa.binary())
 
 
+def _np_read_varints(data, p, limit):
+    """Vectorized varint reads at byte positions `p` (each bounded by
+    `limit`). Returns (val uint64, nbytes int64, ok bool): `ok` is
+    False where the varint runs past `limit`, exceeds 10 bytes, or its
+    10th byte carries more than the sign bit (value would exceed 64
+    bits) — exactly the rows the per-row reference path either raises
+    on or handles with arbitrary-precision ints, so callers bail to it."""
+    import numpy as np
+
+    m = p.shape[0]
+    val = np.zeros(m, dtype=np.uint64)
+    nbytes = np.zeros(m, dtype=np.int64)
+    done = np.zeros(m, dtype=bool)
+    ok = np.ones(m, dtype=bool)
+    for k in range(10):
+        need = ~done
+        if not need.any():
+            break
+        oor = need & (p + k >= limit)
+        if oor.any():
+            ok[oor] = False
+            done[oor] = True
+            need = need & ~oor
+        idx = np.nonzero(need)[0]
+        if idx.size == 0:
+            continue
+        byte = data[p[idx] + k]
+        val[idx] |= (byte.astype(np.uint64) & np.uint64(0x7F)) << np.uint64(7 * k)
+        if k == 9:
+            # 10th byte may only carry the top bit of a 64-bit value
+            over = byte > 1
+            ok[idx[over]] = False
+            done[idx] = True
+            nbytes[idx] = 10
+        else:
+            term = (byte & 0x80) == 0
+            done[idx[term]] = True
+            nbytes[idx[term]] = k + 1
+    ok &= done
+    return val, nbytes, ok
+
+
+def _decode_batch_arrow(msg: MessageType, col):
+    """Vectorized proto3 decode of a whole Arrow binary array for flat
+    scalar messages — the inverse of `_encode_batch_arrow`, value-
+    identical to per-row decode_message (pinned by tests/test_proto.py):
+    same defaults for absent fields, same last-tag-wins on duplicates,
+    same two's-complement interpretation for signed varints, and —
+    like the per-row path — the wire type of a KNOWN tag is ignored
+    and the field decodes by its declared kind. Walks all rows in
+    lock-step (one vectorized pass per field occurrence, ~max fields
+    present per row iterations). Returns the list of per-field Arrow
+    arrays in msg.fields order, or None when ANY row needs semantics
+    the fast path does not prove (null input, multi-byte or unknown
+    tag keys, truncated/overlong varints, payloads crossing the row
+    end) — the caller then runs the per-row reference path for the
+    whole batch, which reproduces results AND error behaviour exactly."""
+    import numpy as np
+    import pyarrow as pa
+
+    b = col.cast(pa.large_binary())
+    n = len(b)
+    if b.null_count:
+        return None
+    off = np.frombuffer(b.buffers()[1], dtype=np.int64)[b.offset : b.offset + n + 1]
+    data = np.frombuffer(b.buffers()[2] or b"", dtype=np.uint8)
+    pos = off[:-1].astype(np.int64, copy=True)
+    end = off[1:].astype(np.int64)
+
+    ints: dict[str, object] = {}
+    dbls: dict[str, object] = {}
+    lstarts: dict[str, object] = {}
+    llens: dict[str, object] = {}
+    for f in msg.fields:
+        if f.kind in ("int64", "uint64", "bool"):
+            ints[f.name] = np.zeros(n, dtype=np.uint64)
+        elif f.kind == "double":
+            dbls[f.name] = np.zeros(n, dtype=np.float64)
+        else:  # string / bytes
+            lstarts[f.name] = np.zeros(n, dtype=np.int64)
+            llens[f.name] = np.zeros(n, dtype=np.int64)
+
+    active = pos < end
+    while active.any():
+        ai = np.nonzero(active)[0]
+        key = data[pos[ai]]
+        if (key & 0x80).any():  # tag >= 16: multi-byte key
+            return None
+        tag = key >> 3
+        known = np.zeros(ai.shape[0], dtype=bool)
+        for f in msg.fields:
+            fm = tag == f.tag
+            if not fm.any():
+                continue
+            known |= fm
+            idx = ai[fm]
+            if f.kind in ("int64", "uint64", "bool"):
+                v, nb, ok = _np_read_varints(data, pos[idx] + 1, end[idx])
+                if not ok.all():
+                    return None
+                ints[f.name][idx] = v
+                pos[idx] += 1 + nb
+            elif f.kind == "double":
+                if (pos[idx] + 9 > end[idx]).any():
+                    return None
+                eight = data[pos[idx, None] + 1 + np.arange(8)]
+                dbls[f.name][idx] = (
+                    np.ascontiguousarray(eight).view("<f8").reshape(-1)
+                )
+                pos[idx] += 9
+            else:  # string / bytes: length-delimited
+                ln, nb, ok = _np_read_varints(data, pos[idx] + 1, end[idx])
+                start = pos[idx] + 1 + nb
+                if not (ok & (start + ln.astype(np.int64) <= end[idx])).all():
+                    return None
+                lstarts[f.name][idx] = start
+                llens[f.name][idx] = ln.astype(np.int64)
+                pos[idx] = start + ln.astype(np.int64)
+        if not known.all():  # unknown tag: per-row path skips by wire
+            return None
+        active = pos < end
+
+    out = []
+    for f in msg.fields:
+        if f.kind == "int64":
+            out.append(pa.array(ints[f.name].view(np.int64)))
+        elif f.kind == "uint64":
+            out.append(pa.array(ints[f.name]))
+        elif f.kind == "bool":
+            out.append(pa.array(ints[f.name] != 0))
+        elif f.kind == "double":
+            out.append(pa.array(dbls[f.name]))
+        else:
+            lens = llens[f.name]
+            starts = lstarts[f.name]
+            out_off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lens, out=out_off[1:])
+            total = int(out_off[-1])
+            if total:
+                nz = lens > 0
+                lp = lens[nz]
+                shift = np.concatenate(([0], np.cumsum(lp[:-1])))
+                seq = np.arange(total, dtype=np.int64) - np.repeat(shift, lp)
+                payload = data[np.repeat(starts[nz], lp) + seq]
+            else:
+                payload = np.zeros(0, dtype=np.uint8)
+            arr = pa.Array.from_buffers(
+                pa.large_binary(),
+                n,
+                [None, pa.py_buffer(out_off.tobytes()), pa.py_buffer(payload.tobytes())],
+            )
+            if f.kind == "string":
+                arr = arr.cast(pa.large_string())  # validates utf-8
+            out.append(arr)
+    return out
+
+
 def proto_encode(df: DataFrame, msg: MessageType, out_col: str = "proto") -> DataFrame:
     """Encode every row of `df` (whose columns must match msg fields)
     into one protobuf-framed binary column. Flat scalar messages (the
@@ -615,7 +772,50 @@ def _na_to_none(v):
 
 def proto_decode(df: DataFrame, msg: MessageType, bin_col: str, spark_schema) -> DataFrame:
     """Decode a binary protobuf column back into typed columns
-    (ProtoSchema.from_bytes, reference schema.rs:75-104)."""
+    (ProtoSchema.from_bytes, reference schema.rs:75-104). Flat scalar
+    messages whose declared output columns are exactly the message
+    fields take the vectorized Arrow batch decoder (r10 twin of the
+    batch encoder); each batch that trips an assumption (unknown or
+    multi-byte tag, truncation, nulls) falls back to the per-row
+    reference path, so results — including error behaviour on
+    malformed input — are identical by construction."""
+
+    if _batch_encodable(msg):
+        from pyspark.sql.types import StructType, _parse_datatype_string
+
+        struct = (
+            spark_schema
+            if isinstance(spark_schema, StructType)
+            else _parse_datatype_string(spark_schema)
+        )
+        if [sf.name for sf in struct.fields] == [f.name for f in msg.fields]:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            target = to_arrow_schema(struct)
+
+            def gen_arrow(batches):
+                import pyarrow as pa
+
+                for batch in batches:
+                    col = batch.column(0)
+                    arrs = _decode_batch_arrow(msg, col)
+                    if arrs is None:  # reference path for the whole batch
+                        recs = [
+                            decode_message(msg, v) for v in col.to_pylist()
+                        ]
+                        arrs = [
+                            pa.array([r[f.name] for r in recs])
+                            for f in msg.fields
+                        ]
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            a.cast(t.type, safe=False)
+                            for a, t in zip(arrs, target)
+                        ],
+                        schema=target,
+                    )
+
+            return df.select(bin_col).mapInArrow(gen_arrow, spark_schema)
 
     def gen(batches):
         import pandas as pd

@@ -350,3 +350,116 @@ def test_batch_arrow_encoder_random_roundtrip():
         want_i = row["i"] or 0
         assert dec["i"] == want_i
         assert dec["s"] == (row["s"] or "")
+
+
+# ------------------------------------------------- r10 vectorized decoder
+
+
+def test_batch_arrow_decoder_values_equal_per_row():
+    """The vectorized Arrow batch decoder must be value-identical to
+    per-row decode_message on every flat-scalar shape: absent fields
+    default-filled, duplicate tags last-one-wins, out-of-order fields,
+    negatives as 10-byte varints, unicode, empty messages."""
+    import random
+
+    import pyarrow as pa
+
+    from arcon_spark.proto import (
+        Field,
+        MessageType,
+        _decode_batch_arrow,
+        _key,
+        _write_varint,
+        decode_message,
+        encode_message,
+    )
+
+    msg = MessageType(
+        "T",
+        [
+            Field(1, "a", "int64"),
+            Field(2, "b", "uint64"),
+            Field(3, "c", "double"),
+            Field(4, "d", "string"),
+            Field(5, "e", "bool"),
+            Field(6, "f", "bytes"),
+        ],
+    )
+    rng = random.Random(99)
+    encs = []
+    for _ in range(400):
+        row = {
+            "a": rng.choice([None, 0, -1, 1, -(1 << 63), (1 << 63) - 1,
+                             rng.randint(-(1 << 63), (1 << 63) - 1)]),
+            "b": rng.choice([None, 0, 127, 128, (1 << 62)]),
+            "c": rng.choice([None, 0.0, -0.0, 1.5, -2.75e300, float("inf")]),
+            "d": rng.choice([None, "", "x", "ünïcødé ⚡", "y" * 200]),
+            "e": rng.choice([None, True, False]),
+            "f": rng.choice([None, b"", b"\x00\xff", bytes(range(130))]),
+        }
+        encs.append(encode_message(msg, row))
+    # hand-built edges: empty message; duplicate tag (last wins);
+    # out-of-order fields (string tag 4 before int tag 1)
+    encs.append(b"")
+    encs.append(bytes.fromhex("0805") + bytes.fromhex("0809"))
+    buf = bytearray()
+    _write_varint(buf, _key(4, 2))
+    _write_varint(buf, 2)
+    buf += b"hi"
+    _write_varint(buf, _key(1, 0))
+    _write_varint(buf, 42)
+    encs.append(bytes(buf))
+
+    arrs = _decode_batch_arrow(msg, pa.array(encs, type=pa.binary()))
+    assert arrs is not None
+    ref = [decode_message(msg, e) for e in encs]
+    for j, f in enumerate(msg.fields):
+        assert arrs[j].to_pylist() == [r[f.name] for r in ref], f.name
+
+
+def test_batch_arrow_decoder_bails_to_reference():
+    """Anything the fast path does not prove — unknown tags, multi-byte
+    keys, truncated or overlong varints, payloads crossing the row end,
+    null rows — must return None so the caller runs the per-row
+    reference path (identical results AND error behaviour)."""
+    import pyarrow as pa
+
+    from arcon_spark.proto import (
+        Field,
+        MessageType,
+        _decode_batch_arrow,
+        encode_message,
+    )
+
+    msg = MessageType(
+        "T", [Field(1, "a", "int64"), Field(3, "d", "string"), Field(4, "c", "double")]
+    )
+    good = encode_message(msg, {"a": 7, "d": "ok", "c": 2.5})
+    bad_cases = [
+        bytes.fromhex("7801"),  # tag 15 unknown (per-row skips it)
+        bytes.fromhex("800101"),  # tag 16: multi-byte key
+        bytes.fromhex("08ff"),  # varint truncated at row end
+        bytes.fromhex("21cdcc"),  # double payload crosses row end
+        bytes.fromhex("1a05") + b"ab",  # declared len 5, 2 bytes left
+        bytes.fromhex("08") + b"\xff" * 9 + b"\x02",  # overlong varint
+        None,  # null row
+    ]
+    for bad in bad_cases:
+        got = _decode_batch_arrow(msg, pa.array([good, bad], type=pa.binary()))
+        assert got is None, bad
+
+
+def test_spark_decode_falls_back_per_batch(spark):
+    """End-to-end: a batch holding a message with an unknown tag takes
+    the per-row path inside the plan and still yields the reference
+    result (unknown tag skipped, declared fields decoded)."""
+    from arcon_spark.proto import Field, MessageType, encode_message, proto_decode
+
+    msg = MessageType("T", [Field(1, "a", "int64"), Field(2, "d", "string")])
+    clean = encode_message(msg, {"a": 5, "d": "x"})
+    with_unknown = bytes.fromhex("7801") + clean  # tag 15 then known fields
+    df = spark.createDataFrame([(clean,), (with_unknown,)], "proto binary")
+    out = sorted(
+        tuple(r) for r in proto_decode(df, msg, "proto", "a long, d string").collect()
+    )
+    assert out == [(5, "x"), (5, "x")]

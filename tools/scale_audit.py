@@ -250,6 +250,7 @@ def main() -> None:
                 n_sh,
                 plan.count("Scan parquet"),
                 "yes" if ("ArrowEvalPython" in plan or "MapInPandas" in plan
+                          or "MapInArrow" in plan
                           or "FlatMapGroupsInPandas" in plan
                           or "FlatMapCoGroupsInPandas" in plan) else "",
                 n_bc,
