@@ -635,6 +635,17 @@ def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id"), F.col("doc_id").alias("cluster_id"))
         .persist()
     )
+    # convergence test (r10): labels are MONOTONE — every round sets
+    # label(v) = least(old(v), min neighbor old(v)) <= old(v), so
+    # "some label changed" <=> "sum of labels strictly decreased".
+    # Comparing per-round sums is therefore an EXACT fixpoint test (no
+    # hash, no collision risk) and costs one partial-agg job instead
+    # of the old (new x old) join + count per round. decimal(38,0)
+    # keeps the sum exact far past any int64-id corpus size.
+    _lab_sum = lambda df: df.agg(  # noqa: E731
+        F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+    prev_sum = _lab_sum(labels)
     for rnd in range(20):  # diameter bound; near-dup clusters are tiny
         neighbor_min = (
             edges.join(labels, edges.b == labels.doc_id)
@@ -651,16 +662,12 @@ def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
+        new_sum = _lab_sum(new_labels)
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
         if (rnd + 1) % _CC_CHECKPOINT_EVERY == 0:
             # truncate lineage: the plan downstream of this point no
             # longer references the previous rounds' join chain
@@ -690,13 +697,18 @@ def _cc_large_star(edges: DataFrame) -> DataFrame:
     )
     # sym.filter(v > u) is exactly the original edge set re-keyed
     # (u = lo, v = hi) — join that directly instead of re-deriving it
-    # through the union (one branch fewer in the plan; same rows)
+    # through the union (one branch fewer in the plan; same rows).
+    # No .distinct() here (r10): the consumer is _cc_small_star, whose
+    # min-per-hi aggregate is duplicate-insensitive and whose own
+    # final .distinct() dedups the attach output — dropping the
+    # intermediate dedup removes one Exchange+Aggregate per round for
+    # at most |edges| extra rows into the next aggregate (duplicates
+    # only arise when two u's share an m).
     return (
         edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
         .join(mins, "u")
         .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
         .filter(F.col("hi") != F.col("lo"))
-        .distinct()
     )
 
 

@@ -163,3 +163,40 @@ def test_weighted_minhash_tile_grid_independence(spark, sf_dir, monkeypatch):
     a, b = run(3), run(7)
     assert a == b
     assert len(a) > 0  # non-degenerate at test scale
+
+
+def test_large_star_no_distinct_is_duplicate_safe(spark):
+    """r10: _cc_large_star dropped its intermediate .distinct() — valid
+    because _cc_small_star's min-per-hi aggregate is duplicate-
+    insensitive and its own final .distinct() dedups. Pin that on a
+    graph engineered to make large-star EMIT duplicates (two u's with
+    the same m attach the same hi): the small-star output of the
+    dedup-free chain must equal the explicitly-deduped chain."""
+    from arcon_spark.functions.dedup import _cc_large_star, _cc_small_star
+
+    edges = spark.createDataFrame(
+        [(5, 1), (5, 2), (2, 1), (9, 7), (8, 7)], "hi long, lo long"
+    )
+    big = _cc_large_star(edges)
+    raw = sorted(tuple(r) for r in big.collect())
+    dedup = sorted(tuple(r) for r in big.distinct().collect())
+    assert len(raw) > len(dedup), "graph must actually exercise duplicates"
+    got = sorted(tuple(r) for r in _cc_small_star(big).collect())
+    want = sorted(tuple(r) for r in _cc_small_star(big.distinct()).collect())
+    assert got == want
+
+
+def test_cc_twins_identical_labels(spark, sf_dir):
+    """r10: dedup_connected_clusters' convergence test became the exact
+    monotone label-sum comparison (labels only decrease, so an
+    unchanged sum IS the fixpoint). Pin the end result against the
+    star-contraction twin, which shares the oracle but terminates via
+    edge-set equality — any early-stop bug in either loop splits them."""
+    from arcon_spark.functions.dedup import (
+        dedup_cc_star_contraction,
+        dedup_connected_clusters,
+    )
+
+    lp = sorted(tuple(r) for r in dedup_connected_clusters(spark, sf_dir).collect())
+    star = sorted(tuple(r) for r in dedup_cc_star_contraction(spark, sf_dir).collect())
+    assert lp == star
