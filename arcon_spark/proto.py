@@ -680,11 +680,19 @@ def _decode_batch_arrow(msg: MessageType, col):
             else:  # string / bytes: length-delimited
                 ln, nb, ok = _np_read_varints(data, pos[idx] + 1, end[idx])
                 start = pos[idx] + 1 + nb
-                if not (ok & (start + ln.astype(np.int64) <= end[idx])).all():
+                # a declared length >= 2^63 is a valid varint but wraps
+                # negative under the int64 cast, which would falsely
+                # pass the bounds check (ADVICE r10) — require it to
+                # fit in int64 BEFORE comparing, and compare against
+                # the remaining row bytes so the sum can't overflow
+                lni = ln.astype(np.int64)
+                if not (
+                    ok & (ln < np.uint64(1 << 63)) & (lni <= end[idx] - start)
+                ).all():
                     return None
                 lstarts[f.name][idx] = start
-                llens[f.name][idx] = ln.astype(np.int64)
-                pos[idx] = start + ln.astype(np.int64)
+                llens[f.name][idx] = lni
+                pos[idx] = start + lni
         if not known.all():  # unknown tag: per-row path skips by wire
             return None
         active = pos < end
@@ -719,7 +727,13 @@ def _decode_batch_arrow(msg: MessageType, col):
                 [None, pa.py_buffer(out_off.tobytes()), pa.py_buffer(payload.tobytes())],
             )
             if f.kind == "string":
-                arr = arr.cast(pa.large_string())  # validates utf-8
+                try:
+                    arr = arr.cast(pa.large_string())  # validates utf-8
+                except pa.lib.ArrowInvalid:
+                    # non-UTF-8 payload: bail to the per-row reference
+                    # path so the error surface (UnicodeDecodeError)
+                    # matches the per-row decoder's (ADVICE r10)
+                    return None
             out.append(arr)
     return out
 

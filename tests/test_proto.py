@@ -442,11 +442,44 @@ def test_batch_arrow_decoder_bails_to_reference():
         bytes.fromhex("21cdcc"),  # double payload crosses row end
         bytes.fromhex("1a05") + b"ab",  # declared len 5, 2 bytes left
         bytes.fromhex("08") + b"\xff" * 9 + b"\x02",  # overlong varint
+        # declared string length 2^63: a VALID 10-byte varint whose
+        # int64 cast wraps negative — must bail, not corrupt the walk
+        # (ADVICE r10; the per-row path clamp-slices it w/o error)
+        bytes.fromhex("1a") + b"\x80" * 9 + b"\x01",
+        # non-UTF-8 string payload: per-row raises UnicodeDecodeError,
+        # so the fast path must bail rather than raise ArrowInvalid
+        bytes.fromhex("1a02") + b"\xff\xfe",
         None,  # null row
     ]
     for bad in bad_cases:
         got = _decode_batch_arrow(msg, pa.array([good, bad], type=pa.binary()))
         assert got is None, bad
+
+
+def test_huge_declared_length_matches_per_row_reference():
+    """The 2^63-length row from the bail list decodes WITHOUT error on
+    the per-row reference path (python slices clamp), yielding the
+    defaults + empty string — the behaviour the batch bail preserves."""
+    from arcon_spark.proto import Field, MessageType, decode_message
+
+    msg = MessageType(
+        "T", [Field(1, "a", "int64"), Field(3, "d", "string"), Field(4, "c", "double")]
+    )
+    row = decode_message(msg, bytes.fromhex("1a") + b"\x80" * 9 + b"\x01")
+    assert row == {"a": 0, "d": "", "c": 0.0}
+
+
+def test_invalid_utf8_raises_unicode_error_on_reference_path():
+    """Non-UTF-8 string payloads fail with UnicodeDecodeError on the
+    per-row path — the error surface the docstring promises; the fast
+    path bails so the whole batch reaches this path."""
+    import pytest
+
+    from arcon_spark.proto import Field, MessageType, decode_message
+
+    msg = MessageType("T", [Field(3, "d", "string")])
+    with pytest.raises(UnicodeDecodeError):
+        decode_message(msg, bytes.fromhex("1a02") + b"\xff\xfe")
 
 
 def test_spark_decode_falls_back_per_batch(spark):

@@ -20,11 +20,17 @@ import bench
 
 def main() -> None:
     out, names = sys.argv[1], sys.argv[2:]
-    missing = [n for n in names if n not in bench.HEADLINE]
-    if missing:
-        # allow non-headline registry queries too — the subset tool is
-        # for optimization evidence, not the driver contract
-        pass
+    if not names:
+        raise SystemExit("usage: bench_subset.py out.json query [query ...]")
+    # validate against the FULL registry (non-headline queries are
+    # allowed — the subset tool is for optimization evidence, not the
+    # driver contract), and fail loudly on typos instead of producing
+    # an empty/KeyError bench run (ADVICE r10)
+    from arcon_spark.plans.registry import queries
+
+    unknown = [n for n in names if n not in queries()]
+    if unknown:
+        raise SystemExit(f"unknown queries (not in registry): {unknown}")
     bench.HEADLINE = names
     os.environ["SPARK_GRAFT_BENCH_OUT"] = out
     bench.main()

@@ -40,6 +40,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import bench  # steal%/anchor helpers — every curve row carries contention evidence
+
 # (name, expected exponent, sf1 passes, sf1 budget seconds)
 QUERIES = [
     # two_phase_rank consumers (linear: range exchange + pid windows)
@@ -198,13 +200,27 @@ def main() -> int:
             # pass must not discard an earlier valid measurement
             # (ADVICE r8) — only all-passes-failed records None
             best = math.inf
+            # contention evidence rides EVERY curve row (VERDICT r10
+            # #2): /proc/stat steal% across the row's measurement
+            # window + one int-loop anchor after it, so no future row
+            # can be pinned blind (the r10 ts_similarity_topk row was
+            # a contended capture distinguishable only by prose)
+            stat_before = bench._proc_stat_ticks()
             for i in range(passes):
                 spark.catalog.clearCache()
                 t = run_once(name, sf_dir, budget * budget_scale)
                 if t is not None:
                     best = min(best, t)
             r[key] = round(best, 2) if best is not math.inf else None
-            print(f"{key:7s} {name:32s} {r[key]}", flush=True)
+            r["steal_" + key] = bench._steal_pct(
+                stat_before, bench._proc_stat_ticks()
+            )
+            r["anchor_" + key] = bench._anchor_sec()
+            print(
+                f"{key:7s} {name:32s} {r[key]}"
+                f"  steal={r['steal_' + key]}% anchor={r['anchor_' + key]}s",
+                flush=True,
+            )
             save()
 
     for name, r in results.items():
