@@ -838,12 +838,16 @@ def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     maximal span (doc_a < doc_b, 1-based token starts, length ≥ L).
 
     Scale shape: tokenization is one projection (split hoisted once per
-    doc — MEASURE.md session-4 HOF lesson); the seed join shuffles on
-    gram with a document-frequency cap [2, _SPAN_DF_CAP] bounding any
-    hot gram's postings (boilerplate phrases would otherwise explode
-    quadratically — same guard family as LSH_BUCKET_CAP); the island
-    window partitions by (doc_a, doc_b, diag) — millions of small
-    partitions, no global sort. All JVM codegen, no Python."""
+    doc — MEASURE.md session-4 HOF lesson); the inverted index is ONE
+    groupBy(gram) posting-list aggregate (r11, guide §2.2: the gram
+    rows cross the network once, where the former ok-filter + gram
+    self-join shuffled them three times), with the document-frequency
+    cap [2, _SPAN_DF_CAP] bounding any hot gram's postings
+    (boilerplate phrases would otherwise explode quadratically — same
+    guard family as LSH_BUCKET_CAP) applied to the posting list before
+    the a<b pairs explode JVM-side; the island window partitions by
+    (doc_a, doc_b, diag) — millions of small partitions, no global
+    sort. All JVM codegen, no Python."""
     L = _SPAN_L
     toks = (
         load_table(spark, sf_dir, "documents")
@@ -867,24 +871,32 @@ def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         F.array_join(F.expr(f"slice(toks, pos, {L})"), " ").alias("gram"),
     )
-    ok = (
+    # one exchange instead of three (r11): the former shape aggregated
+    # g for the DF filter, then shuffled g TWICE more as the self-join
+    # sides; the posting-list aggregate shuffles each (gram, doc, pos)
+    # row once, the DF filter reads the collected list (no separate
+    # distinct-agg plan), and the a<b pair explode is pure JVM HOFs —
+    # the pair MULTISET is exactly the self-join's output. Probe at
+    # sf0.1: 2.59 -> 1.60 s min (alternating same-process passes).
+    posts = (
         g.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= _SPAN_DF_CAP))
-        .select("gram")
-    )
-    g = g.join(ok, "gram").persist()  # feeds both sides of the pair join
-    pairs = (
-        g.alias("a")
-        .join(g.alias("b"), "gram")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.pos").alias("pos_a"),
-            F.col("b.pos").alias("pos_b"),
+        .agg(F.collect_list(F.struct("doc_id", "pos")).alias("ps"))
+        .filter(
+            F.expr("size(array_distinct(transform(ps, p -> p.doc_id)))").between(
+                2, _SPAN_DF_CAP
+            )
         )
     )
+    pairs = posts.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, a -> "
+                "transform(filter(ps, b -> b.doc_id > a.doc_id), b -> "
+                "struct(a.doc_id AS doc_a, b.doc_id AS doc_b, "
+                "a.pos AS pos_a, b.pos AS pos_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b", "p.pos_a", "p.pos_b")
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
     return (
         pairs.withColumn("diag", F.col("pos_a") - F.col("pos_b"))

@@ -63,8 +63,19 @@ class _IterTap:
         except Exception as ex:  # never break the query being captured
             print(f"  (iter-tap dump failed: {type(ex).__name__}: {ex})")
 
+    @staticmethod
+    def _df_cls():
+        # Spark 4: pyspark.sql.DataFrame is the abstract API; the
+        # concrete class (whose methods instance calls dispatch to)
+        # is pyspark.sql.classic.dataframe.DataFrame
+        try:
+            from pyspark.sql.classic.dataframe import DataFrame
+        except ImportError:
+            from pyspark.sql import DataFrame
+        return DataFrame
+
     def __enter__(self):
-        from pyspark.sql import DataFrame
+        DataFrame = self._df_cls()
 
         self._orig = (
             DataFrame.localCheckpoint,
@@ -92,7 +103,7 @@ class _IterTap:
         return self
 
     def __exit__(self, *exc):
-        from pyspark.sql import DataFrame
+        DataFrame = self._df_cls()
 
         (
             DataFrame.localCheckpoint,
