@@ -247,13 +247,25 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥1 token-8-gram, with containment = shared / eval-doc n-grams —
     the passage-leakage audit run before shipping any benchmark split.
 
-    Plan: one scan → array n-grams inside the row (sequence/transform,
-    no window sort) → explode distinct → document-frequency cap (drops
-    boilerplate n-grams that would make the inverted-index join
-    quadratic at scale) → self-join eval×train on the n-gram → pair
-    aggregate. Shuffles on (ngram) then (doc pair) — both bounded. The
-    split rule is the same md5 hash-split as stratified_split, so the
-    audit composes with the registered split queries."""
+    Plan (r11 posting-list form, guide §2.2/§2.3): one scan → n-grams
+    deduped IN-ROW (array_distinct before the explode — per-doc
+    distinct needs no Exchange because is_eval is a function of
+    doc_id) → ONE groupBy(ngram) aggregate collecting the eval and
+    train doc lists with the document-frequency cap as a HAVING
+    (collect_list is safe here precisely because the cap bounds every
+    surviving list at _DF_CAP; the cap also drops the boilerplate
+    n-grams that would make any inverted index quadratic at scale) →
+    eval×train pairs exploded JVM-side from the posting lists → pair
+    aggregate. The eval-doc n-gram totals are a tiny second aggregate
+    off the same checkpointed posting table, joined back without a
+    broadcast hint (auto-broadcasts at bench SFs; at corpus scale the
+    planner shuffles the far smaller pair table instead — forcing a
+    billions-of-eval-docs broadcast would be the §3.1 driver-OOM
+    trap). Replaces r10's explode→distinct→df-window→doc-window→
+    self-join chain: 6 Exchanges and two full-frame window sorts → 3
+    aggregate Exchanges. The split rule is the same md5 hash-split as
+    stratified_split, so the audit composes with the registered split
+    queries."""
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = docs.select(
         "doc_id",
@@ -265,49 +277,63 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             < "1a"
         ).alias("is_eval"),
     )
-    ng = (
-        toks.select(
-            "doc_id",
-            "is_eval",
-            # sequence(1, 0) counts DOWN in Spark → slice(start=0) error
-            # on docs shorter than the n-gram; guard explicitly.
+    ng = toks.select(
+        "doc_id",
+        "is_eval",
+        # sequence(1, 0) counts DOWN in Spark → slice(start=0) error
+        # on docs shorter than the n-gram; guard explicitly.
+        F.explode(
+            F.expr(
+                f"array_distinct(CASE WHEN size(t) >= {_NGRAM} THEN"
+                f" transform(sequence(1, size(t) - {_NGRAM - 1}),"
+                f" i -> concat_ws(' ', slice(t, i, {_NGRAM})))"
+                f" ELSE array() END)"
+            )
+        ).alias("ngram"),
+    )
+    # the posting table feeds both the pair explode and the per-eval-
+    # doc totals — checkpoint so the big aggregate executes once (house
+    # plan-trim pattern); collect_list ignores the NULLs the when()s
+    # leave on the other split's rows
+    posting = (
+        ng.groupBy("ngram")
+        .agg(
+            F.collect_list(F.when(F.col("is_eval"), F.col("doc_id"))).alias("evals"),
+            F.collect_list(F.when(~F.col("is_eval"), F.col("doc_id"))).alias(
+                "trains"
+            ),
+            F.count(F.lit(1)).alias("df"),
+        )
+        .filter(F.col("df") <= _DF_CAP)
+        .localCheckpoint(eager=True)
+    )
+    n_total = (
+        posting.select(F.explode("evals").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+    )
+    pairs = (
+        posting.filter((F.size("evals") > 0) & (F.size("trains") > 0))
+        .select(
             F.explode(
                 F.expr(
-                    f"CASE WHEN size(t) >= {_NGRAM} THEN"
-                    f" transform(sequence(1, size(t) - {_NGRAM - 1}),"
-                    f" i -> concat_ws(' ', slice(t, i, {_NGRAM})))"
-                    f" ELSE array() END"
+                    "flatten(transform(evals,"
+                    " e -> transform(trains, t -> struct(e as e, t as t))))"
                 )
-            ).alias("ngram"),
+            ).alias("p")
         )
-        .distinct()
-    )
-    from pyspark.sql import Window as W
-
-    capped = ng.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("ngram"))).filter(
-        F.col("df") <= _DF_CAP
-    )
-    # the sized index feeds BOTH sides of the eval x train join —
-    # checkpoint so the distinct + two-window chain executes once, not
-    # once per branch (house plan-trim pattern)
-    sized = capped.withColumn(
-        "n_total", F.count(F.lit(1)).over(W.partitionBy("doc_id"))
-    ).localCheckpoint(eager=True)
-    e = sized.filter(F.col("is_eval")).alias("e")
-    t = sized.filter(~F.col("is_eval")).alias("t")
-    return (
-        e.join(t, F.col("e.ngram") == F.col("t.ngram"))
         .groupBy(
-            F.col("e.doc_id").alias("eval_doc_id"),
-            F.col("t.doc_id").alias("train_doc_id"),
+            F.col("p.e").alias("eval_doc_id"), F.col("p.t").alias("train_doc_id")
         )
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_shared"),
-            (
-                F.count(F.lit(1)).cast("double")
-                / F.max("e.n_total").cast("double")
-            ).alias("containment"),
-        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return pairs.join(n_total, pairs.eval_doc_id == n_total.doc_id).select(
+        "eval_doc_id",
+        "train_doc_id",
+        "n_shared",
+        (F.col("n_shared").cast("double") / F.col("n_total").cast("double")).alias(
+            "containment"
+        ),
     )
 
 

@@ -1235,9 +1235,15 @@ def split_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     A document counts as contaminated when its whitespace-normalized
     content digest appears in more than one split of the same
     deterministic hash-split rule as stratified_split; the min
-    contaminated doc_id per split makes hits actionable. Two
-    digest-keyed aggregations and one digest-keyed join — the second
-    shuffle reuses the first's partitioning."""
+    contaminated doc_id per split makes hits actionable. Plan (r11
+    pivot pre-agg, guide §2.3/§2.4): the split domain is FIXED (test/
+    val/train), so ONE groupBy(content_digest) hash aggregate computes
+    per-split doc counts and min doc_ids, nsp>1 becomes a row-local
+    flag over those counts, and the 3-row summary is a stack +
+    groupBy(split) over the per-digest frame — replacing r10's
+    countDistinct aggregate + digest-keyed join of the full tagged
+    frame + final two-countDistinct expand (3 digest-width shuffles →
+    1, and the join's second pass over every doc row is gone)."""
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     digest = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
     h = F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 2)
@@ -1245,23 +1251,30 @@ def split_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = docs.select(
         "doc_id", digest.alias("content_digest"), split.alias("split")
     )
+    splits = ("test", "val", "train")
     per_digest = tagged.groupBy("content_digest").agg(
-        F.countDistinct("split").alias("nsp")
+        *[F.count(F.when(F.col("split") == s, 1)).alias(f"c_{s}") for s in splits],
+        *[
+            F.min(F.when(F.col("split") == s, F.col("doc_id"))).alias(f"m_{s}")
+            for s in splits
+        ],
     )
-    contaminated = F.col("nsp") > 1
-    return (
-        tagged.join(per_digest, "content_digest")
-        .groupBy("split")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.countDistinct("content_digest").cast("long").alias(
-                "n_distinct_digests"
-            ),
-            F.count(F.when(contaminated, 1)).cast("long").alias(
-                "n_contaminated_docs"
-            ),
-            F.min(F.when(contaminated, F.col("doc_id"))).alias("example_doc_id"),
-        )
+    nsp = sum((F.col(f"c_{s}") > 0).cast("int") for s in splits)
+    stacked = per_digest.select(
+        (nsp > 1).alias("contam"),
+        F.expr(
+            "stack(3, "
+            + ", ".join(f"'{s}', c_{s}, m_{s}" for s in splits)
+            + ") as (split, cnt, mdoc)"
+        ),
+    ).filter(F.col("cnt") > 0)
+    return stacked.groupBy("split").agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_digests"),
+        F.sum(F.when(F.col("contam"), F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_contaminated_docs"),
+        F.min(F.when(F.col("contam"), F.col("mdoc"))).alias("example_doc_id"),
     )
 
 
@@ -1624,30 +1637,41 @@ def dedup_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     312 pairs) when the cap engaged for real while the oracle still
     described uncapped banding.
 
-    Plan shape: the fingerprint table (docs x 64 chars — tiny relative
-    to the corpus) is persisted once and feeds both the band self-join
-    and the verify join-back; the candidate space is bounded by band
-    collisions, never O(n^2). The hamming verify is 4 conv/xor/
-    bit_count codegen integer ops per pair, not a 64-char loop. Hot
-    bands (boilerplate corpora hash to identical fingerprints) are
-    capped at the LSH_BUCKET_CAP lowest doc_ids exactly like the
-    MinHash bucket guard — inactive at test SFs (oracle unaffected),
-    bounds the blowup at cap^2 per bucket at 100 TB.
+    Plan shape: the fingerprint is packed ONCE per doc into four
+    16-bit ints (conv is per doc-band, not per pair), the band VALUE
+    is that int, and every band row carries all four ints — so the
+    self-join keys are ints instead of 16-char strings and the hamming
+    verify (4 xor/bit_count codegen ops) runs inline on the collision
+    rows, eliminating the two verify join-backs to the fingerprint
+    table (r11: 2 fewer joins; pair distinct moves after the hamming
+    filter, so it deduplicates only surviving pairs). The candidate
+    space is bounded by band collisions, never O(n^2). Hot bands
+    (boilerplate corpora hash to identical fingerprints) are capped at
+    the LSH_BUCKET_CAP lowest doc_ids exactly like the MinHash bucket
+    guard — a WindowGroupLimit row pick, NOT a collect_list posting
+    aggregate, because pre-cap bucket sizes are unbounded at 100 TB —
+    inactive at test SFs (oracle unaffected), bounds the blowup at
+    cap^2 per bucket.
 
     Reference parity note: the reference has no dedup operator of any
     kind (SURVEY.md §2.9); this is part of the beyond-reference
     training-data pipeline surface."""
     sig = dedup_simhash(spark, sf_dir).localCheckpoint(eager=True)
-    bands = sig.select(
+    packed = sig.select(
         "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.substring("simhash_bits", b * 16 + 1, 16)
-                    for b in range(_SIMHASH_BANDS)
-                ]
-            )
-        ).alias("band_id", "band"),
+        *[
+            F.expr(
+                f"cast(conv(substring(simhash_bits, {b * 16 + 1}, 16), 2, 10) as int)"
+            ).alias(f"i{b}")
+            for b in range(_SIMHASH_BANDS)
+        ],
+    )
+    bands = packed.select(
+        "doc_id",
+        *[f"i{b}" for b in range(_SIMHASH_BANDS)],
+        F.posexplode(F.array(*[f"i{b}" for b in range(_SIMHASH_BANDS)])).alias(
+            "band_id", "band"
+        ),
     )
     wcap = Window.partitionBy("band_id", "band").orderBy("doc_id")
     bands = (
@@ -1657,31 +1681,23 @@ def dedup_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    ham = sum(
+        F.expr(f"bit_count(a.i{b} ^ b.i{b})") for b in range(_SIMHASH_BANDS)
+    )
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band") == F.col("b.band"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash_bits").alias("bits_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash_bits").alias("bits_b"))
-    ham = sum(
-        F.expr(
-            f"bit_count(cast(conv(substring(bits_a, {b * 16 + 1}, 16), 2, 10) as int)"
-            f" ^ cast(conv(substring(bits_b, {b * 16 + 1}, 16), 2, 10) as int))"
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("long").alias("hamming"),
         )
-        for b in range(_SIMHASH_BANDS)
-    )
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("hamming", ham.cast("long"))
         .filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
