@@ -831,6 +831,14 @@ def _incremental_dedup_oracle() -> str:
     """
 
 
+# Band-index file sizing for the incremental-dedup ingest index: a
+# band row is ~30 B on disk, so ~4M rows lands in the guide §6
+# 128 MB-1 GB window; the compact tier cap bounds per-probe file opens
+# for long-running ingests (tests override both to force the paths).
+_INC_INDEX_ROWS_PER_FILE = 4_000_000
+_INC_INDEX_COMPACT_FILES = 64
+
+
 @register(
     "stream_incremental_dedup",
     oracle=_incremental_dedup_oracle(),
@@ -881,6 +889,8 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     results_dir = os.path.join(work, "pairs")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        import math
+
         from arcon_spark.io import spread
 
         # spread: each wave arrives as ONE tape file → one input split,
@@ -891,6 +901,7 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands = lsh_bands_of(
             signatures_of_shingles(shingles_of(spread(batch_df)))
         ).persist()
+        n_bands = bands.count()  # materializes the cache the join reuses
         if os.path.isdir(index_dir):
             idx = spark.read.parquet(index_dir)
             (
@@ -904,8 +915,41 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .write.mode("append")
                 .parquet(results_dir)
             )
-        bands.write.mode("append").parquet(index_dir)
+        # Index append is sized by ROWS, not by the batch's partition
+        # count: un-coalesced, every wave appended one near-empty file
+        # per shuffle partition (32 x ~4 KB at sf0.1), so the probe at
+        # wave w scheduled 32*w file opens while the whole index held
+        # under 1 MB — the guide §6 small-files trap measured in the
+        # r11 nine-wave decomposition. At ingest scale the same
+        # formula yields many ~128 MB files; locally it yields one.
+        bands.coalesce(
+            max(1, math.ceil(n_bands / _INC_INDEX_ROWS_PER_FILE))
+        ).write.mode("append").parquet(index_dir)
         bands.unpersist()
+        # Size-tiered compaction: a long-running ingest still
+        # accumulates one file per wave, so when the segment count
+        # passes the tier cap, fold the whole index into row-sized
+        # files. O(index) rewrite every ~_INC_INDEX_COMPACT_FILES
+        # waves keeps per-probe file opens bounded without touching
+        # what any probe reads logically. The dir swap is safe: a
+        # foreachBatch runs waves strictly one at a time.
+        seg_files = [
+            f for f in os.listdir(index_dir) if f.endswith(".parquet")
+        ]
+        if len(seg_files) > _INC_INDEX_COMPACT_FILES:
+            full = spark.read.parquet(index_dir).persist()
+            n_idx = full.count()
+            tmp_dir = index_dir + ".compact"
+            full.coalesce(
+                max(1, math.ceil(n_idx / _INC_INDEX_ROWS_PER_FILE))
+            ).write.mode("overwrite").parquet(tmp_dir)
+            full.unpersist()
+            old_dir = index_dir + ".old"
+            os.rename(index_dir, old_dir)
+            os.rename(tmp_dir, index_dir)
+            import shutil
+
+            shutil.rmtree(old_dir, ignore_errors=True)
 
     src = spark.readStream.schema("doc_id long, text string").option(
         "maxFilesPerTrigger", "1"

@@ -477,3 +477,24 @@ def test_appended_release_rows_are_retry_absorbable(spark, sf_dir):
         doubled = out.unionAll(out).distinct()
         assert doubled.count() == out.count(), fn.__name__
         assert doubled.exceptAll(out).count() == 0, fn.__name__
+
+
+def test_incremental_dedup_index_sizing_and_compaction(spark, sf_dir, monkeypatch):
+    """The ingest band index appends row-sized files and compacts when
+    the segment count passes the tier cap. Force BOTH paths with tiny
+    thresholds (multi-file appends per wave + a compaction after every
+    wave) and assert the emitted pair set is identical to the default
+    configuration — compaction must never change what a probe sees."""
+    from arcon_spark.streaming import queries as sq
+
+    base = sorted(
+        (r.doc_a, r.doc_b)
+        for r in sq.stream_incremental_dedup(spark, sf_dir).collect()
+    )
+    monkeypatch.setattr(sq, "_INC_INDEX_ROWS_PER_FILE", 10)
+    monkeypatch.setattr(sq, "_INC_INDEX_COMPACT_FILES", 1)
+    forced = sorted(
+        (r.doc_a, r.doc_b)
+        for r in sq.stream_incremental_dedup(spark, sf_dir).collect()
+    )
+    assert forced == base and len(base) > 0
