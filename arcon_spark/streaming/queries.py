@@ -371,6 +371,12 @@ def stream_stateful_first_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+# Bucket count for the first-seen MapState layout: enough buckets to
+# spread work across STREAM_STATE_PARTITIONS state tasks with several
+# buckets each, few enough that per-bucket maps stay iterator-friendly.
+_TWS_FIRST_SEEN_BUCKETS = 64
+
+
 @register(
     "stream_first_seen_tws",
     oracle=f"""
@@ -390,10 +396,27 @@ def stream_first_seen_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     handles, arcon/arcon_state/src/backend/mod.rs:144-242) instead of
     the applyInPandasWithState fallback. The Python worker speaks the
     protobuf state protocol via the vendored runtime
-    (arcon_spark/protoshim). Two data segments force the ValueState to
+    (arcon_spark/protoshim). Two data segments force the state to
     survive a micro-batch boundary; a flush-marker third segment
     triggers emission, and the result must hash-match the same batch
-    oracle as the apipws twin."""
+    oracle as the apipws twin.
+
+    r11 layout (VERDICT #7 settled by measurement): the stream groups
+    by a BUCKET key (pmod(user_id, _TWS_FIRST_SEEN_BUCKETS)) and holds
+    one MapState keyed by user per bucket, instead of per-user keys
+    over a ValueState. Why: handleInputRows fires once per grouping
+    key per batch, so per-user keys paid one python call + 1-2 state
+    round-trips per user per batch (1500 users at sf0.1), and the
+    flush batch paid another per-user get(); the bucketed form does
+    ONE vectorized lexsort per bucket, reads current entries through
+    the PAGED map iterator, pays updateValue round-trips only for
+    winning candidates, and emits via the iterator — same-process
+    probe 3.78 -> 3.43 s min. The iterate-all-entries read is right
+    for this tape because every batch touches most users; a
+    sparse-batch workload would flip to getValue-per-candidate. The
+    per-key ValueState surface this query used to certify stays
+    certified by stream_absence_emit_tws (two ValueStates + timers)
+    and the tws.py fluent API."""
     import pandas as pd
     from pyspark.sql.streaming import StatefulProcessor
 
@@ -407,51 +430,49 @@ def stream_first_seen_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_protobuf_on_session(spark)
 
     class FirstSeenTws(StatefulProcessor):
-        """ValueState holds the (ts_us, event_id)-min candidate per key;
-        the flush marker (event_id < 0) emits it exactly once. Each
-        state call is one socket round-trip to the JVM state server,
-        so the processor keeps them minimal: get() already returns
-        None for absent state (no separate exists() probe), and
-        update() only fires when the candidate actually wins — 2
-        round-trips per key on first contact, 1-2 after."""
+        """One MapState (user -> (v, ts_us, eid)) per bucket. The
+        (ts_us, event_id)-argmin per user is one np.lexsort over the
+        whole bucket with a first-occurrence mask; current entries are
+        read via the paged map iterator; updateValue fires only when
+        the candidate actually wins; the flush marker (event_id < 0)
+        emits every held entry exactly once via the iterator."""
 
         def init(self, handle) -> None:
-            self.first = handle.getValueState("first", "v double, ts_us long, eid long")
+            self.m = handle.getMapState(
+                "first", "user_id long", "v double, ts_us long, eid long"
+            )
 
         def handleInputRows(self, key, rows, timerValues):
             import numpy as np
 
-            saw_marker = False
-            cand = None  # best (ts_us, eid, v) across ALL chunks this batch
-            for pdf in rows:
-                eid = pdf["event_id"].to_numpy()
-                marker = eid < 0
-                saw_marker = saw_marker or bool(marker.any())
-                keep = ~marker
-                if keep.any():
-                    # (ts_us, event_id)-argmin via lexsort — the per-key
-                    # hot path runs once per key per batch, and a full
-                    # pandas sort_values here cost ~5x the numpy pick
-                    ts = pdf["ts_us"].to_numpy()[keep]
-                    ke = eid[keep]
-                    i = int(np.lexsort((ke, ts))[0])
-                    c = (
-                        int(ts[i]),
-                        int(ke[i]),
-                        float(pdf["value"].to_numpy()[keep][i]),
-                    )
-                    if cand is None or c < cand:
-                        cand = c
-            if cand is not None:
-                cur = self.first.get()
-                if cur is None or cand[:2] < (int(cur[1]), int(cur[2])):
-                    self.first.update((cand[2], cand[0], cand[1]))
+            frames = list(rows)
+            pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+            eid = pdf["event_id"].to_numpy()
+            marker = eid < 0
+            saw_marker = bool(marker.any())
+            keep = ~marker
+            if keep.any():
+                u = pdf["user_id"].to_numpy()[keep]
+                ts = pdf["ts_us"].to_numpy()[keep]
+                ke = eid[keep]
+                v = pdf["value"].to_numpy()[keep]
+                order = np.lexsort((ke, ts, u))
+                us = u[order]
+                firsts = order[np.concatenate(([True], us[1:] != us[:-1]))]
+                cur = {k[0]: val for k, val in self.m.iterator()}
+                for i in firsts:
+                    uid = int(u[i])
+                    cand = (int(ts[i]), int(ke[i]))
+                    old = cur.get(uid)
+                    if old is None or cand < (int(old[1]), int(old[2])):
+                        self.m.updateValue((uid,), (float(v[i]), cand[0], cand[1]))
             if saw_marker:
-                cur = self.first.get()
-                if cur is not None:
-                    yield pd.DataFrame(
-                        {"user_id": [int(key[0])], "first_val": [float(cur[0])]}
-                    )
+                uids, vals = [], []
+                for k, val in self.m.iterator():
+                    uids.append(int(k[0]))
+                    vals.append(float(val[0]))
+                if uids:
+                    yield pd.DataFrame({"user_id": uids, "first_val": vals})
 
         def close(self) -> None:
             pass
@@ -470,11 +491,17 @@ def stream_first_seen_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "2")
         .parquet(root)
     )
-    out = src.groupBy("user_id").transformWithStateInPandas(
-        FirstSeenTws(),
-        "user_id long, first_val double",
-        "Append",
-        "None",
+    out = (
+        src.withColumn(
+            "bucket", F.pmod(F.col("user_id"), F.lit(_TWS_FIRST_SEEN_BUCKETS))
+        )
+        .groupBy("bucket")
+        .transformWithStateInPandas(
+            FirstSeenTws(),
+            "user_id long, first_val double",
+            "Append",
+            "None",
+        )
     )
 
     provider_key = "spark.sql.streaming.stateStore.providerClass"
