@@ -351,12 +351,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-hash bits. Emitted as a 64-char bit string (portable across
     engines; callers hamming-compare via bit ops or substring bands).
     Spark plan: explode tokens → one md5 per token, decoded to two
-    32-bit ints → hash aggregate with 64 integer SUM-of-shift exprs
+    32-bit ints → hash aggregate over 32 PACKED lanes + one count
     (whole-stage codegen; the per-row higher-order fold is interpreted
-    and ~5× slower) → concat the sign bits. Map-side partial
-    aggregation means the shuffle carries one 64-long row per
-    (partition, doc) — proportional to docs, not tokens, at any scale.
-    No Python anywhere."""
+    and ~5× slower) → concat the sign bits. Lane j sums bit j in its
+    low 32 bits and bit j+32 in its high 32 bits as 0/1 counts — the
+    ±1 form would let a negative low lane borrow into the high one,
+    but 0/1 counts only grow, and a 32-bit lane cannot overflow for
+    ANY document (2^31 tokens exceeds the 2 GiB string cap), so
+    halving the aggregate buffer and SUM expr count is lossless:
+    sign(2·cnt_k − n) ≡ the old SUM(2·bit−1) > 0 exactly (r11 probe
+    1.54 → 1.32 s min; agg component ~0.97 → 0.75 s over the 0.57 s
+    scan+md5 floor). Map-side partial aggregation means the shuffle
+    carries one 33-long row per (partition, doc) — proportional to
+    docs, not tokens, at any scale. No Python anywhere."""
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     tok = docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("t")).select(
         "doc_id",
@@ -364,14 +371,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(conv(substring(md5(t), 9, 8), 16, 10) as bigint)").alias("lo"),
     )
     sums = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
         *[
-            F.sum(F.expr(f"2 * ({_bit_expr(k)}) - 1")).alias(f"s{k}")
-            for k in range(64)
-        ]
+            F.sum(
+                F.expr(f"({_bit_expr(j)}) + (({_bit_expr(j + 32)}) << 32)")
+            ).alias(f"p{j}")
+            for j in range(32)
+        ],
     )
-    bits = F.concat(
-        *[F.when(F.col(f"s{k}") > 0, "1").otherwise("0") for k in range(64)]
-    )
+
+    def _bit_char(k: int):
+        j = k - 32 if k >= 32 else k
+        cnt = f"(p{j} >> 32)" if k >= 32 else f"(p{j} & 4294967295)"
+        return F.when(F.expr(f"2 * {cnt} > n"), "1").otherwise("0")
+
+    bits = F.concat(*[_bit_char(k) for k in range(64)])
     return sums.select("doc_id", bits.alias("simhash_bits"))
 
 
