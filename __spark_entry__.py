@@ -39,79 +39,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # everything else follows in registration order. Names not in the
 # registry are ignored (robust to renames).
 _SAMPLE_FIRST = [
-    # --- round 10 sample. Tier bookkeeping recomputed from the nine
-    # CORRECTNESS_r0*.json files this round (ADVICE r9 #2): per-query
-    # LATEST driver-green round gives tiers r2:12, r3:48, r4:48,
-    # r5:47, r6:48, r7:48, r8:50, r9:50 (total 351). Three blocks:
-    # (1) the ENTIRE r2-stale tier — exactly 12 rows (11 stream +
-    #     tumbling_window_agg), queued post-boundary in r9
-    #     (VERDICT r9 next-round #1). After this block the stalest
-    #     certification tier is r3 and the rotation has lapped the
-    #     registry;
-    "tumbling_window_agg",
-    "stream_absence_alert",
-    "stream_count_window",
-    "stream_cumulate_window_agg",
-    "stream_cumulative_distinct",
-    "stream_ewma_user_value",
-    "stream_last5_sum_tws",
-    "stream_late_data_side_output",
-    "stream_session_window_agg",
-    "stream_stateful_first_value",
-    "stream_tumbling_window_agg",
-    "stream_type_counts_tws",
-    # (2) the 12 queries CHANGED by the r10 optimization round (every
-    #     one re-verified at sf0.001 + sf0.01 in-round; the driver
-    #     sample re-certifies them at sf0.01 — OPTIMIZATION_r10.md),
-    #     plus dedup_embedding_cosine as the round's data-dependent
-    #     tile-kernel insurance row (standing VERDICT r7 #4 rule);
-    "ts_similarity_topk_sax",
-    "ts_similarity_topk",
-    "multimodal_jpeg_roundtrip",
-    "source_protobuf_roundtrip",
-    "source_protobuf_oneof_roundtrip",
-    "source_avro_roundtrip",
-    "stream_incremental_dedup",
-    "kmeans_embeddings",
-    "semdedup_embeddings",
-    "profile_orders_columns",
-    "dedup_cc_star_contraction",
-    "stream_first_seen_tws",
-    "dedup_embedding_cosine",
-    # (3) re-certification backfill from the r3-stale tier (48 rows:
-    #     33 non-TPC-H + 15 tpch_*). The 25 below are the head of that
-    #     tier (source_avro/protobuf moved up into block 2); the
-    #     remaining 9 non-TPC-H rows + all 15 tpch_* rows queue
-    #     post-boundary to lead the r11 sample.
-    #     12 + 13 + 25 = 50 = the driver's sample size.
-    "ann_ivf_pq_topk",
-    "ann_pq_adc_topk",
-    "arrow_ipc_roundtrip",
-    "boilerplate_passages",
-    "bpe_apply_merges",
-    "bpe_pair_merge_stats",
-    "cms_token_counts",
-    "cusum_changepoint_hourly",
-    "dedup_substring_spans",
-    "graph_bfs_distances",
-    "graph_kcore",
-    "graph_shortest_path_weighted",
-    "graph_triangle_count",
-    "heavy_hitters_shard_union",
-    "histogram_event_values",
-    "interval_coverage_users",
-    "mmr_diversified_topk",
-    "multimodal_image_ahash_groups",
-    "ohlc_hourly_value",
-    "pagerank_trade_network",
-    "ppr_from_seed",
-    "pq_encode_embeddings",
-    "stream_interval_coverage",
-    "stream_kafka_log_roundtrip",
-    "stream_time_weighted_avg",
-    # --- 50-prefix boundary; tail = the 9 remaining r3-stale
-    # non-TPC-H rows then the 15 r3-stale tpch_* rows, queued to lead
-    # the r11 sample.
+    # --- round 11 sample. Tier bookkeeping recomputed from the ten
+    # CORRECTNESS_r*.json files (latest driver-green round per query:
+    # r3:21, r4:48, r5:46, r6:46, r7:48, r8:50, r9:42, r10:50).
+    # Three blocks:
+    # (1) the ENTIRE remaining r3-stale tier (21 rows: 6 non-TPC-H +
+    #     15 tpch_*), queued post-boundary in r10 as promised — after
+    #     this block the stalest tier is r4;
     "survival_risk_table",
     "text_keywords_rake",
     "text_search_and_rank",
@@ -133,6 +67,71 @@ _SAMPLE_FIRST = [
     "tpch_q19ish",
     "tpch_q21ish",
     "tpch_q22ish",
+    # (2) the 9 queries changed by the r11 optimization round (every
+    #     one re-proved at sf0.001 + sf0.01 in-round — see
+    #     OPTIMIZATION_r11.md; source_protobuf_roundtrip rides as the
+    #     decoder-bail-fix insurance row);
+    "dedup_duplicated_spans",
+    "dedup_span_removal",
+    "dedup_simhash",
+    "dedup_simhash_band_pairs",
+    "decontam_ngram_overlap",
+    "split_contamination_check",
+    "stream_incremental_dedup",
+    "stream_first_seen_tws",
+    "source_protobuf_roundtrip",
+    # (3) re-certification backfill: the head of the r4-stale tier
+    #     (20 of 48; the remaining 28 queue post-boundary to lead the
+    #     next sample). 21 + 9 + 20 = 50 = the driver sample size.
+    "arrow_window_zscore",
+    "arrow_window_zscore_pandas",
+    "asof_join_forward",
+    "asof_join_nearest",
+    "asof_join_purchase_view",
+    "bitemporal_asof",
+    "ccnet_perplexity_buckets",
+    "cdc_merge_customer",
+    "cogroup_activity_order_merge",
+    "count_window_agg",
+    "cumulative_distinct_users",
+    "dq_expectations_orders",
+    "dsir_importance_weights",
+    "fifo_pairing_events",
+    "golden_record_customers",
+    "hard_negative_mining",
+    "hilbert_events_layout",
+    "hybrid_search_rrf",
+    "ivm_incremental_agg",
+    "ivm_retractable_agg",
+    # --- 50-prefix boundary; tail = the remaining 28 r4-stale rows,
+    # queued to lead the next round's sample.
+    "map_state_topvalue",
+    "merge_upsert_user_stats",
+    "multimodal_h264_roundtrip",
+    "multimodal_video_dedup",
+    "nb_lang_classifier",
+    "ndcg_ranking_audit",
+    "range_join_close_events",
+    "rp_jl_projection_audit",
+    "scd2_user_type_history",
+    "session_window_dynamic_gap",
+    "snapshot_diff_user_stats",
+    "stateful_distinct_firsts",
+    "stateful_first_value",
+    "stream_ann_ivf_probe",
+    "stream_dsir_scores",
+    "stream_kafka_end_to_end",
+    "stream_kafka_real_roundtrip",
+    "stream_kafka_two_readers",
+    "stream_kafka_txn_sink_roundtrip",
+    "stream_stream_range_join",
+    "text_bm25_rank",
+    "text_lm_perplexity",
+    "text_unigram_entropy",
+    "tpch_q11ish",
+    "weighted_sample_without_replacement",
+    "windowed_distinct_users_bitmap",
+    "zorder_events_layout",
 ]
 
 
