@@ -63,6 +63,14 @@ QUERIES = [
     ("bitext_margin_mining_ivf", 1.5, 1, 1800),
     # streaming ingestion-time dedup (per-batch probe, linear + floor)
     ("stream_incremental_dedup", 1.0, 1, 1800),
+    # r11 changed kernels (standing curve policy: every kernel rewrite
+    # re-measures its row in the same round)
+    ("dedup_duplicated_spans", 1.0, 1, 1800),   # DF-capped posting lists
+    ("dedup_simhash", 1.0, 2, 600),             # packed-lane aggregate
+    ("dedup_simhash_band_pairs", 1.0, 1, 1800), # banded LSH, capped buckets
+    ("decontam_ngram_overlap", 1.0, 1, 1800),   # capped posting lists
+    ("split_contamination_check", 1.0, 2, 600), # digest pivot pre-agg
+    ("stream_first_seen_tws", 1.0, 1, 1800),    # bucketed MapState layout
     # r8 extension: one representative per remaining family
     ("tpch_q1", 1.0, 2, 600),                 # scan + codegen hash agg
     ("tpch_q3", 1.0, 2, 600),                 # broadcast join + agg
