@@ -184,40 +184,70 @@ def cogroup_activity_order_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     event stats ⟕ order stats — the oracle's formulation) so the
     cogroup path itself is what the hash-match certifies: exact cents
     via int64 sums inside pandas, span in integer µs. Plan: two scans,
-    ONE co-partitioned exchange pair (both sides keyed user_id), no
-    second shuffle. At 100 TB the same caveats as every Arrow-Python
-    stage: it is the slow path (46k rows/s/core vs JVM millions) —
-    reach for it only when the per-key logic truly needs both inputs
-    in one place."""
+    ONE co-partitioned exchange pair, no second shuffle.
+
+    The cogroup KEY is a user bucket, not the raw user_id: pandas-group
+    stages cost ~1-10 ms per PYTHON CALL, so keying by user_id paid one
+    call per user (1500 calls = 2.8 s at sf0.1) while everything inside
+    was trivial. Bucketing (the stream_first_seen_tws MapState layout
+    move, guide §4 amortize-the-boundary) delivers each bucket's two
+    frames in ONE call and runs the per-user merge as vectorized pandas
+    groupbys — measured 2.82 → 0.80 s min at sf0.1 with bit-identical
+    output. Bucket count scales with cluster width (never data), so
+    call amortization only improves as users/bucket grows; the two-
+    input key-aligned Arrow delivery being certified is unchanged. At
+    100 TB the same caveats as every Arrow-Python stage: it is the slow
+    path — reach for it only when the per-key logic truly needs both
+    inputs in one place."""
     import pandas as pd
 
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    nb = max(64, spark.sparkContext.defaultParallelism * 2)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", F.pmod("user_id", F.lit(nb)).alias("bkt")
+    )
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("user_id"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.pmod("o_custkey", F.lit(nb)).alias("bkt"),
     )
 
     def merge(key, ev_pdf: pd.DataFrame, o_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(ev_pdf) == 0:
+            # orders-only buckets emit nothing (the oracle LEFT JOINs
+            # from events); dtypes pinned so Arrow needs no inference
             return pd.DataFrame(
-                columns=["user_id", "n_events", "n_orders", "order_revenue", "active_span_us"]
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                    "n_orders": pd.Series([], dtype="int64"),
+                    "order_revenue": pd.Series([], dtype="float64"),
+                    "active_span_us": pd.Series([], dtype="int64"),
+                }
             )
-        ts = ev_pdf["ts"]
+        g = ev_pdf.groupby("user_id")["ts"].agg(["count", "min", "max"])
+        if len(o_pdf):
+            og = o_pdf.groupby("user_id")["cents"].agg(["count", "sum"])
+        else:
+            og = pd.DataFrame({"count": [], "sum": []})
+        j = g.join(og, how="left", rsuffix="_o")
+        n_orders = j.iloc[:, 3].fillna(0).astype("int64")
+        cents = j.iloc[:, 4].fillna(0).astype("int64")
+        # span via explicit ns so the math matches the per-key form's
+        # Timedelta.value // 1000 exactly, whatever pandas' native unit
+        span_ns = (j["max"] - j["min"]).astype("timedelta64[ns]").astype("int64")
         return pd.DataFrame(
             {
-                "user_id": [int(key[0])],
-                "n_events": [len(ev_pdf)],
-                "n_orders": [len(o_pdf)],
-                "order_revenue": [float(int(o_pdf["cents"].sum())) / 100.0],
-                "active_span_us": [
-                    int((ts.max() - ts.min()).value // 1000)  # ns → µs
-                ],
+                "user_id": j.index.to_numpy(dtype="int64"),
+                "n_events": j["count"].astype("int64").to_numpy(),
+                "n_orders": n_orders.to_numpy(),
+                "order_revenue": cents.to_numpy().astype("float64") / 100.0,
+                "active_span_us": span_ns.to_numpy() // 1000,
             }
         )
 
     return (
-        pin_groups(ev, "user_id").groupBy("user_id")
-        .cogroup(pin_groups(orders, "user_id").groupBy("user_id"))
+        pin_groups(ev, "bkt").groupBy("bkt")
+        .cogroup(pin_groups(orders, "bkt").groupBy("bkt"))
         .applyInPandas(
             merge,
             "user_id long, n_events long, n_orders long,"

@@ -261,3 +261,46 @@ def test_keyby_integration_scale(spark):
     assert all(r.nfv == 1 and r.fv == r.mv for r in rows)
     assert sum(r.cnt for r in rows) == n
     assert out.select("first_val").distinct().count() == n_keys
+
+
+def test_cogroup_bucketed_merge_matches_join(spark, sf_dir):
+    """cogroup_activity_order_merge buckets its cogroup key to amortize
+    per-key Python calls (r11); the vectorized per-user merge inside
+    each bucket must reproduce the plain JVM join formulation exactly —
+    users with no orders, single-event spans, exact cents included."""
+    from arcon_spark.io import load_table
+    from arcon_spark.operators.stateful import cogroup_activity_order_merge
+
+    got = {
+        r.user_id: r
+        for r in cogroup_activity_order_merge(spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ev"),
+            F.max("ts").alias("last_ev"),
+        )
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+        )
+    )
+    ref = ev.join(o, "user_id", "left").collect()
+    assert len(ref) == len(got) > 0
+    for r in ref:
+        g = got[r.user_id]
+        assert g.n_events == r.n_events
+        assert g.n_orders == (r.n_orders or 0)
+        assert g.order_revenue == float(r.cents or 0) / 100.0
+        td = r.last_ev - r.first_ev  # exact integer µs via timedelta fields
+        span_us = (td.days * 86400 + td.seconds) * 1_000_000 + td.microseconds
+        assert g.active_span_us == span_us
