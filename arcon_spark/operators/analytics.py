@@ -2652,7 +2652,7 @@ def _sax_probes(words: DataFrame) -> DataFrame:
     )
 
 
-def _sax_router_stats(prof: DataFrame) -> tuple[int, int]:
+def _sax_router_stats(words: DataFrame) -> tuple[int, int]:
     """(n_users, upper_pairs) in ONE aggregate job over the band
     probes: upper_pairs = Σ_buckets C(n, 2) over every (slot, probe)
     bucket — an upper bound on the DISTINCT banded candidate count (a
@@ -2660,10 +2660,14 @@ def _sax_router_stats(prof: DataFrame) -> tuple[int, int]:
     bound overestimates by at most {_SAX_BANDS}×), and n_users rides
     the same job as the slot-0 bucket-size sum. Both drive the verify
     plan choice in ts_similarity_topk_sax; the n_users value also
-    sizes the tile grid, so the dense branch adds no extra count
-    job."""
+    sizes the tile grid, so the dense branch adds no extra count job.
+    Takes the CHECKPOINTED words frame (r11): the router and the chosen
+    verify branch used to each rebuild the word aggregate pipeline —
+    sharing one materialized build measured 2.07 → 1.81 s min at sf0.1,
+    and the duplicate O(n) aggregate it removes grows with the
+    corpus."""
     row = (
-        _sax_probes(_sax_words(prof))
+        _sax_probes(words)
         .groupBy("slot", "probe")
         .agg(F.count(F.lit(1)).alias("n"))
         .agg(
@@ -2689,13 +2693,14 @@ def _sax_router_stats(prof: DataFrame) -> tuple[int, int]:
 _TSS_DENSE_ROUTE = 64
 
 
-def _sax_candidates(prof: DataFrame) -> DataFrame:
+def _sax_candidates(words: DataFrame) -> DataFrame:
     """(user_a, user_b) banded candidate pairs: users whose sign words
-    agree on at least one of the {_SAX_BANDS} bands. Shared by the
-    registered query and the pigeonhole contract test
-    (tests/test_analytics.py), so the test exercises the REAL blocking
-    stage, not a re-derivation."""
-    probes = _sax_probes(_sax_words(prof))
+    agree on at least one of the {_SAX_BANDS} bands. Takes the words
+    frame (checkpointed by the registered query so the build runs
+    once). Shared by the registered query and the pigeonhole contract
+    test (tests/test_analytics.py), so the test exercises the REAL
+    blocking stage, not a re-derivation."""
+    probes = _sax_probes(words)
     # DISTINCT is load-bearing: a pair agreeing on several bands
     # collides on each of them, and a duplicated candidate row would
     # multiply its prof rows through the dot join (dot counted once
@@ -2808,16 +2813,19 @@ def ts_similarity_topk_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate) is property-tested there too, cf. PAPERS.md
     EDBT'19/REPOSE."""
     prof = _tss_prof(spark, sf_dir)
-    n_users, upper = _sax_router_stats(prof)
+    # ONE word build for router + verify branch (both consume it; the
+    # house multi-consumer rule — r11, probe 2.07 → 1.81 s at sf0.1)
+    words = _sax_words(prof).localCheckpoint(eager=True)
+    n_users, upper = _sax_router_stats(words)
     if upper * _TSS_DENSE_ROUTE >= n_users * max(0, n_users - 1) // 2:
         # candidate-dense corpus: same candidate set, verified inside
         # the tile kernel (band agreement = 6 vectorized equality
         # compares per tile) — identical result, tile-matmul speed
-        return _tss_tile_topk(prof, n_users, words=_sax_words(prof))
-    return _sax_banded_verify(prof)
+        return _tss_tile_topk(prof, n_users, words=words)
+    return _sax_banded_verify(prof, words)
 
 
-def _sax_banded_verify(prof: DataFrame) -> DataFrame:
+def _sax_banded_verify(prof: DataFrame, words: DataFrame) -> DataFrame:
     """The sparse-corpus verify branch of ts_similarity_topk_sax: ONE
     row per banded candidate, not a pair x hod explosion. Each user's
     profile densifies to a 24-slot long array plus a 24-bit
@@ -2830,7 +2838,7 @@ def _sax_banded_verify(prof: DataFrame) -> DataFrame:
     join — at sf1's twin-dense corpus that exploded ~7.7M candidates
     x ~24 rows and read 500 s; this form carries the same candidates
     as single rows (r9 curve re-measure)."""
-    cand = _sax_candidates(prof)
+    cand = _sax_candidates(words)
     vecs = _tss_vecs(prof)
     va = vecs.select(
         F.col("user_id").alias("user_a"),

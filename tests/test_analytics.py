@@ -377,7 +377,8 @@ def test_sax_band_pigeonhole_guarantee(spark, sf_dir):
     words = {r.user_id: r.word for r in A._sax_words(prof).collect()}
     # the REAL blocking stage (shared with the registered query)
     cands = {
-        (r.user_a, r.user_b) for r in A._sax_candidates(prof).collect()
+        (r.user_a, r.user_b)
+        for r in A._sax_candidates(A._sax_words(prof)).collect()
     }
     users = sorted(words)
     hamming_le = {
@@ -446,19 +447,18 @@ def test_sax_router_branches_agree_and_route_dense(spark, sf_dir):
     import arcon_spark.operators.analytics as A
 
     prof = A._tss_prof(spark, sf_dir)
-    n_users, upper = A._sax_router_stats(prof)
+    words = A._sax_words(prof)
+    n_users, upper = A._sax_router_stats(words)
     assert n_users > 1 and upper > 0
     assert upper * A._TSS_DENSE_ROUTE >= n_users * (n_users - 1) // 2, (
         "router should read this corpus as candidate-dense"
     )
     banded = {
         (r.user_a, r.user_b, r.dist2)
-        for r in A._sax_banded_verify(prof).collect()
+        for r in A._sax_banded_verify(prof, words).collect()
     }
     tiled = {
         (r.user_a, r.user_b, r.dist2)
-        for r in A._tss_tile_topk(
-            prof, n_users, words=A._sax_words(prof)
-        ).collect()
+        for r in A._tss_tile_topk(prof, n_users, words=words).collect()
     }
     assert banded and banded == tiled
