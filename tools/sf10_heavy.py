@@ -62,49 +62,75 @@ def _frame(name: str, spark, sf_dir: str):
     return queries()[name](spark, sf_dir)
 
 
-def _one(name: str, sf_dir: str, budget: float) -> None:
+def _one(name: str, sf_dir: str, budget: float, passes: int = 1) -> None:
     """Inner mode: print one JSON line {t, steal, anchor} (t None on
-    budget kill / error)."""
+    budget kill / error). With passes > 1, runs an UNMEASURED warm pass
+    first and reports the min of the measured passes — the sf0.1 floor
+    must be a warm floor (a cold single-pass session reads 3-7x its
+    steady state from JIT/codegen, which would flatter the exponent);
+    the sf10 side stays a single cold pass, where minutes of runtime
+    amortize the same warmup to noise."""
     from arcon_spark.session import get_spark
 
     spark = get_spark("sf10_heavy")
     sc = spark.sparkContext
-    box: dict = {}
 
-    def work() -> None:
-        try:
-            sc.setJobGroup(f"sf10_{name}", name, interruptOnCancel=True)
-            t0 = time.time()
-            _frame(name, spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            box["t"] = time.time() - t0
-        except Exception as ex:
-            box["err"] = f"{type(ex).__name__}: {str(ex)[:160]}"
+    def run_once() -> dict:
+        box: dict = {}
+
+        def work() -> None:
+            try:
+                sc.setJobGroup(f"sf10_{name}", name, interruptOnCancel=True)
+                t0 = time.time()
+                _frame(name, spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                box["t"] = time.time() - t0
+            except Exception as ex:
+                box["err"] = f"{type(ex).__name__}: {str(ex)[:160]}"
+
+        th = threading.Thread(target=work, daemon=True)
+        th.start()
+        th.join(budget)
+        if th.is_alive():
+            sc.cancelJobGroup(f"sf10_{name}")
+            th.join(120)
+            return {"err": "BUDGET"}
+        return box
 
     stat0 = bench._proc_stat_ticks()
-    th = threading.Thread(target=work, daemon=True)
-    th.start()
-    th.join(budget)
-    killed = th.is_alive()
-    if killed:
-        sc.cancelJobGroup(f"sf10_{name}")
-        th.join(120)
+    if passes > 1:
+        run_once()  # unmeasured warm pass
+    best, err = None, None
+    for _ in range(max(1, passes)):
+        spark.catalog.clearCache()
+        r = run_once()
+        if r.get("t") is not None and (best is None or r["t"] < best):
+            best = r["t"]
+        err = r.get("err", err)
     out = {
-        "t": None if killed else box.get("t"),
-        "err": "BUDGET" if killed else box.get("err"),
+        "t": best,
+        "err": None if best is not None else err,
         "steal": bench._steal_pct(stat0, bench._proc_stat_ticks()),
         "anchor": bench._anchor_sec(),
     }
     print("RESULT " + json.dumps(out), flush=True)
 
 
-def _spawn(name: str, sf_dir: str, budget: float) -> dict:
+def _spawn(name: str, sf_dir: str, budget: float, passes: int = 1) -> dict:
     p = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--one", name, sf_dir, str(budget)],
+        [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--one",
+            name,
+            sf_dir,
+            str(budget),
+            str(passes),
+        ],
         capture_output=True,
         text=True,
-        timeout=budget + 600,
+        timeout=budget * (passes + 1) + 600,
     )
     for line in p.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -114,7 +140,12 @@ def _spawn(name: str, sf_dir: str, budget: float) -> dict:
 
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--one":
-        _one(sys.argv[2], sys.argv[3], float(sys.argv[4]))
+        _one(
+            sys.argv[2],
+            sys.argv[3],
+            float(sys.argv[4]),
+            int(sys.argv[5]) if len(sys.argv) > 5 else 1,
+        )
         return 0
     sf01 = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     sf10 = sys.argv[2] if len(sys.argv) > 2 else "/root/sf10"
@@ -137,12 +168,12 @@ def main() -> int:
             continue
         r: dict = {"expected": expected}
         # fresh process per phase too: the sf0.1 floor must not inherit
-        # a JVM that just chewed through the 100x corpus
-        lo = [_spawn(name, sf01, max(300, budget * 0.2)) for _ in range(2)]
-        ts = [x["t"] for x in lo if x.get("t")]
-        r["t_sf01"] = round(min(ts), 2) if ts else None
-        r["steal_t_sf01"] = lo[-1].get("steal")
-        r["anchor_t_sf01"] = lo[-1].get("anchor")
+        # a JVM that just chewed through the 100x corpus. Warm floor:
+        # one unmeasured warm pass + min-of-2 inside the session.
+        lo = _spawn(name, sf01, max(300, budget * 0.2), passes=2)
+        r["t_sf01"] = round(lo["t"], 2) if lo.get("t") else None
+        r["steal_t_sf01"] = lo.get("steal")
+        r["anchor_t_sf01"] = lo.get("anchor")
         hi = _spawn(name, sf10, budget)
         r["t_sf10"] = round(hi["t"], 2) if hi.get("t") else None
         r["steal_t_sf10"] = hi.get("steal")
