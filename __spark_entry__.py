@@ -67,10 +67,12 @@ _SAMPLE_FIRST = [
     "tpch_q19ish",
     "tpch_q21ish",
     "tpch_q22ish",
-    # (2) the 9 queries changed by the r11 optimization round (every
+    # (2) the 10 queries changed by the r11 optimization round (every
     #     one re-proved at sf0.001 + sf0.01 in-round — see
     #     OPTIMIZATION_r11.md; source_protobuf_roundtrip rides as the
-    #     decoder-bail-fix insurance row);
+    #     decoder-bail-fix insurance row; cogroup_activity_order_merge,
+    #     also changed this round, already sits in block 3 below);
+    "ts_similarity_topk_sax",
     "dedup_duplicated_spans",
     "dedup_span_removal",
     "dedup_simhash",
@@ -102,9 +104,10 @@ _SAMPLE_FIRST = [
     "hilbert_events_layout",
     "hybrid_search_rrf",
     "ivm_incremental_agg",
+    # --- 50-prefix boundary; tail = ivm_retractable_agg (displaced by
+    # the sitting-2 ts_similarity_topk_sax row) + the remaining 28
+    # r4-stale rows, queued to lead the next round's sample.
     "ivm_retractable_agg",
-    # --- 50-prefix boundary; tail = the remaining 28 r4-stale rows,
-    # queued to lead the next round's sample.
     "map_state_topvalue",
     "merge_upsert_user_stats",
     "multimodal_h264_roundtrip",
